@@ -1,0 +1,103 @@
+"""Tier-0 analyzer parity (FIXTURES.md F4) — no Spark needed.
+
+Expected streams follow the reference chain
+RegexTokenizer(r"\\w+(\\.?\\w+)*") | LowercaseFilter | StopFilter(minsize=2,
+renumber=True). The unicode/tbd rows are validated against Python `re`
+semantics (the reference is pure Python, so Python `re` IS its tokenizer
+engine — same \\w class).
+"""
+
+import pandas as pd
+
+from whoosh_spark.analysis import (
+    STANDARD,
+    STOP_WORDS,
+    AnalyzerSpec,
+    analyze_series,
+    analyze_text,
+    postings_frame,
+)
+
+
+def test_f4_fixture_basic():
+    assert analyze_text("The quick-brown FOX, v1.2.3!") == [
+        ("quick", 0),
+        ("brown", 1),
+        ("fox", 2),
+        ("v1.2.3", 3),
+    ]
+
+
+def test_f4_fixture_stop_and_minsize():
+    # 'a','an','the' are stopwords; 'x' fails minsize=2; 'yz' survives at pos 0
+    assert analyze_text("a an x yz the") == [("yz", 0)]
+
+
+def test_f4_fixture_empty():
+    assert analyze_text("") == []
+    assert analyze_text("   ") == []
+    assert analyze_text("...") == []
+
+
+def test_unicode_and_tbd():
+    # Python re \w is unicode: café/naïve/東京 are single tokens; 'tbd' is in
+    # Whoosh's quirky stoplist and must be dropped.
+    assert analyze_text("Café NAÏVE 東京 tbd") == [("café", 0), ("naïve", 1), ("東京", 2)]
+    assert "tbd" in STOP_WORDS
+
+
+def test_dotted_token_pattern():
+    # \w+(\.?\w+)* joins single dots but not trailing/consecutive dots
+    assert analyze_text("v1.2.3") == [("v1.2.3", 0)]
+    assert analyze_text("a.b") == [("a.b", 0)]  # len 3 >= 2, not a stopword
+    # "x..y" tokenizes to ['x', 'y'] (a double dot breaks the token);
+    # both are single chars -> dropped by minsize=2
+    assert analyze_text("x..y") == []
+
+
+def test_renumbering_positions():
+    # positions renumber after stopword removal (critical for phrase queries)
+    assert analyze_text("the hash and join") == [("hash", 0), ("join", 1)]
+
+
+def test_case_folding_after_tokenize():
+    assert analyze_text("Spark SPARK spark") == [
+        ("spark", 0),
+        ("spark", 1),
+        ("spark", 2),
+    ]
+
+
+def test_batch_matches_scalar():
+    texts = [
+        "The quick-brown FOX, v1.2.3!",
+        "",
+        "a an x yz the",
+        "hash join hash",
+        None,
+    ]
+    b = analyze_series(pd.Series(texts))
+    per_row = [[] for _ in texts]
+    for r, t, p in zip(b.row, b.term, b.pos):
+        per_row[r].append((t, p))
+    for i, t in enumerate(texts):
+        assert per_row[i] == analyze_text(t if t is not None else "")
+    lens = b.lengths()
+    assert lens.tolist() == [4, 0, 1, 3, 0]
+
+
+def test_postings_frame_weights_and_positions():
+    pf = postings_frame(pd.Series(["hash join the hash"]))
+    rows = {r.term: (r.weight, r.positions) for r in pf.itertuples()}
+    assert rows == {"hash": (2.0, [0, 2]), "join": (1.0, [1])}
+
+
+def test_simple_analyzer_no_stop():
+    spec = AnalyzerSpec(stoplist=None, minsize=1)
+    assert analyze_text("The a x", spec) == [("the", 0), ("a", 1), ("x", 2)]
+
+
+def test_standard_spec_defaults():
+    assert STANDARD.minsize == 2
+    assert STANDARD.maxsize is None
+    assert STANDARD.stoplist == STOP_WORDS

@@ -1,0 +1,145 @@
+"""Parser tests: query string -> query tree (mirrors whoosh test_parsing)."""
+
+from datetime import datetime
+
+from whoosh_spark import query as Q
+from whoosh_spark.fields import transcript_schema
+from whoosh_spark.query.parser import QueryParser
+
+
+def p(s):
+    return QueryParser("text", transcript_schema()).parse(s)
+
+
+def test_single_term():
+    assert p("spark") == Q.Term("text", "spark")
+
+
+def test_implicit_and():
+    assert p("hash join") == Q.And([Q.Term("text", "hash"), Q.Term("text", "join")])
+
+
+def test_or():
+    assert p("spark OR vector") == Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")])
+
+
+def test_not():
+    q = p("merge NOT window")
+    assert q == Q.AndNot(Q.Term("text", "merge"), Q.Term("text", "window"))
+
+
+def test_phrase():
+    assert p('"hash join"') == Q.Phrase("text", ["hash", "join"])
+
+
+def test_phrase_slop():
+    assert p('"slow query"~2') == Q.Phrase("text", ["slow", "query"], slop=2)
+
+
+def test_phrase_with_stopword_renumbers():
+    # 'the' drops out of the phrase, remaining words stay consecutive
+    assert p('"hash the join"') == Q.Phrase("text", ["hash", "join"])
+
+
+def test_prefix():
+    assert p("sca*") == Q.Prefix("text", "sca")
+
+
+def test_wildcard():
+    assert p("s?ark*") == Q.Wildcard("text", "s?ark*")
+
+
+def test_fuzzy():
+    assert p("querry~") == Q.FuzzyTerm("text", "querry", maxdist=1)
+    assert p("querry~2") == Q.FuzzyTerm("text", "querry", maxdist=2)
+
+
+def test_term_range():
+    assert p("[batch TO filter]") == Q.TermRange("text", "batch", "filter", False, False)
+    assert p("{batch TO filter}") == Q.TermRange("text", "batch", "filter", True, True)
+
+
+def test_field_term():
+    assert p("role:user AND spark") == Q.And(
+        [Q.Term("role", "user"), Q.Term("text", "spark")]
+    )
+
+
+def test_numeric_range():
+    q = p("turn_idx:[2 TO 5]")
+    assert q == Q.NumericRange("turn_idx", 2, 5, False, False)
+
+
+def test_date_range():
+    q = p("ts:[20260101 TO 20260102]")
+    assert isinstance(q, Q.DateRange)
+    assert q.start == datetime(2026, 1, 1)
+    assert q.end == datetime(2026, 1, 2, 23, 59, 59)
+
+
+def test_boost_and_group():
+    q = p("spark^2 OR (join AND batch)")
+    assert q == Q.Or(
+        [
+            Q.Term("text", "spark", boost=2.0),
+            Q.And([Q.Term("text", "join"), Q.Term("text", "batch")]),
+        ]
+    )
+
+
+def test_all_stopword_query_is_null():
+    # FIXTURES Q14: "the a x" -> everything filtered -> NullQuery
+    assert p("the a x") == Q.NullQuery()
+
+
+def test_tbd_is_stopword():
+    # FIXTURES Q15 probe: 'tbd' is in Whoosh's stoplist, so it vanishes
+    assert p("spark AND tbd") == Q.Term("text", "spark")
+
+
+def test_every():
+    assert p("*") == Q.Every()
+    assert p("*:*") == Q.Every()
+
+
+def test_andnot_andmaybe_ops():
+    assert p("spark ANDNOT merge") == Q.AndNot(Q.Term("text", "spark"), Q.Term("text", "merge"))
+    assert p("spark ANDMAYBE merge") == Q.AndMaybe(
+        Q.Term("text", "spark"), Q.Term("text", "merge")
+    )
+
+
+def test_case_folding_of_terms():
+    assert p("Spark SPARK") == Q.And([Q.Term("text", "spark"), Q.Term("text", "spark")]).normalize()
+    # dedupe in normalize collapses to a single term
+    assert p("Spark SPARK") == Q.Term("text", "spark")
+
+
+def test_nested_groups():
+    q = p("(spark OR vector) AND (hash OR join)")
+    assert q == Q.And(
+        [
+            Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")]),
+            Q.Or([Q.Term("text", "hash"), Q.Term("text", "join")]),
+        ]
+    )
+
+
+def test_normalize_flattening():
+    q = Q.And([Q.And([Q.Term("text", "a1"), Q.Term("text", "b1")]), Q.Term("text", "c1")])
+    assert q.normalize() == Q.And(
+        [Q.Term("text", "a1"), Q.Term("text", "b1"), Q.Term("text", "c1")]
+    )
+
+
+def test_normalize_single_child_unwrap():
+    assert Q.Or([Q.Term("text", "x1")]).normalize() == Q.Term("text", "x1")
+
+
+def test_normalize_every_elimination():
+    q = Q.And([Q.Every(), Q.Term("text", "x1")])
+    assert q.normalize() == Q.Term("text", "x1")
+
+
+def test_one_word_phrase_becomes_term():
+    assert Q.Phrase("text", ["solo"]).normalize() == Q.Term("text", "solo")

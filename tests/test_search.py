@@ -1,0 +1,294 @@
+"""End-to-end engine tests vs the pure-Python first-principles oracle."""
+
+import pytest
+
+from tests.pyoracle import PyIndex
+from whoosh_spark import query as Q
+from whoosh_spark.fields import ID, NUMERIC, TEXT, Schema
+from whoosh_spark.indexing import build_index
+from whoosh_spark.search import BM25F, Frequency, Searcher
+
+DOCS = [
+    {"doc_id": 0, "text": "hash join merge sort spark", "role": "user", "n": 5},
+    {"doc_id": 1, "text": "the spark spark query engine is fast", "role": "assistant", "n": 7},
+    {"doc_id": 2, "text": "merge window batch stream", "role": "user", "n": 4},
+    {"doc_id": 3, "text": "hash join hash join slow query", "role": "assistant", "n": 6},
+    {"doc_id": 4, "text": "a an x the", "role": "system", "n": 4},
+    {"doc_id": 5, "text": "spark vector join", "role": "tool", "n": 3},
+    {"doc_id": 6, "text": "scan scatter scale spark batch", "role": "user", "n": 5},
+    {"doc_id": 7, "text": "slow merge query window spark hash", "role": "tool", "n": 6},
+]
+
+
+@pytest.fixture(scope="module")
+def ix(spark):
+    schema = Schema(TEXT("text"), ID("role"), NUMERIC("n"))
+    docs = spark.createDataFrame(DOCS)
+    return build_index(spark, docs, schema).persist()
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return PyIndex(DOCS, id_fields=("role",))
+
+
+@pytest.fixture(scope="module")
+def searcher(ix):
+    return Searcher(ix, BM25F())
+
+
+def rows(df):
+    return [(r["doc_id"], pytest.approx(r["score"], rel=1e-9)) for r in df.collect()]
+
+
+def ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_index_stats(ix, oracle):
+    assert ix.doc_count == 8
+    assert ix.doc_frequency("text", "spark") == oracle.df["spark"]
+    assert ix.doc_frequency("text", "hash") == oracle.df["hash"]
+    assert ix.doc_frequency("text", "nosuchterm") == 0
+    assert ix.frequency("text", "hash") == 1 + 2 + 1  # docs 0, 3(x2), 7
+    assert ix.avg_field_length("text") == pytest.approx(oracle.avgdl)
+    lex = ix.lexicon("text")
+    assert "spark" in lex and "the" not in lex and "a" not in lex
+
+
+def test_term_query_scores(searcher, oracle):
+    got = searcher.search(Q.Term("text", "spark"), limit=10).collect()
+    exp = oracle.topk({i: oracle.bm25(i, "spark") for i in oracle.matching("spark")})
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (i, pytest.approx(s, rel=1e-9)) for i, s in exp
+    ]
+
+
+def test_term_tie_break_by_doc_id(searcher):
+    # docs 0 and 5-7 region: verify full ordering is (score desc, doc_id asc)
+    got = searcher.search(Q.Term("text", "spark"), limit=None).collect()
+    scores = [(r["score"], r["doc_id"]) for r in got]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
+def test_and_query(searcher, oracle):
+    got = searcher.search(Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]), limit=None)
+    exp = oracle.topk(oracle.and_scores(["hash", "join"]), None)
+    assert rows(got) == [(i, pytest.approx(s, rel=1e-9)) for i, s in exp]
+
+
+def test_or_query(searcher, oracle):
+    got = searcher.search(Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")]), limit=None)
+    exp = oracle.topk(oracle.or_scores(["spark", "vector"]), None)
+    assert rows(got) == [(i, pytest.approx(s, rel=1e-9)) for i, s in exp]
+
+
+def test_andnot(searcher, oracle):
+    got = searcher.search(Q.AndNot(Q.Term("text", "merge"), Q.Term("text", "window")), limit=None)
+    exp = oracle.matching("merge") - oracle.matching("window")
+    assert ids(got) == sorted(exp)
+
+
+def test_not_inside_and_normalizes_to_andnot(searcher, oracle):
+    q = Q.And([Q.Term("text", "merge"), Q.Not(Q.Term("text", "window"))])
+    got = searcher.search(q, limit=None)
+    exp = oracle.matching("merge") - oracle.matching("window")
+    assert ids(got) == sorted(exp)
+
+
+def test_require(searcher, oracle):
+    q = Q.Require(Q.Term("text", "spark"), Q.Term("text", "join"))
+    got = searcher.search(q, limit=None).collect()
+    exp_docs = oracle.matching("spark") & oracle.matching("join")
+    assert sorted(r["doc_id"] for r in got) == sorted(exp_docs)
+    for r in got:  # scored only by the left side
+        assert r["score"] == pytest.approx(oracle.bm25(r["doc_id"], "spark"), rel=1e-9)
+
+
+def test_andmaybe(searcher, oracle):
+    q = Q.AndMaybe(Q.Term("text", "merge"), Q.Term("text", "spark"))
+    got = searcher.search(q, limit=None).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(oracle.matching("merge"))
+    for r in got:
+        exp = oracle.bm25(r["doc_id"], "merge") + oracle.bm25(r["doc_id"], "spark")
+        assert r["score"] == pytest.approx(exp, rel=1e-9)
+
+
+def test_dismax(searcher, oracle):
+    q = Q.DisjunctionMax([Q.Term("text", "spark"), Q.Term("text", "hash")])
+    got = searcher.search(q, limit=None).collect()
+    for r in got:
+        s1 = oracle.bm25(r["doc_id"], "spark")
+        s2 = oracle.bm25(r["doc_id"], "hash")
+        assert r["score"] == pytest.approx(max(s1, s2), rel=1e-9)
+
+
+def test_every(searcher):
+    assert ids(searcher.search(Q.Every(), limit=None)) == list(range(8))
+
+
+def test_null_and_unknown_term(searcher):
+    assert searcher.search(Q.Term("text", "zzzznope"), limit=None).count() == 0
+    assert searcher.search(Q.NullQuery(), limit=None).count() == 0
+    # all-stopword query normalizes away (FIXTURES Q14)
+    q = Q.Or([Q.Term("text", w) for w in ()])
+    assert searcher.search(q, limit=None).count() == 0
+
+
+def test_phrase_exact(searcher, oracle):
+    q = Q.Phrase("text", ["hash", "join"])
+    got = searcher.search(q, limit=None).collect()
+    exp = oracle.phrase_docs(["hash", "join"])
+    assert sorted(r["doc_id"] for r in got) == sorted(exp)
+    # scored as the conjunction
+    for r in got:
+        s = oracle.bm25(r["doc_id"], "hash") + oracle.bm25(r["doc_id"], "join")
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_phrase_freq(searcher, oracle):
+    q = Q.Phrase("text", ["hash", "join"])
+    got = {r["doc_id"]: r["pfreq"] for r in searcher.phrase_freqs(q).collect()}
+    assert got == oracle.phrase_docs(["hash", "join"])  # doc3 has it twice
+
+
+def test_phrase_slop(searcher, oracle):
+    # "slow ... query" within slop 2: doc3 "hash join hash join slow query"
+    # and doc7 "slow merge query ..."
+    q = Q.Phrase("text", ["slow", "query"], slop=2)
+    got = sorted(r["doc_id"] for r in searcher.search(q, limit=None).collect())
+    assert got == sorted(oracle.phrase_docs(["slow", "query"], slop=2))
+    assert 7 in got  # one word between
+
+
+def test_phrase_not_adjacent_excluded(searcher, oracle):
+    q = Q.Phrase("text", ["join", "sort"])  # doc0 has "join merge sort" - not adjacent
+    assert searcher.search(q, limit=None).count() == len(oracle.phrase_docs(["join", "sort"]))
+
+
+def test_prefix(searcher, oracle):
+    q = Q.Prefix("text", "sca")
+    got = searcher.search(q, limit=None).collect()
+    terms = [t for t in oracle.df if t.startswith("sca")]
+    exp = oracle.or_scores(terms)
+    assert {r["doc_id"]: r["score"] for r in got} == pytest.approx(exp, rel=1e-9)
+
+
+def test_wildcard(searcher, oracle):
+    q = Q.Wildcard("text", "s*k")  # spark
+    got = ids(searcher.search(q, limit=None))
+    assert got == sorted(oracle.matching("spark"))
+
+
+def test_fuzzy(searcher, oracle):
+    q = Q.FuzzyTerm("text", "querry")  # -> query (1 deletion), prefix 'q'
+    got = ids(searcher.search(q, limit=None))
+    assert got == sorted(oracle.matching("query"))
+
+
+def test_termrange(searcher, oracle):
+    q = Q.TermRange("text", "batch", "fast")
+    terms = [t for t in oracle.df if "batch" <= t <= "fast"]
+    exp = oracle.or_scores(terms)
+    got = {r["doc_id"]: r["score"] for r in searcher.search(q, limit=None).collect()}
+    assert got == pytest.approx(exp, rel=1e-9)
+
+
+def test_numeric_range(searcher):
+    q = Q.NumericRange("n", 4, 5)
+    assert ids(searcher.search(q, limit=None)) == [0, 2, 4, 6]
+    q = Q.NumericRange("n", 4, 6, startexcl=True, endexcl=True)
+    assert ids(searcher.search(q, limit=None)) == [0, 6]
+
+
+def test_id_field_and_mixed_query(searcher, oracle):
+    # role:user AND spark -> unscorable ID term contributes weight 1.0
+    q = Q.And([Q.Term("role", "user"), Q.Term("text", "spark")])
+    got = searcher.search(q, limit=None).collect()
+    exp_docs = oracle.id_matching("role", "user") & oracle.matching("spark")
+    assert sorted(r["doc_id"] for r in got) == sorted(exp_docs)
+    for r in got:
+        assert r["score"] == pytest.approx(1.0 + oracle.bm25(r["doc_id"], "spark"), rel=1e-9)
+
+
+def test_boost(searcher, oracle):
+    q = Q.Or([Q.Term("text", "spark", boost=2.0), Q.Term("text", "vector")])
+    got = {r["doc_id"]: r["score"] for r in searcher.search(q, limit=None).collect()}
+    exp = {}
+    for i in oracle.matching("spark"):
+        exp[i] = exp.get(i, 0.0) + 2.0 * oracle.bm25(i, "spark")
+    for i in oracle.matching("vector"):
+        exp[i] = exp.get(i, 0.0) + oracle.bm25(i, "vector")
+    assert got == pytest.approx(exp, rel=1e-9)
+
+
+def test_filter_mask(searcher, oracle):
+    got = searcher.search(
+        Q.Term("text", "spark"),
+        limit=None,
+        filter=Q.Term("role", "user"),
+        mask=Q.Term("text", "scan"),
+    )
+    exp = (oracle.matching("spark") & oracle.id_matching("role", "user")) - oracle.matching("scan")
+    assert ids(got) == sorted(exp)
+
+
+def test_collapse(searcher):
+    got = searcher.search(Q.Term("text", "spark"), limit=None, collapse="role", collapse_limit=1)
+    res = got.collect()
+    # one doc per role among matches
+    assert len(res) == len({DOCS[r["doc_id"]]["role"] for r in res})
+
+
+def test_group_counts(searcher, oracle):
+    got = {
+        r["role"]: r["count"]
+        for r in searcher.group_counts(Q.Term("text", "spark"), "role").collect()
+    }
+    exp = {}
+    for i in oracle.matching("spark"):
+        exp[DOCS[i]["role"]] = exp.get(DOCS[i]["role"], 0) + 1
+    assert got == exp
+
+
+def test_group_best(searcher, oracle):
+    got = {r["role"]: r["doc_id"] for r in searcher.group_best(Q.Term("text", "spark"), "role").collect()}
+    by_role = {}
+    for i in oracle.matching("spark"):
+        role = DOCS[i]["role"]
+        s = oracle.bm25(i, "spark")
+        if role not in by_role or (s, -i) > (by_role[role][0], -by_role[role][1]):
+            by_role[role] = (s, i)
+    assert got == {role: i for role, (s, i) in by_role.items()}
+
+
+def test_sortedby(searcher):
+    got = searcher.search(Q.Term("text", "spark"), limit=None, sortedby="role", reverse=True)
+    res = [r["role"] for r in got.collect()]
+    assert res == sorted(res, reverse=True)
+
+
+def test_pagination(searcher, oracle):
+    all_rows = searcher.search(Q.Term("text", "spark"), limit=None).collect()
+    page2 = searcher.search_page(Q.Term("text", "spark"), pagenum=2, pagelen=2).collect()
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in all_rows[2:4]]
+
+
+def test_matched_terms(searcher, oracle):
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")])
+    got = {r["doc_id"]: r["terms"] for r in searcher.matched_terms(q).collect()}
+    assert got[5] == ["spark", "vector"]
+    assert got[1] == ["spark"]
+
+
+def test_frequency_weighting(ix, oracle):
+    s = Searcher(ix, Frequency())
+    got = {r["doc_id"]: r["score"] for r in s.search(Q.Term("text", "hash"), limit=None).collect()}
+    assert got == {0: 1.0, 3: 2.0, 7: 1.0}
+
+
+def test_with_stored_fields(searcher):
+    got = searcher.with_stored_fields(
+        searcher.search(Q.Term("text", "vector"), limit=None), "text", "role"
+    ).collect()
+    assert len(got) == 1 and got[0]["role"] == "tool"

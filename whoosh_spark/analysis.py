@@ -1,0 +1,145 @@
+"""Whoosh-parity text analysis as vectorized pandas operations.
+
+Mirrors the reference's default TEXT chain
+``RegexTokenizer | LowercaseFilter | StopFilter`` (= StandardAnalyzer):
+
+- RegexTokenizer: full regex matches of ``\\w+(\\.?\\w+)*`` (UNICODE) over the
+  *original* text (reference: src/whoosh/analysis/tokenizers.py::RegexTokenizer
+  ~L60, default_pattern ~L30). We use the non-capturing equivalent
+  ``\\w+(?:\\.?\\w+)*`` so pandas ``str.findall`` returns full matches.
+- LowercaseFilter: Python ``str.lower`` per token (reference:
+  src/whoosh/analysis/filters.py::LowercaseFilter ~L120). Applied *after*
+  tokenization, like the reference chain — tokenize(lower(s)) is NOT always
+  identical under unicode case folding.
+- StopFilter(stoplist=STOP_WORDS, minsize=2, maxsize=None, renumber=True):
+  drops stopwords and tokens shorter than minsize, then renumbers surviving
+  positions consecutively (reference:
+  src/whoosh/analysis/filters.py::StopFilter ~L160).
+
+Everything here is pandas/numpy only (no Spark imports) so the same code
+runs inside pandas UDFs on executors and directly in unit tests. The per-row
+invariant (BASELINE.json::input_hint): vectorized pandas/Arrow batches, no
+row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# Reference: src/whoosh/analysis/filters.py::STOP_WORDS (~L20). Note the
+# quirky 'tbd' — rank parity breaks on any membership diff (SURVEY.md A.2).
+STOP_WORDS = frozenset(
+    (
+        "a", "an", "and", "are", "as", "at", "be", "by", "can", "for",
+        "from", "have", "if", "in", "is", "it", "may", "not", "of", "on",
+        "or", "tbd", "that", "the", "this", "to", "us", "we", "when",
+        "will", "with", "yet", "you", "your",
+    )
+)
+
+# Non-capturing form of Whoosh's default ``\w+(\.?\w+)*`` (same language).
+DEFAULT_TOKEN_PATTERN = r"\w+(?:\.?\w+)*"
+_DEFAULT_RE = re.compile(DEFAULT_TOKEN_PATTERN, re.UNICODE)
+
+
+@dataclass(frozen=True)
+class AnalyzerSpec:
+    """Config for the standard chain; presets below mirror
+    src/whoosh/analysis/analyzers.py (~L60-240)."""
+
+    pattern: str = DEFAULT_TOKEN_PATTERN
+    lowercase: bool = True
+    stoplist: frozenset[str] | None = STOP_WORDS
+    minsize: int = 2
+    maxsize: int | None = None
+
+    def compiled(self) -> re.Pattern:
+        return re.compile(self.pattern, re.UNICODE)
+
+
+STANDARD = AnalyzerSpec()
+SIMPLE = AnalyzerSpec(stoplist=None, minsize=1)  # SimpleAnalyzer: no stop filter
+
+
+@dataclass(frozen=True)
+class AnalyzedBatch:
+    """Flat (row, term, pos) view of an analyzed batch of texts.
+
+    ``row`` indexes into the input series' positional order; ``pos`` is the
+    renumbered token position after stop filtering (StopFilter(renumber=True)).
+    """
+
+    row: np.ndarray  # int64
+    term: np.ndarray  # object (str)
+    pos: np.ndarray  # int64
+    n_rows: int
+
+    def lengths(self) -> np.ndarray:
+        """Post-filter token count per input row (the Whoosh field length)."""
+        out = np.zeros(self.n_rows, dtype=np.int64)
+        if self.row.size:
+            uniq, counts = np.unique(self.row, return_counts=True)
+            out[uniq] = counts
+        return out
+
+
+def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedBatch:
+    """Run the analyzer chain over a batch of texts, vectorized.
+
+    pandas str ops give C-level tokenize/lower/mask; positions are
+    renumbered with a groupby cumcount, exactly StopFilter(renumber=True).
+    """
+    texts = texts.reset_index(drop=True).fillna("")
+    n_rows = len(texts)
+    toks = texts.str.findall(spec.compiled())
+    flat = toks.explode()
+    flat = flat[flat.notna()]
+    if len(flat) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return AnalyzedBatch(empty, np.empty(0, dtype=object), empty, n_rows)
+    if spec.lowercase:
+        flat = flat.str.lower()
+    keep = flat.str.len() >= spec.minsize
+    if spec.maxsize is not None:
+        keep &= flat.str.len() <= spec.maxsize
+    if spec.stoplist is not None:
+        keep &= ~flat.isin(spec.stoplist)
+    kept = flat[keep]
+    pos = kept.groupby(level=0).cumcount()
+    return AnalyzedBatch(
+        row=kept.index.to_numpy(dtype=np.int64),
+        term=kept.to_numpy(dtype=object),
+        pos=pos.to_numpy(dtype=np.int64),
+        n_rows=n_rows,
+    )
+
+
+def analyze_text(text: str, spec: AnalyzerSpec = STANDARD) -> list[tuple[str, int]]:
+    """Single-string convenience for tests and the query parser (query text
+    goes through the same chain as indexed text, like the reference)."""
+    b = analyze_series(pd.Series([text]), spec)
+    return list(zip(b.term.tolist(), b.pos.tolist()))
+
+
+def postings_frame(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> pd.DataFrame:
+    """Per-(row, term) aggregated postings for a batch.
+
+    Columns: row:int64, term:str, weight:float64 (= tf; token boosts are all
+    1.0 in the standard chain, reference src/whoosh/formats.py ~L150),
+    positions:list[int]. Term order within a row is lexicographic so
+    downstream float sums are deterministic.
+    """
+    b = analyze_series(texts, spec)
+    if b.row.size == 0:
+        return pd.DataFrame(
+            {"row": pd.Series([], dtype=np.int64), "term": pd.Series([], dtype=object),
+             "weight": pd.Series([], dtype=np.float64), "positions": pd.Series([], dtype=object)}
+        )
+    df = pd.DataFrame({"row": b.row, "term": b.term, "pos": b.pos})
+    g = df.groupby(["row", "term"], sort=True)["pos"].agg(list).reset_index()
+    g["weight"] = g["pos"].str.len().astype(np.float64)
+    return g.rename(columns={"pos": "positions"})[["row", "term", "weight", "positions"]]

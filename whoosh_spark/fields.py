@@ -1,0 +1,123 @@
+"""Schema / field-type configuration.
+
+Mirrors the reference's Schema + FieldType surface (public Whoosh,
+src/whoosh/fields.py::Schema ~L1100, ::FieldType ~L80 and subclasses
+TEXT/ID/KEYWORD/NUMERIC/DATETIME/BOOLEAN/STORED) as a thin config layer: a
+Spark DataFrame already carries the physical types, so a FieldSpec only
+records how a column participates in indexing and scoring.
+
+Defaults mirror the reference:
+- TEXT: StandardAnalyzer (minsize=2), positions recorded (phrase=True),
+  scorable=True, field_boost=1.0      (src/whoosh/fields.py::TEXT ~L950)
+- ID: whole value = one term, not lowercased, not scorable
+- KEYWORD: space-separated terms, not scorable by default
+- NUMERIC/DATETIME/BOOLEAN: no terms at all — Spark-native range/equality
+  predicates on the docs table replace Whoosh's tiered-term trick
+  (src/whoosh/query/ranges.py::NumericRange ~L200 is obsolete under
+  Catalyst predicate pushdown; see SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from whoosh_spark.analysis import SIMPLE, STANDARD, AnalyzerSpec
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    kind: str  # 'text' | 'id' | 'keyword' | 'numeric' | 'datetime' | 'boolean' | 'stored'
+    analyzer: AnalyzerSpec | None = None
+    scorable: bool = False
+    phrase: bool = False
+    field_boost: float = 1.0
+    B: float | None = None  # per-field BM25F B override (<field>_B= kwarg)
+
+    @property
+    def indexed(self) -> bool:
+        return self.kind in ("text", "id", "keyword", "boolean")
+
+
+def TEXT(name: str, analyzer: AnalyzerSpec = STANDARD, field_boost: float = 1.0,
+         B: float | None = None) -> FieldSpec:
+    return FieldSpec(name, "text", analyzer=analyzer, scorable=True, phrase=True,
+                     field_boost=field_boost, B=B)
+
+
+def ID(name: str) -> FieldSpec:
+    return FieldSpec(name, "id")
+
+
+def KEYWORD(name: str, lowercase: bool = False) -> FieldSpec:
+    spec = AnalyzerSpec(pattern=r"[^ \t\r\n]+", lowercase=lowercase, stoplist=None, minsize=1)
+    return FieldSpec(name, "keyword", analyzer=spec)
+
+
+def NUMERIC(name: str) -> FieldSpec:
+    return FieldSpec(name, "numeric")
+
+
+def DATETIME(name: str) -> FieldSpec:
+    return FieldSpec(name, "datetime")
+
+
+def BOOLEAN(name: str) -> FieldSpec:
+    return FieldSpec(name, "boolean")
+
+
+@dataclass
+class Schema:
+    """Ordered name -> FieldSpec map (reference: fields.py::Schema)."""
+
+    fields: dict[str, FieldSpec] = dc_field(default_factory=dict)
+
+    def __init__(self, *specs: FieldSpec):
+        self.fields = {s.name: s for s in specs}
+
+    def __getitem__(self, name: str) -> FieldSpec:
+        return self.fields[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.fields
+
+    def add(self, spec: FieldSpec) -> None:
+        """Dynamic field addition (reference: Schema.add_field,
+        tests/test_flexible.py)."""
+        self.fields[spec.name] = spec
+
+    def names(self) -> list[str]:
+        return list(self.fields)
+
+    def indexed_fields(self) -> list[FieldSpec]:
+        return [s for s in self.fields.values() if s.indexed]
+
+    def text_fields(self) -> list[FieldSpec]:
+        return [s for s in self.fields.values() if s.kind == "text"]
+
+
+def transcript_schema() -> Schema:
+    """Schema for the north-rule transcript table
+    (conv_id, turn_idx, role, text, tool, ts) — BASELINE.json::input_hint."""
+    return Schema(
+        ID("conv_id"),
+        NUMERIC("turn_idx"),
+        ID("role"),
+        TEXT("text"),
+        ID("tool"),
+        DATETIME("ts"),
+    )
+
+
+def documents_schema() -> Schema:
+    """Schema for the driver's documents.parquet corpus
+    (doc_id, text, lang, source, n_chars) — FIXTURES.md F2."""
+    return Schema(
+        TEXT("text"),
+        ID("lang"),
+        ID("source"),
+        NUMERIC("n_chars"),
+    )
+
+
+SIMPLE_ANALYZER = SIMPLE

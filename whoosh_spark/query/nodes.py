@@ -1,0 +1,295 @@
+"""Logical query operators.
+
+Mirrors the reference query tree (public Whoosh, src/whoosh/query/*):
+qcore.py::Query (~L60) base with normalize/simplify; terms.py::Term/Prefix/
+Wildcard/Regex/FuzzyTerm; compound.py::And/Or/AndNot/AndMaybe/Require/
+DisjunctionMax; wrappers.py::Not/ConstantScoreQuery; positional.py::Phrase;
+ranges.py::TermRange/NumericRange/DateRange; qcore.py::Every/_NullQuery.
+
+These are plain dataclasses — compilation to DataFrame plans lives in
+search/executor.py, keeping logical/physical separation like the reference
+(Query tree vs Matcher tree).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Sequence
+
+
+@dataclass(frozen=True)
+class Query:
+    boost: float = field(default=1.0, kw_only=True)
+
+    def normalize(self) -> "Query":
+        return self
+
+    def with_boost(self, boost: float) -> "Query":
+        return replace(self, boost=self.boost * boost)
+
+
+@dataclass(frozen=True)
+class NullQuery(Query):
+    """Matches nothing (reference: qcore.py::_NullQuery ~L350)."""
+
+    def normalize(self) -> Query:
+        return self
+
+
+_NULL = NullQuery()
+
+
+@dataclass(frozen=True)
+class Every(Query):
+    """All documents (reference: qcore.py::Every ~L420); score 1.0 * boost."""
+
+    fieldname: str | None = None
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    fieldname: str
+    text: str
+
+
+@dataclass(frozen=True)
+class MultiTermQuery(Query):
+    """Base for queries expanding against the lexicon
+    (reference: query/terms.py::MultiTerm ~L150)."""
+
+    fieldname: str
+
+
+@dataclass(frozen=True)
+class Prefix(MultiTermQuery):
+    text: str
+
+
+@dataclass(frozen=True)
+class Wildcard(MultiTermQuery):
+    """Glob pattern with * and ? (reference: terms.py::Wildcard ~L250)."""
+
+    text: str
+
+    def normalize(self) -> Query:
+        # pure-literal -> Term; trailing-star-only -> Prefix (same rewrites
+        # as the reference's Wildcard.normalize)
+        t = self.text
+        if "*" not in t and "?" not in t:
+            return Term(self.fieldname, t, boost=self.boost)
+        if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
+            return Prefix(self.fieldname, t[:-1], boost=self.boost)
+        return self
+
+
+@dataclass(frozen=True)
+class Regex(MultiTermQuery):
+    text: str
+
+
+@dataclass(frozen=True)
+class FuzzyTerm(MultiTermQuery):
+    """Terms within Levenshtein maxdist (default 1), sharing prefixlength
+    (default 1) (reference: terms.py::FuzzyTerm ~L380)."""
+
+    text: str
+    maxdist: int = 1
+    prefixlength: int = 1
+
+
+@dataclass(frozen=True)
+class TermRange(MultiTermQuery):
+    start: str | None
+    end: str | None
+    startexcl: bool = False
+    endexcl: bool = False
+
+
+@dataclass(frozen=True)
+class NumericRange(Query):
+    """Native range predicate on the docs column — replaces the reference's
+    tiered-term trick (ranges.py::NumericRange ~L200); Catalyst pushes the
+    predicate into the scan."""
+
+    fieldname: str
+    start: Any
+    end: Any
+    startexcl: bool = False
+    endexcl: bool = False
+
+
+@dataclass(frozen=True)
+class DateRange(NumericRange):
+    pass
+
+
+@dataclass(frozen=True)
+class CompoundQuery(Query):
+    subqueries: tuple[Query, ...]
+
+    def __init__(self, subqueries: Sequence[Query], *, boost: float = 1.0):
+        object.__setattr__(self, "subqueries", tuple(subqueries))
+        object.__setattr__(self, "boost", boost)
+
+    def _normalized_children(self) -> list[Query]:
+        """Flatten same-class children, drop NullQuery, dedupe
+        (reference: compound.py::CompoundQuery.normalize ~L150)."""
+        out: list[Query] = []
+        seen = set()
+        for q in self.subqueries:
+            q = q.normalize()
+            if isinstance(q, NullQuery):
+                continue
+            if type(q) is type(self) and q.boost == 1.0:
+                kids = q.subqueries  # type: ignore[attr-defined]
+            else:
+                kids = (q,)
+            for k in kids:
+                key = repr(k)
+                if key not in seen:
+                    seen.add(key)
+                    out.append(k)
+        return out
+
+
+@dataclass(frozen=True)
+class And(CompoundQuery):
+    def normalize(self) -> Query:
+        kids = self._normalized_children()
+        # Not-pushdown: And(a, Not(b)) -> AndNot(And(a...), Or(b...))
+        # (reference: compound.py::And.normalize -> AndNot extraction ~L280)
+        pos = [k for k in kids if not isinstance(k, Not)]
+        neg = [k.subquery for k in kids if isinstance(k, Not)]
+        # Every-elimination: And(Every, a) -> a
+        non_every = [k for k in pos if not isinstance(k, Every)]
+        if len(non_every) < len(pos) and non_every:
+            pos = non_every
+        if not pos:
+            if neg:
+                pos = [Every()]
+            else:
+                return _NULL
+        base: Query = pos[0] if len(pos) == 1 else And(pos, boost=1.0)
+        if neg:
+            base = AndNot(base, neg[0] if len(neg) == 1 else Or(neg))
+        return base.with_boost(self.boost) if self.boost != 1.0 else base
+
+
+@dataclass(frozen=True)
+class Or(CompoundQuery):
+    scale: float | None = field(default=None, kw_only=True)
+
+    def normalize(self) -> Query:
+        kids = self._normalized_children()
+        if not kids:
+            return _NULL
+        if len(kids) == 1:
+            return kids[0].with_boost(self.boost)
+        q = Or(kids, scale=self.scale)
+        return q.with_boost(self.boost) if self.boost != 1.0 else q
+
+
+@dataclass(frozen=True)
+class DisjunctionMax(CompoundQuery):
+    tiebreak: float = field(default=0.0, kw_only=True)
+
+    def normalize(self) -> Query:
+        kids = self._normalized_children()
+        if not kids:
+            return _NULL
+        if len(kids) == 1:
+            return kids[0].with_boost(self.boost)
+        q = DisjunctionMax(kids, tiebreak=self.tiebreak)
+        return q.with_boost(self.boost) if self.boost != 1.0 else q
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    """Only meaningful nested in And (-> AndNot); standalone Not matches the
+    complement with constant score (reference: wrappers.py::Not ~L40,
+    matching/binary.py::InverseMatcher)."""
+
+    subquery: Query
+
+    def normalize(self) -> Query:
+        sub = self.subquery.normalize()
+        if isinstance(sub, NullQuery):
+            return Every(boost=self.boost)
+        return Not(sub, boost=self.boost)
+
+
+@dataclass(frozen=True)
+class BinaryQuery(Query):
+    a: Query
+    b: Query
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if isinstance(a, NullQuery):
+            return _NULL
+        if isinstance(b, NullQuery):
+            return a.with_boost(self.boost)
+        return type(self)(a, b, boost=self.boost)
+
+
+@dataclass(frozen=True)
+class AndNot(BinaryQuery):
+    """Docs of a not matched by b (anti-join)."""
+
+
+@dataclass(frozen=True)
+class AndMaybe(BinaryQuery):
+    """All docs of a; b's score added where it also matches (left outer)."""
+
+
+@dataclass(frozen=True)
+class Require(BinaryQuery):
+    """Docs in both, scored only by a (semi-join)."""
+
+
+@dataclass(frozen=True)
+class Otherwise(BinaryQuery):
+    """a if it matches anything, else b (reference: compound.py::Otherwise)."""
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if isinstance(a, NullQuery):
+            return b.with_boost(self.boost)
+        return Otherwise(a, b, boost=self.boost)
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    """Terms at consecutive positions within ``slop`` (default 1 = exact)
+    (reference: positional.py::Phrase ~L150). Scored as the underlying
+    conjunction (the reference routes Phrase through SpanNear2 over an
+    IntersectionMatcher; the span wrapper filters but does not rescore)."""
+
+    fieldname: str
+    words: tuple[str, ...]
+    slop: int = 1
+
+    def __init__(self, fieldname: str, words: Sequence[str], slop: int = 1, *, boost: float = 1.0):
+        object.__setattr__(self, "fieldname", fieldname)
+        object.__setattr__(self, "words", tuple(words))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+
+    def normalize(self) -> Query:
+        if not self.words:
+            return _NULL
+        if len(self.words) == 1:
+            return Term(self.fieldname, self.words[0], boost=self.boost)
+        return self
+
+
+@dataclass(frozen=True)
+class ConstantScore(Query):
+    subquery: Query
+    score: float = 1.0
+
+    def normalize(self) -> Query:
+        sub = self.subquery.normalize()
+        if isinstance(sub, NullQuery):
+            return _NULL
+        return ConstantScore(sub, self.score, boost=self.boost)

@@ -1,0 +1,325 @@
+"""Query-string parser.
+
+Driver-side port of the reference's default parser surface
+(src/whoosh/qparser/default.py::QueryParser.parse ~L250 with the default
+plugin set, qparser/plugins.py ~L60-1400): fields (``field:term``), quoted
+phrases with slop (``"a b"~2``), ranges (``[a TO b]``, ``{a TO b}``),
+groups, AND/OR/NOT/ANDNOT/ANDMAYBE operators (implicit adjacency = AND, the
+default AndGroup), boosts (``^2``), wildcards (``ab*c?``), prefixes
+(``abc*``), fuzzy (``word~1``), and every (``*:*``).
+
+Implemented as a hand-rolled scanner + recursive descent instead of the
+reference's tagger/filter plugin pipeline — same grammar, ~10x less code,
+and there is no Spark involvement at all (parsing is pure driver work, like
+the reference).
+
+Query-time analysis parity: word terms on TEXT fields run through the same
+analyzer chain as indexed text; stopword-only words vanish from their group
+(the reference marks them as None and drops them), so ``the a x`` parses to
+nothing and matches nothing (FIXTURES Q14).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from whoosh_spark.analysis import analyze_text
+from whoosh_spark.fields import Schema
+from whoosh_spark.query import nodes as Q
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<phrase_slop>\d+))?)
+  | (?P<range>[\[{](?P<range_body>[^\]}]*)[\]}])
+  | (?P<word>[^\s()\[\]{}"^]+)
+  | (?P<boost>\^(?P<boost_val>\d+(?:\.\d+)?))
+""",
+    re.VERBOSE,
+)
+
+_OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "TO"}
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    slop: int = 1
+    boost: float | None = None
+    startexcl: bool = False
+    endexcl: bool = False
+
+
+def _scan(s: str) -> list[_Tok]:
+    out: list[_Tok] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            pos += 1
+            continue
+        pos = m.end()
+        if m.group("ws"):
+            continue
+        if m.group("lparen"):
+            out.append(_Tok("(", "("))
+        elif m.group("rparen"):
+            out.append(_Tok(")", ")"))
+        elif m.group("phrase") is not None:
+            slop = int(m.group("phrase_slop") or 1)
+            out.append(_Tok("phrase", m.group("phrase_body"), slop=slop))
+        elif m.group("range") is not None:
+            tok = _Tok("range", m.group("range_body"))
+            tok.startexcl = m.group("range").startswith("{")
+            tok.endexcl = m.group("range").endswith("}")
+            out.append(tok)
+        elif m.group("boost") is not None:
+            out.append(_Tok("^", m.group("boost_val")))
+        else:
+            w = m.group("word")
+            if w in _OPS:
+                out.append(_Tok("op", w))
+            else:
+                out.append(_Tok("word", w))
+    return out
+
+
+class QueryParser:
+    """parser = QueryParser("text", schema); parser.parse("hash join")"""
+
+    def __init__(self, default_field: str, schema: Schema):
+        self.default_field = default_field
+        self.schema = schema
+
+    # grammar: or_expr := and_expr (OR and_expr)*
+    #          and_expr := bin_expr ((AND)? bin_expr)*      (adjacency = AND)
+    #          bin_expr := unary ((ANDNOT|ANDMAYBE) unary)*
+    #          unary := NOT unary | atom [^boost]
+
+    def parse(self, text: str, normalize: bool = True) -> Q.Query:
+        self._toks = _scan(text)
+        self._i = 0
+        q = self._or_expr()
+        if q is None:
+            q = Q.NullQuery()
+        return q.normalize() if normalize else q
+
+    # ------------------------------------------------------------- helpers
+
+    def _peek(self) -> _Tok | None:
+        return self._toks[self._i] if self._i < len(self._toks) else None
+
+    def _next(self) -> _Tok | None:
+        t = self._peek()
+        if t is not None:
+            self._i += 1
+        return t
+
+    def _at_op(self, *names: str) -> bool:
+        t = self._peek()
+        return t is not None and t.kind == "op" and t.text in names
+
+    # ------------------------------------------------------------- grammar
+
+    def _or_expr(self) -> Q.Query | None:
+        parts = []
+        left = self._and_expr()
+        if left is not None:
+            parts.append(left)
+        while self._at_op("OR"):
+            self._next()
+            right = self._and_expr()
+            if right is not None:
+                parts.append(right)
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else Q.Or(parts)
+
+    def _and_expr(self) -> Q.Query | None:
+        parts = []
+        while True:
+            if self._at_op("AND"):
+                self._next()
+                continue
+            t = self._peek()
+            if t is None or t.kind == ")" or self._at_op("OR", "ANDNOT", "ANDMAYBE"):
+                break
+            p = self._bin_expr()
+            if p is not None:
+                parts.append(p)
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else Q.And(parts)
+
+    def _bin_expr(self) -> Q.Query | None:
+        left = self._unary()
+        while self._at_op("ANDNOT", "ANDMAYBE"):
+            op = self._next().text
+            right = self._unary()
+            if left is None:
+                left = right
+            elif right is not None:
+                left = Q.AndNot(left, right) if op == "ANDNOT" else Q.AndMaybe(left, right)
+        return left
+
+    def _unary(self) -> Q.Query | None:
+        if self._at_op("NOT"):
+            self._next()
+            sub = self._unary()
+            return Q.Not(sub) if sub is not None else None
+        return self._atom()
+
+    def _atom(self) -> Q.Query | None:
+        t = self._next()
+        if t is None:
+            return None
+        field = self.default_field
+        if t.kind == "word" and ":" in t.text and not t.text.startswith(":"):
+            maybe_field, rest = t.text.split(":", 1)
+            if maybe_field in self.schema or maybe_field == "*":
+                field = maybe_field
+                if rest:
+                    t = _Tok("word", rest)
+                else:
+                    t = self._next()
+                    if t is None:
+                        return None
+        q = self._atom_body(t, field)
+        # boost suffix
+        nxt = self._peek()
+        if q is not None and nxt is not None and nxt.kind == "^":
+            self._next()
+            q = q.with_boost(float(nxt.text))
+        return q
+
+    def _atom_body(self, t: _Tok, field: str) -> Q.Query | None:
+        if t.kind == "(":
+            q = self._or_expr()
+            if self._peek() is not None and self._peek().kind == ")":
+                self._next()
+            return q
+        if t.kind == "phrase":
+            words = [w for w, _ in analyze_text(t.text, self._analyzer(field))]
+            if not words:
+                return None
+            if len(words) == 1:
+                return Q.Term(field, words[0])
+            return Q.Phrase(field, words, slop=t.slop)
+        if t.kind == "range":
+            return self._range(t, field)
+        if t.kind == "word":
+            return self._word(t.text, field)
+        return None
+
+    def _analyzer(self, field: str):
+        fs = self.schema[field] if field in self.schema else None
+        if fs is not None and fs.analyzer is not None:
+            return fs.analyzer
+        from whoosh_spark.analysis import STANDARD
+
+        return STANDARD
+
+    def _word(self, w: str, field: str) -> Q.Query | None:
+        if w == "*" or (field == "*" and w == "*"):
+            return Q.Every()
+        if field == "*":
+            return Q.Every()
+        fs = self.schema[field] if field in self.schema else None
+        # fuzzy suffix: word~ or word~2
+        m = re.fullmatch(r"(.+?)~(\d*)", w)
+        if m and fs is not None and fs.kind == "text":
+            base = m.group(1).lower()
+            maxdist = int(m.group(2)) if m.group(2) else 1
+            return Q.FuzzyTerm(field, base, maxdist=maxdist)
+        if "*" in w or "?" in w:
+            if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+                return Q.Prefix(field, w[:-1].lower() if fs and fs.kind == "text" else w[:-1])
+            return Q.Wildcard(field, w.lower() if fs and fs.kind == "text" else w)
+        if fs is None or fs.kind in ("id", "keyword", "boolean"):
+            return Q.Term(field, w)
+        if fs.kind == "numeric":
+            return Q.NumericRange(field, _num(w), _num(w))
+        if fs.kind == "datetime":
+            lo, hi = _date_bounds(w)
+            return Q.DateRange(field, lo, hi)
+        # text: run through the analyzer; stopword-only words vanish
+        toks = [x for x, _ in analyze_text(w, self._analyzer(field))]
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return Q.Term(field, toks[0])
+        return Q.Phrase(field, toks) if fs.phrase else Q.And([Q.Term(field, x) for x in toks])
+
+    def _range(self, t: _Tok, field: str) -> Q.Query | None:
+        body = t.text.strip()
+        m = re.fullmatch(r"(.*?)\s+TO\s+(.*?)", body, flags=re.IGNORECASE) or re.fullmatch(
+            r"(.*?)\s+TO\s+(.*)", body, flags=re.IGNORECASE
+        )
+        if m:
+            lo_s, hi_s = m.group(1).strip(), m.group(2).strip()
+        else:
+            lo_s, hi_s = body, body
+        lo = lo_s or None
+        hi = hi_s or None
+        fs = self.schema[field] if field in self.schema else None
+        if fs is not None and fs.kind == "numeric":
+            return Q.NumericRange(field, _num(lo), _num(hi), t.startexcl, t.endexcl)
+        if fs is not None and fs.kind == "datetime":
+            lo_d = _date_bounds(lo)[0] if lo else None
+            hi_d = _date_bounds(hi)[1] if hi else None
+            return Q.DateRange(field, lo_d, hi_d, t.startexcl, t.endexcl)
+        lo = lo.lower() if (lo and fs is not None and fs.kind == "text") else lo
+        hi = hi.lower() if (hi and fs is not None and fs.kind == "text") else hi
+        return Q.TermRange(field, lo, hi, t.startexcl, t.endexcl)
+
+
+def _num(s: str | None):
+    if s is None:
+        return None
+    try:
+        return int(s)
+    except ValueError:
+        return float(s)
+
+
+def _date_bounds(s: str) -> tuple[datetime, datetime]:
+    """yyyymmdd[hhmmss] -> [start, end) bounds like the reference's date
+    grammar resolves a partial date to a range
+    (src/whoosh/qparser/dateparse.py semantics for plain date terms)."""
+    s = s.strip()
+    fmts = [
+        ("%Y%m%d%H%M%S", "second"),
+        ("%Y%m%d%H%M", "minute"),
+        ("%Y%m%d%H", "hour"),
+        ("%Y%m%d", "day"),
+        ("%Y%m", "month"),
+        ("%Y", "year"),
+    ]
+    for fmt, unit in fmts:
+        try:
+            d = datetime.strptime(s, fmt).replace(tzinfo=None)
+        except ValueError:
+            continue
+        if unit == "second":
+            hi = d
+        elif unit == "minute":
+            hi = d.replace(second=59)
+        elif unit == "hour":
+            hi = d.replace(minute=59, second=59)
+        elif unit == "day":
+            hi = d.replace(hour=23, minute=59, second=59)
+        elif unit == "month":
+            nxt = d.replace(year=d.year + (d.month == 12), month=(d.month % 12) + 1)
+            from datetime import timedelta
+
+            hi = nxt - timedelta(seconds=1)
+        else:
+            hi = d.replace(month=12, day=31, hour=23, minute=59, second=59)
+        return d, hi
+    d = datetime.fromisoformat(s)
+    return d, d

@@ -1,0 +1,460 @@
+"""Query compilation: logical Query tree -> DataFrame plan.
+
+This is the physical layer of the engine — the reference's matcher tree
+(src/whoosh/matching/*) re-expressed as Spark joins/aggregations per
+SURVEY.md §2.4:
+
+- IntersectionMatcher (And)  -> union of tagged children + groupBy(doc_id)
+                                HAVING count == n, score = sum
+- UnionMatcher (Or)          -> same groupBy, no HAVING
+- DisjunctionMaxMatcher      -> max + tiebreak * (sum - max)
+- AndNotMatcher              -> LEFT ANTI join on doc_id
+- RequireMatcher             -> LEFT SEMI join (score from left only)
+- AndMaybeMatcher            -> LEFT OUTER join + coalesce(b.score, 0)
+- InverseMatcher (Not)       -> docs LEFT ANTI matched
+- MultiTerm (Prefix/...)     -> lexicon expansion + broadcast join with
+                                per-term idf, then Or aggregation
+- Phrase                     -> positional adjacency with higher-order array
+                                functions (JVM-side, no UDF)
+
+Every node compiles to a DataFrame with exactly (doc_id: long,
+score: double) and at most one row per doc — that invariant is what lets
+compound nodes use single-shuffle groupBy instead of n-way joins.
+
+Per-query scalars (idf, avgdl, N) are resolved on the driver from the
+lexicon cache at plan time — mirroring the reference's per-query scorer
+setup (scoring.py::WeightLengthScorer precomputes idf/avgfl) — so compiled
+plans are pure column expressions in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from whoosh_spark.indexing.build import InvertedIndex
+from whoosh_spark.query import nodes as Q
+from whoosh_spark.search.scoring import BM25F, WeightingModel, idf as idf_fn
+
+
+class Searcher:
+    """Reference surface: src/whoosh/searching.py::Searcher (~L650)."""
+
+    def __init__(self, index: InvertedIndex, weighting: WeightingModel | None = None):
+        self.index = index
+        self.weighting = weighting or BM25F()
+
+    # ------------------------------------------------------------------ utils
+
+    @property
+    def _spark(self):
+        return self.index.spark
+
+    def _empty(self) -> DataFrame:
+        return self._spark.createDataFrame([], "doc_id long, score double")
+
+    def _field_postings(self, fieldname: str):
+        return self.index.postings.where(F.col("field") == fieldname)
+
+    def _score_ctx(self, fieldname: str):
+        fs = self.index.schema[fieldname]
+        avgdl = self.index.avg_field_length(fieldname)
+        return fs, avgdl
+
+    # ------------------------------------------------------------- compile
+
+    def compile(self, q: Q.Query) -> DataFrame:
+        """Query -> DataFrame(doc_id, score), one row per matching doc."""
+        q = q.normalize()
+        return self._compile(q)
+
+    def _compile(self, q: Q.Query) -> DataFrame:
+        m = getattr(self, f"_c_{type(q).__name__.lower()}", None)
+        if m is None:
+            raise NotImplementedError(f"no compiler for {type(q).__name__}")
+        return m(q)
+
+    def _c_nullquery(self, q: Q.NullQuery) -> DataFrame:
+        return self._empty()
+
+    def _c_every(self, q: Q.Every) -> DataFrame:
+        return self.index.docs.select(
+            F.col(self.index.doc_id_col).alias("doc_id"),
+            F.lit(1.0 * q.boost).alias("score"),
+        )
+
+    def _c_term(self, q: Q.Term) -> DataFrame:
+        fs, avgdl = self._score_ctx(q.fieldname)
+        dfreq = self.index.doc_frequency(q.fieldname, q.text)
+        if dfreq == 0:
+            return self._empty()
+        idf_v = idf_fn(self.index.doc_count, dfreq)
+        p = self._field_postings(q.fieldname).where(F.col("term") == q.text)
+        score = self.weighting.score_expr(fs, idf_v, avgdl, F.col("weight"), F.col("dl"))
+        if q.boost != 1.0:
+            score = score * q.boost
+        return p.select("doc_id", score.alias("score"))
+
+    # -- multi-term expansion (Prefix/Wildcard/Regex/FuzzyTerm/TermRange) --
+
+    def _expanded(self, q, expansion) -> DataFrame:
+        """Score an Or over lexicon-expanded terms in ONE postings scan:
+        broadcast-join the (term, idf) expansion onto postings, score each
+        (doc, term) with its own idf, then sum per doc. The expansion frame
+        is lexicon-sized (tiny), so the join never shuffles postings."""
+        if len(expansion) == 0:
+            return self._empty()
+        fs, avgdl = self._score_ctx(q.fieldname)
+        n = self.index.doc_count
+        exp = expansion.copy()
+        exp["idf"] = [idf_fn(n, int(d)) for d in exp["df"]]
+        exp_sdf = self._spark.createDataFrame(exp[["term", "idf"]])
+        p = self._field_postings(q.fieldname).join(F.broadcast(exp_sdf), "term")
+        score = self.weighting.score_expr(fs, F.col("idf"), avgdl, F.col("weight"), F.col("dl"))
+        if q.boost != 1.0:
+            score = score * q.boost
+        per_term = p.select("doc_id", score.alias("s"))
+        return per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
+
+    def _c_prefix(self, q: Q.Prefix) -> DataFrame:
+        return self._expanded(q, self.index.expand_terms(q.fieldname, like=q.text))
+
+    def _c_wildcard(self, q: Q.Wildcard) -> DataFrame:
+        rx = fnmatch.translate(q.text)
+        return self._expanded(q, self.index.expand_terms(q.fieldname, rlike=rx))
+
+    def _c_regex(self, q: Q.Regex) -> DataFrame:
+        return self._expanded(q, self.index.expand_terms(q.fieldname, rlike=q.text))
+
+    def _c_fuzzyterm(self, q: Q.FuzzyTerm) -> DataFrame:
+        exp = self.index.expand_terms(
+            q.fieldname, fuzzy=(q.text, q.maxdist, q.prefixlength)
+        )
+        return self._expanded(q, exp)
+
+    def _c_termrange(self, q: Q.TermRange) -> DataFrame:
+        exp = self.index.expand_terms(
+            q.fieldname, between=(q.start, q.end, q.startexcl, q.endexcl)
+        )
+        return self._expanded(q, exp)
+
+    # ----------------------------------------------- native range predicates
+
+    def _range_pred(self, q: Q.NumericRange) -> Column:
+        col = F.col(q.fieldname)
+        conds = []
+        if q.start is not None:
+            conds.append(col > q.start if q.startexcl else col >= q.start)
+        if q.end is not None:
+            conds.append(col < q.end if q.endexcl else col <= q.end)
+        if not conds:
+            return F.lit(True)
+        return reduce(lambda a, b: a & b, conds)
+
+    def _c_numericrange(self, q: Q.NumericRange) -> DataFrame:
+        # Catalyst pushes this predicate into the parquet scan — replaces the
+        # reference's tiered-term expansion (ranges.py::NumericRange ~L200).
+        return self.index.docs.where(self._range_pred(q)).select(
+            F.col(self.index.doc_id_col).alias("doc_id"),
+            F.lit(1.0 * q.boost).alias("score"),
+        )
+
+    _c_daterange = _c_numericrange
+
+    # ------------------------------------------------------------- compound
+
+    def _tagged_union(self, children: list[DataFrame]) -> DataFrame:
+        tagged = [
+            c.select("doc_id", "score", F.lit(i).alias("_q")) for i, c in enumerate(children)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), tagged)
+
+    def _c_and(self, q: Q.And) -> DataFrame:
+        kids = [self._compile(k) for k in q.subqueries]
+        n = len(kids)
+        u = self._tagged_union(kids)
+        out = (
+            u.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"), F.count_distinct("_q").alias("_n"))
+            .where(F.col("_n") == n)
+            .drop("_n")
+        )
+        return self._boosted(out, q.boost)
+
+    def _c_or(self, q: Q.Or) -> DataFrame:
+        kids = [self._compile(k) for k in q.subqueries]
+        u = self._tagged_union(kids)
+        if q.scale:
+            n = len(kids)
+            scale = float(q.scale)
+            out = u.groupBy("doc_id").agg(
+                (
+                    F.sum("score")
+                    * ((1 - scale) + scale * F.count_distinct("_q") / F.lit(float(n)))
+                ).alias("score")
+            )
+        else:
+            out = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        return self._boosted(out, q.boost)
+
+    def _c_disjunctionmax(self, q: Q.DisjunctionMax) -> DataFrame:
+        kids = [self._compile(k) for k in q.subqueries]
+        u = self._tagged_union(kids)
+        score = F.max("score") + F.lit(q.tiebreak) * (F.sum("score") - F.max("score"))
+        out = u.groupBy("doc_id").agg(score.alias("score"))
+        return self._boosted(out, q.boost)
+
+    def _c_andnot(self, q: Q.AndNot) -> DataFrame:
+        a = self._compile(q.a)
+        b = self._compile(q.b)
+        return self._boosted(a.join(b.select("doc_id"), "doc_id", "left_anti"), q.boost)
+
+    def _c_require(self, q: Q.Require) -> DataFrame:
+        a = self._compile(q.a)
+        b = self._compile(q.b)
+        return self._boosted(a.join(b.select("doc_id"), "doc_id", "left_semi"), q.boost)
+
+    def _c_andmaybe(self, q: Q.AndMaybe) -> DataFrame:
+        a = self._compile(q.a)
+        b = self._compile(q.b).withColumnRenamed("score", "_bscore")
+        out = (
+            a.join(b, "doc_id", "left")
+            .select("doc_id", (F.col("score") + F.coalesce(F.col("_bscore"), F.lit(0.0))).alias("score"))
+        )
+        return self._boosted(out, q.boost)
+
+    def _c_otherwise(self, q: Q.Otherwise) -> DataFrame:
+        a = self._compile(q.a)
+        if a.limit(1).count() > 0:
+            return self._boosted(a, q.boost)
+        return self._boosted(self._compile(q.b), q.boost)
+
+    def _c_not(self, q: Q.Not) -> DataFrame:
+        matched = self._compile(q.subquery)
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"))
+        return docs.join(matched.select("doc_id"), "doc_id", "left_anti").select(
+            "doc_id", F.lit(1.0 * q.boost).alias("score")
+        )
+
+    def _c_constantscore(self, q: Q.ConstantScore) -> DataFrame:
+        sub = self._compile(q.subquery)
+        return sub.select("doc_id", F.lit(q.score * q.boost).alias("score"))
+
+    @staticmethod
+    def _boosted(df: DataFrame, boost: float) -> DataFrame:
+        if boost == 1.0:
+            return df
+        return df.select("doc_id", (F.col("score") * boost).alias("score"))
+
+    # --------------------------------------------------------------- phrase
+
+    def _c_phrase(self, q: Q.Phrase) -> DataFrame:
+        """Positional phrase match, JVM-side via higher-order array functions.
+
+        Matching mirrors the reference's span chain (positional.py::Phrase ->
+        SpanNear2): surviving positions of word i must lie in
+        (prev, prev + slop]. Scoring is the conjunction's score (the span
+        wrapper filters, it does not rescore).
+        """
+        fs, avgdl = self._score_ctx(q.fieldname)
+        n = self.index.doc_count
+        dfs = []
+        for i, w in enumerate(q.words):
+            dfreq = self.index.doc_frequency(q.fieldname, w)
+            if dfreq == 0:
+                return self._empty()
+            p = self._field_postings(q.fieldname).where(F.col("term") == w)
+            dfs.append(
+                (
+                    p.select(
+                        "doc_id",
+                        F.col("positions").alias(f"_pos{i}"),
+                        F.col("weight").alias(f"_w{i}"),
+                        *( [F.col("dl").alias("dl")] if i == 0 else [] ),
+                    ),
+                    idf_fn(n, dfreq),
+                )
+            )
+        joined = dfs[0][0]
+        for d, _ in dfs[1:]:
+            joined = joined.join(d, "doc_id")
+        slop = int(q.slop)
+        current = F.col("_pos0")
+        for i in range(1, len(q.words)):
+            current = _phrase_step(current, F.col(f"_pos{i}"), slop)
+        matched = joined.withColumn("_pfreq", F.size(current)).where(F.col("_pfreq") > 0)
+        score = reduce(
+            lambda a, b: a + b,
+            [
+                self.weighting.score_expr(fs, idf_v, avgdl, F.col(f"_w{i}"), F.col("dl"))
+                for i, (_, idf_v) in enumerate(dfs)
+            ],
+        )
+        if q.boost != 1.0:
+            score = score * q.boost
+        return matched.select("doc_id", score.alias("score"))
+
+    def phrase_freqs(self, q: Q.Phrase) -> DataFrame:
+        """(doc_id, pfreq) — exposed for tests / TermsCollector-style stats."""
+        fs, avgdl = self._score_ctx(q.fieldname)
+        dfs = []
+        for i, w in enumerate(q.words):
+            p = self._field_postings(q.fieldname).where(F.col("term") == w)
+            dfs.append(p.select("doc_id", F.col("positions").alias(f"_pos{i}")))
+        joined = reduce(lambda a, b: a.join(b, "doc_id"), dfs)
+        current = F.col("_pos0")
+        for i in range(1, len(q.words)):
+            current = _phrase_step(current, F.col(f"_pos{i}"), int(q.slop))
+        return joined.select("doc_id", F.size(current).alias("pfreq")).where(F.col("pfreq") > 0)
+
+    # --------------------------------------------------------------- search
+
+    def search(
+        self,
+        q: Q.Query,
+        limit: int | None = 10,
+        sortedby: str | list[str] | None = None,
+        reverse: bool = False,
+        filter: Q.Query | DataFrame | None = None,
+        mask: Q.Query | DataFrame | None = None,
+        collapse: str | None = None,
+        collapse_limit: int = 1,
+    ) -> DataFrame:
+        """Top-k search -> DataFrame(doc_id, score) ordered by
+        (score desc, doc_id asc) — the reference heap key (score, -docnum)
+        (collectors.py::TopCollector ~L260). With sortedby: ordered by the
+        key column(s) instead (collectors.py::SortingCollector)."""
+        scored = self.compile(q)
+        scored = self._apply_filter_mask(scored, filter, mask)
+        if collapse is not None:
+            scored = self._collapse(scored, collapse, collapse_limit)
+        if sortedby is not None:
+            keys = [sortedby] if isinstance(sortedby, str) else list(sortedby)
+            docs = self.index.docs.select(
+                F.col(self.index.doc_id_col).alias("doc_id"), *keys
+            )
+            out = scored.join(docs, "doc_id")
+            order = [F.col(k).desc() if reverse else F.col(k).asc() for k in keys]
+            out = out.orderBy(*order, F.asc("doc_id"))
+            return out.limit(limit) if limit is not None else out
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(limit) if limit is not None else out
+
+    def _apply_filter_mask(self, scored, filter, mask):
+        if filter is not None:
+            fdf = filter if isinstance(filter, DataFrame) else self._compile(filter.normalize())
+            scored = scored.join(fdf.select("doc_id"), "doc_id", "left_semi")
+        if mask is not None:
+            mdf = mask if isinstance(mask, DataFrame) else self._compile(mask.normalize())
+            scored = scored.join(mdf.select("doc_id"), "doc_id", "left_anti")
+        return scored
+
+    def _collapse(self, scored: DataFrame, key: str, keep: int) -> DataFrame:
+        """Field collapsing: best ``keep`` docs per key
+        (collectors.py::CollapseCollector ~L750) — the engine's window op."""
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), key)
+        w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.join(docs, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= keep)
+            .select("doc_id", "score")
+        )
+
+    def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw) -> DataFrame:
+        """Pagination (searching.py::Searcher.search_page ~L700): top
+        pagenum*pagelen then slice — the top set is small, so the final
+        window runs on a trivial frame."""
+        top = self.search(q, limit=pagenum * pagelen, **kw)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        lo, hi = (pagenum - 1) * pagelen + 1, pagenum * pagelen
+        return (
+            top.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") >= lo) & (F.col("_rn") <= hi))
+            .drop("_rn")
+        )
+
+    def group_counts(self, q: Q.Query, groupedby: str,
+                     filter=None, mask=None) -> DataFrame:
+        """FacetCollector with Count maptype (collectors.py::FacetCollector
+        ~L600; sorting.py::Count) -> (key, count)."""
+        scored = self._apply_filter_mask(self.compile(q), filter, mask)
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), groupedby)
+        return scored.join(docs, "doc_id").groupBy(groupedby).agg(F.count("*").alias("count"))
+
+    def group_best(self, q: Q.Query, groupedby: str) -> DataFrame:
+        """Best maptype: highest-scoring doc per group (ties: lowest doc_id)
+        (sorting.py::Best ~L800)."""
+        scored = self.compile(q)
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), groupedby)
+        j = scored.join(docs, "doc_id")
+        w = Window.partitionBy(groupedby).orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            j.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(groupedby, "doc_id", "score")
+        )
+
+    def group_ordered(self, q: Q.Query, groupedby: str) -> DataFrame:
+        """OrderedList maptype: doc_ids per group in results order
+        (score desc, doc_id asc)."""
+        scored = self.compile(q)
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), groupedby)
+        j = scored.join(docs, "doc_id")
+        return (
+            j.groupBy(groupedby)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct((-F.col("score")).alias("ns"), "doc_id"))),
+                    lambda s: s["doc_id"],
+                ).alias("doc_ids")
+            )
+        )
+
+    def matched_terms(self, q: Q.Query) -> DataFrame:
+        """Which leaf terms matched each doc (terms=True / Hit.matched_terms,
+        collectors.py::TermsCollector ~L950) -> (doc_id, terms sorted array)."""
+        leaves = _leaf_terms(q.normalize())
+        if not leaves:
+            return self._spark.createDataFrame([], "doc_id long, terms array<string>")
+        conds = reduce(
+            lambda a, b: a | b,
+            [((F.col("field") == f) & (F.col("term") == t)) for f, t in leaves],
+        )
+        matched = self.compile(q).select("doc_id")
+        return (
+            self.index.postings.where(conds)
+            .join(matched, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_set("term")).alias("terms"))
+        )
+
+    def with_stored_fields(self, results: DataFrame, *cols: str) -> DataFrame:
+        """Hit.fields(): join display columns back from the docs table
+        (stored fields D9 live in the source table, SURVEY §1.1)."""
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), *cols)
+        return results.join(docs, "doc_id")
+
+
+def _phrase_step(cur: Column, nxt: Column, slop: int) -> Column:
+    """Positions of the next word that continue a partial phrase match:
+    keep x in ``nxt`` where some c in ``cur`` has c < x <= c + slop
+    (the reference's SpanNear chain semantics)."""
+    return F.filter(nxt, lambda x: F.exists(cur, lambda c: (x > c) & (x <= c + slop)))
+
+
+def _leaf_terms(q: Q.Query) -> list[tuple[str, str]]:
+    if isinstance(q, Q.Term):
+        return [(q.fieldname, q.text)]
+    if isinstance(q, Q.Phrase):
+        return [(q.fieldname, w) for w in q.words]
+    if isinstance(q, Q.CompoundQuery):
+        return [t for k in q.subqueries for t in _leaf_terms(k)]
+    if isinstance(q, Q.BinaryQuery):
+        return _leaf_terms(q.a) + _leaf_terms(q.b)
+    if isinstance(q, (Q.Not, Q.ConstantScore)):
+        return _leaf_terms(q.subquery)
+    return []
