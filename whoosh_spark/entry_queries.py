@@ -1,0 +1,567 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the
+driver's documents/events/embeddings parquet tables. The oracle SQL
+re-implements the same semantics (Whoosh tokenization, length quantization,
+BM25F, idf) in pure ANSI-ish DuckDB SQL so the driver can cross-check
+row-count + schema + values at sf=0.01.
+
+Determinism across engines: scores are rounded to 4 decimals and top-k
+ordering uses the ROUNDED score (ties then broken by doc_id) in BOTH
+engines, so a 1-ulp ln() difference between the JVM and libm can never
+flip membership at the k boundary. Library-internal semantics (full
+precision, Whoosh tie-break) are tested separately in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whoosh_spark import query as Q
+from whoosh_spark.analysis import STOP_WORDS
+from whoosh_spark.fields import DATETIME, ID, NUMERIC, Schema, documents_schema
+from whoosh_spark.indexing import build_index
+from whoosh_spark.search import BM25F, Frequency, Searcher, TF_IDF
+
+K = 10
+
+# ---------------------------------------------------------------- caching
+
+_CACHE: dict = {}
+
+
+def _docs_searcher(spark: SparkSession, sf_dir: str, weighting=None) -> Searcher:
+    key = ("docs", sf_dir, type(weighting).__name__ if weighting else "BM25F")
+    if key not in _CACHE:
+        ix_key = ("docs_ix", sf_dir)
+        if ix_key not in _CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            _CACHE[ix_key] = build_index(spark, docs, documents_schema()).persist()
+        _CACHE[key] = Searcher(_CACHE[ix_key], weighting or BM25F())
+    return _CACHE[key]
+
+
+def _events_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = ("events", sf_dir)
+    if key not in _CACHE:
+        schema = Schema(ID("event_type"), NUMERIC("value"), DATETIME("ts"), NUMERIC("user_id"))
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumnRenamed(
+            "event_id", "doc_id"
+        )
+        ix = build_index(spark, ev, schema).persist()
+        _CACHE[key] = Searcher(ix)
+    return _CACHE[key]
+
+
+def _rounded(scored: DataFrame) -> DataFrame:
+    return scored.withColumn("score", F.round("score", 4))
+
+
+def _topk(scored: DataFrame, k: int = K) -> DataFrame:
+    return _rounded(scored).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ------------------------------------------------------------ oracle SQL
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+_PATTERN_SQL = r"\w+(?:\.?\w+)*"
+
+# Shared tokenize/stats prelude. Mirrors: analysis chain (tokenize original,
+# lower, stop/minsize filter, renumber positions), byte-quantized doc length
+# (util.length_to_byte/byte_to_length), tf postings, df stats, BM25 scores
+# with idf = ln(N/(df+1)) + 1, K1=1.2, B=0.75.
+PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_PATTERN_SQL}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{_PATTERN_SQL}'), 1) AS ord
+  FROM documents
+),
+ftok AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok
+  WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
+),
+rawlen AS (
+  SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS raw_len
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM ftok GROUP BY doc_id) c USING (doc_id)
+),
+dl AS (
+  SELECT doc_id, raw_len,
+         CASE WHEN raw_len <= 0 THEN 0
+              WHEN raw_len >= 68000 THEN CAST(round((power(1.0325, 255) - 1) * 8) AS BIGINT)
+              ELSE CAST(round((power(1.0325,
+                     LEAST(255, CAST(round(ln(raw_len / 8.0 + 1) / ln(1.0325)) AS INTEGER))
+                   ) - 1) * 8) AS BIGINT)
+         END AS dl
+  FROM rawlen
+),
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS w FROM ftok GROUP BY doc_id, term
+),
+tstat AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+gstat AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(raw_len)::DOUBLE FROM rawlen) / (SELECT count(*) FROM documents) AS avgdl
+),
+scored AS (
+  SELECT p.doc_id, p.term, p.w,
+         (ln(g.n / (t.df + 1)) + 1) * (p.w * 2.2)
+           / (p.w + 1.2 * (0.25 + 0.75 * l.dl / g.avgdl)) AS score
+  FROM post p
+  JOIN tstat t USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN gstat g
+)
+"""
+
+_TOPK_TAIL = "ORDER BY score DESC, doc_id ASC LIMIT {k}"
+
+
+def _sql_topk(body: str, k: int = K) -> str:
+    return f"{PRELUDE}\nSELECT doc_id, round(score, 4) AS score FROM ({body})\n" + _TOPK_TAIL.format(k=k)
+
+
+# ------------------------------------------------------------- the registry
+# name -> (spark_callable, oracle_sql or None)
+
+
+def _registry() -> dict:
+    reg: dict = {}
+
+    def add(name, fn, sql):
+        reg[name] = (fn, sql)
+
+    # --- Term / boolean operators (SURVEY §2.4/§2.5) ---
+
+    add(
+        "term_bm25_topk",
+        lambda spark, sf: _topk(_docs_searcher(spark, sf).compile(Q.Term("text", "spark"))),
+        _sql_topk("SELECT doc_id, score FROM scored WHERE term = 'spark'"),
+    )
+
+    add(
+        "and_bm25_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.And([Q.Term("text", "hash"), Q.Term("text", "join")])
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored WHERE term IN ('hash','join') "
+            "GROUP BY doc_id HAVING count(*) = 2"
+        ),
+    )
+
+    add(
+        "or_bm25_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")])
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored WHERE term IN ('spark','vector') "
+            "GROUP BY doc_id"
+        ),
+    )
+
+    add(
+        "andnot_bm25_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.AndNot(Q.Term("text", "merge"), Q.Term("text", "window"))
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, score FROM scored WHERE term = 'merge' AND doc_id NOT IN "
+            "(SELECT doc_id FROM post WHERE term = 'window')"
+        ),
+    )
+
+    add(
+        "andmaybe_bm25_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.AndMaybe(Q.Term("text", "merge"), Q.Term("text", "spark"))
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored WHERE term IN ('merge','spark') "
+            "GROUP BY doc_id HAVING bool_or(term = 'merge')"
+        ),
+    )
+
+    add(
+        "require_bm25_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.Require(Q.Term("text", "spark"), Q.Term("text", "join"))
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, score FROM scored WHERE term = 'spark' AND doc_id IN "
+            "(SELECT doc_id FROM post WHERE term = 'join')"
+        ),
+    )
+
+    add(
+        "dismax_bm25_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.DisjunctionMax([Q.Term("text", "spark"), Q.Term("text", "hash")])
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, max(score) AS score FROM scored WHERE term IN ('spark','hash') "
+            "GROUP BY doc_id"
+        ),
+    )
+
+    add(
+        "not_complement_count",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .compile(Q.Not(Q.Term("text", "spark")))
+        .agg(F.count("*").alias("n_docs")),
+        PRELUDE
+        + "SELECT count(*)::BIGINT AS n_docs FROM documents WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM post WHERE term = 'spark')",
+    )
+
+    # --- positional (SURVEY §2.5 Phrase) ---
+
+    add(
+        "phrase_bm25_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(Q.Phrase("text", ["hash", "join"]))
+        ),
+        _sql_topk(
+            "SELECT s.doc_id, sum(s.score) AS score FROM scored s WHERE s.term IN ('hash','join') "
+            "AND s.doc_id IN (SELECT a.doc_id FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id "
+            "AND b.pos = a.pos + 1 WHERE a.term = 'hash' AND b.term = 'join') "
+            "GROUP BY s.doc_id HAVING count(*) = 2"
+        ),
+    )
+
+    add(
+        "phrase_slop2_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(Q.Phrase("text", ["slow", "query"], slop=2))
+        ),
+        _sql_topk(
+            "SELECT s.doc_id, sum(s.score) AS score FROM scored s WHERE s.term IN ('slow','query') "
+            "AND s.doc_id IN (SELECT a.doc_id FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id "
+            "AND b.pos > a.pos AND b.pos <= a.pos + 2 WHERE a.term = 'slow' AND b.term = 'query') "
+            "GROUP BY s.doc_id HAVING count(*) = 2"
+        ),
+    )
+
+    # --- lexicon-expanded multi-term (SURVEY §2.5 Prefix/Wildcard/Fuzzy/Range) ---
+
+    add(
+        "prefix_bm25_topk",
+        lambda spark, sf: _topk(_docs_searcher(spark, sf).compile(Q.Prefix("text", "sca"))),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored WHERE term LIKE 'sca%' GROUP BY doc_id"
+        ),
+    )
+
+    add(
+        "wildcard_bm25_topk",
+        lambda spark, sf: _topk(_docs_searcher(spark, sf).compile(Q.Wildcard("text", "s*m"))),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored "
+            "WHERE regexp_full_match(term, 's.*m') GROUP BY doc_id"
+        ),
+    )
+
+    add(
+        "fuzzy_bm25_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(Q.FuzzyTerm("text", "querry"))
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored "
+            "WHERE term LIKE 'q%' AND levenshtein(term, 'querry') <= 1 GROUP BY doc_id"
+        ),
+    )
+
+    add(
+        "termrange_bm25_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(Q.TermRange("text", "batch", "filter"))
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored "
+            "WHERE term >= 'batch' AND term <= 'filter' GROUP BY doc_id"
+        ),
+    )
+
+    # --- native predicates (NumericRange / DateRange / Every) ---
+
+    add(
+        "numericrange_docs",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .compile(Q.NumericRange("n_chars", 100, 200))
+        .select("doc_id", "score"),
+        "SELECT doc_id, 1.0::DOUBLE AS score FROM documents WHERE n_chars >= 100 AND n_chars <= 200",
+    )
+
+    add(
+        "daterange_events",
+        lambda spark, sf: _events_searcher(spark, sf)
+        .compile(
+            Q.And(
+                [
+                    Q.Term("event_type", "click"),
+                    Q.DateRange(
+                        "ts",
+                        __import__("datetime").datetime(2024, 1, 1),
+                        __import__("datetime").datetime(2024, 1, 2),
+                    ),
+                ]
+            )
+        )
+        .select("doc_id", "score"),
+        "SELECT event_id AS doc_id, 2.0::DOUBLE AS score FROM events "
+        "WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-02'",
+    )
+
+    add(
+        "every_count",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .compile(Q.Every())
+        .agg(F.count("*").alias("n_docs")),
+        "SELECT count(*)::BIGINT AS n_docs FROM documents",
+    )
+
+    # --- mixed-field / boost ---
+
+    add(
+        "idfield_and_text_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.And([Q.Term("lang", "en"), Q.Term("text", "spark")])
+            )
+        ),
+        _sql_topk(
+            "SELECT s.doc_id, s.score + 1.0 AS score FROM scored s "
+            "JOIN documents d ON s.doc_id = d.doc_id AND d.lang = 'en' WHERE s.term = 'spark'"
+        ),
+    )
+
+    add(
+        "boost_group_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.Or(
+                    [
+                        Q.Term("text", "spark", boost=2.0),
+                        Q.And([Q.Term("text", "join"), Q.Term("text", "batch")]),
+                    ]
+                )
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM ("
+            "  SELECT doc_id, 2 * score AS score FROM scored WHERE term = 'spark'"
+            "  UNION ALL"
+            "  SELECT doc_id, sum(score) AS score FROM scored WHERE term IN ('join','batch')"
+            "  GROUP BY doc_id HAVING count(*) = 2"
+            ") GROUP BY doc_id"
+        ),
+    )
+
+    # --- collectors (SURVEY §2.7) ---
+
+    add(
+        "facet_count_by_lang",
+        lambda spark, sf: _docs_searcher(spark, sf).group_counts(
+            Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")]), "lang"
+        ),
+        PRELUDE
+        + "SELECT d.lang, count(*)::BIGINT AS count FROM "
+        "(SELECT doc_id FROM post WHERE term IN ('spark','vector') GROUP BY doc_id) q "
+        "JOIN documents d USING (doc_id) GROUP BY d.lang",
+    )
+
+    def _facet_best(spark, sf):
+        s = _docs_searcher(spark, sf)
+        scored = _rounded(s.compile(Q.Term("text", "spark")))
+        docs = s.index.docs.select(F.col("doc_id"), "lang")
+        w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.join(docs, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("lang", "doc_id", "score")
+        )
+
+    add(
+        "facet_best_by_lang",
+        _facet_best,
+        PRELUDE
+        + "SELECT lang, doc_id, score FROM ("
+        "  SELECT d.lang, s.doc_id, round(s.score, 4) AS score,"
+        "         row_number() OVER (PARTITION BY d.lang ORDER BY round(s.score, 4) DESC, s.doc_id) AS rn"
+        "  FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'spark'"
+        ") WHERE rn = 1",
+    )
+
+    def _collapse(spark, sf):
+        s = _docs_searcher(spark, sf)
+        scored = _rounded(s.compile(Q.Term("text", "spark")))
+        docs = s.index.docs.select(F.col("doc_id"), "source")
+        w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+        best = (
+            scored.join(docs, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "score")
+        )
+        return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(K)
+
+    add(
+        "collapse_by_source_topk",
+        _collapse,
+        PRELUDE
+        + "SELECT doc_id, score FROM ("
+        "  SELECT s.doc_id, round(s.score, 4) AS score,"
+        "         row_number() OVER (PARTITION BY d.source ORDER BY round(s.score, 4) DESC, s.doc_id) AS rn"
+        "  FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'spark'"
+        ") WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 10",
+    )
+
+    def _page2(spark, sf):
+        s = _docs_searcher(spark, sf)
+        scored = _rounded(
+            s.compile(Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")]))
+        )
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            top.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") >= 6) & (F.col("_rn") <= 10))
+            .drop("_rn")
+        )
+
+    add(
+        "page2_or_query",
+        _page2,
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored WHERE term IN ('spark','vector') "
+            "GROUP BY doc_id",
+            k=5,
+        )
+        + " OFFSET 5",
+    )
+
+    add(
+        "filter_mask_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf)._apply_filter_mask(
+                _docs_searcher(spark, sf).compile(Q.Term("text", "spark")),
+                Q.Term("lang", "en"),
+                Q.Term("source", "src3"),
+            )
+        ),
+        _sql_topk(
+            "SELECT s.doc_id, s.score FROM scored s JOIN documents d USING (doc_id) "
+            "WHERE s.term = 'spark' AND d.lang = 'en' AND d.source <> 'src3'"
+        ),
+    )
+
+    add(
+        "matched_terms",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .matched_terms(Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")]))
+        .select("doc_id", F.array_join("terms", ",").alias("terms_csv")),
+        PRELUDE
+        + "SELECT doc_id, string_agg(term, ',' ORDER BY term) AS terms_csv FROM post "
+        "WHERE term IN ('spark','vector') GROUP BY doc_id",
+    )
+
+    add(
+        "sorted_by_lang",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .with_stored_fields(
+            _docs_searcher(spark, sf).compile(Q.Term("text", "vector")), "lang"
+        )
+        .select("doc_id", "lang"),
+        PRELUDE
+        + "SELECT s.doc_id, d.lang FROM scored s JOIN documents d USING (doc_id) "
+        "WHERE s.term = 'vector'",
+    )
+
+    # --- alternative weightings (SURVEY §2.6) ---
+
+    add(
+        "tfidf_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf, TF_IDF()).compile(Q.Term("text", "spark"))
+        ),
+        _sql_topk(
+            "SELECT p.doc_id, p.w * (ln(g.n / (t.df + 1)) + 1) AS score "
+            "FROM post p JOIN tstat t USING (term) CROSS JOIN gstat g WHERE p.term = 'spark'"
+        ),
+    )
+
+    add(
+        "frequency_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf, Frequency()).compile(Q.Term("text", "hash"))
+        ),
+        _sql_topk("SELECT doc_id, w AS score FROM post WHERE term = 'hash'"),
+    )
+
+    # --- index stats / reader API (SURVEY §2.9 term stats) ---
+
+    add(
+        "lexicon_stats",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .index.terms.where(F.col("field") == "text")
+        .select("term", "df", "total_weight"),
+        PRELUDE
+        + "SELECT term, count(*)::BIGINT AS df, sum(w)::DOUBLE AS total_weight "
+        "FROM post GROUP BY term",
+    )
+
+    add(
+        "doclens",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .index.postings.where(F.col("field") == "text")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("weight").cast("long").alias("raw_len"),
+            F.first("dl").alias("dl"),
+        ),
+        PRELUDE
+        + "SELECT doc_id, raw_len, dl FROM dl WHERE raw_len > 0",
+    )
+
+    add(
+        "top_terms",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .index.terms.where(F.col("field") == "text")
+        .select("term", "total_weight")
+        .orderBy(F.desc("total_weight"), F.asc("term"))
+        .limit(10),
+        PRELUDE
+        + "SELECT term, sum(w)::DOUBLE AS total_weight FROM post GROUP BY term "
+        "ORDER BY total_weight DESC, term ASC LIMIT 10",
+    )
+
+    return reg
+
+
+_REGISTRY_CACHE: dict | None = None
+
+
+def registry() -> dict:
+    global _REGISTRY_CACHE
+    if _REGISTRY_CACHE is None:
+        _REGISTRY_CACHE = _registry()
+    return _REGISTRY_CACHE
