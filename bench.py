@@ -1,0 +1,228 @@
+"""Round benchmark: index-build throughput + headline query latencies.
+
+Driver contract: run the headline workload at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print ONE
+JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Workload (BASELINE.json::metric — "turns indexed/sec (index build) +
+rank-identical top-k BM25 match rate"):
+
+1. ``build_synth``  — index a deterministic synthetic transcript corpus
+   (whoosh_spark.transcripts.synth_turns, ~2M turns/sf-unit) end-to-end:
+   analyzer chain -> postings -> terms stats, forced via counts. The
+   headline throughput number ``turns_per_sec`` comes from here.
+2. ``build_corpus`` — index the transcript turns derived from the sf dir's
+   documents.parquet (the oracle-checked corpus).
+3. ``q_*``          — BM25F top-10 queries over the corpus index: term,
+   and, or, dismax, phrase, prefix, fuzzy, facet count by role, collapse by
+   conv_id (one row per conversation).
+
+Scaling-efficiency evidence (north rule: N->4N executors >= 0.8) is
+produced by ``python bench.py --scaling``: the same synthetic-corpus build
+runs at local[8] then local[32] (the sandbox proxy for N vs 4N executors —
+no real cluster here), and the JSON reports throughput at both plus
+``scaling_efficiency`` = (thr32/thr8)/4. Results land in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def make_spark(cpus: int, app: str = "whoosh-spark-bench") -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .getOrCreate()
+    )
+
+
+def _force_index(ix) -> tuple[int, int]:
+    """Materialize the whole build: postings + terms row counts."""
+    return ix.postings.count(), ix.terms.count()
+
+
+def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict:
+    from whoosh_spark import query as Q
+    from whoosh_spark.fields import transcript_schema
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.search import Searcher
+    from whoosh_spark.transcripts import synth_turns, transcript_corpus
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- 1. synthetic build throughput (the headline number) ----------------
+    synth = synth_turns(spark, synth_turns_n).persist()
+    n_synth = synth.count()  # materialize input outside the timed window
+    ix_synth = timed(
+        "build_synth",
+        lambda: (lambda ix: (_force_index(ix), ix))(
+            build_index(spark, synth, transcript_schema())
+        )[1],
+    )
+    turns_per_sec = n_synth / timings["build_synth"]
+    synth.unpersist()
+
+    # -- 2. corpus build (documents-derived transcript turns) ---------------
+    corpus = transcript_corpus(spark, sf_dir).persist()
+    n_corpus = corpus.count()
+
+    def _build_corpus():
+        ix = build_index(spark, corpus, transcript_schema()).persist()
+        _force_index(ix)
+        return ix
+
+    ix = timed("build_corpus", _build_corpus)
+    searcher = Searcher(ix)
+    ix._lexicon()  # warm the driver-side lexicon cache (per-query idf lookup)
+
+    # -- 3. headline queries ------------------------------------------------
+    queries = {
+        "q_term": lambda: searcher.search(Q.Term("text", "spark")),
+        "q_and": lambda: searcher.search(Q.And([Q.Term("text", "hash"), Q.Term("text", "join")])),
+        "q_or": lambda: searcher.search(
+            Q.Or([Q.Term("text", "merge"), Q.Term("text", "window"), Q.Term("text", "batch")])
+        ),
+        "q_dismax": lambda: searcher.search(
+            Q.DisjunctionMax([Q.Term("text", "spark"), Q.Term("text", "query")])
+        ),
+        "q_phrase": lambda: searcher.search(Q.Phrase("text", ["hash", "join"])),
+        "q_prefix": lambda: searcher.search(Q.Prefix("text", "sp")),
+        "q_fuzzy": lambda: searcher.search(Q.FuzzyTerm("text", "querry")),
+        "q_facet_role": lambda: searcher.group_counts(Q.Term("text", "merge"), "role"),
+        "q_collapse_conv": lambda: searcher.search(
+            Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")]), collapse="conv_id"
+        ),
+    }
+    for name, fn in queries.items():
+        timed(name, lambda fn=fn: fn().collect())
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "synth_turns": n_synth,
+        "corpus_turns": n_corpus,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+
+
+def _timed_build(spark: SparkSession, n_turns: int, num_partitions: int) -> tuple[float, int]:
+    """One synthetic-corpus index build; returns (seconds, turns).
+
+    ``materialize=False`` + a single terms-count action == the production
+    write path shape (analyze -> postings stream -> stats agg) without cache
+    memory effects; input partitioning is FIXED across parallelism levels so
+    both levels run the identical job and only executor-slot count differs.
+    """
+    from whoosh_spark.fields import transcript_schema
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.transcripts import synth_turns
+
+    synth = synth_turns(spark, n_turns, num_partitions=num_partitions).persist()
+    n = synth.count()
+    ix = build_index(spark, synth, transcript_schema(), materialize=False)
+    t0 = time.perf_counter()
+    ix.terms.count()
+    dt = time.perf_counter() - t0
+    synth.unpersist()
+    return dt, n
+
+
+def run_scaling(sf: float, synth_n: int, low: int = 8, high: int = 32, reps: int = 3) -> dict:
+    """The two-cluster-size protocol (north rule: N -> 4N executors with
+    >= 0.8 throughput scaling efficiency), sandbox-proxied as local[low] vs
+    local[high] — no real cluster here.
+
+    The sandbox host's available CPU varies over minutes, so one-shot
+    timings are unreliable: the levels are INTERLEAVED (low, high, low,
+    high, ...) and each level's throughput is the best of ``reps``
+    measurements — best-of is the standard low-noise estimator for a
+    time-shared machine; the interleaving guarantees both levels sample the
+    same host conditions. A warm-up build per session absorbs JVM/JIT and
+    Python-worker fork+import. Input partitioning is fixed at 2*high for
+    both levels (identical job, only slot count differs — like a cluster
+    with more partitions than cores, which is how production is sized).
+    """
+    os.environ.setdefault("OMP_NUM_THREADS", "1")  # keep numpy single-thread
+    num_partitions = 2 * high
+    best: dict[int, float] = {low: float("inf"), high: float("inf")}
+    n_turns = synth_n
+    for _rep in range(reps):
+        for cpus in (low, high):
+            spark = make_spark(cpus, app=f"whoosh-spark-scaling-{cpus}")
+            try:
+                _timed_build(spark, max(synth_n // 20, 5_000), num_partitions)  # warm-up
+                dt, n_turns = _timed_build(spark, synth_n, num_partitions)
+            finally:
+                spark.stop()
+            best[cpus] = min(best[cpus], dt)
+    thr = {c: n_turns / best[c] for c in best}
+    ratio = thr[high] / thr[low]
+    eff = ratio / (high / low)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"build_local{c}": round(best[c], 3) for c in best},
+        "sf": sf,
+        "throughput": {f"local{c}": round(thr[c], 1) for c in thr},
+        "parallelism_ratio": high / low,
+        "throughput_ratio": round(ratio, 3),
+        "synth_turns": n_turns,
+        "input_partitions": num_partitions,
+        "reps": reps,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    # ~2M synthetic turns per sf unit -> 200k at sf0.1 (cap for tiny runs).
+    synth_n = int(os.environ.get("SPARK_GRAFT_SYNTH_TURNS", str(max(20_000, int(2_000_000 * sf)))))
+    if "--scaling" in sys.argv:
+        # Default N=2 -> 4N=8: the host stops scaling past ~16 busy cores
+        # (even pure-JVM stages), so 8->32 measures the box, not the engine —
+        # see BENCH.md for both curves. Override via SPARK_GRAFT_SCALE_LOW/HIGH.
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
+        print(json.dumps(run_scaling(sf, max(synth_n, 2_000_000), low=lo, high=hi)))
+        return
+    spark = make_spark(cpus)
+    try:
+        result = run(spark, sf_dir, sf, synth_n)
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

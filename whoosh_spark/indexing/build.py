@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from whoosh_spark.analysis import postings_frame
+from whoosh_spark.analysis import postings_arrays
 from whoosh_spark.fields import FieldSpec, Schema
 from whoosh_spark.util import quantized_length_np
 
@@ -53,35 +53,61 @@ POSTINGS_SCHEMA = T.StructType(
 
 
 def _text_postings_generator(field_spec: FieldSpec, doc_id_col: str):
-    """Build the mapInPandas function for one TEXT field.
+    """Build the mapInArrow function for one TEXT field.
 
     Emits per-(doc, term) rows with tf weights, renumbered positions and the
-    quantized doc length — all computed vectorized in the Arrow batch.
+    quantized doc length. Everything stays in numpy/Arrow — the positions
+    list column is built zero-copy from (values, offsets), so no per-token
+    Python object ever exists on the hot path (north rule: vectorized
+    pandas/Arrow UDFs only).
     """
+    import pyarrow as pa
+
     name = field_spec.name
     spec = field_spec.analyzer
     boost = float(field_spec.field_boost)
+    arrow_schema = pa.schema(
+        [
+            pa.field("field", pa.string(), False),
+            pa.field("term", pa.string(), False),
+            pa.field("doc_id", pa.int64(), False),
+            pa.field("weight", pa.float64(), False),
+            pa.field("positions", pa.list_(pa.int32()), True),
+            pa.field("dl", pa.int64(), True),
+        ]
+    )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            pf = postings_frame(pdf[name], spec)
-            if len(pf) == 0:
+            texts = batch.column(batch.schema.get_field_index(name)).to_pandas()
+            arrs = postings_arrays(texts, spec)
+            if len(arrs) == 0:
                 continue
-            doc_ids = pdf[doc_id_col].to_numpy()
-            # raw per-row length = sum of tf per row; vectorized via groupby
-            raw_len = pf.groupby("row")["weight"].transform("sum").to_numpy()
-            dl = quantized_length_np(raw_len.astype(np.int64))
-            yield pd.DataFrame(
-                {
-                    "field": name,
-                    "term": pf["term"],
-                    "doc_id": doc_ids[pf["row"].to_numpy()],
-                    "weight": pf["weight"] * boost,
-                    "positions": pf["positions"],
-                    "dl": dl,
-                }
+            doc_ids = batch.column(batch.schema.get_field_index(doc_id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            # raw per-row token count -> quantized dl, broadcast to groups
+            raw_len = np.zeros(batch.num_rows, dtype=np.int64)
+            np.add.at(raw_len, arrs.row, arrs.weight.astype(np.int64))
+            dl = quantized_length_np(raw_len)[arrs.row]
+            n = len(arrs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(n, dtype=np.int32)), pa.array([name])
+                    ).cast(pa.string()),
+                    pa.array(arrs.term, type=pa.string()),
+                    pa.array(doc_ids[arrs.row], type=pa.int64()),
+                    pa.array(arrs.weight * boost if boost != 1.0 else arrs.weight),
+                    pa.ListArray.from_arrays(
+                        pa.array(arrs.offsets, type=pa.int32()),
+                        pa.array(arrs.positions_flat, type=pa.int32()),
+                    ),
+                    pa.array(dl, type=pa.int64()),
+                ],
+                schema=arrow_schema,
             )
 
     return gen
@@ -97,12 +123,35 @@ class InvertedIndex:
     docs: DataFrame  # the stored-fields table (D9): join back by doc_id
     postings: DataFrame  # (field, term, doc_id, weight, positions, dl)
     terms: DataFrame  # (field, term, df, total_weight, max_weight, min_doc, max_doc)
-    doc_count: int  # doc_count_all — BM25F idf uses ALL docs (SURVEY A.5)
-    field_totals: dict[str, float]  # exact token totals per field (for avgdl)
     doc_id_col: str = "doc_id"
+    _doc_count: int | None = dc_field(default=None, repr=False)
+    _field_totals: dict[str, float] | None = dc_field(default=None, repr=False)
     _lexicon_cache: pd.DataFrame | None = dc_field(default=None, repr=False)
 
     # -- reader/stats API (reference: src/whoosh/reading.py::IndexReader) --
+
+    @property
+    def doc_count(self) -> int:
+        """doc_count_all — BM25F idf uses ALL docs (SURVEY A.5). Lazy: one
+        count of the docs table, memoized for the life of the index handle."""
+        if self._doc_count is None:
+            self._doc_count = self.docs.count()
+        return self._doc_count
+
+    @property
+    def field_totals(self) -> dict[str, float]:
+        """Exact per-field token totals (for avgdl): sum(weight) over the
+        materialized postings — total tf == total tokens. One tiny job."""
+        if self._field_totals is None:
+            text_names = [fs.name for fs in self.schema.text_fields()]
+            rows = (
+                self.postings.where(F.col("field").isin(text_names))
+                .groupBy("field")
+                .agg(F.sum("weight").alias("total_len"))
+                .collect()
+            )
+            self._field_totals = {r["field"]: float(r["total_len"]) for r in rows}
+        return self._field_totals
 
     def avg_field_length(self, field_name: str) -> float:
         """avgdl = exact field_length_total / doc_count_all
@@ -171,8 +220,12 @@ class InvertedIndex:
         return lex[["term", "df"]]
 
     def persist(self) -> "InvertedIndex":
-        self.postings = self.postings.persist()
-        self.terms = self.terms.persist()
+        from pyspark import StorageLevel
+
+        if self.postings.storageLevel == StorageLevel.NONE:
+            self.postings = self.postings.persist()
+        if self.terms.storageLevel == StorageLevel.NONE:
+            self.terms = self.terms.persist()
         return self
 
 
@@ -181,47 +234,76 @@ def build_index(
     docs: DataFrame,
     schema: Schema,
     doc_id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> InvertedIndex:
     """Build the logical inverted index from a docs DataFrame.
 
     ``docs`` must already carry a dense ``doc_id`` (use
     indexing.docids.assign_doc_ids for the transcript parity ordering).
+
+    With ``materialize`` (default), the postings frame is cached so the
+    analyzer chain runs exactly ONCE — the terms stats, field totals and
+    every query then read the materialized postings instead of re-running
+    tokenization per action. (The 100 TB analogue is writing postings to the
+    segment store — indexing/segments.py — and reading back; in-session we
+    use the block cache.) Pass ``materialize=False`` to keep the build fully
+    lazy, e.g. when immediately handing postings to a streaming sink.
     """
     parts: list[DataFrame] = []
     for fs in schema.text_fields():
         src = docs.select(doc_id_col, fs.name)
-        parts.append(src.mapInPandas(_text_postings_generator(fs, doc_id_col), POSTINGS_SCHEMA))
-    for fs in schema.indexed_fields():
-        if fs.kind == "text":
-            continue
-        col = F.col(fs.name).cast("string")
-        if fs.kind == "keyword":
-            # space-separated terms, weight 1 each occurrence
-            src = docs.select(
-                F.lit(fs.name).alias("field"),
-                F.explode(F.split(col, r"\s+")).alias("term"),
-                F.col(doc_id_col).alias("doc_id"),
-            ).where(F.col("term") != "")
-            part = (
-                src.groupBy("field", "term", "doc_id")
-                .agg(F.count("*").cast("double").alias("weight"))
-                .withColumn("positions", F.lit(None).cast(T.ArrayType(T.IntegerType())))
-                .withColumn("dl", F.lit(None).cast("long"))
-            )
-        else:  # id / boolean: whole value = one term (IDTokenizer)
-            part = docs.where(col.isNotNull() & (col != "")).select(
-                F.lit(fs.name).alias("field"),
-                col.alias("term"),
-                F.col(doc_id_col).alias("doc_id"),
+        parts.append(src.mapInArrow(_text_postings_generator(fs, doc_id_col), POSTINGS_SCHEMA))
+
+    # All ID/BOOLEAN fields in ONE scan: per row, an array of (field, term)
+    # structs, exploded once — n fields must not cost n passes over 10^12 rows.
+    id_specs = [fs for fs in schema.indexed_fields() if fs.kind in ("id", "boolean")]
+    if id_specs:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(fs.name).alias("field"),
+                    F.col(fs.name).cast("string").alias("term"),
+                )
+                for fs in id_specs
+            ]
+        )
+        part = (
+            docs.select(F.col(doc_id_col).alias("doc_id"), F.explode(entries).alias("e"))
+            .where(F.col("e.term").isNotNull() & (F.col("e.term") != ""))
+            .select(
+                F.col("e.field").alias("field"),
+                F.col("e.term").alias("term"),
+                "doc_id",
                 F.lit(1.0).alias("weight"),
                 F.lit(None).cast(T.ArrayType(T.IntegerType())).alias("positions"),
                 F.lit(None).cast("long").alias("dl"),
             )
+        )
+        parts.append(part)
+
+    for fs in schema.indexed_fields():
+        if fs.kind != "keyword":
+            continue
+        col = F.col(fs.name).cast("string")
+        # space-separated terms, weight 1 each occurrence
+        src = docs.select(
+            F.lit(fs.name).alias("field"),
+            F.explode(F.split(col, r"\s+")).alias("term"),
+            F.col(doc_id_col).alias("doc_id"),
+        ).where(F.col("term") != "")
+        part = (
+            src.groupBy("field", "term", "doc_id")
+            .agg(F.count("*").cast("double").alias("weight"))
+            .withColumn("positions", F.lit(None).cast(T.ArrayType(T.IntegerType())))
+            .withColumn("dl", F.lit(None).cast("long"))
+        )
         parts.append(part)
 
     postings = parts[0]
     for p in parts[1:]:
         postings = postings.unionByName(p)
+    if materialize:
+        postings = postings.persist()
 
     terms = postings.groupBy("field", "term").agg(
         F.count("*").alias("df"),
@@ -231,22 +313,11 @@ def build_index(
         F.max("doc_id").alias("max_doc"),
     )
 
-    doc_count = docs.count()
-    totals_rows = (
-        postings.where(F.col("field").isin([fs.name for fs in schema.text_fields()]))
-        .groupBy("field")
-        .agg(F.sum("weight").alias("total_len"))
-        .collect()
-    )
-    field_totals = {r["field"]: float(r["total_len"]) for r in totals_rows}
-
     return InvertedIndex(
         spark=spark,
         schema=schema,
         docs=docs,
         postings=postings,
         terms=terms,
-        doc_count=doc_count,
-        field_totals=field_totals,
         doc_id_col=doc_id_col,
     )
