@@ -1,0 +1,156 @@
+"""Physical segment store: pack/unpack roundtrip, resume, WAND parity.
+
+Mirrors the reference's test_codecs (block contents), test_quality
+(block-max metadata + skipping equivalence) and test_indexing (multisegment
+correctness, mpwriter parallel ≡ serial).
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_spark import query as Q
+from whoosh_spark.fields import transcript_schema
+from whoosh_spark.indexing import build_index
+from whoosh_spark.indexing.segments import (
+    BLOCK_SIZE,
+    build_segments,
+    open_segments,
+)
+from whoosh_spark.search import Searcher
+from whoosh_spark.search.wand import wand_topk
+from whoosh_spark.transcripts import transcript_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = transcript_corpus(spark, SF).persist()
+    c.count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def seg_path(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("segix") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
+    return path
+
+
+@pytest.fixture(scope="module")
+def six(spark, corpus, seg_path):
+    return open_segments(spark, seg_path, corpus, transcript_schema())
+
+
+@pytest.fixture(scope="module")
+def lix(spark, corpus):
+    return build_index(spark, corpus, transcript_schema()).persist()
+
+
+def test_unpack_roundtrip_exact(six, lix):
+    a = six.postings.orderBy("field", "term", "doc_id").toPandas()
+    b = lix.postings.orderBy("field", "term", "doc_id").toPandas()
+    assert len(a) == len(b)
+    for col in ("field", "term", "doc_id"):
+        assert a[col].tolist() == b[col].tolist()
+    assert (a["weight"].to_numpy() == b["weight"].to_numpy()).all()
+    assert a["dl"].fillna(-1).tolist() == b["dl"].fillna(-1).tolist()
+    pos_a = [None if x is None else list(x) for x in a["positions"]]
+    pos_b = [None if x is None else list(x) for x in b["positions"]]
+    assert pos_a == pos_b
+
+
+def test_block_invariants(six):
+    pdf = six.blocks.toPandas()
+    assert (pdf["n"] <= BLOCK_SIZE).all()
+    assert (pdf["min_doc"] <= pdf["max_doc"]).all()
+    # block-max metadata is a true bound over the decoded postings
+    row = pdf[pdf["n"] > 4].iloc[0]
+    w = np.frombuffer(row["weights"], dtype=np.float32)
+    assert w.max() == row["max_weight"]
+    dls = np.frombuffer(row["dls"], dtype=np.uint16)
+    assert dls.min() == row["min_dl"]
+
+
+def test_terms_stats_match_logical(six, lix):
+    a = six.terms.orderBy("field", "term").toPandas()
+    b = lix.terms.orderBy("field", "term").toPandas()
+    assert a["term"].tolist() == b["term"].tolist()
+    assert a["df"].tolist() == b["df"].tolist()
+    assert np.abs(a["total_weight"] - b["total_weight"]).max() < 1e-9
+
+
+def test_search_parity_segmented_vs_logical(six, lix):
+    qs = [
+        Q.Term("text", "spark"),
+        Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
+        Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")]),
+        Q.Phrase("text", ["hash", "join"]),
+        Q.Prefix("text", "sp"),
+    ]
+    sa, sb = Searcher(six), Searcher(lix)
+    for q in qs:
+        assert sa.search(q).collect() == sb.search(q).collect(), q
+
+
+def test_wand_pruned_equals_unpruned_equals_executor(six):
+    s = Searcher(six)
+    cases = [
+        (["spark"], "or"),
+        (["merge", "join", "window"], "or"),
+        (["hash", "join"], "and"),
+        (["data", "line", "the"], "or"),
+    ]
+    for terms, mode in cases:
+        mk = Q.Or if mode == "or" else Q.And
+        ref = [(r.doc_id, r.score) for r in s.search(mk([Q.Term("text", t) for t in terms])).collect()]
+        for prune in (False, True):
+            for seed in (2, 16):
+                got = [
+                    (r.doc_id, r.score)
+                    for r in wand_topk(six, "text", terms, mode=mode, prune=prune,
+                                       seed_blocks=seed).collect()
+                ]
+                assert got == ref, (terms, mode, prune, seed)  # bit-exact
+
+
+def test_wand_missing_term(six):
+    assert wand_topk(six, "text", ["zzzznope"], mode="or").count() == 0
+    assert wand_topk(six, "text", ["spark", "zzzznope"], mode="and").count() == 0
+    # OR with one missing term == OR of remaining
+    a = wand_topk(six, "text", ["spark", "zzzznope"], mode="or").collect()
+    b = wand_topk(six, "text", ["spark"], mode="or").collect()
+    assert a == b
+
+
+def test_parallelism_invariance(spark, corpus, tmp_path_factory, six):
+    """mpwriter analogue: different segment counts -> identical search."""
+    path2 = str(tmp_path_factory.mktemp("segix2") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path2, n_segments=1,
+                   pack_partitions=5)
+    six_1 = open_segments(spark, path2, corpus, transcript_schema())
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")])
+    assert Searcher(six_1).search(q).collect() == Searcher(six).search(q).collect()
+    assert (
+        wand_topk(six_1, "text", ["spark", "join"]).collect()
+        == wand_topk(six, "text", ["spark", "join"]).collect()
+    )
+
+
+# NOTE: runs LAST — it rewrites segment files under seg_path, which would
+# invalidate the module-scoped `six` fixture's cached file listing for any
+# test that follows it.
+def test_resume_completes_missing_segment(spark, corpus, seg_path, six):
+    before = Searcher(six).search(Q.Term("text", "spark")).collect()
+    os.remove(os.path.join(seg_path, "_manifest", "seg_1.json"))
+    shutil.rmtree(os.path.join(seg_path, "blocks", "segment_id=1"))
+    man = build_segments(spark, corpus, transcript_schema(), seg_path, n_segments=3)
+    assert sorted(man) == [0, 1, 2]
+    assert all(m["status"] == "committed" for m in man.values())
+    assert {"n_docs", "n_postings", "n_blocks", "n_terms", "lineage"} <= set(man[1])
+    six2 = open_segments(spark, seg_path, corpus, transcript_schema())
+    assert Searcher(six2).search(Q.Term("text", "spark")).collect() == before

@@ -219,6 +219,32 @@ class InvertedIndex:
             lex = lex[levenshtein_np(lex["term"].to_numpy(), word) <= maxdist]
         return lex[["term", "df"]]
 
+    # -- posting access points (overridden by the physical SegmentedIndex,
+    # which filters packed BLOCK rows before decoding — mapInArrow is a
+    # predicate-pushdown barrier, so the term filter must be routed here
+    # rather than applied on top of the postings view) --
+
+    def term_postings(self, fieldname: str, term: str) -> DataFrame:
+        """Posting rows of one (field, term) — the leaf matcher scan
+        (reference: codec W3LeafMatcher via reading.py::SegmentReader
+        .postings ~L350)."""
+        return self.postings.where((F.col("field") == fieldname) & (F.col("term") == term))
+
+    def terms_postings(self, fieldname: str, terms: list[str]) -> DataFrame:
+        """Posting rows of an expanded term set (Prefix/Wildcard/Fuzzy/...)."""
+        return self.postings.where(
+            (F.col("field") == fieldname) & F.col("term").isin(list(terms))
+        )
+
+    def pairs_postings(self, pairs: list[tuple[str, str]]) -> DataFrame:
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a | b,
+            [((F.col("field") == f) & (F.col("term") == t)) for f, t in pairs],
+        )
+        return self.postings.where(cond)
+
     def persist(self) -> "InvertedIndex":
         from pyspark import StorageLevel
 

@@ -1,0 +1,454 @@
+"""Physical index: doc-sharded segments of packed, block-compressed postings.
+
+Spark-first re-expression of the reference's segment codec
+(src/whoosh/codec/whoosh3.py::W3Codec / W3FieldWriter / W3Block ~L700:
+<=128 postings per block, delta+varint doc ids, per-block max-weight and
+min/max-length metadata = block-max WAND skip data; src/whoosh/codec/
+base.py::Segment = immutable doc shard; src/whoosh/index.py::TOC =
+generation manifest):
+
+- A **segment is a doc_id range shard** (exactly Whoosh's segment = docs
+  added between commits, and the MpWriter sub-segment model,
+  src/whoosh/multiproc.py::MpWriter ~L150). Queries run per-segment in
+  parallel and merge — MultiMatcher with docnum offsets, for free.
+- Within a segment, postings are hash-repartitioned by (field, term),
+  sorted by (field, term, doc_id), and packed into block rows by ONE
+  vectorized mapInArrow pass: doc ids delta+LEB128-varint encoded (PFOR
+  spirit), weights float32, lengths as uint16 of the byte-quantized value,
+  positions as plain varints with uint16 counts. Per-block metadata
+  (max_weight, min_dl, min/max doc) feeds block-max WAND pruning
+  (search/wand.py) and lets the reader skip whole blocks without decoding.
+- The block table is written as Parquet partitioned by segment_id; files
+  are sorted by (field, term), so Parquet row-group min/max statistics give
+  term-range pruning on read (the analogue of the reference's ordered term
+  dictionary seek, src/whoosh/filedb/filetables.py::OrderedHashWriter).
+  On a production cluster this table is the Iceberg `postings` table — the
+  layout and the manifest below are Iceberg-snapshot-shaped on purpose.
+- **Checkpoint/resume + lineage** (north rule): each segment commits
+  atomically — blocks parquet, per-segment term stats, then a JSON manifest
+  row `_manifest/seg_<id>.json` with doc range, counts, wall time and
+  lineage. A re-run of build_segments() skips committed segments (the
+  reference's TOC generation swap, src/whoosh/writing.py::SegmentWriter
+  .commit ~L800, made per-partition).
+
+At 100 TB: segments bound the skew of any single (field, term) group — a
+term's in-segment postings can't exceed the segment's doc count, so the
+pack groupBy never sees an unbounded hot key; cross-segment merge
+(merge_segments) re-shards hot terms by block group (salted) instead of by
+bare term for the same reason.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whoosh_spark import __version__ as _code_version
+from whoosh_spark.fields import Schema
+from whoosh_spark.indexing.build import POSTINGS_SCHEMA, InvertedIndex, build_index
+from whoosh_spark.util import (
+    segmented_cumsum,
+    varint_decode,
+    varint_encode_lengths,
+)
+
+BLOCK_SIZE = 128  # reference parity: codec blocklimit (SURVEY A.8)
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("min_doc", T.LongType(), False),
+        T.StructField("max_doc", T.LongType(), False),
+        T.StructField("max_weight", T.FloatType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
+        T.StructField("weight_sum", T.DoubleType(), False),
+        T.StructField("doc_deltas", T.BinaryType(), False),
+        T.StructField("weights", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+        T.StructField("pos_counts", T.BinaryType(), True),
+        T.StructField("pos_vals", T.BinaryType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------- packing
+
+
+def _pack_partition(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+    """Pack one sorted postings partition into block rows, vectorized.
+
+    Input: complete (field, term) groups (hash-partitioned), sorted by
+    (field, term, doc_id). The only Python-level loop is buffer slicing per
+    block; every encode runs once over the whole partition.
+    """
+    import pyarrow as pa
+
+    tables = [pa.Table.from_batches([b]) for b in batches]
+    if not tables:
+        return
+    tbl = pa.concat_tables(tables).combine_chunks()
+    if tbl.num_rows == 0:
+        return
+    field_arr = np.asarray(tbl.column("field").to_pandas(), dtype=object)
+    term_arr = np.asarray(tbl.column("term").to_pandas(), dtype=object)
+    doc = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    weight = tbl.column("weight").to_numpy(zero_copy_only=False)
+    dl = tbl.column("dl").to_pandas().fillna(0).to_numpy(dtype=np.int64)
+    pos_col = tbl.column("positions").chunk(0) if tbl.column("positions").num_chunks else None
+    n_rows = doc.size
+
+    # group (= field, term run) boundaries; input is sorted so runs are contiguous
+    change = np.concatenate(
+        ([True], (term_arr[1:] != term_arr[:-1]) | (field_arr[1:] != field_arr[:-1]))
+    )
+    group_starts = np.flatnonzero(change)
+    group_sizes = np.diff(np.concatenate((group_starts, [n_rows])))
+    idx_in_group = np.arange(n_rows) - np.repeat(group_starts, group_sizes)
+    block_no = idx_in_group // BLOCK_SIZE
+    blk_change = change | np.concatenate(([False], block_no[1:] != block_no[:-1]))
+    blk_starts = np.flatnonzero(blk_change)
+    blk_ends = np.concatenate((blk_starts[1:], [n_rows]))
+    nb = blk_starts.size
+
+    # doc id deltas, absolute at block starts; ONE varint pass for everything
+    deltas = np.empty_like(doc)
+    deltas[0] = doc[0]
+    np.subtract(doc[1:], doc[:-1], out=deltas[1:])
+    deltas[blk_starts] = doc[blk_starts]
+    dbuf, dlens = varint_encode_lengths(deltas)
+    dbyte_off = np.concatenate(([0], np.cumsum(dlens)))
+
+    w32 = weight.astype(np.float32)
+    dl16 = np.minimum(dl, 65535).astype(np.uint16)
+
+    # positions: flat plain varints + uint16 counts (phrase fields only)
+    has_pos = pos_col is not None and pos_col.null_count < n_rows
+    if has_pos:
+        flat_vals = np.asarray(pos_col.flatten().to_numpy(zero_copy_only=False), dtype=np.int64)
+        # per-posting counts (null -> 0)
+        offs = pos_col.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        valid = pos_col.is_valid().to_numpy(zero_copy_only=False)
+        counts = np.where(valid, counts, 0).astype(np.int64)
+        pbuf, plens = varint_encode_lengths(flat_vals)
+        # per-posting byte length of its positions
+        p_off_per_post = np.concatenate(([0], np.cumsum(counts)))
+        plen_cum = np.concatenate(([0], np.cumsum(plens)))
+        post_pbytes_off = plen_cum[p_off_per_post]
+        cnt16 = counts.astype(np.uint16)
+
+    # per-block reductions
+    maxw = np.maximum.reduceat(w32, blk_starts).astype(np.float32)
+    mindl = np.minimum.reduceat(dl16.astype(np.int64), blk_starts)
+    wsum = np.add.reduceat(weight, blk_starts)
+
+    dmv = memoryview(dbuf)
+    w_bytes = w32.tobytes()
+    dl_bytes = dl16.tobytes()
+    doc_deltas_col, weights_col, dls_col = [], [], []
+    pos_counts_col, pos_vals_col = [], []
+    if has_pos:
+        pmv = memoryview(pbuf)
+        c_bytes = cnt16.tobytes()
+        blk_pos_totals = np.add.reduceat(counts, blk_starts)
+    for i in range(nb):
+        s, e = blk_starts[i], blk_ends[i]
+        doc_deltas_col.append(bytes(dmv[dbyte_off[s] : dbyte_off[e]]))
+        weights_col.append(w_bytes[4 * s : 4 * e])
+        dls_col.append(dl_bytes[2 * s : 2 * e])
+        if has_pos and blk_pos_totals[i] > 0:
+            pos_counts_col.append(c_bytes[2 * s : 2 * e])
+            pos_vals_col.append(bytes(pmv[post_pbytes_off[s] : post_pbytes_off[e]]))
+        else:
+            # non-positional (ID/KEYWORD) blocks store no position payload
+            pos_counts_col.append(None)
+            pos_vals_col.append(None)
+
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(field_arr[blk_starts], type=pa.string()),
+            pa.array(term_arr[blk_starts], type=pa.string()),
+            pa.array(block_no[blk_starts].astype(np.int32)),
+            pa.array((blk_ends - blk_starts).astype(np.int32)),
+            pa.array(doc[blk_starts], type=pa.int64()),
+            pa.array(doc[blk_ends - 1], type=pa.int64()),
+            pa.array(maxw, type=pa.float32()),
+            pa.array(mindl.astype(np.int32)),
+            pa.array(wsum, type=pa.float64()),
+            pa.array(doc_deltas_col, type=pa.binary()),
+            pa.array(weights_col, type=pa.binary()),
+            pa.array(dls_col, type=pa.binary()),
+            pa.array(pos_counts_col, type=pa.binary()),
+            pa.array(pos_vals_col, type=pa.binary()),
+        ],
+        names=[f.name for f in BLOCKS_SCHEMA.fields],
+    )
+
+
+# --------------------------------------------------------------- unpacking
+
+
+def _unpack_partition(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+    """Block rows -> postings rows (POSTINGS_SCHEMA), vectorized.
+
+    All blocks in the batch are decoded in ONE varint pass each for doc ids
+    and positions (segmented cumsum restores absolute ids per block).
+    """
+    import pyarrow as pa
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        tbl = batch
+        names = {f.name: i for i, f in enumerate(tbl.schema)}
+
+        def col(name):
+            return tbl.column(names[name])
+
+        n_per = col("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n_per.sum())
+        if total == 0:
+            continue
+        post_starts = np.concatenate(([0], np.cumsum(n_per)))[:-1]
+
+        dbuf = b"".join(col("doc_deltas").to_pylist())
+        deltas = varint_decode(dbuf)
+        doc_ids = segmented_cumsum(deltas, post_starts)
+
+        weights = np.frombuffer(b"".join(col("weights").to_pylist()), dtype=np.float32)
+        dls = np.frombuffer(b"".join(col("dls").to_pylist()), dtype=np.uint16).astype(np.int64)
+
+        field_rep = np.repeat(np.asarray(col("field").to_pandas(), dtype=object), n_per)
+        term_rep = np.repeat(np.asarray(col("term").to_pandas(), dtype=object), n_per)
+
+        pc = col("pos_counts").to_pylist()
+        if any(c is not None for c in pc):
+            cbuf = b"".join(
+                c if c is not None else b"\x00\x00" * int(n)
+                for c, n in zip(pc, n_per)
+            )
+            counts = np.frombuffer(cbuf, dtype=np.uint16).astype(np.int64)
+            pos_vals = varint_decode(b"".join(v for v in col("pos_vals").to_pylist() if v))
+            pos_offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+            positions = pa.ListArray.from_arrays(
+                pa.array(pos_offs),
+                pa.array(pos_vals.astype(np.int32)),
+                mask=pa.array(counts == 0),  # ID/KEYWORD postings: null, not []
+            )
+        else:
+            positions = pa.nulls(total, pa.list_(pa.int32()))
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(field_rep, type=pa.string()),
+                pa.array(term_rep, type=pa.string()),
+                pa.array(doc_ids, type=pa.int64()),
+                pa.array(weights.astype(np.float64)),
+                positions,
+                pa.array(np.where(dls == 0, None, dls), type=pa.int64(), from_pandas=True),
+            ],
+            names=[f.name for f in POSTINGS_SCHEMA.fields],
+        )
+
+
+# ------------------------------------------------------------ build / write
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifest")
+
+
+def _read_manifest(path: str) -> dict[int, dict]:
+    out = {}
+    mdir = _manifest_dir(path)
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.startswith("seg_") and fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    m = json.load(f)
+                if m.get("status") == "committed":
+                    out[m["segment_id"]] = m
+    return out
+
+
+def build_segments(
+    spark: SparkSession,
+    docs: DataFrame,
+    schema: Schema,
+    path: str,
+    n_segments: int = 4,
+    doc_count: int | None = None,
+    doc_id_col: str = "doc_id",
+    pack_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) the physical segmented index at ``path``.
+
+    Returns the manifest dict {segment_id: metadata}. Each segment covers a
+    contiguous doc_id range and commits independently — killing the build
+    and calling again with ``resume=True`` (default) completes only the
+    missing segments (north rule: checkpoint-resumable per partition with
+    lineage and term/posting count metrics).
+    """
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    done = _read_manifest(path) if resume else {}
+    if doc_count is None:
+        doc_count = docs.count()
+    per_seg = math.ceil(doc_count / n_segments) if doc_count else 1
+    if pack_partitions is None:
+        pack_partitions = max(spark.sparkContext.defaultParallelism // 2, 2)
+
+    for seg_id in range(n_segments):
+        if seg_id in done:
+            continue
+        lo, hi = seg_id * per_seg, min((seg_id + 1) * per_seg, doc_count)
+        t0 = time.perf_counter()
+        seg_docs = docs.where((F.col(doc_id_col) >= lo) & (F.col(doc_id_col) < hi))
+        ix = build_index(spark, seg_docs, schema, doc_id_col=doc_id_col, materialize=False)
+        packed = (
+            ix.postings.repartition(pack_partitions, "field", "term")
+            .sortWithinPartitions("field", "term", "doc_id")
+            .mapInArrow(_pack_partition, BLOCKS_SCHEMA)
+        )
+        seg_path = os.path.join(path, "blocks", f"segment_id={seg_id}")
+        # sort blocks by (field, term) inside files -> Parquet min/max stats
+        # prune term lookups to few row groups (ordered term dict analogue)
+        packed.sortWithinPartitions("field", "term", "block_id").write.mode(
+            "overwrite"
+        ).parquet(seg_path)
+
+        blocks = spark.read.parquet(seg_path)
+        stats = blocks.agg(
+            F.sum("n").alias("n_postings"),
+            F.count("*").alias("n_blocks"),
+            F.count_distinct("field", "term").alias("n_terms"),
+        ).collect()[0]
+        n_docs_seg = seg_docs.count()
+        manifest = {
+            "segment_id": seg_id,
+            "doc_lo": lo,
+            "doc_hi": hi,
+            "n_docs": n_docs_seg,
+            "n_postings": int(stats["n_postings"] or 0),
+            "n_blocks": int(stats["n_blocks"] or 0),
+            "n_terms": int(stats["n_terms"] or 0),
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "lineage": {
+                "source": "docs-dataframe",
+                "order": [doc_id_col],
+                "block_size": BLOCK_SIZE,
+                "code_version": _code_version,
+                "schema_fields": schema.names(),
+            },
+            "status": "committed",
+        }
+        tmp = os.path.join(_manifest_dir(path), f"seg_{seg_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(_manifest_dir(path), f"seg_{seg_id}.json"))
+        done[seg_id] = manifest
+
+    # finalize global stats (idempotent; cheap aggregation over block rows)
+    blocks_all = spark.read.parquet(os.path.join(path, "blocks"))
+    terms_path = os.path.join(path, "terms_global")
+    (
+        blocks_all.groupBy("field", "term")
+        .agg(
+            F.sum("n").alias("df"),
+            F.sum("weight_sum").alias("total_weight"),
+            F.max("max_weight").cast("double").alias("max_weight"),
+            F.min("min_doc").alias("min_doc"),
+            F.max("max_doc").alias("max_doc"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .parquet(terms_path)
+    )
+    meta = {"doc_count": doc_count, "n_segments": n_segments, "block_size": BLOCK_SIZE}
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return done
+
+
+# ------------------------------------------------------------------ reader
+
+
+@dataclass
+class SegmentedIndex(InvertedIndex):
+    """InvertedIndex over the physical block store.
+
+    ``postings`` is the full unpack view (used by stats queries); point
+    lookups go through :meth:`term_postings`, which filters the BLOCK rows
+    first — the term predicate is pushed into the Parquet scan (row-group
+    min/max pruning on the sorted term column) and only matching blocks are
+    decoded. mapInArrow is a pushdown barrier, so filtering after unpacking
+    would decode the whole index per query.
+    """
+
+    path: str = ""
+    blocks: DataFrame | None = None
+    manifest: dict = dc_field(default_factory=dict)
+
+    def _unpack(self, blocks: DataFrame) -> DataFrame:
+        return blocks.mapInArrow(_unpack_partition, POSTINGS_SCHEMA)
+
+    def term_postings(self, fieldname: str, term: str) -> DataFrame:
+        return self._unpack(
+            self.blocks.where((F.col("field") == fieldname) & (F.col("term") == term))
+        )
+
+    def terms_postings(self, fieldname: str, terms: list[str]) -> DataFrame:
+        return self._unpack(
+            self.blocks.where((F.col("field") == fieldname) & F.col("term").isin(list(terms)))
+        )
+
+    def pairs_postings(self, pairs: list[tuple[str, str]]) -> DataFrame:
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a | b,
+            [((F.col("field") == f) & (F.col("term") == t)) for f, t in pairs],
+        )
+        return self._unpack(self.blocks.where(cond))
+
+
+def open_segments(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    schema: Schema,
+    doc_id_col: str = "doc_id",
+) -> SegmentedIndex:
+    """Open a committed physical index for searching."""
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    terms = spark.read.parquet(os.path.join(path, "terms_global"))
+    ix = SegmentedIndex(
+        spark=spark,
+        schema=schema,
+        docs=docs,
+        postings=None,  # set below (needs self.blocks)
+        terms=terms,
+        doc_id_col=doc_id_col,
+        path=path,
+        blocks=blocks,
+        manifest=_read_manifest(path),
+    )
+    ix._doc_count = int(meta["doc_count"])
+    ix.postings = ix._unpack(blocks)
+    return ix

@@ -92,7 +92,7 @@ class Searcher:
         if dfreq == 0:
             return self._empty()
         idf_v = idf_fn(self.index.doc_count, dfreq)
-        p = self._field_postings(q.fieldname).where(F.col("term") == q.text)
+        p = self.index.term_postings(q.fieldname, q.text)
         score = self.weighting.score_expr(fs, idf_v, avgdl, F.col("weight"), F.col("dl"))
         if q.boost != 1.0:
             score = score * q.boost
@@ -112,12 +112,21 @@ class Searcher:
         exp = expansion.copy()
         exp["idf"] = [idf_fn(n, int(d)) for d in exp["df"]]
         exp_sdf = self._spark.createDataFrame(exp[["term", "idf"]])
-        p = self._field_postings(q.fieldname).join(F.broadcast(exp_sdf), "term")
+        p = self.index.terms_postings(q.fieldname, exp["term"].tolist()).join(
+            F.broadcast(exp_sdf), "term"
+        )
         score = self.weighting.score_expr(fs, F.col("idf"), avgdl, F.col("weight"), F.col("dl"))
         if q.boost != 1.0:
             score = score * q.boost
-        per_term = p.select("doc_id", score.alias("s"))
-        return per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
+        # ordered fold in lexicographic term order: expanded multi-term
+        # queries are an Or over the expansion, and Whoosh expands the
+        # lexicon in term order (query/terms.py::MultiTerm._btexts)
+        per_term = p.select("doc_id", F.col("term").alias("_t"), score.alias("s"))
+        items = F.array_sort(
+            F.collect_list(F.struct(F.col("_t").alias("t"), F.col("s").alias("s")))
+        )
+        folded = F.aggregate(items, F.lit(0.0), lambda acc, x: acc + x["s"])
+        return per_term.groupBy("doc_id").agg(folded.alias("score"))
 
     def _c_prefix(self, q: Q.Prefix) -> DataFrame:
         return self._expanded(q, self.index.expand_terms(q.fieldname, like=q.text))
@@ -172,13 +181,29 @@ class Searcher:
         ]
         return reduce(lambda a, b: a.unionByName(b), tagged)
 
+    @staticmethod
+    def _ordered_sum() -> Column:
+        """Left-associative fold of child scores in query order.
+
+        The reference matcher tree sums child scores in query order
+        (matching/binary.py::UnionMatcher.score = a.score() + b.score()),
+        and float addition is order-sensitive at the last ulp — an
+        unordered SQL SUM() varies with shuffle arrival order and breaks
+        bit-parity between runs and against the WAND path. The fold is
+        O(n_query_terms) per doc, a constant.
+        """
+        items = F.array_sort(
+            F.collect_list(F.struct(F.col("_q").alias("q"), F.col("score").alias("s")))
+        )
+        return F.aggregate(items, F.lit(0.0), lambda acc, x: acc + x["s"])
+
     def _c_and(self, q: Q.And) -> DataFrame:
         kids = [self._compile(k) for k in q.subqueries]
         n = len(kids)
         u = self._tagged_union(kids)
         out = (
             u.groupBy("doc_id")
-            .agg(F.sum("score").alias("score"), F.count_distinct("_q").alias("_n"))
+            .agg(self._ordered_sum().alias("score"), F.count_distinct("_q").alias("_n"))
             .where(F.col("_n") == n)
             .drop("_n")
         )
@@ -192,18 +217,21 @@ class Searcher:
             scale = float(q.scale)
             out = u.groupBy("doc_id").agg(
                 (
-                    F.sum("score")
+                    self._ordered_sum()
                     * ((1 - scale) + scale * F.count_distinct("_q") / F.lit(float(n)))
                 ).alias("score")
             )
         else:
-            out = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            out = u.groupBy("doc_id").agg(self._ordered_sum().alias("score"))
         return self._boosted(out, q.boost)
 
     def _c_disjunctionmax(self, q: Q.DisjunctionMax) -> DataFrame:
         kids = [self._compile(k) for k in q.subqueries]
         u = self._tagged_union(kids)
-        score = F.max("score") + F.lit(q.tiebreak) * (F.sum("score") - F.max("score"))
+        if q.tiebreak:
+            score = F.max("score") + F.lit(q.tiebreak) * (self._ordered_sum() - F.max("score"))
+        else:
+            score = F.max("score")
         out = u.groupBy("doc_id").agg(score.alias("score"))
         return self._boosted(out, q.boost)
 
@@ -266,7 +294,7 @@ class Searcher:
             dfreq = self.index.doc_frequency(q.fieldname, w)
             if dfreq == 0:
                 return self._empty()
-            p = self._field_postings(q.fieldname).where(F.col("term") == w)
+            p = self.index.term_postings(q.fieldname, w)
             dfs.append(
                 (
                     p.select(
@@ -302,7 +330,7 @@ class Searcher:
         fs, avgdl = self._score_ctx(q.fieldname)
         dfs = []
         for i, w in enumerate(q.words):
-            p = self._field_postings(q.fieldname).where(F.col("term") == w)
+            p = self.index.term_postings(q.fieldname, w)
             dfs.append(p.select("doc_id", F.col("positions").alias(f"_pos{i}")))
         joined = reduce(lambda a, b: a.join(b, "doc_id"), dfs)
         current = F.col("_pos0")
@@ -420,13 +448,9 @@ class Searcher:
         leaves = _leaf_terms(q.normalize())
         if not leaves:
             return self._spark.createDataFrame([], "doc_id long, terms array<string>")
-        conds = reduce(
-            lambda a, b: a | b,
-            [((F.col("field") == f) & (F.col("term") == t)) for f, t in leaves],
-        )
         matched = self.compile(q).select("doc_id")
         return (
-            self.index.postings.where(conds)
+            self.index.pairs_postings(leaves)
             .join(matched, "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(F.array_sort(F.collect_set("term")).alias("terms"))

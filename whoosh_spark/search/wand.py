@@ -1,0 +1,233 @@
+"""Block-max WAND top-k over the physical block store.
+
+Re-expresses the reference's scored-search fast path — TopCollector's
+block-quality pruning loop (src/whoosh/collectors.py::TopCollector ~L250,
+pruning in ScoredCollector.collect_matches ~L300) driving
+W3LeafMatcher.block_quality/skip_to_quality (src/whoosh/codec/whoosh3.py
+~L950) with the BM25 bound from scoring.py::WeightLengthScorer
+.block_quality — as a **vectorized two-phase algorithm** instead of a
+doc-at-a-time iterator, because numpy batch work is the fast path in a
+Python-on-Spark executor while per-doc Python iteration is the slow path.
+
+Per segment (one applyInPandas group; segments are doc shards, so
+per-segment top-k -> global top-k is exact):
+
+1. Every candidate block carries the codec's block-max metadata:
+   ``ub(block) = bm25(idf_t, max_weight, min_dl)`` — the highest score any
+   posting in the block can produce (max weight + min length = reference
+   block_quality).
+2. **Phase 1 (seed θ):** decode the top ``seed`` blocks by ub, score their
+   postings (vectorized BM25), aggregate per doc. Partial scores are lower
+   bounds of true scores, so the k-th best partial is a valid pruning
+   threshold θ.
+3. **Prune:** block b of term t is skipped iff
+   ``ub(b) + Σ_{t'≠t} term_max(t') < θ`` (term_max = max ub over the
+   term's blocks). Safety: any doc appearing ONLY in pruned blocks has
+   true score ≤ max over its covering blocks of (ub + Σ other term_max)
+   < θ, so no top-k doc is lost.
+4. **Refine:** docs seen in decoded blocks may still miss contributions
+   from pruned blocks. For each such doc, bound the missing mass by the ub
+   of the (unique, doc-range-disjoint) pruned block of each term covering
+   it (vectorized searchsorted over block ranges); docs whose
+   partial + missing-bound ≥ θ get those blocks decoded and their scores
+   completed exactly. Everything reported is therefore an EXACT BM25
+   score; pruned ≡ unpruned is asserted in tests/test_wand.py.
+
+The Parquet scan already pruned to the query's (field, term) rows via
+row-group min/max on the sorted term column — WAND here saves decode +
+score work on long posting lists, exactly the role block skipping plays in
+the reference (I/O seek saving), with ~(k / corpus) of the postings decoded
+for hot terms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_spark.indexing.segments import SegmentedIndex
+from whoosh_spark.search.scoring import BM25F, bm25_np, idf as idf_fn
+from whoosh_spark.util import segmented_cumsum, varint_decode
+
+
+def _bm25_np(idf, tf, dl, avgdl, B, K1):
+    """Same expression ORDER as scoring.score_expr so Spark-side and
+    WAND-side float64 results are bit-identical."""
+    return bm25_np(idf, tf, dl, avgdl, B, K1)
+
+
+def _decode_rows(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode block rows -> (doc_ids, tf, dl, row_term_codes) flat arrays."""
+    n_per = rows["n"].to_numpy(dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(n_per)))[:-1]
+    doc = segmented_cumsum(varint_decode(b"".join(rows["doc_deltas"])), starts)
+    tf = np.frombuffer(b"".join(rows["weights"]), dtype=np.float32).astype(np.float64)
+    dl = np.frombuffer(b"".join(rows["dls"]), dtype=np.uint16).astype(np.float64)
+    tcodes = np.repeat(rows["_tcode"].to_numpy(dtype=np.int64), n_per)
+    return doc, tf, dl, tcodes
+
+
+def _topk_partial(doc: np.ndarray, contrib: np.ndarray, tc: np.ndarray):
+    """Aggregate contributions per doc -> (docs, scores) dense arrays.
+
+    Contributions are summed in (doc, term-code) order, left-associative —
+    the same order as the reference's matcher tree (UnionMatcher sums child
+    scores in query order) and our executor's ordered fold, so pruned /
+    unpruned / DataFrame paths produce bit-identical float64 scores.
+    """
+    order = np.lexsort((tc, doc))
+    doc_s, contrib_s = doc[order], contrib[order]
+    uniq, inv = np.unique(doc_s, return_inverse=True)
+    sums = np.bincount(inv, weights=contrib_s)
+    return uniq, sums
+
+
+def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float,
+                      K1: float, k: int, mode: str, prune: bool, seed_blocks: int):
+    """Build the per-segment applyInPandas function. ``term_meta`` is the
+    query's [(term, idf)] resolved on the driver (searching.py::Searcher.idf
+    memoization analogue); everything else rides the closure."""
+    terms = [t for t, _ in term_meta]
+    idfs = np.array([i for _, i in term_meta])
+    n_terms = len(terms)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        tcode_map = {t: c for c, t in enumerate(terms)}
+        pdf = pdf.assign(_tcode=pdf["term"].map(tcode_map))
+        ub = _bm25_np(
+            idfs[pdf["_tcode"].to_numpy(dtype=np.int64)],
+            pdf["max_weight"].to_numpy(dtype=np.float64),
+            pdf["min_dl"].to_numpy(dtype=np.float64),
+            avgdl, B, K1,
+        )
+        pdf = pdf.assign(_ub=ub)
+
+        def score_rows(rows: pd.DataFrame):
+            doc, tf, dl, tc = _decode_rows(rows)
+            return doc, _bm25_np(idfs[tc], tf, dl, avgdl, B, K1), tc
+
+        if mode == "and" or not prune or len(pdf) <= seed_blocks:
+            doc, contrib, tc = score_rows(pdf)
+            uniq, sums = _topk_partial(doc, contrib, tc)
+            if mode == "and":
+                nterm = np.bincount(np.searchsorted(uniq, doc))
+                keep = nterm == n_terms  # one posting per (doc, term)
+                uniq, sums = uniq[keep], sums[keep]
+            return _head_k(uniq, sums, k)
+
+        # ---- phase 1: seed θ from the highest-bound blocks ----
+        order = np.argsort(-pdf["_ub"].to_numpy())
+        seed_idx = order[:seed_blocks]
+        seed_rows = pdf.iloc[seed_idx]
+        doc_s, contrib_s, tc_s = score_rows(seed_rows)
+        uniq_s, sums_s = _topk_partial(doc_s, contrib_s, tc_s)
+        if uniq_s.size >= k:
+            theta = np.partition(sums_s, uniq_s.size - k)[uniq_s.size - k]
+        else:
+            theta = -np.inf
+
+        # ---- prune: term-max WAND test on the remaining blocks ----
+        term_max = np.full(n_terms, 0.0)
+        tc_all = pdf["_tcode"].to_numpy(dtype=np.int64)
+        np.maximum.at(term_max, tc_all, pdf["_ub"].to_numpy())
+        others = term_max.sum() - term_max  # Σ_{t'≠t} term_max(t')
+        rest_idx = order[seed_blocks:]
+        rest = pdf.iloc[rest_idx]
+        lhs = rest["_ub"].to_numpy() + others[rest["_tcode"].to_numpy(dtype=np.int64)]
+        survive = lhs >= theta
+        decoded = pd.concat([seed_rows, rest[survive]])
+        pruned = rest[~survive]
+
+        doc_d, contrib_d, tc_d = score_rows(decoded)
+        uniq, sums = _topk_partial(doc_d, contrib_d, tc_d)
+
+        if len(pruned) and uniq.size:
+            # ---- refine: complete scores that pruned blocks could raise ----
+            miss = np.zeros(uniq.size)
+            need_blocks_mask = np.zeros(len(pruned), dtype=bool)
+            pr = pruned.reset_index(drop=True)
+            for t in range(n_terms):
+                sub = pr[pr["_tcode"] == t]
+                if len(sub) == 0:
+                    continue
+                lo = sub["min_doc"].to_numpy(dtype=np.int64)
+                hi = sub["max_doc"].to_numpy(dtype=np.int64)
+                o = np.argsort(lo)
+                lo, hi = lo[o], hi[o]
+                sub_ub = sub["_ub"].to_numpy()[o]
+                pos = np.searchsorted(lo, uniq, side="right") - 1
+                inside = (pos >= 0) & (uniq <= hi[np.clip(pos, 0, None)])
+                miss[inside] += sub_ub[pos[inside]]
+                # remember which pruned blocks cover a refinable doc
+                covered = np.unique(pos[inside])
+                idx = sub.index.to_numpy()[o][covered]
+                need_blocks_mask[idx] = True
+            refine = (sums + miss >= theta) & (miss > 0)
+            if refine.any():
+                doc_r, contrib_r, tc_r = score_rows(pr[need_blocks_mask])
+                # keep only contributions of docs already tracked (any doc
+                # living solely in pruned blocks was proven < θ) and
+                # RE-AGGREGATE from scratch so the (doc, term) canonical sum
+                # order is preserved — incremental += would change float
+                # association and break pruned ≡ unpruned bit-equality
+                sel = np.isin(doc_r, uniq[refine])
+                if sel.any():
+                    doc_all = np.concatenate((doc_d, doc_r[sel]))
+                    contrib_all = np.concatenate((contrib_d, contrib_r[sel]))
+                    tc_all2 = np.concatenate((tc_d, tc_r[sel]))
+                    uniq, sums = _topk_partial(doc_all, contrib_all, tc_all2)
+        return _head_k(uniq, sums, k)
+
+    return run
+
+
+def _head_k(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    order = np.lexsort((docs, -scores))[:k]  # (score desc, doc_id asc) — A.7
+    return pd.DataFrame({"doc_id": docs[order].astype(np.int64),
+                         "score": scores[order]})
+
+
+def wand_topk(
+    ix: SegmentedIndex,
+    fieldname: str,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "or",
+    prune: bool = True,
+    seed_blocks: int = 16,
+    weighting: BM25F | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) for an Or/And of terms via per-segment WAND.
+
+    Plan shape: blocks parquet scan pruned to the query terms (row-group
+    min/max) -> shuffle by segment_id (tiny: only the query's block rows
+    move) -> per-segment vectorized WAND -> global
+    orderBy(score desc, doc_id asc).limit(k) over ≤ k rows per segment.
+    """
+    w = weighting or BM25F()
+    fs = ix.schema[fieldname]
+    B = fs.B if fs.B is not None else w.B
+    K1 = w.K1
+    avgdl = ix.avg_field_length(fieldname)
+    n = ix.doc_count
+    metas = []
+    for t in terms:
+        dfreq = ix.doc_frequency(fieldname, t)
+        if dfreq > 0:
+            metas.append((t, idf_fn(n, dfreq)))
+        elif mode == "and":
+            return ix.spark.createDataFrame([], "doc_id long, score double")
+    if not metas:
+        return ix.spark.createDataFrame([], "doc_id long, score double")
+
+    blocks = ix.blocks.where(
+        (F.col("field") == fieldname) & F.col("term").isin([t for t, _ in metas])
+    )
+    fn = make_segment_wand(metas, avgdl, B, K1, k, mode, prune, seed_blocks)
+    local = blocks.groupBy("segment_id").applyInPandas(fn, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -156,3 +156,58 @@ def delta_varint_decode(buf: bytes) -> np.ndarray:
     cums = np.concatenate(([0], np.cumsum(shifted, dtype=np.uint64)))
     deltas = (cums[ends + 1] - cums[starts]).astype(np.uint64)
     return np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+
+
+def varint_encode_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a non-negative int array; also return per-value byte
+    lengths so callers can slice the buffer into sub-ranges (block packing
+    encodes a whole partition's deltas in ONE vectorized pass, then carves
+    per-block byte windows from the length cumsum)."""
+    arr = np.asarray(values, dtype=np.uint64)
+    n = arr.size
+    if n == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    out = np.zeros((n, 10), dtype=np.uint8)
+    lengths = np.ones(n, dtype=np.int64)
+    rest = arr.copy()
+    for i in range(10):
+        out[:, i] = (rest & np.uint64(0x7F)).astype(np.uint8)
+        rest >>= np.uint64(7)
+        more = rest > 0
+        if not more.any():
+            break
+        out[more, i] |= 0x80
+        lengths[more] = i + 2
+    mask = np.arange(10) < lengths[:, None]
+    return out[mask].tobytes(), lengths
+
+
+def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Plain LEB128 decode (no delta accumulation) -> int64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, memoryview)) else buf
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_cont = (raw & 0x80) != 0
+    ends = np.flatnonzero(~is_cont)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    payload = (raw & 0x7F).astype(np.uint64)
+    pos_in_group = np.arange(raw.size) - np.repeat(starts, ends - starts + 1)
+    shifted = payload << (np.uint64(7) * pos_in_group.astype(np.uint64))
+    cums = np.concatenate(([0], np.cumsum(shifted, dtype=np.uint64)))
+    return (cums[ends + 1] - cums[starts]).astype(np.int64)
+
+
+def segmented_cumsum(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting at each segment start index (int64).
+
+    Used to turn per-block delta streams back into absolute doc ids across
+    MANY blocks in one vectorized pass (first value of each segment is
+    absolute, the rest are deltas).
+    """
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return v
+    c = np.cumsum(v)
+    sizes = np.diff(np.concatenate((seg_starts, [v.size])))
+    offsets = np.repeat(c[seg_starts] - v[seg_starts], sizes)
+    return c - offsets
