@@ -154,3 +154,36 @@ def test_resume_completes_missing_segment(spark, corpus, seg_path, six):
     assert {"n_docs", "n_postings", "n_blocks", "n_terms", "lineage"} <= set(man[1])
     six2 = open_segments(spark, seg_path, corpus, transcript_schema())
     assert Searcher(six2).search(Q.Term("text", "spark")).collect() == before
+
+
+def test_merge_segments_salted(spark, corpus, tmp_path_factory):
+    """Merge all segments with a low hot threshold (exercises the salted
+    hot-term split): identical stats + search, fewer blocks (boundary
+    partials coalesce), TOC lists only the merged segment."""
+    import json
+
+    from whoosh_spark.indexing.segments import merge_segments
+
+    path = str(tmp_path_factory.mktemp("segm") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=4)
+    six_a = open_segments(spark, path, corpus, transcript_schema())
+    stats_before = six_a.terms.orderBy("field", "term").toPandas()
+    nb_before = six_a.blocks.count()
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")])
+    res_before = Searcher(six_a).search(q).collect()
+    wand_before = wand_topk(six_a, "text", ["merge", "window"]).collect()
+
+    merge_segments(spark, path, hot_term_blocks=4, target_blocks_per_salt=4)
+
+    six_b = open_segments(spark, path, corpus, transcript_schema())
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["active_segments"] == [4]
+    assert six_b.blocks.count() < nb_before
+    stats_after = six_b.terms.orderBy("field", "term").toPandas()
+    assert stats_before["term"].tolist() == stats_after["term"].tolist()
+    assert stats_before["df"].tolist() == stats_after["df"].tolist()
+    assert np.abs(stats_before["total_weight"] - stats_after["total_weight"]).max() < 1e-9
+    assert Searcher(six_b).search(q).collect() == res_before
+    assert wand_topk(six_b, "text", ["merge", "window"]).collect() == wand_before
+    assert six_b.manifest[4]["lineage"]["merged_segments"] == [0, 1, 2, 3]

@@ -361,9 +361,29 @@ def build_segments(
         os.replace(tmp, os.path.join(_manifest_dir(path), f"seg_{seg_id}.json"))
         done[seg_id] = manifest
 
-    # finalize global stats (idempotent; cheap aggregation over block rows)
-    blocks_all = spark.read.parquet(os.path.join(path, "blocks"))
-    terms_path = os.path.join(path, "terms_global")
+    _finalize(spark, path, doc_count, sorted(done))
+    return done
+
+
+def _segment_blocks(spark: SparkSession, path: str, segment_ids: list[int]) -> DataFrame:
+    """Block rows of the given segments, with the segment_id partition col."""
+    base = os.path.join(path, "blocks")
+    dirs = [os.path.join(base, f"segment_id={s}") for s in segment_ids]
+    return spark.read.option("basePath", base).parquet(*dirs)
+
+
+def _finalize(spark: SparkSession, path: str, doc_count: int,
+              active_segments: list[int]) -> None:
+    """(Re)write global term stats, then atomically publish the TOC.
+
+    The `_meta.json` swap is the commit point (the reference's TOC
+    generation swap, src/whoosh/index.py::TOC.write ~L420): readers only
+    see `active_segments`, so a crash between publishing a merged segment
+    and deleting its inputs leaves garbage files, never duplicate docs.
+    The lexicon is written as one sorted file here (sandbox scale); on a
+    cluster keep it bucketed by term the same way the blocks are.
+    """
+    blocks_all = _segment_blocks(spark, path, active_segments)
     (
         blocks_all.groupBy("field", "term")
         .agg(
@@ -376,11 +396,122 @@ def build_segments(
         .repartition(1)
         .sortWithinPartitions("field", "term")
         .write.mode("overwrite")
-        .parquet(terms_path)
+        .parquet(os.path.join(path, "terms_global"))
     )
-    meta = {"doc_count": doc_count, "n_segments": n_segments, "block_size": BLOCK_SIZE}
-    with open(os.path.join(path, "_meta.json"), "w") as f:
+    meta = {
+        "doc_count": doc_count,
+        "active_segments": sorted(active_segments),
+        "block_size": BLOCK_SIZE,
+    }
+    tmp = os.path.join(path, "_meta.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_meta.json"))
+
+
+# ------------------------------------------------------------------- merge
+
+
+def merge_segments(
+    spark: SparkSession,
+    path: str,
+    segment_ids: list[int] | None = None,
+    hot_term_blocks: int = 64,
+    target_blocks_per_salt: int = 256,
+    pack_partitions: int | None = None,
+) -> dict:
+    """Merge segments into one (reference: MERGE_SMALL / OPTIMIZE policies,
+    src/whoosh/writing.py::MERGE_SMALL ~L60, SegmentWriter.add_reader ~L680
+    — but posting-level: blocks are decoded and repacked, never re-analyzed).
+
+    This is the **salted repartition-by-term with explicit hot-term
+    splitting** from the north rule: block rows shuffle on
+    (field, term, salt), where salt = 0 for ordinary terms and
+    ``hash(min_doc) % ceil(n_blocks / target)`` for terms with more than
+    ``hot_term_blocks`` blocks — so a zipfian term whose merged posting
+    list exceeds one task's share is split across tasks deterministically
+    by doc range, while each salt group still holds doc-monotone blocks
+    (segments are doc-ordered shards) and can repack independently. AQE
+    skew-join splitting cannot do this: a single group-by key cannot be
+    subdivided by the engine, which is why the salt is explicit.
+
+    Doc ids are global, so merge never rewrites them (cheaper than the
+    reference, which remaps docnums through add_reader).
+    """
+    done = _read_manifest(path)
+    if segment_ids is None:
+        segment_ids = sorted(done)
+    if len(segment_ids) < 2:
+        return done
+    if pack_partitions is None:
+        pack_partitions = max(spark.sparkContext.defaultParallelism // 2, 2)
+    new_id = max(done) + 1
+    t0 = time.perf_counter()
+
+    blocks = _segment_blocks(spark, path, segment_ids)
+    # per-term block counts -> hot set + per-term salt fan-out
+    tstats = blocks.groupBy("field", "term").agg(F.count("*").alias("_nb"))
+    n_salts = F.when(
+        F.col("_nb") > hot_term_blocks,
+        F.ceil(F.col("_nb") / target_blocks_per_salt).cast("int"),
+    ).otherwise(F.lit(1))
+    salted = blocks.join(F.broadcast(tstats.withColumn("_ns", n_salts)), ["field", "term"]).withColumn(
+        "_salt", F.pmod(F.xxhash64("min_doc"), F.greatest(F.col("_ns"), F.lit(1))).cast("int")
+    )
+    merged = (
+        salted.repartition(pack_partitions, "field", "term", "_salt")
+        .sortWithinPartitions("field", "term", "segment_id", "block_id")
+        .drop("_nb", "_ns", "_salt", "segment_id")
+        .mapInArrow(
+            lambda it: _pack_partition(_unpack_partition(it)),
+            BLOCKS_SCHEMA,
+        )
+    )
+    seg_path = os.path.join(path, "blocks", f"segment_id={new_id}")
+    merged.sortWithinPartitions("field", "term", "block_id").write.mode(
+        "overwrite"
+    ).parquet(seg_path)
+
+    new_blocks = spark.read.parquet(seg_path)
+    stats = new_blocks.agg(
+        F.sum("n").alias("n_postings"),
+        F.count("*").alias("n_blocks"),
+        F.count_distinct("field", "term").alias("n_terms"),
+    ).collect()[0]
+    manifest = {
+        "segment_id": new_id,
+        "doc_lo": min(done[s]["doc_lo"] for s in segment_ids),
+        "doc_hi": max(done[s]["doc_hi"] for s in segment_ids),
+        "n_docs": sum(done[s]["n_docs"] for s in segment_ids),
+        "n_postings": int(stats["n_postings"] or 0),
+        "n_blocks": int(stats["n_blocks"] or 0),
+        "n_terms": int(stats["n_terms"] or 0),
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "lineage": {
+            "source": "merge",
+            "merged_segments": segment_ids,
+            "hot_term_blocks": hot_term_blocks,
+            "block_size": BLOCK_SIZE,
+            "code_version": _code_version,
+        },
+        "status": "committed",
+    }
+    tmp = os.path.join(_manifest_dir(path), f"seg_{new_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(_manifest_dir(path), f"seg_{new_id}.json"))
+    done[new_id] = manifest
+    with open(os.path.join(path, "_meta.json")) as f:
+        doc_count = json.load(f)["doc_count"]
+    # TOC swap = the commit point; cleanup after is crash-safe garbage
+    active = [s for s in done if s not in segment_ids]
+    _finalize(spark, path, doc_count, active)
+    import shutil
+
+    for s in segment_ids:
+        os.remove(os.path.join(_manifest_dir(path), f"seg_{s}.json"))
+        shutil.rmtree(os.path.join(path, "blocks", f"segment_id={s}"), ignore_errors=True)
+        done.pop(s)
     return done
 
 
@@ -436,7 +567,7 @@ def open_segments(
     """Open a committed physical index for searching."""
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
-    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    blocks = _segment_blocks(spark, path, meta["active_segments"])
     terms = spark.read.parquet(os.path.join(path, "terms_global"))
     ix = SegmentedIndex(
         spark=spark,
