@@ -1,0 +1,177 @@
+"""Training-data pipeline operators: dedup, similarity, text stats, media."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_spark.pipeline import (
+    ann_topk,
+    cosine_topk,
+    decode_image,
+    exact_duplicates,
+    fake_decode_meta,
+    ivf_topk,
+    langid,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    quality_scores,
+    shingle_jaccard_pairs,
+    simhash_pairs,
+    synth_assets,
+    token_counts,
+    winnow_fingerprints,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").persist()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    e.count()
+    return e
+
+
+def test_exact_duplicates_finds_planted_copies(spark, docs):
+    # plant copies: every doc with id < 5 appears twice
+    copies = docs.where("doc_id < 5").withColumn("doc_id", F.col("doc_id") + 100000)
+    dup = exact_duplicates(docs.unionByName(copies))
+    groups = dup.where("n_copies > 1")
+    assert groups.count() == 10  # 5 groups x 2 members
+    assert groups.where("is_canonical").count() == 5
+    assert dup.where("n_copies = 1").count() == docs.count() - 5
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, docs):
+    exact = shingle_jaccard_pairs(docs, threshold=0.8).select("i", "j").orderBy("i", "j")
+    lsh = minhash_dedup_pairs(docs, threshold=0.8).select("i", "j").orderBy("i", "j")
+    assert exact.collect() == lsh.collect()
+    assert exact.count() > 0  # corpus contains planted near-dups
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    s1 = minhash_signatures(docs.limit(20), n_hashes=32).orderBy("doc_id").collect()
+    s2 = minhash_signatures(docs.limit(20).repartition(7), n_hashes=32).orderBy(
+        "doc_id"
+    ).collect()
+    assert [r.sig for r in s1] == [r.sig for r in s2]  # partition-invariant
+    assert all(len(r.sig) == 32 for r in s1)
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, docs):
+    sigs = minhash_signatures(docs)
+    cand = {(r.i, r.j) for r in minhash_lsh_candidates(sigs).collect()}
+    exact = {(r.i, r.j) for r in shingle_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert exact <= cand  # recall ~1 at J>=0.9 with b=16,r=4
+
+
+def test_simhash_pairs_sane(spark, docs):
+    pairs = simhash_pairs(docs, maxdist=3).collect()
+    near = {(r.i, r.j) for r in shingle_jaccard_pairs(docs, threshold=0.3).collect()}
+    got = {(r.i, r.j) for r in pairs}
+    # simhash hits should be mostly real near-dups (64-bit sketch on short
+    # docs is noisy — this pins gross regressions, not precision)
+    assert len(got) > 0
+    assert len(got & near) / len(got) > 0.6
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    got = cosine_topk(emb, emb.where("vec_id = 0"), k=5).collect()
+    pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    q = mat[ids == 0][0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    cos[ids == 0] = -np.inf
+    top = ids[np.lexsort((ids, -cos))][:5]
+    assert [r.vec_id for r in got] == top.tolist()
+    assert got[0].cosine == pytest.approx(float(np.sort(cos)[-1]), rel=1e-9)
+
+
+def test_ivf_recall(spark, emb):
+    q = emb.where("vec_id < 5")
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=10, n_clusters=16, n_probe=6).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.7  # near-random vectors
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    q = emb.where("vec_id < 3")
+    exact = cosine_topk(emb, q, k=5).select("query_id", "vec_id").orderBy(
+        "query_id", "vec_id"
+    )
+    full = ivf_topk(emb, q, k=5, n_clusters=8, n_probe=8).select(
+        "query_id", "vec_id"
+    ).orderBy("query_id", "vec_id")
+    assert exact.collect() == full.collect()
+
+
+def test_ann_hyperplane_runs(spark, emb):
+    out = ann_topk(emb, emb.where("vec_id < 2"), k=5, n_planes=8, multiprobe_bits=2)
+    rows = out.collect()
+    assert all(r.query_id in (0, 1) for r in rows)
+
+
+def test_token_counts_fixture(spark):
+    df = spark.createDataFrame([(0, "Hello, world 42  x")], "doc_id long, text string")
+    r = token_counts(df).collect()[0]
+    assert (r.ws_tokens, r.word_tokens, r.bpe_tokens) == (4, 4, 6)
+    # bpe: Hello , world 4 2 x
+
+
+def test_quality_and_langid_deterministic(spark, docs):
+    q1 = quality_scores(docs).orderBy("doc_id").collect()
+    q2 = quality_scores(docs.repartition(5)).orderBy("doc_id").collect()
+    assert q1 == q2
+    en = langid(
+        spark.createDataFrame(
+            [(0, "the cat and the dog are in the house")], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert en.lang_pred == "en"
+    de = langid(
+        spark.createDataFrame(
+            [(1, "der hund und die katze sind nicht im haus")],
+            "doc_id long, text string",
+        )
+    ).collect()[0]
+    assert de.lang_pred == "de"
+
+
+def test_winnow_fingerprints_detect_shared_substring(spark):
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "completely different prefix text but jumps over the lazy dog near the end"
+    df = spark.createDataFrame([(0, a), (1, b), (2, "zzz unrelated qqq")],
+                               "doc_id long, text string")
+    fps = winnow_fingerprints(df).toPandas()
+    s0 = set(fps[fps.doc_id == 0]["fp"])
+    s1 = set(fps[fps.doc_id == 1]["fp"])
+    s2 = set(fps[fps.doc_id == 2]["fp"])
+    assert len(s0 & s1) >= 2  # shared 28-char substring yields shared prints
+    assert len(s0 & s2) == 0
+
+
+def test_multimodal_plumbing(spark, docs):
+    assets = synth_assets(docs.limit(10))
+    meta = fake_decode_meta(assets).orderBy("doc_id").collect()
+    assert len(meta) == 10
+    assert all(0 <= r.width < 4096 and 0 <= r.height < 4096 for r in meta)
+    assert all(r.n_bytes == 16 for r in meta)
+    # determinism across partitionings
+    meta2 = fake_decode_meta(synth_assets(docs.limit(10).repartition(4))).orderBy(
+        "doc_id"
+    ).collect()
+    assert meta == meta2
+    with pytest.raises(NotImplementedError):
+        decode_image(assets)

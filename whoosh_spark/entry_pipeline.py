@@ -1,0 +1,406 @@
+"""Driver-contract registry, part 2: training-data pipeline operators and
+the physical transcript index (segments + WAND).
+
+Merged into entry_queries.registry(). Conventions identical: every Spark
+callable has a DuckDB oracle that recomputes the same semantics in SQL
+(or None for genuinely approximate / hash-dependent ops, which the driver
+records as rows-only checks: simhash pairs, hyperplane-LSH and IVF ANN).
+
+The MinHash-LSH entry is deliberately oracle-checked against EXACT
+all-pairs Jaccard: reported pairs are exact-verified (correct by
+construction) and LSH recall at b=16,r=4 is >0.999 for J>=0.8, so output
+completeness matches the exact computation on this corpus — the oracle
+therefore also guards against recall regressions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whoosh_spark.analysis import STOP_WORDS
+from whoosh_spark.entry_queries import K, _CACHE, _rounded, prelude_body
+from whoosh_spark.fields import transcript_schema
+from whoosh_spark.indexing.segments import build_segments, open_segments
+from whoosh_spark.pipeline import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    exact_duplicates,
+    fake_decode_meta,
+    fingerprint_overlap_pairs,
+    ivf_topk,
+    langid,
+    minhash_dedup_pairs,
+    quality_scores,
+    shingle_jaccard_pairs,
+    simhash_pairs,
+    synth_assets,
+    token_counts,
+    winnow_fingerprints,
+)
+from whoosh_spark.search.wand import wand_topk
+from whoosh_spark.transcripts import TURNS_FROM_DOCUMENTS_SQL, transcript_corpus
+
+# ------------------------------------------------------------ shared bits
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("raw_docs", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    return _CACHE[key]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("raw_emb", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    return _CACHE[key]
+
+
+def _turns_index(spark: SparkSession, sf_dir: str):
+    """Segmented physical index over the documents-derived transcript turns
+    (built once per sf_dir under /tmp; exercises build+pack+WAND in the
+    correctness gate)."""
+    key = ("turns_six", sf_dir)
+    if key not in _CACHE:
+        corpus = transcript_corpus(spark, sf_dir).persist()
+        corpus.count()
+        path = f"/tmp/whoosh_spark_entry/{abs(hash(sf_dir))}"
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
+        _CACHE[key] = open_segments(spark, path, corpus, transcript_schema())
+    return _CACHE[key]
+
+
+def _wand(spark, sf_dir, terms, mode="or", k=K) -> DataFrame:
+    """WAND top-k re-ranked by ROUNDED score (oracle tie discipline): fetch
+    3k by exact score, round, reorder, cut to k."""
+    six = _turns_index(spark, sf_dir)
+    raw = wand_topk(six, "text", terms, k=3 * k, mode=mode)
+    return _rounded(raw).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# Turn-corpus prelude: derive turns from documents, then the same
+# tokenize/score pipeline over them.
+TURNS_PRELUDE = (
+    "WITH " + TURNS_FROM_DOCUMENTS_SQL.strip() + ",\n" + prelude_body("turns") + "\n"
+)
+
+_TOPK_TAIL = "ORDER BY score DESC, doc_id ASC LIMIT {k}"
+
+
+def _turns_sql_topk(body: str, k: int = K) -> str:
+    return (
+        TURNS_PRELUDE
+        + f"SELECT doc_id, round(score, 4) AS score FROM ({body})\n"
+        + _TOPK_TAIL.format(k=k)
+    )
+
+
+# 5-shingle CTE over documents (mirrors pipeline.dedup.char_shingles k=5)
+_SHINGLES_SQL = """
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([text[i:i+4] FOR i IN generate_series(1, greatest(length(text)-4, 1))])) AS s
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+jpairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT i, j, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+  FROM jpairs p JOIN sizes sa ON p.i = sa.doc_id JOIN sizes sb ON p.j = sb.doc_id
+)
+"""
+
+# Winnowing fingerprints in SQL: same rolling hash (left fold of
+# (a*31 + byte) % 1e9+7 over k=8 chars), window-4 minima, distinct.
+_WINNOW_SQL = """
+wh AS (
+  SELECT doc_id,
+         [list_reduce([unicode(text[p + q])::BIGINT FOR q IN generate_series(0, 7)],
+                      (a, b) -> (a * 31 + b) % 1000000007)
+          FOR p IN generate_series(1, length(text) - 7)] AS hs
+  FROM documents WHERE length(text) >= 8
+),
+wmin AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN [list_min(hs[i:i+3]) FOR i IN generate_series(1, len(hs) - 3)]
+              ELSE [list_min(hs)] END AS mins
+  FROM wh
+),
+fps AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM wmin)
+"""
+
+
+_STOP_SQL = ", ".join(repr(w) for w in sorted(STOP_WORDS))
+
+from whoosh_spark.pipeline.textstats import LANG_PROFILES  # noqa: E402
+
+
+def _pipeline_registry() -> dict:
+    reg: dict = {}
+
+    def add(name, fn, sql):
+        reg[name] = (fn, sql)
+
+    # ---------------- physical transcript index: segments + WAND ----------
+
+    add(
+        "turns_wand_term_topk",
+        lambda spark, sf: _wand(spark, sf, ["spark"]),
+        _turns_sql_topk("SELECT doc_id, score FROM scored WHERE term = 'spark'"),
+    )
+    add(
+        "turns_wand_or_topk",
+        lambda spark, sf: _wand(spark, sf, ["merge", "join", "window"]),
+        _turns_sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored "
+            "WHERE term IN ('merge','join','window') GROUP BY doc_id"
+        ),
+    )
+    add(
+        "turns_wand_and_topk",
+        lambda spark, sf: _wand(spark, sf, ["hash", "join"], mode="and"),
+        _turns_sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored WHERE term IN ('hash','join') "
+            "GROUP BY doc_id HAVING count(*) = 2"
+        ),
+    )
+    add(
+        "turns_lexicon_stats",
+        lambda spark, sf: _turns_index(spark, sf)
+        .terms.where(F.col("field") == "text")
+        .select("term", "df", "total_weight"),
+        TURNS_PRELUDE
+        + "SELECT term, count(*)::BIGINT AS df, sum(w)::DOUBLE AS total_weight "
+        "FROM post GROUP BY term",
+    )
+
+    def _conv_best(spark, sf):
+        # NestedParent analogue: conversations ranked by their best turn
+        six = _turns_index(spark, sf)
+        scored = _rounded(wand_topk(six, "text", ["spark"], k=10**6))
+        docs = six.docs.select("doc_id", "conv_id")
+        return (
+            scored.join(docs, "doc_id")
+            .groupBy("conv_id")
+            .agg(F.max("score").alias("best_score"))
+            .orderBy(F.desc("best_score"), F.asc("conv_id"))
+            .limit(K)
+        )
+
+    add(
+        "turns_conv_best_topk",
+        _conv_best,
+        TURNS_PRELUDE
+        + "SELECT t.conv_id, max(round(s.score, 4)) AS best_score "
+        "FROM scored s JOIN turns t USING (doc_id) WHERE s.term = 'spark' "
+        "GROUP BY t.conv_id ORDER BY best_score DESC, conv_id ASC LIMIT 10",
+    )
+
+    # --------------------------------- dedup -----------------------------
+
+    add(
+        "dedup_exact_groups",
+        lambda spark, sf: exact_duplicates(_docs(spark, sf)).select(
+            "doc_id", "n_copies", "is_canonical"
+        ),
+        "SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n_copies, "
+        "doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical "
+        "FROM documents",
+    )
+    add(
+        "dedup_ngram_jaccard_pairs",
+        lambda spark, sf: shingle_jaccard_pairs(_docs(spark, sf), threshold=0.8)
+        .select("i", "j", F.round("jaccard", 4).alias("jaccard")),
+        "WITH " + _SHINGLES_SQL.strip() + "\n"
+        "SELECT i, j, round(jaccard, 4) AS jaccard FROM jacc WHERE jaccard >= 0.8",
+    )
+    add(
+        "dedup_minhash_lsh_pairs",
+        lambda spark, sf: minhash_dedup_pairs(_docs(spark, sf), threshold=0.8)
+        .select("i", "j", F.round("jaccard", 4).alias("jaccard")),
+        # oracle = exact Jaccard: reported pairs are exact-verified and LSH
+        # recall at b=16,r=4 is ~1 for J>=0.8 (see module docstring)
+        "WITH " + _SHINGLES_SQL.strip() + "\n"
+        "SELECT i, j, round(jaccard, 4) AS jaccard FROM jacc WHERE jaccard >= 0.8",
+    )
+    add(
+        "dedup_simhash_pairs",
+        lambda spark, sf: simhash_pairs(_docs(spark, sf), maxdist=3),
+        None,  # xxhash64-dependent: rows-only check
+    )
+
+    # ------------------------------ similarity ---------------------------
+
+    add(
+        "cosine_topk",
+        lambda spark, sf: cosine_topk(_emb(spark, sf), _emb(spark, sf).where("vec_id < 3"))
+        .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine")),
+        """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+""",
+    )
+    add(
+        "cosine_neardup_pairs",
+        lambda spark, sf: cosine_neardup_pairs(_emb(spark, sf), threshold=0.4)
+        .select("i", "j", F.round("cosine", 4).alias("cosine")),
+        """
+SELECT a.vec_id AS i, b.vec_id AS j,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+    )
+    add(
+        "ann_ivf_topk",
+        lambda spark, sf: ivf_topk(
+            _emb(spark, sf), _emb(spark, sf).where("vec_id < 3"), n_probe=6
+        ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine")),
+        None,  # approximate by design: rows-only check; recall pinned in tests
+    )
+
+    # ------------------------------ text stats ---------------------------
+
+    add(
+        "text_token_counts",
+        lambda spark, sf: token_counts(_docs(spark, sf)),
+        """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+'))::INT AS word_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::INT AS bpe_tokens,
+       length(text)::INT AS n_chars
+FROM documents
+""",
+    )
+    add(
+        "text_quality_scores",
+        lambda spark, sf: quality_scores(_docs(spark, sf)),
+        f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS words,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> x IN ({_STOP_SQL}))) * 1.0 / len(words)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0 THEN n_alpha * 1.0 / length(text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(words) > 0
+              THEN list_reduce(list_prepend(0, [length(w) FOR w IN words]), (a, b) -> a + b) * 1.0 / len(words)
+              ELSE 0.0 END AS mean_wl
+  FROM base
+)
+SELECT doc_id, n_words::INT AS n_words, round(stop_ratio, 4) AS stop_ratio,
+       round(alpha_ratio, 4) AS alpha_ratio, round(mean_wl, 4) AS mean_word_len,
+       round((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.2 END)
+           * (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+           * (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+           * alpha_ratio, 4) AS quality
+FROM feat
+""",
+    )
+
+    _lang_sqls = {
+        lang: "len(list_filter(words, x -> x IN ("
+        + ", ".join(repr(w) for w in profile)
+        + "))) * 1.0 / len(words)"
+        for lang, profile in LANG_PROFILES.items()
+    }
+    _lang_case = "CASE "
+    for lang in ["en", "de", "fr", "es"]:
+        _lang_case += f"WHEN r_{lang} = best THEN '{lang}' "
+    _lang_case += "ELSE 'und' END"
+    add(
+        "text_langid",
+        lambda spark, sf: langid(_docs(spark, sf)),
+        f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(words) > 0 THEN {_lang_sqls['en']} ELSE 0.0 END AS r_en,
+         CASE WHEN len(words) > 0 THEN {_lang_sqls['de']} ELSE 0.0 END AS r_de,
+         CASE WHEN len(words) > 0 THEN {_lang_sqls['fr']} ELSE 0.0 END AS r_fr,
+         CASE WHEN len(words) > 0 THEN {_lang_sqls['es']} ELSE 0.0 END AS r_es
+  FROM base
+),
+b AS (SELECT doc_id, r_en, r_de, r_fr, r_es, greatest(r_en, r_de, r_fr, r_es) AS best FROM r)
+SELECT doc_id,
+       CASE WHEN best > 0 THEN {_lang_case} ELSE 'und' END AS lang_pred,
+       round(best, 4) AS lang_score
+FROM b
+""",
+    )
+    add(
+        "text_winnow_fingerprints",
+        lambda spark, sf: winnow_fingerprints(_docs(spark, sf)),
+        "WITH " + _WINNOW_SQL.strip() + "\nSELECT doc_id, fp FROM fps",
+    )
+    add(
+        "text_fingerprint_overlap",
+        lambda spark, sf: fingerprint_overlap_pairs(_docs(spark, sf), min_common=20),
+        "WITH "
+        + _WINNOW_SQL.strip()
+        + """
+, ov AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i, j, common FROM ov WHERE common >= 20
+""",
+    )
+
+    # ------------------------------ multimodal ---------------------------
+
+    add(
+        "multimodal_meta",
+        lambda spark, sf: fake_decode_meta(synth_assets(_docs(spark, sf))),
+        """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS media_type,
+       (CAST(('0x' || hx[1:4])::UBIGINT AS INT) % 4096)::INT AS width,
+       (CAST(('0x' || hx[5:8])::UBIGINT AS INT) % 4096)::INT AS height,
+       16::INT AS n_bytes
+FROM h
+""",
+    )
+
+    return reg
+
+
+_PIPELINE_CACHE: dict | None = None
+
+
+def pipeline_registry() -> dict:
+    global _PIPELINE_CACHE
+    if _PIPELINE_CACHE is None:
+        _PIPELINE_CACHE = _pipeline_registry()
+    return _PIPELINE_CACHE

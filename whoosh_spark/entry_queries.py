@@ -71,12 +71,16 @@ _PATTERN_SQL = r"\w+(?:\.?\w+)*"
 # lower, stop/minsize filter, renumber positions), byte-quantized doc length
 # (util.length_to_byte/byte_to_length), tf postings, df stats, BM25 scores
 # with idf = ln(N/(df+1)) + 1, K1=1.2, B=0.75.
-PRELUDE = f"""
-WITH tok AS (
+# prelude_body(src) parameterizes the source table so the same pipeline can
+# oracle both the documents corpus and the derived transcript turns.
+
+
+def prelude_body(src: str) -> str:
+    return f"""tok AS (
   SELECT doc_id,
          unnest(regexp_extract_all(lower(text), '{_PATTERN_SQL}')) AS term,
          generate_subscripts(regexp_extract_all(lower(text), '{_PATTERN_SQL}'), 1) AS ord
-  FROM documents
+  FROM {src}
 ),
 ftok AS (
   SELECT doc_id, term,
@@ -86,7 +90,7 @@ ftok AS (
 ),
 rawlen AS (
   SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS raw_len
-  FROM documents d
+  FROM {src} d
   LEFT JOIN (SELECT doc_id, count(*) AS n FROM ftok GROUP BY doc_id) c USING (doc_id)
 ),
 dl AS (
@@ -104,8 +108,8 @@ post AS (
 ),
 tstat AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
 gstat AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT sum(raw_len)::DOUBLE FROM rawlen) / (SELECT count(*) FROM documents) AS avgdl
+  SELECT (SELECT count(*) FROM {src})::DOUBLE AS n,
+         (SELECT sum(raw_len)::DOUBLE FROM rawlen) / (SELECT count(*) FROM {src}) AS avgdl
 ),
 scored AS (
   SELECT p.doc_id, p.term, p.w,
@@ -115,8 +119,11 @@ scored AS (
   JOIN tstat t USING (term)
   JOIN dl l USING (doc_id)
   CROSS JOIN gstat g
-)
-"""
+)"""
+
+
+
+PRELUDE = "\nWITH " + prelude_body("documents") + "\n"
 
 _TOPK_TAIL = "ORDER BY score DESC, doc_id ASC LIMIT {k}"
 
@@ -563,5 +570,7 @@ _REGISTRY_CACHE: dict | None = None
 def registry() -> dict:
     global _REGISTRY_CACHE
     if _REGISTRY_CACHE is None:
-        _REGISTRY_CACHE = _registry()
+        from whoosh_spark.entry_pipeline import pipeline_registry
+
+        _REGISTRY_CACHE = {**_registry(), **pipeline_registry()}
     return _REGISTRY_CACHE

@@ -1,0 +1,33 @@
+"""Training-data pipeline operators: dedup, similarity, text stats, media."""
+
+from whoosh_spark.pipeline.dedup import (  # noqa: F401
+    exact_duplicates,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    normalized_duplicates,
+    pairs_jaccard,
+    shingle_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from whoosh_spark.pipeline.multimodal import (  # noqa: F401
+    decode_image,
+    fake_decode_meta,
+    synth_assets,
+)
+from whoosh_spark.pipeline.similarity import (  # noqa: F401
+    ann_topk,
+    cosine_neardup_pairs,
+    cosine_topk,
+    hyperplane_buckets,
+    ivf_centroids,
+    ivf_topk,
+)
+from whoosh_spark.pipeline.textstats import (  # noqa: F401
+    fingerprint_overlap_pairs,
+    langid,
+    quality_scores,
+    token_counts,
+    winnow_fingerprints,
+)

@@ -1,0 +1,287 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's surface (Whoosh has no dedup), but first-class
+for the 100 TB use case this engine targets: exact dedup, MinHash+LSH,
+SimHash, and exact n-gram Jaccard verification, all as DataFrame pipelines.
+
+Scale design:
+- Exact/normalized dedup: one hash-groupBy — Spark's partial aggregation
+  makes the md5 key shuffle the only cost.
+- MinHash: ONE string hash per distinct shingle (xxhash64), then 64
+  universal-hash permutations ``(a_i * h + b_i) mod p`` derived
+  arithmetically — never 64 string hashes. Signatures aggregate with 64
+  min() columns (map-side combine), then band-bucket self-join produces
+  candidates; candidates are verified with EXACT Jaccard before reporting,
+  so LSH recall/precision only affects cost, never output correctness of
+  reported pairs (output completeness does depend on recall — bands/rows
+  default to b=16, r=4: P(candidate | J=0.8) ≈ 0.9998).
+- The exact all-pairs Jaccard here is the VERIFY stage; at corpus scale it
+  runs only on LSH candidates (pairs_jaccard). shingle_jaccard_pairs (full
+  self-join) exists as the small-corpus oracle path and for tests.
+- SimHash: 64 signed-sum aggregations over token hashes; candidate
+  blocking by 16-bit chunks (pigeonhole: hamming <= 3 over 64 bits implies
+  at least one of 4 chunks equal), verify with bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: products a_i * h stay < 2^62 (no bigint overflow
+# since h is reduced to 31 bits first).
+_P = (1 << 31) - 1
+_N_HASHES = 64
+
+
+def _perm_coeffs(n: int = _N_HASHES, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing — derived from a
+    fixed linear-congruential walk, no RNG state."""
+    coeffs = []
+    x = seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of a string column (JVM-side)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - k + 1, F.lit(1))),
+            lambda i: col.substr(i, F.lit(k)),
+        )
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, group_key, n_copies, is_canonical): canonical = lowest id
+    per identical-text group. One md5-key shuffle."""
+    w = Window.partitionBy("group_key")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("group_key"))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+def normalized_duplicates(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup after lowercase + whitespace collapse (catches
+    formatting-only copies)."""
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    w = Window.partitionBy("group_key")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("group_key"))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+
+def _shingle_rows(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("s"),
+    )
+
+
+def shingle_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
+                          threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
+    """EXACT all-pairs k-shingle Jaccard >= threshold -> (i, j, jaccard).
+
+    Quadratic in co-occurring docs per shingle — the oracle/verify path.
+    At corpus scale, generate candidates with minhash_lsh_candidates first
+    and verify only those (pairs_jaccard below).
+    """
+    sh = _shingle_rows(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("n", "na"), inter["i"] == sizes["doc_id"])
+        .drop("doc_id")
+        .join(sizes.withColumnRenamed("n", "nb"), F.col("j") == sizes["doc_id"])
+        .drop("doc_id")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+    return out
+
+
+def pairs_jaccard(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  k: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for a given (i, j) candidate frame — the scale-path
+    verify stage (joins shingle SETS only for candidate docs)."""
+    sets_df = docs.select(
+        F.col(id_col).alias("doc_id"), char_shingles(F.col(text_col), k).alias("sh")
+    )
+    return (
+        pairs.join(sets_df.select(F.col("doc_id").alias("i"), F.col("sh").alias("sa")), "i")
+        .join(sets_df.select(F.col("doc_id").alias("j"), F.col("sh").alias("sb")), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------ MinHash+LSH
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5,
+                       n_hashes: int = _N_HASHES, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig: array<long>[n_hashes]) MinHash signatures."""
+    coeffs = _perm_coeffs(n_hashes)
+    sh = _shingle_rows(docs, text_col, id_col, k)
+    # one string hash, reduced to 31 bits; permutations are arithmetic
+    h = F.pmod(F.xxhash64("s"), F.lit(1 << 31))
+    hashed = sh.select("doc_id", h.alias("h"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signatures and self-join buckets -> distinct (i, j) pairs."""
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.hash(F.slice("sig", bnd * rows + 1, rows)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
+                        threshold: float = 0.8, bands: int = 16, rows: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH bucket-join ->
+    EXACT Jaccard verify >= threshold -> (i, j, jaccard)."""
+    sigs = minhash_signatures(docs, text_col, k, bands * rows, id_col)
+    cand = minhash_lsh_candidates(sigs, bands, rows)
+    return pairs_jaccard(docs, cand, text_col, k, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """(doc_id, simhash: long) over whitespace tokens, tf-weighted.
+
+    bit_i(doc) = 1 iff Σ_tokens tf * (±1 per token-hash bit i) > 0.
+    64 conditional sums in one aggregation — map-side combined, one shuffle.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("t"))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: xor == or
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", maxdist: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= maxdist.
+
+    Blocking: split 64 bits into 4 chunks of 16; hamming <= 3 guarantees
+    one equal chunk (pigeonhole), so the self-join runs per (chunk_idx,
+    chunk_value) bucket, then verifies with bit_count(xor).
+    """
+    sh = simhash(docs, text_col, id_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.c", "ch.v")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= maxdist)
+        .distinct()
+    )

@@ -1,0 +1,312 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, same contract:
+- **Exact** (cosine_topk / cosine_neardup_pairs): brute-force cosine via
+  JVM higher-order functions (zip_with dot product — whole-stage codegen,
+  no Python). The oracle path, and the right tool when one side is small
+  enough to broadcast (query batches, a candidate set).
+- **Scale** (hyperplane_buckets / ann_topk): random-hyperplane LSH. Plane
+  matrices are derived deterministically from xxhash64 (no RNG state), the
+  sign-bit signature is computed by ONE numpy matmul per Arrow batch
+  (mapInArrow), and search probes only the query's bucket (optionally
+  multi-probe by flipping low-margin bits). Recall < 1 by construction —
+  the exact tier is the correctness oracle; tests pin recall on the
+  testdata corpus.
+
+At 100 TB: brute-force is O(N) per query and only viable broadcast-side;
+the bucketed variant turns ANN into a bucket-pruned scan (partition by
+bucket prefix), which is the IVF/LSH layout a vector store would use.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return emb.withColumn("_norm", _norm(v))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query -> (query_id, vec_id, cosine).
+
+    ``queries`` (small) is broadcast against the corpus — no shuffle of the
+    big side; the window top-k runs on corpus_rows × n_queries scored rows.
+    Ties break by ascending vec_id (same discipline as search top-k).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_ev"),
+    ).withColumn("_en", _norm(F.col("_ev")))
+    j = e.crossJoin(F.broadcast(q))
+    if not include_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    cos = (_dot(F.col("_qv"), F.col("_ev")) / (F.col("_qn") * F.col("_en"))).alias("cosine")
+    scored = j.select("query_id", "vec_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold -> (i, j, cosine). Quadratic —
+    verify/oracle tier; generate candidates with hyperplane_buckets at scale."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    a = e.select(F.col("vec_id").alias("i"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    pairs = a.crossJoin(b).where(F.col("i") < F.col("j"))
+    cos = (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine")
+    return pairs.select("i", "j", cos).where(F.col("cosine") >= threshold)
+
+
+# ------------------------------------------------------------ LSH scale path
+
+
+def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic pseudo-gaussian hyperplanes from splitmix64 — identical
+    on driver and every executor, no RNG state shipped."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    z = idx * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    u = (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)  # U[0,1)
+    # sum of 4 uniforms ~ approx gaussian (Irwin–Hall), centered
+    g = u.reshape(n_planes, dim)
+    g2 = np.roll(g, 1, axis=1) + np.roll(g, 2, axis=1) + np.roll(g, 3, axis=1) + g
+    return g2 - 2.0
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """(vec_id, bucket) sign-bit LSH bucket per vector — one numpy matmul
+    per Arrow batch, no per-row Python."""
+    import pyarrow as pa
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            vecs = batch.column(batch.schema.get_field_index(vec_col))
+            flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(len(ids), dim)
+            signs = (mat @ planes.T) > 0  # (n, planes)
+            bucket = (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(bucket, type=pa.int64())],
+                names=["vec_id", "bucket"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(gen, "vec_id long, bucket long")
+
+
+def ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe_bits: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus every bucket within
+    ``multiprobe_bits`` bit flips, score exactly inside the probed set.
+
+    Probe fan-out C(n_planes, <=multiprobe_bits); the probed fraction of
+    the corpus is ~fan_out / 2^n_planes — the knob that trades recall for
+    scan cost at scale.
+    """
+    from itertools import combinations
+
+    buckets = hyperplane_buckets(emb, n_planes, vec_col, id_col, seed)
+    qb = hyperplane_buckets(queries, n_planes, vec_col, id_col, seed).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    flips = [0]
+    for r in range(1, multiprobe_bits + 1):
+        for comb in combinations(range(n_planes), r):
+            m = 0
+            for c in comb:
+                m |= 1 << c
+            flips.append(m)
+    probes = qb.select(
+        "query_id",
+        F.explode(F.array(*[F.lit(m) for m in flips])).alias("_m"),
+    ).join(qb, "query_id").select(
+        "query_id", F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket")
+    )
+    cand = probes.join(buckets, "bucket").select("query_id", "vec_id").distinct()
+    # exact cosine inside the candidate set only
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_ev"),
+    ).withColumn("_en", _norm(F.col("_ev")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    j = cand.join(e, "vec_id").join(F.broadcast(q), "query_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = (_dot(F.col("_qv"), F.col("_ev")) / (F.col("_qn") * F.col("_en"))).alias("cosine")
+    scored = j.select("query_id", "vec_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------- IVF-flat
+
+
+def _assign_clusters(emb: DataFrame, centroids: np.ndarray, vec_col: str,
+                     id_col: str) -> DataFrame:
+    """(vec_id, cluster): nearest centroid by cosine — one matmul/batch."""
+    import pyarrow as pa
+
+    cnorm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    dim = centroids.shape[1]
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(len(ids), dim)
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cl = np.argmax(mn @ cnorm.T, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(cl.astype(np.int32))],
+                names=["vec_id", "cluster"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(gen, "vec_id long, cluster int")
+
+
+def ivf_centroids(emb: DataFrame, n_clusters: int = 16, lloyd_iters: int = 1,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic IVF centroids: seed with the ``n_clusters`` lowest
+    vec_ids, then ``lloyd_iters`` distributed k-means steps (assign =
+    mapInArrow matmul, update = groupBy mean over exploded components —
+    both single-shuffle, fully scalable)."""
+    seeds = (
+        emb.orderBy(id_col).limit(n_clusters).select(vec_col).toPandas()[vec_col].tolist()
+    )
+    centroids = np.asarray([np.asarray(v, dtype=np.float64) for v in seeds])
+    for _ in range(lloyd_iters):
+        assigned = _assign_clusters(emb, centroids, vec_col, id_col)
+        means = (
+            emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+            .join(assigned, "vec_id")
+            .select("cluster", F.posexplode(F.col("_v").cast("array<double>")))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("m"))
+            .toPandas()
+        )
+        for c, grp in means.groupby("cluster"):
+            centroids[int(c)] = grp.sort_values("pos")["m"].to_numpy()
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat ANN: probe the ``n_probe`` nearest clusters per query and
+    score exactly inside them. Probed fraction ~= n_probe / n_clusters —
+    the recall/cost knob; n_probe == n_clusters degenerates to exact.
+
+    At 100 TB the assignment table is written once, partitioned by
+    cluster, and a query touches only its probed partitions (classic
+    IVF/Faiss layout as a Spark table)."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_clusters, 1, vec_col, id_col)
+    assigned = _assign_clusters(emb, centroids, vec_col, id_col)
+
+    qp = queries.select(id_col, vec_col).toPandas()
+    cnorm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probes = []
+    for _, row in qp.iterrows():
+        v = np.asarray(row[vec_col], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        top = np.argsort(-(cnorm @ v))[:n_probe]
+        probes.extend((int(row[id_col]), int(c)) for c in top)
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+
+    cand = probe_df.join(assigned, "cluster").select("query_id", "vec_id")
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_ev"),
+    ).withColumn("_en", _norm(F.col("_ev")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    j = cand.join(e, "vec_id").join(F.broadcast(q), "query_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = (_dot(F.col("_qv"), F.col("_ev")) / (F.col("_qn") * F.col("_en"))).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        j.select("query_id", "vec_id", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,197 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, winnowing fingerprints.
+
+Every operator here is deterministic arithmetic with an exact DuckDB SQL
+mirror (entry_queries registers them against the driver's oracle), and
+everything except the fingerprint rolling hash is pure JVM column
+expressions in whole-stage codegen. Regex patterns use explicit ASCII
+classes ([A-Za-z0-9]) — Java and RE2 regex engines agree on those, while
+\\w unicode semantics differ between engines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_spark.analysis import STOP_WORDS
+
+# ------------------------------------------------------------ token counts
+
+WORD_RE = "[A-Za-z0-9]+"
+# BPE-ish pre-tokenizer: letter runs | single digits | single punctuation
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ws_tokens, word_tokens, bpe_tokens, n_chars)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+    words = F.size(F.regexp_extract_all(t, F.lit(WORD_RE), 0))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_RE), 0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        words.alias("word_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------- quality score
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + one composite score in [0, 1].
+
+    Features mirror common corpus-curation filters (length band, stopword
+    ratio, alpha ratio, mean word length band); the composite is a fixed
+    weighted product so it is reproducible in SQL.
+    """
+    t = F.col(text_col)
+    words = F.regexp_extract_all(F.lower(t), F.lit("[a-z0-9]+"), 0)
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+    n_alpha = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0))
+    mean_wl = F.when(n_words > 0,
+                     F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x))
+                     / n_words).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(F.length(t) > 0, n_alpha / F.length(t)).otherwise(F.lit(0.0))
+    len_ok = F.when((n_words >= 10) & (n_words <= 100000), F.lit(1.0)).otherwise(F.lit(0.2))
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    stop_ok = F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = F.round(len_ok * wl_ok * stop_ok * alpha_ratio, 4)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+# ------------------------------------------------------------- language ID
+
+# Tiny per-language function-word profiles (top function words). A real
+# pipeline would plug in fastText/CLD — this is the deterministic n-gram
+# heuristic tier that needs no model artifact.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "on",
+           "with", "as", "at", "this", "but", "from", "by", "are", "was", "be"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht",
+           "ein", "eine", "auf", "sich", "auch", "es", "im", "für", "dem",
+           "wird", "sind"),
+    "fr": ("le", "la", "les", "et", "de", "des", "est", "un", "une", "du",
+           "dans", "que", "qui", "pour", "pas", "sur", "au", "avec", "ce",
+           "il"),
+    "es": ("el", "la", "los", "las", "y", "de", "que", "en", "un", "una",
+           "es", "por", "con", "no", "para", "se", "su", "al", "lo", "como"),
+}
+
+
+def langid(docs: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred, lang_score): argmax function-word hit ratio,
+    deterministic tiebreak by profile order en > de > fr > es."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    n = F.size(words)
+    ratios = {}
+    for lang, profile in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(w) for w in profile])
+        hits = F.size(F.filter(words, lambda x: F.array_contains(arr, x)))
+        ratios[lang] = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+    best_score = F.greatest(*ratios.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):  # earlier profiles win ties
+        pred = F.when(ratios[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        F.round(best_score, 4).alias("lang_score"),
+    )
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8,
+                        window: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints -> (doc_id, fp) exploded.
+
+    k-gram rolling hash h(s) = fold((a*31 + code(c)) % 1e9+7) over the
+    k chars (left fold), then the minimum hash of every ``window``
+    consecutive k-grams, deduplicated — the standard winnowing scheme
+    (Schleimer et al., SIGMOD'03), reproducible exactly in SQL.
+
+    Vectorized: per Arrow batch, ONE (k x positions) numpy pass computes
+    all k-gram hashes, sliding_window_view takes window minima.
+    """
+    import pyarrow as pa
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            texts = batch.column(batch.schema.get_field_index(text_col)).to_pylist()
+            out_ids: list[np.ndarray] = []
+            out_fps: list[np.ndarray] = []
+            for did, txt in zip(ids, texts):
+                txt = txt or ""
+                codes = np.frombuffer(txt.encode("utf-8", "replace"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                npos = codes.size - k + 1
+                if npos <= 0:
+                    continue
+                h = np.zeros(npos, dtype=np.int64)
+                for i in range(k):
+                    h = (h * FP_BASE + codes[i : i + npos]) % FP_MOD
+                if npos >= window:
+                    wmin = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+                else:
+                    wmin = np.array([h.min()])
+                fps = np.unique(wmin)
+                out_ids.append(np.full(fps.size, did, dtype=np.int64))
+                out_fps.append(fps)
+            if not out_ids:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_ids), type=pa.int64()),
+                    pa.array(np.concatenate(out_fps), type=pa.int64()),
+                ],
+                names=["doc_id", "fp"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(gen, "doc_id long, fp long")
+
+
+def fingerprint_overlap_pairs(docs: DataFrame, text_col: str = "text",
+                              k: int = 8, window: int = 4,
+                              min_common: int = 5,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Doc pairs sharing >= min_common winnowing fingerprints (plagiarism /
+    near-dup detection via inverted fingerprint index)."""
+    fps = winnow_fingerprints(docs, text_col, k, window, id_col)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
