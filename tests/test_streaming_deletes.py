@@ -1,0 +1,160 @@
+"""Incremental (streaming) indexing and deletion semantics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_spark import query as Q
+from whoosh_spark.fields import transcript_schema
+from whoosh_spark.indexing import build_index
+from whoosh_spark.indexing.segments import (
+    build_segments,
+    delete_by_term,
+    delete_docs,
+    merge_segments,
+    open_segments,
+    read_deletes,
+)
+from whoosh_spark.search import Searcher
+from whoosh_spark.search.wand import wand_topk
+from whoosh_spark.streaming import IncrementalIndexer, index_stream
+from whoosh_spark.transcripts import transcript_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = transcript_corpus(spark, SF).persist()
+    c.count()
+    return c
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_incremental_batches_match_batch_build(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "ix")
+    ixer = IncrementalIndexer(spark, path, transcript_schema())
+    turns = corpus.drop("doc_id")
+    n = corpus.count()
+    b0 = turns.where(F.col("conv_id") < "c00000300")
+    b1 = turns.where(F.col("conv_id") >= "c00000300")
+    ixer.append_batch(b0, 0)
+    ixer.append_batch(b1, 1)
+
+    stored = ixer.stored_docs()
+    assert stored.count() == n
+    six = open_segments(spark, path, stored, transcript_schema())
+    lix = build_index(spark, corpus, transcript_schema()).persist()
+
+    # same stats (df/total_weight are docnum-independent)
+    a = six.terms.orderBy("field", "term").toPandas()
+    b = lix.terms.orderBy("field", "term").toPandas()
+    assert a["term"].tolist() == b["term"].tolist()
+    assert a["df"].tolist() == b["df"].tolist()
+
+    # same results by (conv_id, turn_idx) identity and scores
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")])
+    ra = (
+        Searcher(six)
+        .with_stored_fields(Searcher(six).search(q), "conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", F.round("score", 9).alias("s"))
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    rb = (
+        Searcher(lix)
+        .with_stored_fields(Searcher(lix).search(q), "conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", F.round("score", 9).alias("s"))
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert ra == rb
+
+
+def test_batch_replay_is_idempotent(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("replay") / "ix")
+    ixer = IncrementalIndexer(spark, path, transcript_schema())
+    turns = corpus.drop("doc_id").limit(100)
+    ixer.append_batch(turns, 0)
+    six1 = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
+    n1 = six1.postings.count()
+    ixer.append_batch(turns, 0)  # replayed micro-batch
+    six2 = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
+    assert six2.postings.count() == n1
+    assert sorted(six2.manifest) == [1_000_000]
+
+
+def test_structured_streaming_file_source(spark, corpus, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ss")
+    src_dir, path, ckpt = str(base / "in"), str(base / "ix"), str(base / "ckpt")
+    corpus.drop("doc_id").limit(200).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = index_stream(stream, path, transcript_schema(), ckpt)
+    q.processAllAvailable()
+    q.stop()
+    ixer = IncrementalIndexer(spark, path, transcript_schema())
+    assert ixer.stored_docs().count() == 200
+    six = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
+    res = Searcher(six).search(Q.Term("text", "spark")).collect()
+    assert len(res) > 0
+
+
+# ------------------------------------------------------------- deletions
+
+
+@pytest.fixture()
+def seg(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("del") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
+    return path
+
+
+def test_delete_semantics(spark, corpus, seg):
+    six = open_segments(spark, seg, corpus, transcript_schema())
+    before = Searcher(six).search(Q.Term("text", "spark"), limit=None).collect()
+    victim = before[0].doc_id
+    survivors = {r.doc_id: r.score for r in before if r.doc_id != victim}
+
+    delete_docs(spark, seg, [victim])
+    six2 = open_segments(spark, seg, corpus, transcript_schema())
+    after = Searcher(six2).search(Q.Term("text", "spark"), limit=None).collect()
+    assert victim not in {r.doc_id for r in after}
+    # idf counts deleted docs (doc_count_all): survivor scores UNCHANGED
+    assert {r.doc_id: r.score for r in after} == survivors
+    # WAND path masks deletions too
+    wand = wand_topk(six2, "text", ["spark"], k=len(before)).collect()
+    assert victim not in {r.doc_id for r in wand}
+    # Every / Not see only live docs
+    n_all = corpus.count()
+    assert Searcher(six2).compile(Q.Every()).count() == n_all - 1
+
+
+def test_delete_by_term_and_merge_expunge(spark, corpus, seg):
+    six = open_segments(spark, seg, corpus, transcript_schema())
+    target_ids = {r.doc_id for r in six.term_postings("text", "window").select("doc_id").collect()}
+    n_del = delete_by_term(spark, six, "text", "window")
+    assert n_del == len(target_ids) > 0
+
+    six2 = open_segments(spark, seg, corpus, transcript_schema())
+    assert Searcher(six2).search(Q.Term("text", "window")).collect() == []
+    keep = Searcher(six2).search(Q.Term("text", "merge"), limit=None).collect()
+
+    # merge expunges: postings physically gone, delete set cleared
+    merge_segments(spark, seg)
+    six3 = open_segments(spark, seg, corpus, transcript_schema())
+    assert read_deletes(spark, seg) is None
+    assert six3.deleted is None
+    raw_blocks = six3.blocks.where(F.col("term") == "window")
+    assert raw_blocks.count() == 0  # physically expunged
+    # expunge updates doc_count/totals (Whoosh optimize recomputes stats),
+    # so scores change but the LIVE doc set is identical
+    assert six3.doc_count == six2.doc_count - len(target_ids)
+    after = Searcher(six3).search(Q.Term("text", "merge"), limit=None).collect()
+    assert {r.doc_id for r in after} == {r.doc_id for r in keep}

@@ -245,6 +245,11 @@ class InvertedIndex:
         )
         return self.postings.where(cond)
 
+    def live_docs(self) -> DataFrame:
+        """Docs visible to Every/Not (deletion-aware in SegmentedIndex;
+        the logical index has no delete set)."""
+        return self.docs
+
     def persist(self) -> "InvertedIndex":
         from pyspark import StorageLevel
 

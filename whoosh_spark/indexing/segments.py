@@ -458,14 +458,45 @@ def merge_segments(
     salted = blocks.join(F.broadcast(tstats.withColumn("_ns", n_salts)), ["field", "term"]).withColumn(
         "_salt", F.pmod(F.xxhash64("min_doc"), F.greatest(F.col("_ns"), F.lit(1))).cast("int")
     )
+    # deletes falling inside the merged doc ranges are expunged physically
+    # (reference: optimize/add_reader skips deleted docs); others are kept
+    del_df = read_deletes(spark, path)
+    applied_dels: np.ndarray | None = None
+    if del_df is not None:
+        ranges = [(done[s]["doc_lo"], done[s]["doc_hi"]) for s in segment_ids]
+        all_dels = np.array(sorted(r["doc_id"] for r in del_df.collect()), dtype=np.int64)
+        in_range = np.zeros(all_dels.size, dtype=bool)
+        for lo, hi in ranges:
+            in_range |= (all_dels >= lo) & (all_dels < hi)
+        if in_range.any():
+            applied_dels = all_dels[in_range]
+
+    def _repack(it):
+        inner = _unpack_partition(it)
+        if applied_dels is None:
+            yield from _pack_partition(inner)
+            return
+
+        def filtered():
+            import pyarrow as pa
+
+            for b in inner:
+                doc = b.column(b.schema.get_field_index("doc_id")).to_numpy(
+                    zero_copy_only=False
+                )
+                live = ~np.isin(doc, applied_dels)
+                if live.all():
+                    yield b
+                elif live.any():
+                    yield b.filter(pa.array(live))
+
+        yield from _pack_partition(filtered())
+
     merged = (
         salted.repartition(pack_partitions, "field", "term", "_salt")
         .sortWithinPartitions("field", "term", "segment_id", "block_id")
         .drop("_nb", "_ns", "_salt", "segment_id")
-        .mapInArrow(
-            lambda it: _pack_partition(_unpack_partition(it)),
-            BLOCKS_SCHEMA,
-        )
+        .mapInArrow(_repack, BLOCKS_SCHEMA)
     )
     seg_path = os.path.join(path, "blocks", f"segment_id={new_id}")
     merged.sortWithinPartitions("field", "term", "block_id").write.mode(
@@ -503,6 +534,22 @@ def merge_segments(
     done[new_id] = manifest
     with open(os.path.join(path, "_meta.json")) as f:
         doc_count = json.load(f)["doc_count"]
+    # expunging a doc removes it from doc_count too (Whoosh optimize
+    # semantics: stats recomputed from the rewritten segments)
+    if applied_dels is not None:
+        doc_count -= int(applied_dels.size)
+        manifest["n_docs"] -= int(applied_dels.size)
+        with open(os.path.join(_manifest_dir(path), f"seg_{new_id}.json"), "w") as f:
+            json.dump(manifest, f)
+    # expunged deletes leave the delete set BEFORE the TOC swap (a crash
+    # in between re-masks already-expunged ids: harmless, not incorrect)
+    if applied_dels is not None:
+        remaining = sorted(set(int(x) for x in all_dels) - set(int(x) for x in applied_dels))
+        import shutil as _sh
+
+        _sh.rmtree(_deletes_path(path), ignore_errors=True)
+        if remaining:
+            delete_docs(spark, path, remaining)
     # TOC swap = the commit point; cleanup after is crash-safe garbage
     active = [s for s in done if s not in segment_ids]
     _finalize(spark, path, doc_count, active)
@@ -533,9 +580,40 @@ class SegmentedIndex(InvertedIndex):
     path: str = ""
     blocks: DataFrame | None = None
     manifest: dict = dc_field(default_factory=dict)
+    deleted: DataFrame | None = None  # (doc_id) rows; None = nothing deleted
 
     def _unpack(self, blocks: DataFrame) -> DataFrame:
-        return blocks.mapInArrow(_unpack_partition, POSTINGS_SCHEMA)
+        out = blocks.mapInArrow(_unpack_partition, POSTINGS_SCHEMA)
+        return self._mask_deleted(out)
+
+    @property
+    def field_totals(self) -> dict[str, float]:
+        """Exact totals from BLOCK metadata (weight_sum), NOT the masked
+        postings view: Whoosh keeps field_length_total unchanged under
+        deletion (totals drop only when a merge rewrites the postings),
+        and reading per-block sums avoids decoding anything."""
+        if self._field_totals is None:
+            text_names = [fs.name for fs in self.schema.text_fields()]
+            rows = (
+                self.blocks.where(F.col("field").isin(text_names))
+                .groupBy("field")
+                .agg(F.sum("weight_sum").alias("total_len"))
+                .collect()
+            )
+            self._field_totals = {r["field"]: float(r["total_len"]) for r in rows}
+        return self._field_totals
+
+    def _mask_deleted(self, df: DataFrame) -> DataFrame:
+        """Whoosh deletion semantics (reading.py::SegmentReader.is_deleted
+        ~L300): deletions are a lazy doc-id set filtered at read time;
+        doc_count_all (and therefore idf) still counts deleted docs. The
+        delete set is tiny relative to postings -> broadcast anti-join."""
+        if self.deleted is None:
+            return df
+        return df.join(F.broadcast(self.deleted), "doc_id", "left_anti")
+
+    def live_docs(self) -> DataFrame:
+        return self._mask_deleted(super().live_docs())
 
     def term_postings(self, fieldname: str, term: str) -> DataFrame:
         return self._unpack(
@@ -555,6 +633,55 @@ class SegmentedIndex(InvertedIndex):
             [((F.col("field") == f) & (F.col("term") == t)) for f, t in pairs],
         )
         return self._unpack(self.blocks.where(cond))
+
+    def deleted_ids(self) -> set[int]:
+        if self.deleted is None:
+            return set()
+        return {r["doc_id"] for r in self.deleted.collect()}
+
+
+# -------------------------------------------------------------- deletions
+
+
+def _deletes_path(path: str) -> str:
+    return os.path.join(path, "_deletes")
+
+
+def read_deletes(spark: SparkSession, path: str) -> DataFrame | None:
+    p = _deletes_path(path)
+    if not os.path.isdir(p) or not any(f.endswith(".parquet") for f in os.listdir(p)):
+        return None
+    return spark.read.parquet(p)
+
+
+def delete_docs(spark: SparkSession, path: str, doc_ids: list[int]) -> int:
+    """Mark doc ids deleted (reference: IndexWriter.delete_document —
+    lazy set, applied at read; expunged physically by merge_segments).
+    Returns the total number of deleted ids after the union."""
+    existing = read_deletes(spark, path)
+    new = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    allDel = new if existing is None else existing.unionByName(new).distinct()
+    allDel = allDel.persist()
+    n = allDel.count()
+    tmp = _deletes_path(path) + ".tmp"
+    allDel.repartition(1).write.mode("overwrite").parquet(tmp)
+    import shutil as _sh
+
+    if os.path.isdir(_deletes_path(path)):
+        _sh.rmtree(_deletes_path(path))
+    os.replace(tmp, _deletes_path(path))
+    allDel.unpersist()
+    return n
+
+
+def delete_by_term(spark: SparkSession, ix: "SegmentedIndex", fieldname: str,
+                   term: str) -> int:
+    """delete_by_term(field, text) (reference: writing.py::IndexWriter
+    .delete_by_term ~L480): resolve matching doc ids, add to delete set."""
+    ids = [r["doc_id"] for r in ix.term_postings(fieldname, term).select("doc_id").collect()]
+    if not ids:
+        return 0
+    return delete_docs(spark, ix.path, ids)
 
 
 def open_segments(
@@ -581,5 +708,6 @@ def open_segments(
         manifest=_read_manifest(path),
     )
     ix._doc_count = int(meta["doc_count"])
+    ix.deleted = read_deletes(spark, path)
     ix.postings = ix._unpack(blocks)
     return ix

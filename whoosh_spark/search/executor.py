@@ -81,7 +81,7 @@ class Searcher:
         return self._empty()
 
     def _c_every(self, q: Q.Every) -> DataFrame:
-        return self.index.docs.select(
+        return self.index.live_docs().select(
             F.col(self.index.doc_id_col).alias("doc_id"),
             F.lit(1.0 * q.boost).alias("score"),
         )
@@ -262,7 +262,7 @@ class Searcher:
 
     def _c_not(self, q: Q.Not) -> DataFrame:
         matched = self._compile(q.subquery)
-        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"))
+        docs = self.index.live_docs().select(F.col(self.index.doc_id_col).alias("doc_id"))
         return docs.join(matched.select("doc_id"), "doc_id", "left_anti").select(
             "doc_id", F.lit(1.0 * q.boost).alias("score")
         )

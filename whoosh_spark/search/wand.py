@@ -85,10 +85,13 @@ def _topk_partial(doc: np.ndarray, contrib: np.ndarray, tc: np.ndarray):
 
 
 def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float,
-                      K1: float, k: int, mode: str, prune: bool, seed_blocks: int):
+                      K1: float, k: int, mode: str, prune: bool, seed_blocks: int,
+                      deleted: np.ndarray | None = None):
     """Build the per-segment applyInPandas function. ``term_meta`` is the
     query's [(term, idf)] resolved on the driver (searching.py::Searcher.idf
-    memoization analogue); everything else rides the closure."""
+    memoization analogue); everything else rides the closure. ``deleted``
+    (sorted doc ids) is masked right after decode — bounds stay valid
+    (they only overestimate), results stay exact."""
     terms = [t for t, _ in term_meta]
     idfs = np.array([i for _, i in term_meta])
     n_terms = len(terms)
@@ -109,6 +112,9 @@ def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float
 
         def score_rows(rows: pd.DataFrame):
             doc, tf, dl, tc = _decode_rows(rows)
+            if deleted is not None and deleted.size:
+                live = ~np.isin(doc, deleted)
+                doc, tf, dl, tc = doc[live], tf[live], dl[live], tc[live]
             return doc, _bm25_np(idfs[tc], tf, dl, avgdl, B, K1), tc
 
         if mode == "and" or not prune or len(pdf) <= seed_blocks:
@@ -228,6 +234,8 @@ def wand_topk(
     blocks = ix.blocks.where(
         (F.col("field") == fieldname) & F.col("term").isin([t for t, _ in metas])
     )
-    fn = make_segment_wand(metas, avgdl, B, K1, k, mode, prune, seed_blocks)
+    del_ids = getattr(ix, "deleted_ids", lambda: set())()
+    deleted = np.array(sorted(del_ids), dtype=np.int64) if del_ids else None
+    fn = make_segment_wand(metas, avgdl, B, K1, k, mode, prune, seed_blocks, deleted)
     local = blocks.groupBy("segment_id").applyInPandas(fn, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
