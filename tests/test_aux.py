@@ -1,0 +1,95 @@
+"""Spelling suggest, key terms, more-like-this, highlighting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_spark import query as Q
+from whoosh_spark.fields import documents_schema
+from whoosh_spark.indexing import build_index
+from whoosh_spark.search import Searcher
+from whoosh_spark.search.aux import (
+    collection_frequency_rank,
+    key_terms,
+    more_like_this,
+    suggest,
+)
+from whoosh_spark.search.highlight import highlight_df, highlights
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ix(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return build_index(spark, docs, documents_schema()).persist()
+
+
+def test_suggest_orders_by_distance_then_freq(ix):
+    rows = suggest(ix, "text", "querry", limit=5).collect()
+    assert rows, "expected suggestions near 'querry'"
+    assert rows[0].term == "query"  # distance 1, high freq
+    dists = [r.dist for r in rows]
+    assert dists == sorted(dists)
+    for a, b in zip(rows, rows[1:]):
+        if a.dist == b.dist:
+            assert (a.freq, -ord(a.term[0])) >= (b.freq, -ord(b.term[0]))
+
+
+def test_suggest_prefix_and_no_self(ix):
+    rows = suggest(ix, "text", "query", maxdist=1, prefix=1).collect()
+    assert all(r.term != "query" for r in rows)
+    assert all(r.term.startswith("q") for r in rows)
+
+
+def test_key_terms_models(spark, ix):
+    docset = spark.range(20).select(F.col("id").alias("doc_id"))
+    bo1 = key_terms(ix, docset, "text", numterms=5).collect()
+    kl = key_terms(ix, docset, "text", numterms=5, model="kl").collect()
+    assert len(bo1) == 5 and len(kl) == 5
+    assert all(r.score > 0 for r in bo1)
+    # key terms must actually occur in the doc set
+    present = {
+        r["term"]
+        for r in ix.postings.where(
+            (F.col("field") == "text") & (F.col("doc_id") < 20)
+        ).select("term").distinct().collect()
+    }
+    assert {r.term for r in bo1} <= present
+    assert {r.term for r in kl} <= present
+
+
+def test_more_like_this_excludes_seed(spark, ix):
+    s = Searcher(ix)
+    rows = more_like_this(s, 0, "text", limit=10).collect()
+    assert rows and all(r.doc_id != 0 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_collection_frequency_rank(ix):
+    top = collection_frequency_rank(ix, "text", n=5).collect()
+    assert len(top) == 5
+    ws = [r.total_weight for r in top]
+    assert ws == sorted(ws, reverse=True)
+    rare = collection_frequency_rank(ix, "text", n=5, most=False).collect()
+    assert all(r.df <= top[0].total_weight for r in rare)
+
+
+def test_highlights_pure():
+    text = "the quick brown fox jumps over the lazy dog and the quick cat"
+    out = highlights(text, {"quick"}, fmt="upper")
+    assert "QUICK" in out
+    assert out.count("QUICK") >= 1
+    html = highlights(text, {"quick"}, fmt="html")
+    assert '<b class="match term">quick</b>' in html
+    # stopwords are never highlighted
+    assert "THE" not in highlights(text, {"the"}, fmt="upper")
+
+
+def test_highlight_df(spark, ix):
+    s = Searcher(ix)
+    top = s.search(Q.Term("text", "spark"), limit=3)
+    wt = s.with_stored_fields(top, "text")
+    rows = highlight_df(wt, ["spark"]).select("doc_id", "highlight").collect()
+    assert len(rows) == 3
+    assert all("SPARK" in r.highlight for r in rows)

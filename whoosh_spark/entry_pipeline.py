@@ -41,6 +41,8 @@ from whoosh_spark.pipeline import (
     token_counts,
     winnow_fingerprints,
 )
+from whoosh_spark.search.aux import key_terms, more_like_this, suggest
+from whoosh_spark.search.highlight import highlight_df
 from whoosh_spark.search.wand import wand_topk
 from whoosh_spark.transcripts import TURNS_FROM_DOCUMENTS_SQL, transcript_corpus
 
@@ -90,6 +92,8 @@ def _wand(spark, sf_dir, terms, mode="or", k=K) -> DataFrame:
 TURNS_PRELUDE = (
     "WITH " + TURNS_FROM_DOCUMENTS_SQL.strip() + ",\n" + prelude_body("turns") + "\n"
 )
+
+PRELUDE_DOCS = "\nWITH " + prelude_body("documents") + "\n"
 
 _TOPK_TAIL = "ORDER BY score DESC, doc_id ASC LIMIT {k}"
 
@@ -376,6 +380,106 @@ FROM b
 SELECT i, j, common FROM ov WHERE common >= 20
 """,
     )
+
+    # ------------------- aux retrieval (SURVEY §2.9) ---------------------
+
+    def _docs_ix(spark, sf):
+        from whoosh_spark.entry_queries import _docs_searcher
+
+        return _docs_searcher(spark, sf).index
+
+    add(
+        "spell_suggest",
+        lambda spark, sf: suggest(_docs_ix(spark, sf), "text", "querry", limit=5),
+        PRELUDE_DOCS
+        + "SELECT term, levenshtein(term, 'querry') AS dist, sum(w) AS freq "
+        "FROM post GROUP BY term "
+        "HAVING levenshtein(term, 'querry') <= 2 AND term <> 'querry' "
+        "ORDER BY dist ASC, freq DESC, term ASC LIMIT 5",
+    )
+
+    _SET20 = "(SELECT doc_id FROM documents WHERE doc_id < 20)"
+    add(
+        "key_terms_bo1",
+        lambda spark, sf: key_terms(
+            _docs_ix(spark, sf),
+            spark.range(20).select(F.col("id").alias("doc_id")),
+            "text",
+            numterms=5,
+        ).select("term", F.round("score", 4).alias("score")),
+        PRELUDE_DOCS
+        + f"""
+SELECT term, round(score, 4) AS score FROM (
+  SELECT p.term,
+         (wt * ln((1 + cf / n) / (cf / n)) + ln(1 + cf / n)) / ln(2) AS score
+  FROM (SELECT term, sum(w) AS wt FROM post WHERE doc_id IN {_SET20} GROUP BY term) p
+  JOIN (SELECT term, sum(w) AS cf FROM post GROUP BY term) c USING (term)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS n FROM documents)
+) ORDER BY score DESC, term ASC LIMIT 5
+""",
+    )
+    add(
+        "key_terms_kl",
+        lambda spark, sf: key_terms(
+            _docs_ix(spark, sf),
+            spark.range(20).select(F.col("id").alias("doc_id")),
+            "text",
+            numterms=5,
+            model="kl",
+        ).select("term", F.round("score", 4).alias("score")),
+        PRELUDE_DOCS
+        + f"""
+SELECT term, round(score, 4) AS score FROM (
+  SELECT p.term,
+         CASE WHEN (wt / tt) > (cf / ct)
+              THEN (wt / tt) * ln((wt / tt) / (cf / ct)) / ln(2) ELSE 0.0 END AS score
+  FROM (SELECT term, sum(w) AS wt FROM post WHERE doc_id IN {_SET20} GROUP BY term) p
+  JOIN (SELECT term, sum(w) AS cf FROM post GROUP BY term) c USING (term)
+  CROSS JOIN (SELECT sum(w)::DOUBLE AS tt FROM post WHERE doc_id IN {_SET20})
+  CROSS JOIN (SELECT sum(w)::DOUBLE AS ct FROM post)
+) ORDER BY score DESC, term ASC LIMIT 5
+""",
+    )
+
+    def _mlt(spark, sf):
+        from whoosh_spark.entry_queries import _docs_searcher, _rounded
+
+        s = _docs_searcher(spark, sf)
+        out = more_like_this(s, 0, "text", limit=3 * K, numterms=5)
+        return (
+            _rounded(out).orderBy(F.desc("score"), F.asc("doc_id")).limit(K)
+        )
+
+    add(
+        "more_like_this",
+        _mlt,
+        PRELUDE_DOCS
+        + """
+, kt AS (
+  SELECT p.term,
+         (wt * ln((1 + cf / n) / (cf / n)) + ln(1 + cf / n)) / ln(2) AS kscore
+  FROM (SELECT term, sum(w) AS wt FROM post WHERE doc_id = 0 GROUP BY term) p
+  JOIN (SELECT term, sum(w) AS cf FROM post GROUP BY term) c USING (term)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS n FROM documents)
+  ORDER BY kscore DESC, term ASC LIMIT 5
+)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, sum(score) AS score FROM scored
+  WHERE term IN (SELECT term FROM kt) AND doc_id <> 0
+  GROUP BY doc_id
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    def _highlight(spark, sf):
+        from whoosh_spark.entry_queries import _docs_searcher
+
+        s = _docs_searcher(spark, sf)
+        top = s.search(__import__("whoosh_spark.query", fromlist=["Term"]).Term("text", "spark"), limit=5)
+        with_text = s.with_stored_fields(top, "text")
+        return highlight_df(with_text, ["spark"]).select("doc_id", "highlight")
+
+    add("highlight_snippets", _highlight, None)  # fragmenter: rows-only
 
     # ------------------------------ multimodal ---------------------------
 

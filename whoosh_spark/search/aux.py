@@ -1,0 +1,135 @@
+"""Auxiliary retrieval: spelling suggestions, key terms, more-like-this.
+
+Reference surface (SURVEY §2.9):
+- suggest: src/whoosh/spelling.py::ReaderCorrector (~L80) over
+  reading.py::IndexReader.terms_within (~L500) — candidates within edit
+  distance of a word, ranked by (distance asc, frequency desc).
+- key terms: src/whoosh/classify.py::{Bo1Model, KLModel, Expander}
+  (~L40-200); searching.py::Searcher.key_terms (~L750).
+- more-like-this: searching.py::Hit.more_like_this — key terms of the doc
+  fed back as an Or query.
+
+NOTE on parity: /root/reference is an empty mount (SURVEY "Provenance"),
+so the Bo1/KL formulas below implement the published Amati DFR forms used
+by public Whoosh and are pinned by our own tests + DuckDB oracles rather
+than byte-compared to the fork. Formulas (base-2 logs):
+  Bo1: f = cf / N;       score = wt * log2((1+f)/f) + log2(1+f)
+  KL:  p = wt / tt, q = cf / ct;  score = p * log2(p / q)  (if p > q else 0)
+where wt = term weight in the doc set, cf = collection term weight,
+tt/ct = total weights of set/collection, N = doc_count_all.
+
+Everything runs as DataFrame plans: the lexicon frame is the candidate
+source (tiny vs postings), so suggest() is a filtered lexicon scan with
+Spark's native levenshtein — no automaton needed (SURVEY §2.5 FuzzyTerm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from whoosh_spark.indexing.build import InvertedIndex
+from whoosh_spark.query import nodes as Q
+
+LOG2 = 0.6931471805599453  # ln(2)
+
+
+def suggest(
+    ix: InvertedIndex,
+    fieldname: str,
+    word: str,
+    limit: int = 5,
+    maxdist: int = 2,
+    prefix: int = 0,
+) -> DataFrame:
+    """(term, dist, freq) candidates ranked like the reference corrector:
+    smaller edit distance first, then higher frequency, then term."""
+    lex = ix.terms.where(F.col("field") == fieldname)
+    if prefix:
+        lex = lex.where(F.col("term").startswith(word[:prefix]))
+    # cheap length pre-filter before the DP distance
+    lex = lex.where(F.abs(F.length("term") - len(word)) <= maxdist)
+    cand = lex.withColumn("dist", F.levenshtein(F.col("term"), F.lit(word))).where(
+        (F.col("dist") <= maxdist) & (F.col("term") != word)
+    )
+    return (
+        cand.select("term", "dist", F.col("total_weight").alias("freq"))
+        .orderBy(F.asc("dist"), F.desc("freq"), F.asc("term"))
+        .limit(limit)
+    )
+
+
+def _set_weights(ix: InvertedIndex, doc_ids: DataFrame, fieldname: str) -> DataFrame:
+    """Per-term weight within a doc set: (term, wt)."""
+    p = ix.postings.where(F.col("field") == fieldname)
+    return (
+        p.join(F.broadcast(doc_ids.select("doc_id")), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.sum("weight").alias("wt"))
+    )
+
+
+def key_terms(
+    ix: InvertedIndex,
+    doc_ids: DataFrame,
+    fieldname: str,
+    numterms: int = 5,
+    model: str = "bo1",
+) -> DataFrame:
+    """Top distinctive terms of a doc set -> (term, score), model in
+    {bo1, kl}. Plain aggregations over postings + the terms table."""
+    wt = _set_weights(ix, doc_ids, fieldname)
+    coll = ix.terms.where(F.col("field") == fieldname).select(
+        "term", F.col("total_weight").alias("cf")
+    )
+    j = wt.join(coll, "term")
+    n = float(ix.doc_count)
+    if model == "bo1":
+        f = F.col("cf") / F.lit(n)
+        score = (F.col("wt") * F.log((1 + f) / f) + F.log(1 + f)) / F.lit(LOG2)
+    elif model == "kl":
+        tt = wt.agg(F.sum("wt")).collect()[0][0] or 1.0
+        ct = float(ix.field_totals.get(fieldname, 1.0))
+        p = F.col("wt") / F.lit(float(tt))
+        q = F.col("cf") / F.lit(ct)
+        score = F.when(p > q, p * F.log(p / q) / F.lit(LOG2)).otherwise(F.lit(0.0))
+    else:
+        raise ValueError(f"unknown expansion model {model!r}")
+    return (
+        j.select("term", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(numterms)
+    )
+
+
+def more_like_this(
+    searcher,
+    doc_id: int,
+    fieldname: str,
+    limit: int = 10,
+    numterms: int = 5,
+    model: str = "bo1",
+) -> DataFrame:
+    """Docs similar to ``doc_id``: its key terms fed back as an Or query
+    (the seed doc itself is excluded from results)."""
+    ix = searcher.index
+    seed = ix.spark.createDataFrame([(int(doc_id),)], "doc_id long")
+    terms = [r["term"] for r in key_terms(ix, seed, fieldname, numterms, model).collect()]
+    if not terms:
+        return ix.spark.createDataFrame([], "doc_id long, score double")
+    q = Q.Or([Q.Term(fieldname, t) for t in terms])
+    scored = searcher.compile(q).where(F.col("doc_id") != doc_id)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
+def collection_frequency_rank(ix: InvertedIndex, fieldname: str, n: int = 10,
+                              most: bool = True) -> DataFrame:
+    """most_frequent_terms / most_distinctive_terms
+    (reference: reading.py::IndexReader ~L100-500)."""
+    lex = ix.terms.where(F.col("field") == fieldname)
+    if most:
+        return lex.select("term", "total_weight").orderBy(
+            F.desc("total_weight"), F.asc("term")
+        ).limit(n)
+    # distinctive: highest idf-weighted tf == rarest but present
+    return lex.select("term", "df").orderBy(F.asc("df"), F.asc("term")).limit(n)
