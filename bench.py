@@ -72,13 +72,13 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
         return out
 
     # -- 1. synthetic build throughput (the headline number) ----------------
-    synth = synth_turns(spark, synth_turns_n).persist()
+    # materialize=False + one stats action == the production write-path shape
+    # (same protocol as --scaling), so the number is comparable across modes
+    synth = synth_turns(spark, synth_turns_n, num_partitions=24).persist()
     n_synth = synth.count()  # materialize input outside the timed window
-    ix_synth = timed(
+    timed(
         "build_synth",
-        lambda: (lambda ix: (_force_index(ix), ix))(
-            build_index(spark, synth, transcript_schema())
-        )[1],
+        lambda: build_index(spark, synth, transcript_schema(), materialize=False).terms.count(),
     )
     turns_per_sec = n_synth / timings["build_synth"]
     synth.unpersist()
@@ -116,6 +116,37 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     }
     for name, fn in queries.items():
         timed(name, lambda fn=fn: fn().collect())
+
+    # -- 4. physical index: segment build + block-max WAND top-k ------------
+    import shutil
+
+    from whoosh_spark.indexing.segments import build_segments, open_segments
+    from whoosh_spark.search.wand import wand_topk
+
+    seg_path = "/tmp/whoosh_spark_bench_ix"
+    shutil.rmtree(seg_path, ignore_errors=True)
+    timed(
+        "build_segments",
+        lambda: build_segments(spark, corpus, transcript_schema(), seg_path, n_segments=4),
+    )
+    six = open_segments(spark, seg_path, corpus, transcript_schema())
+    six._lexicon()
+    timed("q_wand_or", lambda: wand_topk(six, "text", ["merge", "join", "window"]).collect())
+    timed("q_wand_and", lambda: wand_topk(six, "text", ["hash", "join"], mode="and").collect())
+
+    # -- 5. pipeline operators over the sf corpus ---------------------------
+    from whoosh_spark.pipeline import cosine_topk, minhash_dedup_pairs, quality_scores
+
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    raw_docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    timed("p_minhash_dedup", lambda: minhash_dedup_pairs(raw_docs, threshold=0.8).collect())
+    timed(
+        "p_cosine_topk",
+        lambda: cosine_topk(emb, emb.where("vec_id < 5"), k=10).collect(),
+    )
+    timed("p_quality", lambda: quality_scores(raw_docs).count())
 
     total = round(sum(timings.values()), 3)
     return {

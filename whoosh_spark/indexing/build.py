@@ -224,13 +224,17 @@ class InvertedIndex:
     # predicate-pushdown barrier, so the term filter must be routed here
     # rather than applied on top of the postings view) --
 
-    def term_postings(self, fieldname: str, term: str) -> DataFrame:
+    def term_postings(self, fieldname: str, term: str,
+                      positions: bool = False) -> DataFrame:
         """Posting rows of one (field, term) — the leaf matcher scan
         (reference: codec W3LeafMatcher via reading.py::SegmentReader
-        .postings ~L350)."""
+        .postings ~L350). ``positions`` is a hint for the physical index
+        (skip decoding position payloads); the logical postings frame
+        carries them either way."""
         return self.postings.where((F.col("field") == fieldname) & (F.col("term") == term))
 
-    def terms_postings(self, fieldname: str, terms: list[str]) -> DataFrame:
+    def terms_postings(self, fieldname: str, terms: list[str],
+                       positions: bool = False) -> DataFrame:
         """Posting rows of an expanded term set (Prefix/Wildcard/Fuzzy/...)."""
         return self.postings.where(
             (F.col("field") == fieldname) & F.col("term").isin(list(terms))

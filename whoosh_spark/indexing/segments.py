@@ -234,7 +234,7 @@ def _unpack_partition(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.Recor
         field_rep = np.repeat(np.asarray(col("field").to_pandas(), dtype=object), n_per)
         term_rep = np.repeat(np.asarray(col("term").to_pandas(), dtype=object), n_per)
 
-        pc = col("pos_counts").to_pylist()
+        pc = col("pos_counts").to_pylist() if "pos_counts" in names else []
         if any(c is not None for c in pc):
             cbuf = b"".join(
                 c if c is not None else b"\x00\x00" * int(n)
@@ -582,7 +582,12 @@ class SegmentedIndex(InvertedIndex):
     manifest: dict = dc_field(default_factory=dict)
     deleted: DataFrame | None = None  # (doc_id) rows; None = nothing deleted
 
-    def _unpack(self, blocks: DataFrame) -> DataFrame:
+    def _unpack(self, blocks: DataFrame, positions: bool = True) -> DataFrame:
+        if not positions:
+            # drop the position binaries BEFORE the scan: Parquet column
+            # pruning then never reads them — positions are the bulk of the
+            # index bytes and only Phrase/span queries need them
+            blocks = blocks.drop("pos_counts", "pos_vals")
         out = blocks.mapInArrow(_unpack_partition, POSTINGS_SCHEMA)
         return self._mask_deleted(out)
 
@@ -615,14 +620,18 @@ class SegmentedIndex(InvertedIndex):
     def live_docs(self) -> DataFrame:
         return self._mask_deleted(super().live_docs())
 
-    def term_postings(self, fieldname: str, term: str) -> DataFrame:
+    def term_postings(self, fieldname: str, term: str,
+                      positions: bool = False) -> DataFrame:
         return self._unpack(
-            self.blocks.where((F.col("field") == fieldname) & (F.col("term") == term))
+            self.blocks.where((F.col("field") == fieldname) & (F.col("term") == term)),
+            positions=positions,
         )
 
-    def terms_postings(self, fieldname: str, terms: list[str]) -> DataFrame:
+    def terms_postings(self, fieldname: str, terms: list[str],
+                       positions: bool = False) -> DataFrame:
         return self._unpack(
-            self.blocks.where((F.col("field") == fieldname) & F.col("term").isin(list(terms)))
+            self.blocks.where((F.col("field") == fieldname) & F.col("term").isin(list(terms))),
+            positions=positions,
         )
 
     def pairs_postings(self, pairs: list[tuple[str, str]]) -> DataFrame:

@@ -294,7 +294,7 @@ class Searcher:
             dfreq = self.index.doc_frequency(q.fieldname, w)
             if dfreq == 0:
                 return self._empty()
-            p = self.index.term_postings(q.fieldname, w)
+            p = self.index.term_postings(q.fieldname, w, positions=True)
             dfs.append(
                 (
                     p.select(
@@ -330,7 +330,7 @@ class Searcher:
         fs, avgdl = self._score_ctx(q.fieldname)
         dfs = []
         for i, w in enumerate(q.words):
-            p = self.index.term_postings(q.fieldname, w)
+            p = self.index.term_postings(q.fieldname, w, positions=True)
             dfs.append(p.select("doc_id", F.col("positions").alias(f"_pos{i}")))
         joined = reduce(lambda a, b: a.join(b, "doc_id"), dfs)
         current = F.col("_pos0")

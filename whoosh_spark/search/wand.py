@@ -231,9 +231,9 @@ def wand_topk(
     if not metas:
         return ix.spark.createDataFrame([], "doc_id long, score double")
 
-    blocks = ix.blocks.where(
+    blocks = ix.blocks.drop("pos_counts", "pos_vals").where(
         (F.col("field") == fieldname) & F.col("term").isin([t for t, _ in metas])
-    )
+    )  # WAND never reads positions; dropping pre-scan prunes the columns
     del_ids = getattr(ix, "deleted_ids", lambda: set())()
     deleted = np.array(sorted(del_ids), dtype=np.int64) if del_ids else None
     fn = make_segment_wand(metas, avgdl, B, K1, k, mode, prune, seed_blocks, deleted)
