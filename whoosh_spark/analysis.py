@@ -49,13 +49,17 @@ _DEFAULT_RE = re.compile(DEFAULT_TOKEN_PATTERN, re.UNICODE)
 @dataclass(frozen=True)
 class AnalyzerSpec:
     """Config for the standard chain; presets below mirror
-    src/whoosh/analysis/analyzers.py (~L60-240)."""
+    src/whoosh/analysis/analyzers.py (~L60-240). ``ngram=(lo, hi)`` appends
+    an NgramFilter stage (char n-grams of each surviving token, reference:
+    src/whoosh/analysis/ngrams.py::NgramFilter ~L120; each gram keeps its
+    source token's position)."""
 
     pattern: str = DEFAULT_TOKEN_PATTERN
     lowercase: bool = True
     stoplist: frozenset[str] | None = STOP_WORDS
     minsize: int = 2
     maxsize: int | None = None
+    ngram: tuple[int, int] | None = None
 
     def compiled(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
@@ -63,6 +67,12 @@ class AnalyzerSpec:
 
 STANDARD = AnalyzerSpec()
 SIMPLE = AnalyzerSpec(stoplist=None, minsize=1)  # SimpleAnalyzer: no stop filter
+
+
+def NGRAM_WORDS(minsize: int = 3, maxsize: int = 3) -> AnalyzerSpec:
+    """NgramWordAnalyzer: tokenize | lowercase | char n-grams, no stop
+    filter (reference: analysis/analyzers.py::NgramWordAnalyzer ~L230)."""
+    return AnalyzerSpec(stoplist=None, minsize=1, ngram=(minsize, maxsize))
 
 
 @dataclass(frozen=True)
@@ -110,12 +120,45 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
         keep &= ~flat.isin(spec.stoplist)
     kept = flat[keep]
     pos = kept.groupby(level=0).cumcount()
+    if spec.ngram is not None:
+        return _ngram_expand(kept, pos, spec.ngram, n_rows)
     return AnalyzedBatch(
         row=kept.index.to_numpy(dtype=np.int64),
         term=kept.to_numpy(dtype=object),
         pos=pos.to_numpy(dtype=np.int64),
         n_rows=n_rows,
     )
+
+
+def _ngram_expand(kept: pd.Series, pos: pd.Series, sizes: tuple[int, int],
+                  n_rows: int) -> AnalyzedBatch:
+    """NgramFilter stage, vectorized: for each gram size n and start
+    offset, one str.slice over ALL tokens at once (token lengths are small,
+    so sizes x offsets is a short loop of C-level slices, never per-token
+    Python)."""
+    lo, hi = sizes
+    rows = kept.index.to_numpy(dtype=np.int64)
+    positions = pos.to_numpy(dtype=np.int64)
+    lens = kept.str.len().to_numpy()
+    parts_row, parts_term, parts_pos = [], [], []
+    max_len = int(lens.max()) if lens.size else 0
+    for n in range(lo, hi + 1):
+        for off in range(0, max(max_len - n + 1, 0)):
+            grams = kept.str.slice(off, off + n)
+            ok = lens >= off + n
+            if not ok.any():
+                continue
+            parts_row.append(rows[ok])
+            parts_term.append(grams.to_numpy(dtype=object)[ok])
+            parts_pos.append(positions[ok])
+    if not parts_row:
+        e = np.empty(0, dtype=np.int64)
+        return AnalyzedBatch(e, np.empty(0, dtype=object), e, n_rows)
+    row = np.concatenate(parts_row)
+    term = np.concatenate(parts_term)
+    p = np.concatenate(parts_pos)
+    order = np.lexsort((p, row))  # stable (row, source-token pos) order
+    return AnalyzedBatch(row[order], term[order], p[order], n_rows)
 
 
 def analyze_text(text: str, spec: AnalyzerSpec = STANDARD) -> list[tuple[str, int]]:

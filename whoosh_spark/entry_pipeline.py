@@ -381,6 +381,193 @@ SELECT i, j, common FROM ov WHERE common >= 20
 """,
     )
 
+    # ------------------- facets: range / date / multi --------------------
+
+    def _facet_range(spark, sf):
+        from whoosh_spark.entry_queries import _docs_searcher
+
+        s = _docs_searcher(spark, sf)
+        from whoosh_spark import query as Qn
+
+        return s.range_counts(
+            Qn.Or([Qn.Term("text", "spark"), Qn.Term("text", "vector")]),
+            "n_chars", 0, 600, 100,
+        )
+
+    add(
+        "facet_range_nchars",
+        _facet_range,
+        PRELUDE_DOCS
+        + """
+SELECT (FLOOR(d.n_chars / 100) * 100)::BIGINT AS range_start, count(*)::BIGINT AS count
+FROM (SELECT DISTINCT doc_id FROM post WHERE term IN ('spark','vector')) m
+JOIN documents d USING (doc_id)
+WHERE d.n_chars >= 0 AND d.n_chars < 600
+GROUP BY 1
+""",
+    )
+
+    def _facet_multi(spark, sf):
+        from whoosh_spark.entry_queries import _docs_searcher
+
+        s = _docs_searcher(spark, sf)
+        from whoosh_spark import query as Qn
+
+        return s.group_counts_multi(Qn.Term("text", "merge"), ["lang", "source"])
+
+    add(
+        "facet_multi_lang_source",
+        _facet_multi,
+        PRELUDE_DOCS
+        + """
+SELECT d.lang, d.source, count(*)::BIGINT AS count
+FROM (SELECT DISTINCT doc_id FROM post WHERE term = 'merge') m
+JOIN documents d USING (doc_id) GROUP BY 1, 2
+""",
+    )
+
+    def _facet_date(spark, sf):
+        from whoosh_spark.entry_queries import _events_searcher
+
+        s = _events_searcher(spark, sf)
+        from whoosh_spark import query as Qn
+
+        return s.date_counts(Qn.Term("event_type", "click"), "ts", "day")
+
+    add(
+        "facet_date_events",
+        _facet_date,
+        "SELECT date_trunc('day', ts)::DATE AS bucket, count(*)::BIGINT AS count "
+        "FROM events WHERE event_type = 'click' GROUP BY 1",
+    )
+
+    # ----------------------- NGRAM field (substring search) --------------
+
+    def _ngram_searcher(spark, sf):
+        key = ("ngram_ix", sf)
+        if key not in _CACHE:
+            from whoosh_spark.fields import ID, NGRAMWORDS, Schema
+            from whoosh_spark.indexing import build_index
+            from whoosh_spark.search import Searcher
+
+            schema = Schema(NGRAMWORDS("text", 3, 3), ID("lang"))
+            ix = build_index(spark, _docs(spark, sf), schema).persist()
+            _CACHE[key] = Searcher(ix)
+        return _CACHE[key]
+
+    def _ngram_topk(spark, sf):
+        from whoosh_spark import query as Qn
+        from whoosh_spark.entry_queries import _topk
+
+        s = _ngram_searcher(spark, sf)
+        return _topk(s.compile(Qn.Term("text", "ark")))
+
+    add(
+        "ngram_substring_topk",
+        _ngram_topk,
+        # trigram analyzer: tokenize+lower (no stop filter), 3-grams of each
+        # token; dl = total gram count, BM25 over gram postings
+        """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+(?:\.?\w+)*')) AS tok
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest([tok[i:i+2] FOR i IN generate_series(1, length(tok) - 2)]) AS term
+  FROM w WHERE length(tok) >= 3
+),
+rawlen AS (
+  SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS raw_len
+  FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id) c USING (doc_id)
+),
+dl AS (
+  SELECT doc_id, raw_len,
+         CASE WHEN raw_len <= 0 THEN 0
+              WHEN raw_len >= 68000 THEN CAST(round((power(1.0325, 255) - 1) * 8) AS BIGINT)
+              ELSE CAST(round((power(1.0325,
+                     LEAST(255, CAST(round(ln(raw_len / 8.0 + 1) / ln(1.0325)) AS INTEGER))
+                   ) - 1) * 8) AS BIGINT)
+         END AS dl
+  FROM rawlen
+),
+post AS (SELECT doc_id, term, count(*)::DOUBLE AS w FROM g GROUP BY doc_id, term),
+tstat AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+gstat AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(raw_len)::DOUBLE FROM rawlen) / (SELECT count(*) FROM documents) AS avgdl
+)
+SELECT doc_id, round((ln(g2.n / (t.df + 1)) + 1) * (p.w * 2.2)
+       / (p.w + 1.2 * (0.25 + 0.75 * l.dl / g2.avgdl)), 4) AS score
+FROM post p JOIN tstat t USING (term) JOIN dl l USING (doc_id) CROSS JOIN gstat g2
+WHERE p.term = 'ark'
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # ---------------------- span queries (SURVEY §2.5) -------------------
+
+    def _span_q(spark, sf, qmaker):
+        from whoosh_spark.entry_queries import _docs_searcher, _topk
+
+        s = _docs_searcher(spark, sf)
+        return _topk(s.compile(qmaker().normalize()))
+
+    from whoosh_spark import query as Qn
+
+    add(
+        "span_near_ordered_topk",
+        lambda spark, sf: _span_q(
+            spark, sf,
+            lambda: Qn.SpanNear2([Qn.Term("text", "slow"), Qn.Term("text", "query")], slop=3),
+        ),
+        # gap between consecutive single-term spans in [1, 3], ordered
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT s.doc_id, sum(s.score) AS score FROM scored s
+  WHERE s.term IN ('slow','query') AND s.doc_id IN (
+    SELECT a.doc_id FROM ftok a JOIN ftok b
+      ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+    WHERE a.term = 'slow' AND b.term = 'query')
+  GROUP BY s.doc_id HAVING count(*) = 2
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+    add(
+        "span_near_unordered_topk",
+        lambda spark, sf: _span_q(
+            spark, sf,
+            lambda: Qn.SpanNear2(
+                [Qn.Term("text", "hash"), Qn.Term("text", "join")], slop=2, ordered=False
+            ),
+        ),
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT s.doc_id, sum(s.score) AS score FROM scored s
+  WHERE s.term IN ('hash','join') AND s.doc_id IN (
+    SELECT a.doc_id FROM ftok a JOIN ftok b
+      ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) BETWEEN 1 AND 2
+    WHERE a.term = 'hash' AND b.term = 'join')
+  GROUP BY s.doc_id HAVING count(*) = 2
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+    add(
+        "span_first_topk",
+        lambda spark, sf: _span_q(
+            spark, sf, lambda: Qn.SpanFirst(Qn.Term("text", "spark"), limit=2)
+        ),
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT s.doc_id, s.score FROM scored s
+  WHERE s.term = 'spark' AND s.doc_id IN
+    (SELECT doc_id FROM ftok WHERE term = 'spark' AND pos <= 2)
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+
     # ------------------- aux retrieval (SURVEY §2.9) ---------------------
 
     def _docs_ix(spark, sf):

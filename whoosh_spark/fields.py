@@ -54,6 +54,16 @@ def KEYWORD(name: str, lowercase: bool = False) -> FieldSpec:
     return FieldSpec(name, "keyword", analyzer=spec)
 
 
+def NGRAMWORDS(name: str, minsize: int = 3, maxsize: int = 3,
+               field_boost: float = 1.0) -> FieldSpec:
+    """Char-n-gram TEXT field (reference: fields.py::NGRAMWORDS ~L1050):
+    substring search via the inverted index, scorable."""
+    from whoosh_spark.analysis import NGRAM_WORDS
+
+    return FieldSpec(name, "text", analyzer=NGRAM_WORDS(minsize, maxsize),
+                     scorable=True, phrase=False, field_boost=field_boost)
+
+
 def NUMERIC(name: str) -> FieldSpec:
     return FieldSpec(name, "numeric")
 

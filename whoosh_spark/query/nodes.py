@@ -293,3 +293,86 @@ class ConstantScore(Query):
         if isinstance(sub, NullQuery):
             return _NULL
         return ConstantScore(sub, self.score, boost=self.boost)
+
+
+# ---------------------------------------------------------------- spans
+# Positional algebra (reference: src/whoosh/query/spans.py::SpanNear2 ~L250,
+# SpanOr, SpanNot, SpanFirst, SpanContains, SpanBefore; positional.py::
+# Sequence ~L40 / Ordered). A span is a (start, end) position interval;
+# compilation represents per-doc span sets as array<struct<s,e>> columns and
+# combines them with JVM higher-order functions (search/executor.py).
+
+
+@dataclass(frozen=True)
+class SpanNear2(CompoundQuery):
+    """Sub-spans within ``slop`` of each other (gap = next.start - prev.end
+    in [mindist, slop]); ordered=False allows either arrangement."""
+
+    slop: int = field(default=1, kw_only=True)
+    ordered: bool = field(default=True, kw_only=True)
+    mindist: int = field(default=1, kw_only=True)
+
+    def normalize(self) -> Query:
+        kids = [q.normalize() for q in self.subqueries]
+        if any(isinstance(k, NullQuery) for k in kids):
+            return _NULL
+        if len(kids) == 1:
+            return kids[0].with_boost(self.boost)
+        return SpanNear2(kids, slop=self.slop, ordered=self.ordered,
+                         mindist=self.mindist, boost=self.boost)
+
+
+@dataclass(frozen=True)
+class SpanOr(CompoundQuery):
+    """Union of sub-span sets."""
+
+    def normalize(self) -> Query:
+        kids = [q.normalize() for q in self.subqueries
+                if not isinstance(q.normalize(), NullQuery)]
+        if not kids:
+            return _NULL
+        if len(kids) == 1:
+            return kids[0].with_boost(self.boost)
+        return SpanOr(kids, boost=self.boost)
+
+
+@dataclass(frozen=True)
+class SpanNot(BinaryQuery):
+    """Spans of a that do not overlap any span of b."""
+
+
+@dataclass(frozen=True)
+class SpanContains(BinaryQuery):
+    """Spans of a that contain at least one span of b."""
+
+
+@dataclass(frozen=True)
+class SpanBefore(BinaryQuery):
+    """Spans of a that end before some span of b starts."""
+
+
+@dataclass(frozen=True)
+class SpanFirst(Query):
+    """Spans ending at or before position ``limit``
+    (reference: spans.py::SpanFirst)."""
+
+    subquery: Query
+    limit: int = 0
+
+    def normalize(self) -> Query:
+        sub = self.subquery.normalize()
+        if isinstance(sub, NullQuery):
+            return _NULL
+        return SpanFirst(sub, self.limit, boost=self.boost)
+
+
+def Sequence(subqueries: "Sequence[Query]", slop: int = 1, *, boost: float = 1.0) -> Query:
+    """q1..qn in order, each within ``slop`` of the previous — phrase of
+    subqueries (reference: positional.py::Sequence ~L40)."""
+    return SpanNear2(list(subqueries), slop=slop, ordered=True, mindist=1, boost=boost)
+
+
+def Ordered(subqueries: "Sequence[Query]", slop: int = 2**30, *, boost: float = 1.0) -> Query:
+    """q1..qn anywhere in the doc but in order
+    (reference: positional.py::Ordered)."""
+    return SpanNear2(list(subqueries), slop=slop, ordered=True, mindist=1, boost=boost)

@@ -413,6 +413,34 @@ class Searcher:
         docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), groupedby)
         return scored.join(docs, "doc_id").groupBy(groupedby).agg(F.count("*").alias("count"))
 
+    def range_counts(self, q: Q.Query, fieldname: str, start, end, gap) -> DataFrame:
+        """RangeFacet (reference: sorting.py::RangeFacet ~L400): numeric
+        binning floor((x - start) / gap) over matched docs -> (range_start,
+        count), rows outside [start, end) excluded."""
+        scored = self.compile(q)
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), fieldname)
+        j = scored.join(docs, "doc_id").where(
+            (F.col(fieldname) >= start) & (F.col(fieldname) < end)
+        )
+        key = (F.lit(start) + F.floor((F.col(fieldname) - start) / gap) * gap).alias(
+            "range_start"
+        )
+        return j.groupBy(key).agg(F.count("*").alias("count"))
+
+    def date_counts(self, q: Q.Query, fieldname: str, unit: str = "day") -> DataFrame:
+        """DateRangeFacet analogue: counts per truncated date unit."""
+        scored = self.compile(q)
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), fieldname)
+        key = F.to_date(F.date_trunc(unit, F.col(fieldname))).alias("bucket")
+        return scored.join(docs, "doc_id").groupBy(key).agg(F.count("*").alias("count"))
+
+    def group_counts_multi(self, q: Q.Query, keys: list[str]) -> DataFrame:
+        """MultiFacet (reference: sorting.py::MultiFacet ~L600): composite
+        grouping key -> (k1, ..., kn, count)."""
+        scored = self.compile(q)
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), *keys)
+        return scored.join(docs, "doc_id").groupBy(*keys).agg(F.count("*").alias("count"))
+
     def group_best(self, q: Q.Query, groupedby: str) -> DataFrame:
         """Best maptype: highest-scoring doc per group (ties: lowest doc_id)
         (sorting.py::Best ~L800)."""
@@ -482,3 +510,181 @@ def _leaf_terms(q: Q.Query) -> list[tuple[str, str]]:
     if isinstance(q, (Q.Not, Q.ConstantScore)):
         return _leaf_terms(q.subquery)
     return []
+
+
+# ----------------------------------------------------------------- spans
+# Positional algebra (reference: src/whoosh/query/spans.py). A per-doc span
+# set is an array<struct<s:int,e:int>> column; every combinator below is a
+# JVM higher-order function over those arrays — no Python in the span path.
+# Scoring follows the reference's span wrappers: spans FILTER, the score is
+# the underlying conjunction/union of the participating term matchers.
+
+
+def _span_sort(spans):  # canonical order for deterministic output
+    return F.array_sort(spans)
+
+
+def _pairwise_near(a, b, slop: int, mindist: int, ordered: bool):
+    """Combine two span arrays: gap = next.s - prev.e in [mindist, slop]."""
+
+    def combine(x, y):
+        if ordered:
+            ok = ((y["s"] - x["e"]) >= mindist) & ((y["s"] - x["e"]) <= slop)
+            return F.when(ok, F.struct(x["s"].alias("s"), y["e"].alias("e")))
+        fwd = ((y["s"] - x["e"]) >= mindist) & ((y["s"] - x["e"]) <= slop)
+        bwd = ((x["s"] - y["e"]) >= mindist) & ((x["s"] - y["e"]) <= slop)
+        return F.when(
+            fwd, F.struct(x["s"].alias("s"), y["e"].alias("e"))
+        ).when(bwd, F.struct(y["s"].alias("s"), x["e"].alias("e")))
+
+    pairs = F.flatten(F.transform(a, lambda x: F.transform(b, lambda y: combine(x, y))))
+    return _span_sort(F.array_distinct(F.filter(pairs, lambda p: p.isNotNull())))
+
+
+class SpanCompiler:
+    """Compiles a span-capable Query to DataFrame(doc_id, spans, score)."""
+
+    def __init__(self, searcher: Searcher):
+        self.s = searcher
+
+    def frame(self, q: Q.Query) -> DataFrame:
+        m = getattr(self, f"_s_{type(q).__name__.lower()}", None)
+        if m is None:
+            raise NotImplementedError(f"{type(q).__name__} is not span-capable")
+        return m(q)
+
+    def _empty(self) -> DataFrame:
+        return self.s._spark.createDataFrame(
+            [], "doc_id long, spans array<struct<s:int,e:int>>, score double"
+        )
+
+    def _s_term(self, q: Q.Term) -> DataFrame:
+        fs, avgdl = self.s._score_ctx(q.fieldname)
+        dfreq = self.s.index.doc_frequency(q.fieldname, q.text)
+        if dfreq == 0:
+            return self._empty()
+        idf_v = idf_fn(self.s.index.doc_count, dfreq)
+        p = self.s.index.term_postings(q.fieldname, q.text, positions=True)
+        score = self.s.weighting.score_expr(fs, idf_v, avgdl, F.col("weight"), F.col("dl"))
+        spans = F.transform(
+            F.col("positions"), lambda x: F.struct(x.alias("s"), x.alias("e"))
+        )
+        return p.select("doc_id", spans.alias("spans"), (score * q.boost).alias("score"))
+
+    def _s_phrase(self, q: Q.Phrase) -> DataFrame:
+        near = Q.SpanNear2(
+            [Q.Term(q.fieldname, w) for w in q.words], slop=q.slop, boost=q.boost
+        )
+        return self._s_spannear2(near)
+
+    def _join2(self, a: DataFrame, b: DataFrame, spans_expr) -> DataFrame:
+        a2 = a.select("doc_id", F.col("spans").alias("_sa"), F.col("score").alias("_ca"))
+        b2 = b.select("doc_id", F.col("spans").alias("_sb"), F.col("score").alias("_cb"))
+        j = a2.join(b2, "doc_id")
+        return j.select(
+            "doc_id",
+            spans_expr(F.col("_sa"), F.col("_sb")).alias("spans"),
+            (F.col("_ca") + F.col("_cb")).alias("score"),
+        ).where(F.size("spans") > 0)
+
+    def _s_spannear2(self, q: Q.SpanNear2) -> DataFrame:
+        cur = self.frame(q.subqueries[0])
+        for sub in q.subqueries[1:]:
+            nxt = self.frame(sub)
+            cur = self._join2(
+                cur, nxt,
+                lambda sa, sb: _pairwise_near(sa, sb, q.slop, q.mindist, q.ordered),
+            )
+        if q.boost != 1.0:
+            cur = cur.withColumn("score", F.col("score") * q.boost)
+        return cur
+
+    def _s_spanor(self, q: Q.SpanOr) -> DataFrame:
+        frames = [self.frame(k) for k in q.subqueries]
+        tagged = [
+            f.select("doc_id", "spans", "score", F.lit(i).alias("_q"))
+            for i, f in enumerate(frames)
+        ]
+        from functools import reduce as _red
+
+        u = _red(lambda x, y: x.unionByName(y), tagged)
+        items = F.array_sort(
+            F.collect_list(F.struct(F.col("_q").alias("q"), F.col("score").alias("c")))
+        )
+        folded = F.aggregate(items, F.lit(0.0), lambda acc, x: acc + x["c"])
+        out = u.groupBy("doc_id").agg(
+            _span_sort(F.array_distinct(F.flatten(F.collect_list("spans")))).alias("spans"),
+            folded.alias("score"),
+        )
+        if q.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * q.boost)
+        return out
+
+    def _s_spannot(self, q: Q.SpanNot) -> DataFrame:
+        a, b = self.frame(q.a), self.frame(q.b)
+        b2 = b.select("doc_id", F.col("spans").alias("_sb"))
+        j = a.join(b2, "doc_id", "left")
+        keep = F.when(F.col("_sb").isNull(), F.col("spans")).otherwise(
+            F.filter(
+                F.col("spans"),
+                lambda x: ~F.exists(
+                    F.col("_sb"), lambda y: (y["s"] <= x["e"]) & (y["e"] >= x["s"])
+                ),
+            )
+        )
+        return (
+            j.select("doc_id", keep.alias("spans"), (F.col("score") * q.boost).alias("score"))
+            .where(F.size("spans") > 0)
+        )
+
+    def _s_spancontains(self, q: Q.SpanContains) -> DataFrame:
+        return self._join2(
+            self.frame(q.a),
+            self.frame(q.b),
+            lambda sa, sb: F.filter(
+                sa, lambda x: F.exists(sb, lambda y: (x["s"] <= y["s"]) & (y["e"] <= x["e"]))
+            ),
+        )
+
+    def _s_spanbefore(self, q: Q.SpanBefore) -> DataFrame:
+        return self._join2(
+            self.frame(q.a),
+            self.frame(q.b),
+            lambda sa, sb: F.filter(sa, lambda x: F.exists(sb, lambda y: x["e"] < y["s"])),
+        )
+
+    def _s_spanfirst(self, q: Q.SpanFirst) -> DataFrame:
+        sub = self.frame(q.subquery)
+        return (
+            sub.select(
+                "doc_id",
+                F.filter("spans", lambda x: x["e"] <= q.limit).alias("spans"),
+                (F.col("score") * q.boost).alias("score"),
+            )
+            .where(F.size("spans") > 0)
+        )
+
+
+def _install_span_compilers():
+    """Route span nodes through the Searcher compile dispatch: a span query
+    scores like its underlying conjunction, restricted to docs with
+    surviving spans (matching the reference's span wrapper behavior)."""
+
+    def make(name):
+        def _c(self: Searcher, q) -> DataFrame:
+            return SpanCompiler(self).frame(q).select("doc_id", "score")
+
+        _c.__name__ = f"_c_{name}"
+        return _c
+
+    for cls in ("spannear2", "spanor", "spannot", "spancontains", "spanbefore", "spanfirst"):
+        setattr(Searcher, f"_c_{cls}", make(cls))
+
+
+_install_span_compilers()
+
+
+def span_frames(searcher: Searcher, q: Q.Query) -> DataFrame:
+    """(doc_id, spans, score) for a span-capable query — exposed for tests
+    and snippet positioning."""
+    return SpanCompiler(searcher).frame(q.normalize())
