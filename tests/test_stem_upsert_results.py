@@ -1,0 +1,105 @@
+"""Porter stemming, update_document (upsert), Results set ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_spark import query as Q
+from whoosh_spark.analysis import STEMMING, analyze_text
+from whoosh_spark.fields import ID, Schema, STEMTEXT, TEXT, transcript_schema
+from whoosh_spark.indexing import build_index
+from whoosh_spark.indexing.segments import open_segments
+from whoosh_spark.lang import stem
+from whoosh_spark.search import Searcher
+from whoosh_spark.search.results import (
+    ordered,
+    results_extend,
+    results_filter,
+    results_upgrade,
+)
+from whoosh_spark.streaming import IncrementalIndexer
+from whoosh_spark.streaming.incremental import upsert_batch
+
+
+def test_porter_vectors():
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "relational": "relat",
+        "conditional": "condit", "rational": "ration", "operator": "oper",
+        "happy": "happi", "electrical": "electr", "adjustable": "adjust",
+        "replacement": "replac", "motoring": "motor", "hopping": "hop",
+        "filing": "file", "sky": "sky", "adoption": "adopt",
+    }
+    for w, want in vectors.items():
+        assert stem(w) == want, w
+
+
+def test_stemming_analyzer_chain():
+    out = analyze_text("The relational databases are conflated", STEMMING)
+    assert out == [("relat", 0), ("databas", 1), ("conflat", 2)]
+
+
+def test_stemmed_search_conflates_variants(spark):
+    docs = spark.createDataFrame(
+        [(0, "the operator operates"), (1, "an operation occurred"), (2, "nothing here")],
+        "doc_id long, text string",
+    )
+    ix = build_index(spark, docs, Schema(STEMTEXT("text"))).persist()
+    s = Searcher(ix)
+    # query text goes through the same stemming chain via the parser
+    from whoosh_spark.query.parser import QueryParser
+
+    q = QueryParser("text", Schema(STEMTEXT("text"))).parse("operating")
+    got = sorted(r.doc_id for r in s.search(q).collect())
+    assert got == [0, 1]
+
+
+def test_upsert_replaces_by_unique_field(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("upsert") / "ix")
+    schema = transcript_schema()
+    ixer = IncrementalIndexer(spark, path, schema)
+    rows = [
+        ("c1", 0, "user", "alpha beta", None, None),
+        ("c1", 1, "assistant", "gamma delta", None, None),
+        ("c2", 0, "user", "epsilon zeta", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    upsert_batch(ixer, df, 0, ["conv_id"])
+    six = open_segments(spark, path, ixer.stored_docs(), schema)
+    assert Searcher(six).compile(Q.Term("text", "alpha")).count() == 1
+
+    # replace conversation c1 with new content
+    df2 = spark.createDataFrame(
+        [("c1", 0, "user", "omega psi", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    n_del = upsert_batch(ixer, df2, 1, ["conv_id"])
+    assert n_del == 2  # both old c1 turns deleted
+    six2 = open_segments(spark, path, ixer.stored_docs(), schema)
+    s2 = Searcher(six2)
+    assert s2.compile(Q.Term("text", "alpha")).count() == 0
+    assert s2.compile(Q.Term("text", "omega")).count() == 1
+    assert s2.compile(Q.Term("text", "epsilon")).count() == 1  # c2 untouched
+
+
+@pytest.fixture()
+def two_results(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(6)], "doc_id long, text string"
+    )
+    ix = build_index(spark, docs, Schema(TEXT("text"))).persist()
+    s = Searcher(ix)
+    a = s.compile(Q.Or([Q.Term("text", "w0"), Q.Term("text", "w1"), Q.Term("text", "w2")]))
+    b = s.compile(Q.Or([Q.Term("text", "w2"), Q.Term("text", "w3")]))
+    return a, b
+
+
+def test_results_set_ops(two_results):
+    a, b = two_results
+    assert sorted(r.doc_id for r in results_filter(a, b).collect()) == [2]
+    ext = ordered(results_extend(a, b)).collect()
+    assert [r.doc_id for r in ext][-1] == 3  # extended doc appended after a's
+    assert {r.doc_id for r in ext} == {0, 1, 2, 3}
+    up = ordered(results_upgrade(a, b)).collect()
+    assert up[0].doc_id == 2  # upgraded doc first
+    assert {r.doc_id for r in up} == {0, 1, 2}

@@ -60,6 +60,7 @@ class AnalyzerSpec:
     minsize: int = 2
     maxsize: int | None = None
     ngram: tuple[int, int] | None = None
+    stem: bool = False  # StemFilter (Porter) after the stop filter
 
     def compiled(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
@@ -67,6 +68,9 @@ class AnalyzerSpec:
 
 STANDARD = AnalyzerSpec()
 SIMPLE = AnalyzerSpec(stoplist=None, minsize=1)  # SimpleAnalyzer: no stop filter
+# StemmingAnalyzer: RegexTokenizer | Lowercase | Stop | StemFilter
+# (reference: analysis/analyzers.py::StemmingAnalyzer ~L180)
+STEMMING = AnalyzerSpec(stem=True)
 
 
 def NGRAM_WORDS(minsize: int = 3, maxsize: int = 3) -> AnalyzerSpec:
@@ -119,6 +123,13 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
     if spec.stoplist is not None:
         keep &= ~flat.isin(spec.stoplist)
     kept = flat[keep]
+    if spec.stem:
+        # stem per UNIQUE term (zipfian batches -> tiny vocabulary), the
+        # reference's StemFilter lru_cache trick vectorized via Series.map
+        from whoosh_spark.lang import stem as _stem
+
+        mapping = {u: _stem(u) for u in pd.unique(kept)}
+        kept = kept.map(mapping)
     pos = kept.groupby(level=0).cumcount()
     if spec.ngram is not None:
         return _ngram_expand(kept, pos, spec.ngram, n_rows)

@@ -668,6 +668,26 @@ SELECT doc_id, round(score, 4) AS score FROM (
 
     add("highlight_snippets", _highlight, None)  # fragmenter: rows-only
 
+    # ----------------------- stemming (rows-only) ------------------------
+
+    def _stem_topk(spark, sf):
+        from whoosh_spark import query as Qn
+        from whoosh_spark.entry_queries import _topk
+        from whoosh_spark.fields import STEMTEXT, Schema
+        from whoosh_spark.indexing import build_index
+        from whoosh_spark.search import Searcher
+
+        key = ("stem_ix", sf)
+        if key not in _CACHE:
+            ix = build_index(spark, _docs(spark, sf), Schema(STEMTEXT("text"))).persist()
+            _CACHE[key] = Searcher(ix)
+        s = _CACHE[key]
+        from whoosh_spark.lang import stem as _st
+
+        return _topk(s.compile(Qn.Term("text", _st("merging"))))
+
+    add("stemmed_search_topk", _stem_topk, None)  # Porter not expressible in SQL
+
     # ------------------------------ multimodal ---------------------------
 
     add(

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
 
-from whoosh_spark.analysis import SIMPLE, STANDARD, AnalyzerSpec
+from whoosh_spark.analysis import SIMPLE, STANDARD, STEMMING, AnalyzerSpec
 
 
 @dataclass(frozen=True)
@@ -52,6 +52,13 @@ def ID(name: str) -> FieldSpec:
 def KEYWORD(name: str, lowercase: bool = False) -> FieldSpec:
     spec = AnalyzerSpec(pattern=r"[^ \t\r\n]+", lowercase=lowercase, stoplist=None, minsize=1)
     return FieldSpec(name, "keyword", analyzer=spec)
+
+
+def STEMTEXT(name: str, field_boost: float = 1.0, B: float | None = None) -> FieldSpec:
+    """TEXT with StemmingAnalyzer (reference: fields.py TEXT(analyzer=
+    StemmingAnalyzer()) idiom)."""
+    return FieldSpec(name, "text", analyzer=STEMMING, scorable=True, phrase=True,
+                     field_boost=field_boost, B=B)
 
 
 def NGRAMWORDS(name: str, minsize: int = 3, maxsize: int = 3,

@@ -163,3 +163,48 @@ def index_stream(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# --------------------------------------------------------------- upsert
+
+
+def upsert_batch(
+    indexer: IncrementalIndexer,
+    batch_df: "DataFrame",
+    batch_id: int,
+    unique_fields: list[str],
+) -> int:
+    """update_document semantics (reference: src/whoosh/writing.py::
+    IndexWriter.update_document ~L520): delete every existing doc whose
+    value in ANY unique field matches an incoming row, then add the batch
+    as a new segment. Returns the number of deleted doc ids.
+
+    The delete lookup is a pairs_postings scan over the (ID-field, value)
+    pairs of the incoming batch — batch-sized, so the collect is small.
+    """
+    from whoosh_spark.indexing.segments import delete_docs, open_segments
+
+    path = indexer.path
+    done = _read_manifest(path)
+    n_deleted = 0
+    if done:
+        ix = open_segments(indexer.spark, path, indexer.stored_docs(), indexer.schema)
+        pairs = []
+        for fldname in unique_fields:
+            vals = [
+                r[0]
+                for r in batch_df.select(fldname).where(F.col(fldname).isNotNull())
+                .distinct()
+                .collect()
+            ]
+            pairs.extend((fldname, str(v)) for v in vals)
+        if pairs:
+            hit_ids = [
+                r["doc_id"]
+                for r in ix.pairs_postings(pairs).select("doc_id").distinct().collect()
+            ]
+            if hit_ids:
+                n_deleted = len(hit_ids)
+                delete_docs(indexer.spark, path, hit_ids)
+    indexer.append_batch(batch_df, batch_id)
+    return n_deleted
