@@ -85,3 +85,90 @@ class PyIndex:
     def topk(self, scores: dict[int, float], k: int | None = 10) -> list[tuple[int, float]]:
         items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return items if k is None else items[:k]
+
+
+    # ---- generic query-tree evaluator (mirrors executor semantics) ----
+
+    def _lexicon(self) -> set[str]:
+        out: set[str] = set()
+        for c in self.tf.values():
+            out |= set(c)
+        return out
+
+    def scores(self, q) -> dict[int, float]:
+        from whoosh_spark import query as Q
+        from whoosh_spark.util import levenshtein
+
+        b = q.boost
+
+        def boosted(d: dict[int, float]) -> dict[int, float]:
+            return {k: v * b for k, v in d.items()} if b != 1.0 else d
+
+        if isinstance(q, Q.Term):
+            if q.fieldname == self.text_field:
+                return boosted({i: self.bm25(i, q.text) for i in self.matching(q.text)})
+            return boosted({i: 1.0 for i in self.id_matching(q.fieldname, q.text)})
+        if isinstance(q, Q.Phrase):
+            docs = self.phrase_docs(list(q.words), q.slop)
+            return boosted(
+                {i: sum(self.bm25(i, w) for w in q.words) for i in docs}
+            )
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.FuzzyTerm, Q.TermRange)):
+            import fnmatch as _fn
+            import re as _re
+
+            lex = sorted(self._lexicon())
+            if isinstance(q, Q.Prefix):
+                terms = [t for t in lex if t.startswith(q.text)]
+            elif isinstance(q, Q.Wildcard):
+                rx = _re.compile(_fn.translate(q.text))
+                terms = [t for t in lex if rx.fullmatch(t)]
+            elif isinstance(q, Q.FuzzyTerm):
+                terms = [
+                    t for t in lex
+                    if t.startswith(q.text[: q.prefixlength])
+                    and levenshtein(t, q.text) <= q.maxdist
+                ]
+            else:
+                terms = [
+                    t for t in lex
+                    if (q.start is None or (t > q.start if q.startexcl else t >= q.start))
+                    and (q.end is None or (t < q.end if q.endexcl else t <= q.end))
+                ]
+            return boosted(self.or_scores(terms))
+        if isinstance(q, Q.And):
+            kid = [self.scores(k) for k in q.subqueries]
+            docs = set.intersection(*[set(d) for d in kid]) if kid else set()
+            return boosted({i: sum(d[i] for d in kid) for i in docs})
+        if isinstance(q, Q.Or):
+            out: dict[int, float] = {}
+            for d in (self.scores(k) for k in q.subqueries):
+                for i, s in d.items():
+                    out[i] = out.get(i, 0.0) + s
+            return boosted(out)
+        if isinstance(q, Q.DisjunctionMax):
+            out = {}
+            for d in (self.scores(k) for k in q.subqueries):
+                for i, s in d.items():
+                    out[i] = max(out.get(i, 0.0), s)
+            return boosted(out)
+        if isinstance(q, Q.AndNot):
+            a, bb = self.scores(q.a), self.scores(q.b)
+            return boosted({i: s for i, s in a.items() if i not in bb})
+        if isinstance(q, Q.Require):
+            a, bb = self.scores(q.a), self.scores(q.b)
+            return boosted({i: s for i, s in a.items() if i in bb})
+        if isinstance(q, Q.AndMaybe):
+            a, bb = self.scores(q.a), self.scores(q.b)
+            return boosted({i: s + bb.get(i, 0.0) for i, s in a.items()})
+        if isinstance(q, Q.Not):
+            sub = self.scores(q.subquery)
+            return boosted({i: 1.0 for i in self.tf if i not in sub})
+        if isinstance(q, Q.Every):
+            return boosted({i: 1.0 for i in self.tf})
+        if isinstance(q, Q.NullQuery):
+            return {}
+        raise NotImplementedError(type(q).__name__)
+
+    def query(self, q, limit: int | None = 10) -> list[tuple[int, float]]:
+        return self.topk(self.scores(q.normalize()), limit)

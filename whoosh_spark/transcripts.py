@@ -207,3 +207,71 @@ def synth_turns(
             F.to_timestamp(F.lit("2025-01-01 00:00:00")) + F.make_interval(secs=F.col("id"))
         ).alias("ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# 3. FIXTURES.md F1 corpus (reference parity query-set corpus)
+# --------------------------------------------------------------------------
+
+# VOCAB per FIXTURES.md F1: testdata words ∪ stopword hits ∪ sub-minsize
+# tokens ∪ the 'tbd' quirk ∪ dotted token ∪ case probes ∪ unicode probes.
+FIXTURE_VOCAB = (
+    "the fast key order sort table scan merge part window small hash join "
+    "batch stream spark group query row data slow filter customer line value "
+    "agg column big vector dup a and of to in is it x q z tbd v1.2.3 "
+    "Spark SPARK café naïve 東京"
+).split()
+
+
+def fixture_rows(n_convs: int = 20, turns_per_conv: int = 5, seed: int = 42) -> list[dict]:
+    """FIXTURES.md F1 generator, driver-side (unit/correctness sizes only).
+
+    Deterministic: numpy default_rng(seed); text = 5-80 zipf(s=1.3) draws
+    from FIXTURE_VOCAB; every 7th global turn embeds the phrase bigram
+    "hash join"; every 13th embeds stopwords + 1-char tokens; roles cycle
+    user/assistant/system/tool; ts = 2026-01-01Z + 60s * global turn.
+    """
+    import numpy as np
+    from datetime import datetime, timedelta, timezone
+
+    rng = np.random.default_rng(seed)
+    roles = ["user", "assistant", "system", "tool"]
+    tools = ["bash", "search", "editor"]
+    base_ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    g = 0
+    nv = len(FIXTURE_VOCAB)
+    for c in range(n_convs):
+        for t in range(turns_per_conv):
+            n_tok = int(rng.integers(5, 81))
+            idx = np.minimum(rng.zipf(1.3, size=n_tok) - 1, nv - 1)
+            words = [FIXTURE_VOCAB[i] for i in idx]
+            if g % 7 == 0:
+                words[len(words) // 2 : len(words) // 2] = ["hash", "join"]
+            if g % 13 == 0:
+                words += ["the", "a", "x", "q"]
+            role = roles[t % 4]
+            rows.append(
+                {
+                    "conv_id": f"conv{c:06d}",
+                    "turn_idx": t,
+                    "role": role,
+                    "text": " ".join(words),
+                    "tool": tools[g % 3] if role == "tool" else "",
+                    "ts": base_ts + timedelta(seconds=60 * g),
+                }
+            )
+            g += 1
+    for i, r in enumerate(rows):  # already (conv_id, turn_idx) ordered
+        r["doc_id"] = i
+    return rows
+
+
+def fixture_corpus(spark: SparkSession, n_convs: int = 20, turns_per_conv: int = 5,
+                   seed: int = 42) -> DataFrame:
+    rows = fixture_rows(n_convs, turns_per_conv, seed)
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, doc_id long",
+    )
