@@ -111,10 +111,18 @@ class Searcher:
         n = self.index.doc_count
         exp = expansion.copy()
         exp["idf"] = [idf_fn(n, int(d)) for d in exp["df"]]
-        exp_sdf = self._spark.createDataFrame(exp[["term", "idf"]])
-        p = self.index.terms_postings(q.fieldname, exp["term"].tolist()).join(
-            F.broadcast(exp_sdf), "term"
-        )
+        terms = exp["term"].tolist()
+        p = self.index.terms_postings(q.fieldname, terms)
+        if len(exp) <= 512:
+            # literal term->idf map beats a broadcast-join round trip for
+            # typical expansions (a driver createDataFrame costs ~1s/query)
+            idf_map = F.create_map(
+                *[x for t, i in zip(terms, exp["idf"]) for x in (F.lit(t), F.lit(float(i)))]
+            )
+            p = p.withColumn("idf", idf_map[F.col("term")])
+        else:
+            exp_sdf = self._spark.createDataFrame(exp[["term", "idf"]])
+            p = p.join(F.broadcast(exp_sdf), "term")
         score = self.weighting.score_expr(fs, F.col("idf"), avgdl, F.col("weight"), F.col("dl"))
         if q.boost != 1.0:
             score = score * q.boost
