@@ -101,3 +101,37 @@ def test_standard_spec_defaults():
     assert STANDARD.minsize == 2
     assert STANDARD.maxsize is None
     assert STANDARD.stoplist == STOP_WORDS
+
+
+def test_accent_fold_charset_filter():
+    # CharsetFilter analogue: NFKD + strip combining marks, post-lowercase
+    from whoosh_spark.analysis import AnalyzerSpec, analyze_text
+
+    spec = AnalyzerSpec(accent_fold=True)
+    assert analyze_text("Café au naïve Zürich résumé", spec) == [
+        ("cafe", 0), ("au", 1), ("naive", 2), ("zurich", 3), ("resume", 4)
+    ]
+    # folded terms are visible to the stop filter ("the" still dropped)
+    assert analyze_text("the café", spec) == [("cafe", 0)]
+
+
+def test_intraword_filter_splits_and_renumbers():
+    from whoosh_spark.analysis import AnalyzerSpec, analyze_text
+
+    spec = AnalyzerSpec(intraword=True)
+    assert analyze_text("getUserID fooBar XMLParser x86", spec) == [
+        ("get", 0), ("user", 1), ("id", 2), ("foo", 3), ("bar", 4),
+        ("xml", 5), ("parser", 6), ("86", 7),
+    ]
+
+
+def test_intraword_series_batch():
+    import pandas as pd
+
+    from whoosh_spark.analysis import AnalyzerSpec, analyze_series
+
+    b = analyze_series(pd.Series(["runTime2go", "", "aB"]), AnalyzerSpec(intraword=True))
+    assert list(zip(b.row.tolist(), b.term.tolist(), b.pos.tolist())) == [
+        (0, "run", 0), (0, "time", 1), (0, "go", 2)
+    ]
+    assert b.lengths().tolist() == [3, 0, 0]

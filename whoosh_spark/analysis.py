@@ -61,9 +61,21 @@ class AnalyzerSpec:
     maxsize: int | None = None
     ngram: tuple[int, int] | None = None
     stem: bool = False  # StemFilter (Porter) after the stop filter
+    # CharsetFilter analogue (src/whoosh/analysis/filters.py::CharsetFilter
+    # with the accent map): NFKD-decompose + strip combining marks, applied
+    # right after lowercasing so stop/minsize filters see folded terms
+    accent_fold: bool = False
+    # IntraWordFilter (src/whoosh/analysis/intraword.py::IntraWordFilter
+    # ~L30): split camelCase / letter-digit runs into subword tokens before
+    # lowercasing; positions renumber over the split stream
+    intraword: bool = False
 
     def compiled(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
+
+
+_INTRAWORD_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|\d+")
+_COMBINING_RE = "[\\u0300-\\u036f]+"  # Combining Diacritical Marks block
 
 
 STANDARD = AnalyzerSpec()
@@ -115,8 +127,16 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
     if len(flat) == 0:
         empty = np.empty(0, dtype=np.int64)
         return AnalyzedBatch(empty, np.empty(0, dtype=object), empty, n_rows)
+    if spec.intraword:
+        flat = flat.str.findall(_INTRAWORD_RE).explode()
+        flat = flat[flat.notna()]
+        if len(flat) == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return AnalyzedBatch(empty, np.empty(0, dtype=object), empty, n_rows)
     if spec.lowercase:
         flat = flat.str.lower()
+    if spec.accent_fold:
+        flat = flat.str.normalize("NFKD").str.replace(_COMBINING_RE, "", regex=True)
     keep = flat.str.len() >= spec.minsize
     if spec.maxsize is not None:
         keep &= flat.str.len() <= spec.maxsize

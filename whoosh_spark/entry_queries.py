@@ -22,7 +22,16 @@ from whoosh_spark import query as Q
 from whoosh_spark.analysis import STOP_WORDS
 from whoosh_spark.fields import DATETIME, ID, NUMERIC, Schema, documents_schema
 from whoosh_spark.indexing import build_index
-from whoosh_spark.search import BM25F, Frequency, Searcher, TF_IDF
+from whoosh_spark.query.parser import MultifieldParser
+from whoosh_spark.search import (
+    BM25F,
+    Frequency,
+    FunctionFacet,
+    FunctionWeighting,
+    PL2,
+    Searcher,
+    TF_IDF,
+)
 
 K = 10
 
@@ -522,6 +531,90 @@ def _registry() -> dict:
             _docs_searcher(spark, sf, Frequency()).compile(Q.Term("text", "hash"))
         ),
         _sql_topk("SELECT doc_id, w AS score FROM post WHERE term = 'hash'"),
+    )
+
+    add(
+        "pl2_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf, PL2()).compile(Q.Term("text", "spark"))
+        ),
+        PRELUDE
+        + """, cstat AS (SELECT term, sum(w) AS cf FROM post GROUP BY term)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id,
+         (1.0 / (tfn + 1)) * (tfn * log2(tfn / lam)
+                              + (lam - tfn) * (1.0 / ln(2))
+                              + 0.5 * log2(2 * pi() * tfn)) AS score
+  FROM (
+    SELECT p.doc_id,
+           p.w * log2(1 + 1.0 * g.avgdl / l.dl) AS tfn,
+           c.cf / g.n AS lam
+    FROM post p JOIN cstat c USING (term) JOIN dl l USING (doc_id) CROSS JOIN gstat g
+    WHERE p.term = 'spark'
+  )
+) ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
+    add(
+        "funcweight_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(
+                spark,
+                sf,
+                FunctionWeighting(
+                    lambda idf_c, avgdl, w, dl: idf_c * w / F.sqrt(dl.cast("double") + w)
+                ),
+            ).compile(Q.Term("text", "spark"))
+        ),
+        _sql_topk(
+            "SELECT p.doc_id, (ln(g.n / (t.df + 1)) + 1) * p.w / sqrt(l.dl + p.w) AS score "
+            "FROM post p JOIN tstat t USING (term) JOIN dl l USING (doc_id) "
+            "CROSS JOIN gstat g WHERE p.term = 'spark'"
+        ),
+    )
+
+    add(
+        "multifield_or_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                MultifieldParser(["text", "lang"], documents_schema()).parse("en")
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM ("
+            "  SELECT doc_id, score FROM scored WHERE term = 'en'"
+            "  UNION ALL"
+            "  SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'en'"
+            ") GROUP BY doc_id"
+        ),
+    )
+
+    add(
+        "term_vector_doc",
+        lambda spark, sf: _docs_searcher(spark, sf).index.vector(7, "text"),
+        PRELUDE
+        + "SELECT term, w AS weight FROM post WHERE doc_id = 7 ORDER BY term",
+    )
+
+    add(
+        "sorted_by_function_facet",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .search(
+            Q.Term("text", "vector"),
+            sortedby=[
+                FunctionFacet(
+                    lambda fns: fns.col("n_chars") % 100,
+                    columns=("n_chars",),
+                    name="bucket",
+                )
+            ],
+            limit=10,
+        )
+        .select("doc_id", "bucket"),
+        PRELUDE
+        + "SELECT doc_id, (d.n_chars % 100) AS bucket FROM "
+        "(SELECT DISTINCT doc_id FROM post WHERE term = 'vector') q "
+        "JOIN documents d USING (doc_id) ORDER BY bucket ASC, doc_id ASC LIMIT 10",
     )
 
     # --- index stats / reader API (SURVEY §2.9 term stats) ---

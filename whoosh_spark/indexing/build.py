@@ -217,7 +217,7 @@ class InvertedIndex:
             from whoosh_spark.util import levenshtein_np
 
             lex = lex[levenshtein_np(lex["term"].to_numpy(), word) <= maxdist]
-        return lex[["term", "df"]]
+        return lex[["term", "df", "total_weight"]]
 
     # -- posting access points (overridden by the physical SegmentedIndex,
     # which filters packed BLOCK rows before decoding — mapInArrow is a
@@ -238,6 +238,19 @@ class InvertedIndex:
         """Posting rows of an expanded term set (Prefix/Wildcard/Fuzzy/...)."""
         return self.postings.where(
             (F.col("field") == fieldname) & F.col("term").isin(list(terms))
+        )
+
+    def vector(self, doc_id: int, field_name: str) -> DataFrame:
+        """Term vector of one document — forward-index read (reference:
+        reading.py::IndexReader.vector ~L400), recomputed from postings
+        (SURVEY D13 option b: no stored forward index; the posting scan is
+        doc_id-filtered so only matching blocks/rows are decoded)."""
+        return (
+            self.postings.where(
+                (F.col("field") == field_name) & (F.col("doc_id") == doc_id)
+            )
+            .select("term", "weight")
+            .orderBy("term")
         )
 
     def pairs_postings(self, pairs: list[tuple[str, str]]) -> DataFrame:

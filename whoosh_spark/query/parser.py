@@ -178,7 +178,7 @@ class QueryParser:
         t = self._next()
         if t is None:
             return None
-        field = self.default_field
+        field = None  # None = unfielded (MultifieldParser fans these out)
         if t.kind == "word" and ":" in t.text and not t.text.startswith(":"):
             maybe_field, rest = t.text.split(":", 1)
             if maybe_field in self.schema or maybe_field == "*":
@@ -189,13 +189,18 @@ class QueryParser:
                     t = self._next()
                     if t is None:
                         return None
-        q = self._atom_body(t, field)
+        q = self._leaf(t, field)
         # boost suffix
         nxt = self._peek()
         if q is not None and nxt is not None and nxt.kind == "^":
             self._next()
             q = q.with_boost(float(nxt.text))
         return q
+
+    def _leaf(self, t: _Tok, field: str | None) -> Q.Query | None:
+        """Resolve an unfielded leaf to the default field; MultifieldParser
+        overrides this to fan out over its field list."""
+        return self._atom_body(t, field if field is not None else self.default_field)
 
     def _atom_body(self, t: _Tok, field: str) -> Q.Query | None:
         if t.kind == "(":
@@ -276,6 +281,38 @@ class QueryParser:
         lo = lo.lower() if (lo and fs is not None and fs.kind == "text") else lo
         hi = hi.lower() if (hi and fs is not None and fs.kind == "text") else hi
         return Q.TermRange(field, lo, hi, t.startexcl, t.endexcl)
+
+
+class MultifieldParser(QueryParser):
+    """Query over several fields (reference: qparser/default.py::
+    MultifieldParser ~L400): each unfielded leaf becomes an Or of the same
+    leaf over every field in ``fieldnames`` (with optional per-field
+    boosts); ``field:...`` prefixes still pin a single field. Groups recurse
+    through their leaves, so the fan-out applies inside parentheses too."""
+
+    def __init__(self, fieldnames: list[str], schema: Schema,
+                 fieldboosts: dict[str, float] | None = None):
+        super().__init__(fieldnames[0], schema)
+        self.fieldnames = list(fieldnames)
+        self.fieldboosts = dict(fieldboosts or {})
+
+    def _leaf(self, t: _Tok, field: str | None) -> Q.Query | None:
+        if field is not None or t.kind == "(":
+            # explicit field, or a group (whose leaves fan out themselves)
+            return super()._leaf(t, field)
+        subs = []
+        for f in self.fieldnames:
+            try:
+                q = self._atom_body(t, f)
+            except (ValueError, TypeError):
+                continue  # e.g. a non-numeric word against a NUMERIC field
+            if q is None:
+                continue
+            boost = self.fieldboosts.get(f, 1.0)
+            subs.append(q if boost == 1.0 else q.with_boost(boost))
+        if not subs:
+            return None
+        return subs[0] if len(subs) == 1 else Q.Or(subs)
 
 
 def _num(s: str | None):

@@ -1,2 +1,15 @@
 from whoosh_spark.search.executor import Searcher  # noqa: F401
-from whoosh_spark.search.scoring import BM25F, TF_IDF, Frequency  # noqa: F401
+from whoosh_spark.search.facets import (  # noqa: F401
+    FieldFacet,
+    FunctionFacet,
+    ScoreFacet,
+    StoredFieldFacet,
+)
+from whoosh_spark.search.scoring import (  # noqa: F401
+    BM25F,
+    TF_IDF,
+    Frequency,
+    FunctionWeighting,
+    MultiWeighting,
+    PL2,
+)

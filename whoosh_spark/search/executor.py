@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 from whoosh_spark.indexing.build import InvertedIndex
 from whoosh_spark.query import nodes as Q
-from whoosh_spark.search.scoring import BM25F, WeightingModel, idf as idf_fn
+from whoosh_spark.search.facets import ScoreFacet, as_facet
+from whoosh_spark.search.scoring import BM25F, WeightingModel
 
 
 class Searcher:
@@ -91,7 +92,9 @@ class Searcher:
         dfreq = self.index.doc_frequency(q.fieldname, q.text)
         if dfreq == 0:
             return self._empty()
-        idf_v = idf_fn(self.index.doc_count, dfreq)
+        idf_v = self.weighting.term_scalar(
+            fs, self.index.doc_count, dfreq, self.index.frequency(q.fieldname, q.text)
+        )
         p = self.index.term_postings(q.fieldname, q.text)
         score = self.weighting.score_expr(fs, idf_v, avgdl, F.col("weight"), F.col("dl"))
         if q.boost != 1.0:
@@ -110,7 +113,10 @@ class Searcher:
         fs, avgdl = self._score_ctx(q.fieldname)
         n = self.index.doc_count
         exp = expansion.copy()
-        exp["idf"] = [idf_fn(n, int(d)) for d in exp["df"]]
+        exp["idf"] = [
+            self.weighting.term_scalar(fs, n, int(d), float(c))
+            for d, c in zip(exp["df"], exp["total_weight"])
+        ]
         terms = exp["term"].tolist()
         p = self.index.terms_postings(q.fieldname, terms)
         if len(exp) <= 512:
@@ -311,7 +317,9 @@ class Searcher:
                         F.col("weight").alias(f"_w{i}"),
                         *( [F.col("dl").alias("dl")] if i == 0 else [] ),
                     ),
-                    idf_fn(n, dfreq),
+                    self.weighting.term_scalar(
+                        fs, n, dfreq, self.index.frequency(q.fieldname, w)
+                    ),
                 )
             )
         joined = dfs[0][0]
@@ -368,12 +376,26 @@ class Searcher:
         if collapse is not None:
             scored = self._collapse(scored, collapse, collapse_limit)
         if sortedby is not None:
-            keys = [sortedby] if isinstance(sortedby, str) else list(sortedby)
-            docs = self.index.docs.select(
-                F.col(self.index.doc_id_col).alias("doc_id"), *keys
-            )
-            out = scored.join(docs, "doc_id")
-            order = [F.col(k).desc() if reverse else F.col(k).asc() for k in keys]
+            keys = [sortedby] if not isinstance(sortedby, (list, tuple)) else list(sortedby)
+            facets = [as_facet(k) for k in keys]
+            needed = sorted({c for f in facets for c in f.columns})
+            out = scored
+            if needed:
+                docs = self.index.docs.select(
+                    F.col(self.index.doc_id_col).alias("doc_id"), *needed
+                )
+                out = out.join(docs, "doc_id")
+            order = []
+            for f in facets:
+                if f.output_name:
+                    out = out.withColumn(f.output_name, f.key())
+                key = F.col(f.output_name) if f.output_name else f.key()
+                # per-facet reverse XOR call-level reverse; ScoreFacet
+                # defaults descending like the reference (sorting.py)
+                desc = getattr(f, "reverse", False) ^ reverse
+                if isinstance(f, ScoreFacet):
+                    desc = not desc
+                order.append(key.desc() if desc else key.asc())
             out = out.orderBy(*order, F.asc("doc_id"))
             return out.limit(limit) if limit is not None else out
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -571,7 +593,9 @@ class SpanCompiler:
         dfreq = self.s.index.doc_frequency(q.fieldname, q.text)
         if dfreq == 0:
             return self._empty()
-        idf_v = idf_fn(self.s.index.doc_count, dfreq)
+        idf_v = self.s.weighting.term_scalar(
+            fs, self.s.index.doc_count, dfreq, self.s.index.frequency(q.fieldname, q.text)
+        )
         p = self.s.index.term_postings(q.fieldname, q.text, positions=True)
         score = self.s.weighting.score_expr(fs, idf_v, avgdl, F.col("weight"), F.col("dl"))
         spans = F.transform(

@@ -1,0 +1,87 @@
+"""Facet key sources for sorted search (reference: src/whoosh/sorting.py).
+
+The reference's facet objects choose the sort/group key per matched doc:
+FieldFacet (~L150) reads a column, StoredFieldFacet (~L660) a stored field,
+ScoreFacet (~L520) the score itself, FunctionFacet (~L560) a user function.
+In Spark every key is just a Column expression over the scored frame joined
+with the docs table, so each facet declares (a) which doc columns it needs
+joined and (b) the key Column — Catalyst prunes the docs scan to exactly
+those columns.
+
+Usage: ``searcher.search(q, sortedby=[ScoreFacet(), FieldFacet("lang")])``
+— plain strings remain accepted and mean FieldFacet(name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FieldFacet:
+    """Sort key = a document column (reference: sorting.py::FieldFacet)."""
+
+    name: str
+    reverse: bool = False
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return (self.name,)
+
+    @property
+    def output_name(self) -> str | None:
+        return None  # column is already present after the join
+
+    def key(self) -> Column:
+        return F.col(self.name)
+
+
+@dataclass(frozen=True)
+class StoredFieldFacet(FieldFacet):
+    """Key from the stored document value (reference: sorting.py::
+    StoredFieldFacet ~L660). Stored fields ARE the docs table columns here
+    (SURVEY D9), so this is FieldFacet with the reference's name."""
+
+
+@dataclass(frozen=True)
+class ScoreFacet:
+    """Sort by score (reference: sorting.py::ScoreFacet ~L520). Scores sort
+    descending by default, like the reference."""
+
+    reverse: bool = False
+
+    columns: tuple[str, ...] = ()
+    output_name = None
+
+    def key(self) -> Column:
+        return F.col("score")
+
+
+class FunctionFacet:
+    """User-expression key (reference: sorting.py::FunctionFacet ~L560).
+
+    ``expr_fn(F) -> Column`` builds the key from document/score columns;
+    ``columns`` lists the doc columns it reads (joined in, and pruned to,
+    exactly these). The key is emitted as ``name`` in the result frame.
+    """
+
+    def __init__(self, expr_fn, columns: tuple[str, ...] = (), name: str = "key",
+                 reverse: bool = False):
+        self.expr_fn = expr_fn
+        self.columns = tuple(columns)
+        self.name = name
+        self.reverse = reverse
+
+    @property
+    def output_name(self) -> str | None:
+        return self.name
+
+    def key(self) -> Column:
+        return self.expr_fn(F)
+
+
+def as_facet(k) -> "FieldFacet | ScoreFacet | FunctionFacet":
+    return FieldFacet(k) if isinstance(k, str) else k

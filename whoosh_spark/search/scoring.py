@@ -44,6 +44,13 @@ def _as_col(idf_value) -> Column:
 
 @dataclass(frozen=True)
 class WeightingModel:
+    def term_scalar(self, fs: FieldSpec, n: int, df: int, cf: float) -> float:
+        """Per-(field, term) plan-time constant fed to score_expr as
+        ``idf_value`` — idf for the tf*idf family, lambda = cf/N for DFR
+        models. Mirrors the reference's per-query scorer setup
+        (scoring.py::WeightLengthScorer precomputing idf/avgfl)."""
+        return idf(n, df)
+
     def score_expr(self, fs: FieldSpec, idf_value: "float | Column", avgdl: float,
                    w: Column, dl: Column) -> Column:
         """idf_value may be a plan-time float or a per-term idf Column (used
@@ -117,3 +124,103 @@ class Frequency(WeightingModel):
 
     def max_quality(self, fs, idf_value, avgdl, max_weight, min_dl):
         return max_weight
+
+
+_LOG2E = 1.0 / math.log(2.0)
+
+
+@dataclass(frozen=True)
+class PL2(WeightingModel):
+    """PL2 divergence-from-randomness model (reference: scoring.py::PL2
+    ~L330, default c=1.0). The reference mount is empty, so the formula is
+    the published Terrier PL2 the reference class documents itself as
+    implementing:
+
+        lambda = cf / N           (mean collection frequency per doc)
+        tfn    = tf * log2(1 + c * avgdl / dl)
+        score  = 1/(tfn+1) * ( tfn*log2(tfn/lambda)
+                               + (lambda - tfn)*log2(e)
+                               + 0.5*log2(2*pi*tfn) )
+
+    The per-term plan-time scalar is lambda (not idf)."""
+
+    c: float = 1.0
+
+    def term_scalar(self, fs, n, df, cf):
+        return cf / n if n > 0 else 1.0
+
+    def score_expr(self, fs, idf_value, avgdl, w, dl):
+        if not fs.scorable or avgdl <= 0:
+            return w
+        lam = _as_col(idf_value)
+        tfn = w * F.log2(F.lit(1.0) + F.lit(self.c * avgdl) / dl.cast("double"))
+        return (F.lit(1.0) / (tfn + F.lit(1.0))) * (
+            tfn * F.log2(tfn / lam)
+            + (lam - tfn) * F.lit(_LOG2E)
+            + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * tfn)
+        )
+
+    def score_np(self, fs, idf_value, avgdl, w, dl):
+        w = np.asarray(w, dtype=np.float64)
+        if not fs.scorable or avgdl <= 0:
+            return w
+        lam = float(idf_value)
+        dl = np.asarray(dl, dtype=np.float64)
+        tfn = w * np.log2(1.0 + self.c * avgdl / dl)
+        return (1.0 / (tfn + 1.0)) * (
+            tfn * np.log2(tfn / lam)
+            + (lam - tfn) * _LOG2E
+            + 0.5 * np.log2(2.0 * math.pi * tfn)
+        )
+
+    def max_quality(self, fs, idf_value, avgdl, max_weight, min_dl):
+        # PL2 has no cheap monotone block bound; +inf disables WAND skipping
+        # safely (the pruned path then degrades to exhaustive scoring).
+        return math.inf
+
+
+@dataclass(frozen=True)
+class FunctionWeighting(WeightingModel):
+    """User-defined scoring (reference: scoring.py::FunctionWeighting ~L420).
+    ``expr_fn(idf_col, avgdl, w_col, dl_col) -> Column`` builds the Spark
+    score expression; ``np_fn`` is its numpy twin for the WAND path (optional
+    — without it max_quality disables pruning)."""
+
+    expr_fn: "object"
+    np_fn: "object | None" = None
+
+    def score_expr(self, fs, idf_value, avgdl, w, dl):
+        return self.expr_fn(_as_col(idf_value), avgdl, w, dl)
+
+    def score_np(self, fs, idf_value, avgdl, w, dl):
+        if self.np_fn is None:
+            raise NotImplementedError("FunctionWeighting without np_fn")
+        return self.np_fn(idf_value, avgdl, np.asarray(w, np.float64), np.asarray(dl, np.float64))
+
+    def max_quality(self, fs, idf_value, avgdl, max_weight, min_dl):
+        return math.inf
+
+
+@dataclass(frozen=True)
+class MultiWeighting(WeightingModel):
+    """Per-field model dispatch (reference: scoring.py::MultiWeighting
+    ~L390): ``MultiWeighting(BM25F(), text=TF_IDF())`` in the reference;
+    here an explicit dict."""
+
+    default: WeightingModel = field(default_factory=BM25F)
+    fields: dict[str, WeightingModel] = field(default_factory=dict)
+
+    def _m(self, fs) -> WeightingModel:
+        return self.fields.get(fs.name, self.default)
+
+    def term_scalar(self, fs, n, df, cf):
+        return self._m(fs).term_scalar(fs, n, df, cf)
+
+    def score_expr(self, fs, idf_value, avgdl, w, dl):
+        return self._m(fs).score_expr(fs, idf_value, avgdl, w, dl)
+
+    def score_np(self, fs, idf_value, avgdl, w, dl):
+        return self._m(fs).score_np(fs, idf_value, avgdl, w, dl)
+
+    def max_quality(self, fs, idf_value, avgdl, max_weight, min_dl):
+        return self._m(fs).max_quality(fs, idf_value, avgdl, max_weight, min_dl)
