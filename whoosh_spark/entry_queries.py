@@ -238,6 +238,35 @@ def _registry() -> dict:
     )
 
     add(
+        "or_scale_coord_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.Or(
+                    [Q.Term("text", "spark"), Q.Term("text", "hash"), Q.Term("text", "join")],
+                    scale=0.5,
+                )
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) * (0.5 + 0.5 * count(DISTINCT term) / 3.0) AS score "
+            "FROM scored WHERE term IN ('spark','hash','join') GROUP BY doc_id"
+        ),
+    )
+
+    add(
+        "otherwise_fallback_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.Otherwise(Q.Term("text", "zzzznomatch"), Q.Term("text", "merge"))
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, score FROM scored WHERE term = CASE WHEN EXISTS "
+            "(SELECT 1 FROM post WHERE term = 'zzzznomatch') THEN 'zzzznomatch' ELSE 'merge' END"
+        ),
+    )
+
+    add(
         "not_complement_count",
         lambda spark, sf: _docs_searcher(spark, sf)
         .compile(Q.Not(Q.Term("text", "spark")))
