@@ -143,3 +143,29 @@ def test_normalize_every_elimination():
 
 def test_one_word_phrase_becomes_term():
     assert Q.Phrase("text", ["solo"]).normalize() == Q.Term("text", "solo")
+
+
+def test_natural_language_dates_with_basedate():
+    from datetime import datetime
+
+    from whoosh_spark.fields import DATETIME, ID, Schema, TEXT
+    from whoosh_spark.query.parser import QueryParser
+
+    schema = Schema(TEXT("text"), DATETIME("ts"))
+    base = datetime(2024, 3, 15, 12, 30, 0)
+    p = QueryParser("text", schema, basedate=base)
+    q = p.parse("ts:yesterday")
+    assert q.start == datetime(2024, 3, 14, 0, 0, 0)
+    assert q.end == datetime(2024, 3, 14, 23, 59, 59)
+    q2 = p.parse("ts:today")
+    assert q2.start == datetime(2024, 3, 15, 0, 0, 0)
+    q3 = p.parse("ts:-3days")
+    assert q3.start == datetime(2024, 3, 12, 0, 0, 0)
+    q4 = p.parse("ts:[-1week TO now]")
+    assert q4.start == datetime(2024, 3, 8, 0, 0, 0)
+    assert q4.end == base
+    # without basedate, named dates are not resolved (deterministic parses)
+    import pytest
+
+    with pytest.raises(ValueError):
+        QueryParser("text", schema).parse("ts:yesterday")

@@ -90,11 +90,19 @@ def _scan(s: str) -> list[_Tok]:
 
 
 class QueryParser:
-    """parser = QueryParser("text", schema); parser.parse("hash join")"""
+    """parser = QueryParser("text", schema); parser.parse("hash join")
 
-    def __init__(self, default_field: str, schema: Schema):
+    ``basedate`` anchors the natural-language date subset on DATETIME
+    fields (reference: qparser/dateparse.py::DateParserPlugin, which
+    defaults basedate to now; here it must be explicit so parses are
+    deterministic): ``ts:yesterday``, ``ts:today``, ``ts:tomorrow``,
+    ``ts:now``, and ``ts:'-3days'`` / ``ts:'+2weeks'`` relative offsets."""
+
+    def __init__(self, default_field: str, schema: Schema,
+                 basedate: datetime | None = None):
         self.default_field = default_field
         self.schema = schema
+        self.basedate = basedate
 
     # grammar: or_expr := and_expr (OR and_expr)*
     #          and_expr := bin_expr ((AND)? bin_expr)*      (adjacency = AND)
@@ -250,7 +258,7 @@ class QueryParser:
         if fs.kind == "numeric":
             return Q.NumericRange(field, _num(w), _num(w))
         if fs.kind == "datetime":
-            lo, hi = _date_bounds(w)
+            lo, hi = _date_bounds(w, self.basedate)
             return Q.DateRange(field, lo, hi)
         # text: run through the analyzer; stopword-only words vanish
         toks = [x for x, _ in analyze_text(w, self._analyzer(field))]
@@ -275,8 +283,8 @@ class QueryParser:
         if fs is not None and fs.kind == "numeric":
             return Q.NumericRange(field, _num(lo), _num(hi), t.startexcl, t.endexcl)
         if fs is not None and fs.kind == "datetime":
-            lo_d = _date_bounds(lo)[0] if lo else None
-            hi_d = _date_bounds(hi)[1] if hi else None
+            lo_d = _date_bounds(lo, self.basedate)[0] if lo else None
+            hi_d = _date_bounds(hi, self.basedate)[1] if hi else None
             return Q.DateRange(field, lo_d, hi_d, t.startexcl, t.endexcl)
         lo = lo.lower() if (lo and fs is not None and fs.kind == "text") else lo
         hi = hi.lower() if (hi and fs is not None and fs.kind == "text") else hi
@@ -324,11 +332,39 @@ def _num(s: str | None):
         return float(s)
 
 
-def _date_bounds(s: str) -> tuple[datetime, datetime]:
+_RELDATE_RE = re.compile(r"([+-]?\d+)\s*(day|week|month|year|hour|minute)s?",
+                         re.IGNORECASE)
+
+
+def _date_bounds(s: str, basedate: datetime | None = None) -> tuple[datetime, datetime]:
     """yyyymmdd[hhmmss] -> [start, end) bounds like the reference's date
     grammar resolves a partial date to a range
-    (src/whoosh/qparser/dateparse.py semantics for plain date terms)."""
+    (src/whoosh/qparser/dateparse.py semantics for plain date terms).
+    With a basedate: named dates (yesterday/today/tomorrow/now) and relative
+    offsets (-3days, +2weeks) — the DateParserPlugin subset."""
+    from datetime import timedelta
+
     s = s.strip()
+    if basedate is not None:
+        low = s.lower()
+        day_of = lambda d: (d.replace(hour=0, minute=0, second=0, microsecond=0),
+                            d.replace(hour=23, minute=59, second=59, microsecond=0))
+        if low == "now":
+            return basedate, basedate
+        if low == "today":
+            return day_of(basedate)
+        if low == "yesterday":
+            return day_of(basedate - timedelta(days=1))
+        if low == "tomorrow":
+            return day_of(basedate + timedelta(days=1))
+        m = _RELDATE_RE.fullmatch(low)
+        if m:
+            n, unit = int(m.group(1)), m.group(2).lower()
+            step = {"minute": timedelta(minutes=1), "hour": timedelta(hours=1),
+                    "day": timedelta(days=1), "week": timedelta(weeks=1),
+                    "month": timedelta(days=30), "year": timedelta(days=365)}[unit]
+            d = basedate + n * step
+            return day_of(d) if unit in ("day", "week", "month", "year") else (d, d)
     fmts = [
         ("%Y%m%d%H%M%S", "second"),
         ("%Y%m%d%H%M", "minute"),
