@@ -187,3 +187,24 @@ def test_merge_segments_salted(spark, corpus, tmp_path_factory):
     assert Searcher(six_b).search(q).collect() == res_before
     assert wand_topk(six_b, "text", ["merge", "window"]).collect() == wand_before
     assert six_b.manifest[4]["lineage"]["merged_segments"] == [0, 1, 2, 3]
+
+
+def test_vector_physical_matches_logical(spark, tmp_path):
+    from whoosh_spark.fields import ID, NUMERIC, Schema, TEXT
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.indexing.segments import build_segments, open_segments
+
+    docs = [
+        {"doc_id": i, "text": f"alpha beta gamma{i % 3} delta " * (1 + i % 2), "role": "u", "n": i}
+        for i in range(20)
+    ]
+    schema = Schema(TEXT("text"), ID("role"), NUMERIC("n"))
+    sdf = spark.createDataFrame(docs)
+    logical = build_index(spark, sdf, schema)
+    path = str(tmp_path / "vec_ix")
+    build_segments(spark, sdf, schema, path, n_segments=2)
+    physical = open_segments(spark, path, sdf, schema)
+    for did in (0, 7, 19):
+        a = [(r["term"], r["weight"]) for r in logical.vector(did, "text").collect()]
+        b = [(r["term"], r["weight"]) for r in physical.vector(did, "text").collect()]
+        assert a == b and len(a) > 0

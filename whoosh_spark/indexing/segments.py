@@ -643,6 +643,25 @@ class SegmentedIndex(InvertedIndex):
         )
         return self._unpack(self.blocks.where(cond))
 
+    def vector(self, doc_id: int, field_name: str) -> DataFrame:
+        """Forward-index read over the block store: prune BLOCK rows by the
+        per-block doc-id range (min_doc/max_doc header metadata, SURVEY D7)
+        before decoding — at most one block per term survives, so a
+        single-doc vector never decodes the index. Mirrors the reference's
+        skip-pointer seek (codec W3LeafMatcher.skip_to) applied to a docnum
+        instead of a quality bound."""
+        pruned = self.blocks.where(
+            (F.col("field") == field_name)
+            & (F.col("min_doc") <= doc_id)
+            & (F.col("max_doc") >= doc_id)
+        )
+        return (
+            self._unpack(pruned, positions=False)
+            .where(F.col("doc_id") == doc_id)
+            .select("term", "weight")
+            .orderBy("term")
+        )
+
     def deleted_ids(self) -> set[int]:
         if self.deleted is None:
             return set()
