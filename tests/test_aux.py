@@ -72,7 +72,9 @@ def test_collection_frequency_rank(ix):
     ws = [r.total_weight for r in top]
     assert ws == sorted(ws, reverse=True)
     rare = collection_frequency_rank(ix, "text", n=5, most=False).collect()
-    assert all(r.df <= top[0].total_weight for r in rare)
+    # distinctive = total_weight * ln(N/df), descending
+    ss = [r.score for r in rare]
+    assert ss == sorted(ss, reverse=True)
 
 
 def test_highlights_pure():
@@ -93,3 +95,17 @@ def test_highlight_df(spark, ix):
     rows = highlight_df(wt, ["spark"]).select("doc_id", "highlight").collect()
     assert len(rows) == 3
     assert all("SPARK" in r.highlight for r in rows)
+
+
+def test_correct_query_rewrites_unknown_terms(ix):
+    from whoosh_spark.search.aux import correct_query
+
+    q = Q.And([Q.Term("text", "querry", boost=2.0), Q.Term("text", "spark")])
+    fixed = correct_query(ix, q, "text")
+    terms = {(t.text, t.boost) for t in fixed.subqueries}
+    assert ("query", 2.0) in terms          # misspelling corrected, boost kept
+    assert ("spark", 1.0) in terms          # known term untouched
+    # nested wrappers recurse
+    q2 = Q.AndNot(Q.Term("text", "querry"), Q.Not(Q.Term("text", "mergge")))
+    f2 = correct_query(ix, q2, "text")
+    assert f2.a.text == "query" and f2.b.subquery.text == "merge"

@@ -671,6 +671,28 @@ SELECT doc_id, round(score, 4) AS score FROM (
         + "SELECT doc_id, raw_len, dl FROM dl WHERE raw_len > 0",
     )
 
+    def _distinctive(spark, sf):
+        # collection_frequency_rank(most=False) with the score rounded
+        # BEFORE ranking, so the k-boundary is ulp-stable across engines
+        ixx = _docs_searcher(spark, sf).index
+        score = F.round(
+            F.col("total_weight") * F.log(F.lit(float(ixx.doc_count)) / F.col("df")), 4
+        )
+        return (
+            ixx.terms.where(F.col("field") == "text")
+            .select("term", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(10)
+        )
+
+    add(
+        "most_distinctive_terms",
+        _distinctive,
+        PRELUDE
+        + "SELECT term, round(sum(w) * ln((SELECT count(*) FROM documents)::DOUBLE / count(*)), 4) AS score "
+        "FROM post GROUP BY term ORDER BY score DESC, term ASC LIMIT 10",
+    )
+
     add(
         "top_terms",
         lambda spark, sf: _docs_searcher(spark, sf)

@@ -125,11 +125,48 @@ def more_like_this(
 def collection_frequency_rank(ix: InvertedIndex, fieldname: str, n: int = 10,
                               most: bool = True) -> DataFrame:
     """most_frequent_terms / most_distinctive_terms
-    (reference: reading.py::IndexReader ~L100-500)."""
+    (reference: reading.py::IndexReader ~L100-500). Distinctive score is
+    the published tf-idf rank the reference uses:
+    ``total_weight * ln(doc_count / df)`` — pure lexicon math, no posting
+    decode."""
     lex = ix.terms.where(F.col("field") == fieldname)
     if most:
         return lex.select("term", "total_weight").orderBy(
             F.desc("total_weight"), F.asc("term")
         ).limit(n)
-    # distinctive: highest idf-weighted tf == rarest but present
-    return lex.select("term", "df").orderBy(F.asc("df"), F.asc("term")).limit(n)
+    score = F.col("total_weight") * F.log(F.lit(float(ix.doc_count)) / F.col("df"))
+    return (
+        lex.select("term", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def correct_query(ix: InvertedIndex, q: Q.Query, fieldname: str,
+                  maxdist: int = 2, prefix: int = 0) -> Q.Query:
+    """Rewrite Term leaves whose text is missing from the lexicon to their
+    best spelling suggestion (reference: searching.py::Searcher
+    .correct_query ~L800 over spelling.py::ReaderCorrector). Pure driver
+    tree walk; one lexicon-frame suggest() per unknown term (terms are few
+    per query, the lexicon frame is tiny vs postings)."""
+
+    import dataclasses
+
+    def fix(node: Q.Query) -> Q.Query:
+        if isinstance(node, Q.Term) and node.fieldname == fieldname:
+            if ix.doc_frequency(fieldname, node.text) == 0:
+                top = suggest(ix, fieldname, node.text, limit=1,
+                              maxdist=maxdist, prefix=prefix).collect()
+                if top:
+                    return Q.Term(fieldname, top[0]["term"], boost=node.boost)
+            return node
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, Q.Query):
+                changes[f.name] = fix(v)
+            elif isinstance(v, (tuple, list)) and v and isinstance(v[0], Q.Query):
+                changes[f.name] = type(v)(fix(x) for x in v)
+        return dataclasses.replace(node, **changes) if changes else node
+
+    return fix(q)
