@@ -35,7 +35,13 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
-    spark = SparkSession.builder.appName("whoosh-spark-build").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("whoosh-spark-build")
+        # ~100 B/turn of text -> ~10 MB Arrow batches; larger batches
+        # amortize per-batch Python overhead in the analyzer stage
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        .getOrCreate()
+    )
     # imports AFTER session start: on a cluster the package arrives via
     # --py-files and is importable on driver + executors from the zip
     from whoosh_spark.fields import transcript_schema
