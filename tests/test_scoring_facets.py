@@ -167,3 +167,16 @@ def test_stored_field_facet_reverse(searcher):
     ).collect()
     ns = [r["n"] for r in out]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_variations_is_or_over_present_forms(searcher, oracle):
+    from whoosh_spark.query.nodes import variation_forms
+
+    forms = variation_forms("merge")
+    assert "merge" in forms and "merges" in forms and "merged" in forms
+    got = {r["doc_id"]: r["score"] for r in searcher.compile(Q.Variations("text", "merge")).collect()}
+    present = [t for t in forms if oracle.matching(t)]
+    exp = oracle.or_scores(present)
+    assert got.keys() == exp.keys()
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], rel=1e-9)

@@ -334,6 +334,20 @@ def _registry() -> dict:
         ),
     )
 
+    from whoosh_spark.query.nodes import variation_forms
+
+    _var_forms_sql = ", ".join(f"'{t}'" for t in variation_forms("join"))
+    add(
+        "variations_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(Q.Variations("text", "join"))
+        ),
+        _sql_topk(
+            f"SELECT doc_id, sum(score) AS score FROM scored WHERE term IN ({_var_forms_sql}) "
+            "GROUP BY doc_id"
+        ),
+    )
+
     add(
         "termrange_bm25_topk",
         lambda spark, sf: _topk(

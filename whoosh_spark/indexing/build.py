@@ -190,7 +190,7 @@ class InvertedIndex:
         return sorted(lex.loc[field_name].index.tolist())
 
     def expand_terms(self, field_name: str, like=None, rlike=None, between=None,
-                     fuzzy=None) -> pd.DataFrame:
+                     fuzzy=None, isin=None) -> pd.DataFrame:
         """Lexicon expansion for Prefix/Wildcard/TermRange/Fuzzy queries
         (reference: query/terms.py::MultiTerm._btexts ~L150). Returns a
         pandas frame (term, df) — the lexicon is small, scanning it is cheap
@@ -198,6 +198,8 @@ class InvertedIndex:
         lex = self._lexicon().reset_index()
         lex = lex[lex["field"] == field_name]
         t = lex["term"]
+        if isin is not None:  # explicit candidate list (Variations)
+            lex = lex[t.isin(set(isin))]
         if like is not None:  # SQL LIKE 'p%' == prefix
             lex = lex[t.str.startswith(like)]
         if rlike is not None:

@@ -97,6 +97,35 @@ class FuzzyTerm(MultiTermQuery):
     prefixlength: int = 1
 
 
+def variation_forms(word: str) -> list[str]:
+    """Deterministic rule-based morphological candidates of ``word``
+    (simplified form of reference terms.py::Variations over
+    lang/morph_en.py::variations — the full English rule table is
+    unported; these suffix rules cover the regular inflections). The list
+    is static per word: lexicon intersection happens downstream, absent
+    forms simply have no postings."""
+    forms = {word}
+    forms.update({word + "s", word + "es", word + "ed", word + "ing"})
+    if word.endswith("e") and len(word) > 2:
+        forms.update({word[:-1] + "ing", word + "d"})
+    if word.endswith("y") and len(word) > 2:
+        forms.update({word[:-1] + "ies", word[:-1] + "ied"})
+    for suf in ("ing", "ied", "ies", "ed", "es", "s"):
+        if word.endswith(suf) and len(word) - len(suf) >= 2:
+            base = word[: len(word) - len(suf)]
+            forms.add(base)
+            forms.add(base + "e")
+    return sorted(forms)
+
+
+@dataclass(frozen=True)
+class Variations(MultiTermQuery):
+    """Morphological variants of a word scored as an Or
+    (reference: terms.py::Variations ~L450)."""
+
+    text: str
+
+
 @dataclass(frozen=True)
 class TermRange(MultiTermQuery):
     start: str | None

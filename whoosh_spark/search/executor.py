@@ -158,6 +158,10 @@ class Searcher:
         )
         return self._expanded(q, exp)
 
+    def _c_variations(self, q: Q.Variations) -> DataFrame:
+        exp = self.index.expand_terms(q.fieldname, isin=Q.variation_forms(q.text))
+        return self._expanded(q, exp)
+
     def _c_termrange(self, q: Q.TermRange) -> DataFrame:
         exp = self.index.expand_terms(
             q.fieldname, between=(q.start, q.end, q.startexcl, q.endexcl)
