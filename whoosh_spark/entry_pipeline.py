@@ -690,6 +690,51 @@ SELECT doc_id, round(score, 4) AS score FROM (
 
     # ------------------------------ multimodal ---------------------------
 
+    # ------------------- Structured Streaming build ----------------------
+    # streamed micro-batch build == batch build: the lexicon (df/weight per
+    # term) of an index ingested via a readStream -> foreachBatch sink must
+    # equal the batch tokenization of the same corpus — doc ids are
+    # re-allocated per micro-batch but per-term stats are id-invariant, so
+    # the streaming path gets an EXACT DuckDB oracle.
+
+    def _streamed_lexicon(spark, sf):
+        key = ("stream_lex", sf)
+        if key not in _CACHE:
+            import tempfile
+
+            from whoosh_spark.indexing.segments import open_segments
+            from whoosh_spark.streaming import IncrementalIndexer, index_stream
+
+            base = tempfile.mkdtemp(prefix="ws_stream_gate_")
+            src, path, ckpt = f"{base}/in", f"{base}/ix", f"{base}/ckpt"
+            corpus = transcript_corpus(spark, sf)
+            corpus.drop("doc_id").repartition(4).write.parquet(src)
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = index_stream(stream, path, transcript_schema(), ckpt)
+            q.processAllAvailable()
+            q.stop()
+            ixer = IncrementalIndexer(spark, path, transcript_schema())
+            _CACHE[key] = open_segments(
+                spark, path, ixer.stored_docs(), transcript_schema()
+            )
+        return (
+            _CACHE[key]
+            .terms.where(F.col("field") == "text")
+            .select("term", "df", "total_weight")
+        )
+
+    add(
+        "streaming_build_lexicon",
+        _streamed_lexicon,
+        TURNS_PRELUDE
+        + "SELECT term, count(*)::BIGINT AS df, sum(w)::DOUBLE AS total_weight "
+        "FROM post GROUP BY term",
+    )
+
     add(
         "multimodal_meta",
         lambda spark, sf: fake_decode_meta(synth_assets(_docs(spark, sf))),
