@@ -46,11 +46,11 @@ def make_spark(cpus: int, app: str = "whoosh-spark-bench") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        # larger Arrow batches amortize per-batch Python/Arrow overhead in
-        # the analyzer stage (+20% build throughput measured vs 20k);
-        # transcript turns are ~100 B of text, so 100k rows ~ 10 MB/batch —
-        # re-derive from row width if reusing for long-document corpora
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # interleaved best-of-3 A/B/A at local[8], 16 input partitions,
+        # 1M turns: 20k-row batches 227k turns/s vs 50k 181-196k vs 100k
+        # 125-138k — smaller batches pipeline better through the Python
+        # workers (JVM scan overlaps UDF compute); keep 20000
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .getOrCreate()
     )
 

@@ -37,9 +37,10 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.appName("whoosh-spark-build")
-        # ~100 B/turn of text -> ~10 MB Arrow batches; larger batches
-        # amortize per-batch Python overhead in the analyzer stage
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # 20k-row Arrow batches pipeline best through the Python workers
+        # (measured A/B/A in bench.py make_spark; bigger batches reduce
+        # JVM-scan / UDF-compute overlap)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .getOrCreate()
     )
     # imports AFTER session start: on a cluster the package arrives via
