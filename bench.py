@@ -98,7 +98,9 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
 
     ix = timed("build_corpus", _build_corpus)
     searcher = Searcher(ix)
-    ix._lexicon()  # warm the driver-side lexicon cache (per-query idf lookup)
+    # NOTE: no lexicon warm-up — per-query term stats are pushed-down point
+    # lookups (one prefetch job per query compile), timed as part of each
+    # query like they would be in production
 
     # -- 3. headline queries ------------------------------------------------
     queries = {
@@ -134,7 +136,6 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
         lambda: build_segments(spark, corpus, transcript_schema(), seg_path, n_segments=4),
     )
     six = open_segments(spark, seg_path, corpus, transcript_schema())
-    six._lexicon()
     timed("q_wand_or", lambda: wand_topk(six, "text", ["merge", "join", "window"]).collect())
     timed("q_wand_and", lambda: wand_topk(six, "text", ["hash", "join"], mode="and").collect())
 

@@ -292,3 +292,43 @@ def test_with_stored_fields(searcher):
         searcher.search(Q.Term("text", "vector"), limit=None), "text", "role"
     ).collect()
     assert len(got) == 1 and got[0]["role"] == "tool"
+
+
+def test_field_boost_keeps_avgdl_unboosted(spark):
+    """Regression (round-2 advice): posting weights carry field_boost, but
+    field_length_total is a RAW token count in Whoosh — with boost != 1 the
+    avgdl must not scale with the boost (dl stays unboosted too)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta")], "doc_id long, text string"
+    )
+    plain = build_index(spark, docs, Schema(TEXT("text")))
+    boosted = build_index(spark, docs, Schema(TEXT("text", field_boost=2.0)))
+    assert plain.avg_field_length("text") == pytest.approx(2.5)
+    assert boosted.avg_field_length("text") == pytest.approx(2.5)
+    # the weights themselves DO carry the boost (Whoosh weight = tf * boost)
+    w = {r["term"]: r["weight"] for r in boosted.postings.where("doc_id = 0").collect()}
+    assert w["alpha"] == 2.0
+
+
+def test_stats_lookup_never_materializes_lexicon(spark, monkeypatch):
+    """Regression (round-1 verdict): doc_frequency/frequency must be
+    pushed-down point lookups — a full-lexicon toPandas would OOM the
+    driver at 10^8 terms. Ban toPandas for the duration and exercise the
+    stats path (collect of the FILTERED rows is the allowed shape)."""
+    import pyspark.sql as _sql
+
+    schema = Schema(TEXT("text"), ID("role"), NUMERIC("n"))
+    docs = spark.createDataFrame(DOCS)
+    ix = build_index(spark, docs, schema).persist()
+
+    def _boom(self, *a, **k):
+        raise AssertionError("full-lexicon toPandas on the stats path")
+
+    monkeypatch.setattr(_sql.DataFrame, "toPandas", _boom)
+    assert ix.doc_frequency("text", "spark") == 5
+    assert ix.frequency("text", "hash") == 4.0
+    assert ix.doc_frequency("text", "nosuchterm") == 0
+    # batch prefetch: one filtered job for many terms, then cache hits
+    ix.prefetch_stats([("text", "merge"), ("text", "window"), ("role", "user")])
+    assert ix.doc_frequency("text", "merge") == 3
+    assert ix.doc_frequency("role", "user") == 3

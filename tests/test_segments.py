@@ -162,7 +162,7 @@ def test_merge_segments_salted(spark, corpus, tmp_path_factory):
     partials coalesce), TOC lists only the merged segment."""
     import json
 
-    from whoosh_spark.indexing.segments import merge_segments
+    from whoosh_spark.indexing.segments import MERGED_BASE, merge_segments
 
     path = str(tmp_path_factory.mktemp("segm") / "ix")
     build_segments(spark, corpus, transcript_schema(), path, n_segments=4)
@@ -178,7 +178,9 @@ def test_merge_segments_salted(spark, corpus, tmp_path_factory):
     six_b = open_segments(spark, path, corpus, transcript_schema())
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
-    assert meta["active_segments"] == [4]
+    # merged ids live in their own namespace (never collide with a future
+    # stream micro-batch id — see segments.MERGED_BASE)
+    assert meta["active_segments"] == [MERGED_BASE]
     assert six_b.blocks.count() < nb_before
     stats_after = six_b.terms.orderBy("field", "term").toPandas()
     assert stats_before["term"].tolist() == stats_after["term"].tolist()
@@ -186,7 +188,7 @@ def test_merge_segments_salted(spark, corpus, tmp_path_factory):
     assert np.abs(stats_before["total_weight"] - stats_after["total_weight"]).max() < 1e-9
     assert Searcher(six_b).search(q).collect() == res_before
     assert wand_topk(six_b, "text", ["merge", "window"]).collect() == wand_before
-    assert six_b.manifest[4]["lineage"]["merged_segments"] == [0, 1, 2, 3]
+    assert six_b.manifest[MERGED_BASE]["lineage"]["merged_segments"] == [0, 1, 2, 3]
 
 
 def test_vector_physical_matches_logical(spark, tmp_path):
@@ -208,3 +210,40 @@ def test_vector_physical_matches_logical(spark, tmp_path):
         a = [(r["term"], r["weight"]) for r in logical.vector(did, "text").collect()]
         b = [(r["term"], r["weight"]) for r in physical.vector(did, "text").collect()]
         assert a == b and len(a) > 0
+
+
+def test_wand_prune_with_overlapping_merged_blocks(spark, corpus, tmp_path_factory):
+    """Regression (round-2 advice): after a salted hot-term merge, blocks of
+    ONE term can carry overlapping [min_doc, max_doc] ranges (salt groups
+    coalesce partial blocks from different segments independently). The WAND
+    refine bound must interval-sum over ALL covering pruned blocks; a single
+    searchsorted hit under-estimates and returns under-scored top-k. Force
+    heavy pruning (seed_blocks=1) and assert pruned == unpruned bit-exactly.
+    """
+    from whoosh_spark.indexing.segments import merge_segments
+
+    path = str(tmp_path_factory.mktemp("ovl") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=4)
+    merge_segments(spark, path, hot_term_blocks=1, target_blocks_per_salt=2)
+    six = open_segments(spark, path, corpus, transcript_schema())
+
+    # the fixture must actually produce per-term overlapping block ranges
+    pdf = (
+        six.blocks.where(F.col("field") == "text")
+        .select("term", "min_doc", "max_doc")
+        .toPandas()
+    )
+    overlapping = False
+    for _t, g in pdf.groupby("term"):
+        if len(g) < 2:
+            continue
+        g = g.sort_values(["min_doc", "max_doc"]).reset_index(drop=True)
+        if (g["min_doc"].to_numpy()[1:] <= g["max_doc"].to_numpy()[:-1]).any():
+            overlapping = True
+            break
+    assert overlapping, "merge produced no overlapping ranges; strengthen fixture"
+
+    for terms in (["spark"], ["merge", "join", "window"], ["hash", "spark", "query"]):
+        ref = wand_topk(six, "text", terms, k=10, prune=False).collect()
+        got = wand_topk(six, "text", terms, k=10, prune=True, seed_blocks=1).collect()
+        assert got == ref, terms

@@ -27,6 +27,11 @@ def test_porter_vectors():
         "happy": "happi", "electrical": "electr", "adjustable": "adjust",
         "replacement": "replac", "motoring": "motor", "hopping": "hop",
         "filing": "file", "sky": "sky", "adoption": "adopt",
+        # regression (round-2 advice): step 4 applies AT MOST ONE rule —
+        # 'al' strips to 'profession', which must NOT strip again to
+        # 'profess' via the s/t+'ion' rule
+        "professional": "profession", "professionally": "profession",
+        "occasional": "occasion", "adoptions": "adopt",
     }
     for w, want in vectors.items():
         assert stem(w) == want, w

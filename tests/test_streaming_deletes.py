@@ -158,3 +158,51 @@ def test_delete_by_term_and_merge_expunge(spark, corpus, seg):
     assert six3.doc_count == six2.doc_count - len(target_ids)
     after = Searcher(six3).search(Q.Term("text", "merge"), limit=None).collect()
     assert {r.doc_id for r in after} == {r.doc_id for r in keep}
+    # Regression (round-2 advice): expunged docs must NOT resurrect in
+    # live_docs()/Every/Not — the merge records them as tombstones because
+    # the external stored-docs table still holds their rows.
+    n_all = corpus.count()
+    assert Searcher(six3).compile(Q.Every()).count() == n_all - len(target_ids)
+    live_ids = {r.doc_id for r in six3.live_docs().select("doc_id").collect()}
+    assert live_ids.isdisjoint(target_ids)
+
+
+def test_merge_every_does_not_drop_next_batch(spark, corpus, tmp_path_factory):
+    """Regression (round-2 advice, HIGH): merged-segment ids used to collide
+    with the id the NEXT micro-batch computes (STREAM_BASE+k+1), silently
+    dropping that batch while the checkpoint advanced. Also: a replayed
+    batch whose segment was merged away must stay a no-op — idempotency
+    keys on lineage batch_id carried through merge manifests."""
+    from whoosh_spark.indexing.segments import MERGED_BASE, _read_manifest
+
+    path = str(tmp_path_factory.mktemp("mergeevery") / "ix")
+    ixer = IncrementalIndexer(spark, path, transcript_schema(), merge_every=2)
+    rows = corpus.drop("doc_id")
+    batches = [rows.where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == i) for i in range(3)]
+    counts = [b.count() for b in batches]
+    assert all(c > 0 for c in counts)
+
+    ixer.append_batch(batches[0], 0)
+    ixer.append_batch(batches[1], 1)  # triggers the merge (merge_every=2)
+    done = _read_manifest(path)
+    assert all(s >= MERGED_BASE for s in done), done.keys()
+
+    ixer.append_batch(batches[2], 2)  # the batch the old id scheme dropped
+    six = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
+    assert six.doc_count == sum(counts)
+
+    # per-term stats equal the batch build of the full corpus (doc ids
+    # differ; df/total_weight are id-invariant)
+    lix = build_index(spark, corpus, transcript_schema()).persist()
+    a = six.terms.orderBy("field", "term").toPandas()
+    b = lix.terms.orderBy("field", "term").toPandas()
+    assert a["term"].tolist() == b["term"].tolist()
+    assert a["df"].tolist() == b["df"].tolist()
+
+    # replaying any batch — including one merged away — is a no-op
+    n_post = six.postings.count()
+    for i in range(3):
+        ixer.append_batch(batches[i], i)
+    six2 = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
+    assert six2.postings.count() == n_post
+    assert six2.doc_count == sum(counts)

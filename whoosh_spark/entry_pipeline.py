@@ -467,7 +467,7 @@ JOIN documents d USING (doc_id) GROUP BY 1, 2
         _ngram_topk,
         # trigram analyzer: tokenize+lower (no stop filter), 3-grams of each
         # token; dl = total gram count, BM25 over gram postings
-        """
+        r"""
 WITH w AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+(?:\.?\w+)*')) AS tok
   FROM documents

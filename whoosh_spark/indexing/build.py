@@ -126,7 +126,7 @@ class InvertedIndex:
     doc_id_col: str = "doc_id"
     _doc_count: int | None = dc_field(default=None, repr=False)
     _field_totals: dict[str, float] | None = dc_field(default=None, repr=False)
-    _lexicon_cache: pd.DataFrame | None = dc_field(default=None, repr=False)
+    _lexicon_cache: dict | None = dc_field(default=None, repr=False)  # (field, term) -> (df, cf) LRU
 
     # -- reader/stats API (reference: src/whoosh/reading.py::IndexReader) --
 
@@ -141,8 +141,14 @@ class InvertedIndex:
     @property
     def field_totals(self) -> dict[str, float]:
         """Exact per-field token totals (for avgdl): sum(weight) over the
-        materialized postings — total tf == total tokens. One tiny job."""
+        materialized postings — total tf == total tokens. One tiny job.
+
+        Posting weights carry field_boost (Whoosh: weight = tf * boost), but
+        field_length_total is a RAW token count in the reference, and per-doc
+        dl is stored unboosted — so divide the boost back out to keep
+        dl/avgdl in the same unit for BM25 length normalization."""
         if self._field_totals is None:
+            self._field_totals = {}
             text_names = [fs.name for fs in self.schema.text_fields()]
             rows = (
                 self.postings.where(F.col("field").isin(text_names))
@@ -150,7 +156,9 @@ class InvertedIndex:
                 .agg(F.sum("weight").alias("total_len"))
                 .collect()
             )
-            self._field_totals = {r["field"]: float(r["total_len"]) for r in rows}
+            for r in rows:
+                boost = float(self.schema[r["field"]].field_boost)
+                self._field_totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
         return self._field_totals
 
     def avg_field_length(self, field_name: str) -> float:
@@ -160,66 +168,104 @@ class InvertedIndex:
             return 0.0
         return self.field_totals.get(field_name, 0.0) / self.doc_count
 
-    def _lexicon(self) -> pd.DataFrame:
-        """Driver-side lexicon stats cache. The lexicon is tiny relative to
-        postings (distinct terms, a few columns); the reference memoizes idf
-        per (field, term) the same way (searching.py::Searcher.idf ~L300).
-        For truly huge lexicons, use term_stats() which point-filters."""
+    # -- per-term stats: pushed-down point lookups + a bounded driver LRU --
+    # The full lexicon NEVER materializes on the driver (a 10^8-10^9-term
+    # lexicon at 100 TB would OOM it before the first query). Point filters
+    # reach the sorted terms_global parquet (row-group min/max pruning, the
+    # ordered-term-dictionary seek) and only the requested rows come back;
+    # the LRU mirrors the reference's per-(field, term) idf memoization
+    # (searching.py::Searcher.idf ~L300).
+
+    _STATS_CACHE_MAX = 262_144
+
+    def _stats_cache(self) -> dict:
         if self._lexicon_cache is None:
-            self._lexicon_cache = self.terms.toPandas().set_index(["field", "term"])
+            self._lexicon_cache = {}
         return self._lexicon_cache
 
+    def prefetch_stats(self, pairs: "list[tuple[str, str]]") -> None:
+        """Resolve every (field, term) of a query in ONE filtered job and
+        fill the LRU — compile() calls this so an n-term query costs one
+        lookup job, not n."""
+        cache = self._stats_cache()
+        todo = [k for k in dict.fromkeys(tuple(p) for p in pairs) if k not in cache]
+        if not todo:
+            return
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a | b,
+            [((F.col("field") == f) & (F.col("term") == t)) for f, t in todo],
+        )
+        rows = (
+            self.terms.where(cond)
+            .select("field", "term", "df", "total_weight")
+            .collect()
+        )
+        found = {
+            (r["field"], r["term"]): (int(r["df"]), float(r["total_weight"]))
+            for r in rows
+        }
+        for key in todo:
+            self._stats_put(key, found.get(key, (0, 0.0)))
+
+    def _stats_put(self, key, val) -> None:
+        cache = self._stats_cache()
+        while len(cache) >= self._STATS_CACHE_MAX:
+            cache.pop(next(iter(cache)))  # FIFO eviction is enough here
+        cache[key] = val
+
+    def term_stats(self, field_name: str, term: str) -> tuple[int, float]:
+        """(df, collection frequency) of one term — cached point lookup;
+        absent terms cache as (0, 0.0)."""
+        key = (field_name, term)
+        cache = self._stats_cache()
+        if key not in cache:
+            self.prefetch_stats([key])
+        return cache[key]
+
     def doc_frequency(self, field_name: str, term: str) -> int:
-        lex = self._lexicon()
-        try:
-            return int(lex.loc[(field_name, term), "df"])
-        except KeyError:
-            return 0
+        return self.term_stats(field_name, term)[0]
 
     def frequency(self, field_name: str, term: str) -> float:
-        lex = self._lexicon()
-        try:
-            return float(lex.loc[(field_name, term), "total_weight"])
-        except KeyError:
-            return 0.0
+        return self.term_stats(field_name, term)[1]
 
     def lexicon(self, field_name: str) -> list[str]:
-        lex = self._lexicon()
-        if field_name not in lex.index.get_level_values(0):
-            return []
-        return sorted(lex.loc[field_name].index.tolist())
+        """All terms of one field, sorted (reference: IndexReader.lexicon).
+        Deliberately collects — callers want the list; bounded by the
+        single-field vocabulary, and NOT on any query compile path."""
+        rows = self.terms.where(F.col("field") == field_name).select("term").collect()
+        return sorted(r["term"] for r in rows)
 
     def expand_terms(self, field_name: str, like=None, rlike=None, between=None,
                      fuzzy=None, isin=None) -> pd.DataFrame:
         """Lexicon expansion for Prefix/Wildcard/TermRange/Fuzzy queries
-        (reference: query/terms.py::MultiTerm._btexts ~L150). Returns a
-        pandas frame (term, df) — the lexicon is small, scanning it is cheap
-        relative to postings (SURVEY §4.1 'MultiTerm expansion')."""
-        lex = self._lexicon().reset_index()
-        lex = lex[lex["field"] == field_name]
-        t = lex["term"]
+        (reference: query/terms.py::MultiTerm._btexts ~L150) as a SPARK
+        filter on the terms table — prefix/range predicates push into the
+        sorted terms parquet (row-group pruned), and only the expansion
+        rows (query-vocabulary-sized) reach the driver as a pandas frame.
+        ``rlike`` must arrive anchored (\\A...\\Z) for full-match semantics."""
+        t = self.terms.where(F.col("field") == field_name)
+        col = F.col("term")
         if isin is not None:  # explicit candidate list (Variations)
-            lex = lex[t.isin(set(isin))]
-        if like is not None:  # SQL LIKE 'p%' == prefix
-            lex = lex[t.str.startswith(like)]
+            t = t.where(col.isin([str(x) for x in isin]))
+        if like is not None:  # prefix
+            t = t.where(col.startswith(like))
         if rlike is not None:
-            lex = lex[t.str.fullmatch(rlike).fillna(False)]
+            t = t.where(col.rlike(rlike))
         if between is not None:
             lo, hi, lo_excl, hi_excl = between
             if lo is not None:
-                lex = lex[t > lo if lo_excl else t >= lo]
+                t = t.where(col > lo if lo_excl else col >= lo)
             if hi is not None:
-                t2 = lex["term"]
-                lex = lex[t2 < hi if hi_excl else t2 <= hi]
+                t = t.where(col < hi if hi_excl else col <= hi)
         if fuzzy is not None:
             word, maxdist, prefixlength = fuzzy
-            t2 = lex["term"]
             if prefixlength:
-                lex = lex[t2.str.startswith(word[:prefixlength])]
-            from whoosh_spark.util import levenshtein_np
-
-            lex = lex[levenshtein_np(lex["term"].to_numpy(), word) <= maxdist]
-        return lex[["term", "df", "total_weight"]]
+                t = t.where(col.startswith(word[:prefixlength]))
+            t = t.where(F.levenshtein(col, F.lit(word)) <= int(maxdist))
+        pdf = t.select("term", "df", "total_weight").toPandas()
+        return pdf.sort_values("term").reset_index(drop=True)
 
     # -- posting access points (overridden by the physical SegmentedIndex,
     # which filters packed BLOCK rows before decoding — mapInArrow is a

@@ -64,6 +64,16 @@ from whoosh_spark.util import (
 
 BLOCK_SIZE = 128  # reference parity: codec blocklimit (SURVEY A.8)
 
+# Segment id namespaces. Batch builds use [0, n_segments); streamed
+# micro-batches use STREAM_BASE + batch_id (streaming/incremental.py);
+# merge results use MERGED_BASE + counter. The namespaces are disjoint so a
+# merged segment can NEVER occupy the id a future micro-batch will compute
+# — with a shared namespace, merging streamed segments {base..base+k}
+# committed id base+k+1, exactly batch k+1's id, and append_batch then
+# silently dropped that batch as "already replayed".
+STREAM_BASE = 1_000_000
+MERGED_BASE = 2_000_000_000
+
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("field", T.StringType(), False),
@@ -294,6 +304,7 @@ def build_segments(
     doc_id_col: str = "doc_id",
     pack_partitions: int | None = None,
     resume: bool = True,
+    max_concurrent: int = 4,
 ) -> dict:
     """Build (or resume) the physical segmented index at ``path``.
 
@@ -302,6 +313,13 @@ def build_segments(
     and calling again with ``resume=True`` (default) completes only the
     missing segments (north rule: checkpoint-resumable per partition with
     lineage and term/posting count metrics).
+
+    Segments build CONCURRENTLY (``max_concurrent`` driver threads submit
+    independent Spark jobs; the scheduler interleaves their stages): a
+    serial per-segment loop would put the wall-clock floor at
+    n_segments x single-segment time no matter how large the cluster is.
+    Each thread still commits its own manifest atomically, so resume
+    semantics are unchanged under any interleaving of failures.
     """
     os.makedirs(_manifest_dir(path), exist_ok=True)
     done = _read_manifest(path) if resume else {}
@@ -311,9 +329,7 @@ def build_segments(
     if pack_partitions is None:
         pack_partitions = max(spark.sparkContext.defaultParallelism // 2, 2)
 
-    for seg_id in range(n_segments):
-        if seg_id in done:
-            continue
+    def _build_one(seg_id: int) -> tuple[int, dict]:
         lo, hi = seg_id * per_seg, min((seg_id + 1) * per_seg, doc_count)
         t0 = time.perf_counter()
         seg_docs = docs.where((F.col(doc_id_col) >= lo) & (F.col(doc_id_col) < hi))
@@ -359,7 +375,18 @@ def build_segments(
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(_manifest_dir(path), f"seg_{seg_id}.json"))
-        done[seg_id] = manifest
+        return seg_id, manifest
+
+    pending = [s for s in range(n_segments) if s not in done]
+    if len(pending) <= 1 or max_concurrent <= 1:
+        for s in pending:
+            done.__setitem__(*_build_one(s))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(max_concurrent, len(pending))) as pool:
+            for seg_id, manifest in pool.map(_build_one, pending):
+                done[seg_id] = manifest
 
     _finalize(spark, path, doc_count, sorted(done))
     return done
@@ -373,16 +400,23 @@ def _segment_blocks(spark: SparkSession, path: str, segment_ids: list[int]) -> D
 
 
 def _finalize(spark: SparkSession, path: str, doc_count: int,
-              active_segments: list[int]) -> None:
+              active_segments: list[int], lexicon_buckets: int | None = None) -> None:
     """(Re)write global term stats, then atomically publish the TOC.
 
     The `_meta.json` swap is the commit point (the reference's TOC
     generation swap, src/whoosh/index.py::TOC.write ~L420): readers only
     see `active_segments`, so a crash between publishing a merged segment
     and deleting its inputs leaves garbage files, never duplicate docs.
-    The lexicon is written as one sorted file here (sandbox scale); on a
-    cluster keep it bucketed by term the same way the blocks are.
+
+    The lexicon is RANGE-bucketed on (field, term) with a per-file sort —
+    every bucket is a disjoint sorted key range, so point/range lookups
+    still prune to one file's row groups via Parquet min/max stats (the
+    ordered-term-dictionary seek), while the sort itself fans out across
+    ``lexicon_buckets`` reducers instead of one global task (a 10^9-term
+    lexicon cannot sort on a single reducer).
     """
+    if lexicon_buckets is None:
+        lexicon_buckets = max(spark.sparkContext.defaultParallelism // 4, 2)
     blocks_all = _segment_blocks(spark, path, active_segments)
     (
         blocks_all.groupBy("field", "term")
@@ -393,7 +427,7 @@ def _finalize(spark: SparkSession, path: str, doc_count: int,
             F.min("min_doc").alias("min_doc"),
             F.max("max_doc").alias("max_doc"),
         )
-        .repartition(1)
+        .repartitionByRange(lexicon_buckets, "field", "term")
         .sortWithinPartitions("field", "term")
         .write.mode("overwrite")
         .parquet(os.path.join(path, "terms_global"))
@@ -445,7 +479,23 @@ def merge_segments(
         return done
     if pack_partitions is None:
         pack_partitions = max(spark.sparkContext.defaultParallelism // 2, 2)
-    new_id = max(done) + 1
+    # merged ids live in their own namespace (see MERGED_BASE note above)
+    new_id = max((s for s in done if s >= MERGED_BASE), default=MERGED_BASE - 1) + 1
+    # stream batches folded into this merge, carried forward so the
+    # streaming sink's idempotency check survives the source manifests
+    # being deleted below (keyed on lineage batch_id, not segment id)
+    merged_batch_ids = sorted(
+        {
+            int(done[s]["lineage"]["batch_id"])
+            for s in segment_ids
+            if done[s]["lineage"].get("source") == "stream-batch"
+        }
+        | {
+            int(b)
+            for s in segment_ids
+            for b in done[s]["lineage"].get("merged_batch_ids", [])
+        }
+    )
     t0 = time.perf_counter()
 
     blocks = _segment_blocks(spark, path, segment_ids)
@@ -458,33 +508,72 @@ def merge_segments(
     salted = blocks.join(F.broadcast(tstats.withColumn("_ns", n_salts)), ["field", "term"]).withColumn(
         "_salt", F.pmod(F.xxhash64("min_doc"), F.greatest(F.col("_ns"), F.lit(1))).cast("int")
     )
-    # deletes falling inside the merged doc ranges are expunged physically
-    # (reference: optimize/add_reader skips deleted docs); others are kept
+    # Deletes falling inside the merged doc ranges are expunged physically
+    # (reference: optimize/add_reader skips deleted docs); others are kept.
+    # The delete set stays a DataFrame end-to-end: a broadcast RANGE join
+    # attaches each delete id to the blocks whose [min_doc, max_doc] covers
+    # it, so the ids travel WITH the block rows through the term shuffle —
+    # a mass delete (10^9 ids from a dedup sweep) never lands on the driver.
     del_df = read_deletes(spark, path)
-    applied_dels: np.ndarray | None = None
+    n_expunged = 0
+    dels_in_range: DataFrame | None = None
     if del_df is not None:
+        from functools import reduce as _reduce
+
         ranges = [(done[s]["doc_lo"], done[s]["doc_hi"]) for s in segment_ids]
-        all_dels = np.array(sorted(r["doc_id"] for r in del_df.collect()), dtype=np.int64)
-        in_range = np.zeros(all_dels.size, dtype=bool)
-        for lo, hi in ranges:
-            in_range |= (all_dels >= lo) & (all_dels < hi)
-        if in_range.any():
-            applied_dels = all_dels[in_range]
+        in_range_cond = _reduce(
+            lambda a, b: a | b,
+            [(F.col("doc_id") >= lo) & (F.col("doc_id") < hi) for lo, hi in ranges],
+        )
+        dels_in_range = del_df.where(in_range_cond).persist()
+        n_expunged = dels_in_range.count()
+    if n_expunged:
+        key_cols = ["segment_id", "field", "term", "block_id"]
+        hits = (
+            salted.select(*key_cols, "min_doc", "max_doc")
+            .join(
+                F.broadcast(dels_in_range.select(F.col("doc_id").alias("_del_doc"))),
+                (F.col("_del_doc") >= F.col("min_doc"))
+                & (F.col("_del_doc") <= F.col("max_doc")),
+            )
+            .groupBy(*key_cols)
+            .agg(F.collect_list("_del_doc").alias("_dels"))
+        )
+        salted = salted.join(F.broadcast(hits), key_cols, "left")
+    else:
+        salted = salted.withColumn("_dels", F.lit(None).cast("array<long>"))
 
     def _repack(it):
-        inner = _unpack_partition(it)
-        if applied_dels is None:
+        import pyarrow as pa
+
+        batches = [b for b in it if b.num_rows]
+        if not batches:
+            return
+        # union of the partition's attached delete ids; filtering every
+        # block by the union is correct (deletion is a global per-doc fact)
+        flat = [
+            np.asarray(
+                b.column(b.schema.get_field_index("_dels"))
+                .flatten()
+                .to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            for b in batches
+        ]
+        cat = np.concatenate(flat) if flat else np.empty(0, dtype=np.int64)
+        dels_np = np.unique(cat) if cat.size else None
+        keep = [n for n in batches[0].schema.names if n != "_dels"]
+        inner = _unpack_partition(iter(b.select(keep) for b in batches))
+        if dels_np is None:
             yield from _pack_partition(inner)
             return
 
         def filtered():
-            import pyarrow as pa
-
             for b in inner:
                 doc = b.column(b.schema.get_field_index("doc_id")).to_numpy(
                     zero_copy_only=False
                 )
-                live = ~np.isin(doc, applied_dels)
+                live = ~np.isin(doc, dels_np)
                 if live.all():
                     yield b
                 elif live.any():
@@ -521,6 +610,7 @@ def merge_segments(
         "lineage": {
             "source": "merge",
             "merged_segments": segment_ids,
+            "merged_batch_ids": merged_batch_ids,
             "hot_term_blocks": hot_term_blocks,
             "block_size": BLOCK_SIZE,
             "code_version": _code_version,
@@ -536,23 +626,33 @@ def merge_segments(
         doc_count = json.load(f)["doc_count"]
     # expunging a doc removes it from doc_count too (Whoosh optimize
     # semantics: stats recomputed from the rewritten segments)
-    if applied_dels is not None:
-        doc_count -= int(applied_dels.size)
-        manifest["n_docs"] -= int(applied_dels.size)
+    if n_expunged:
+        doc_count -= n_expunged
+        manifest["n_docs"] -= n_expunged
         with open(os.path.join(_manifest_dir(path), f"seg_{new_id}.json"), "w") as f:
             json.dump(manifest, f)
-    # expunged deletes leave the delete set BEFORE the TOC swap (a crash
-    # in between re-masks already-expunged ids: harmless, not incorrect)
-    if applied_dels is not None:
-        remaining = sorted(set(int(x) for x in all_dels) - set(int(x) for x in applied_dels))
-        import shutil as _sh
-
-        _sh.rmtree(_deletes_path(path), ignore_errors=True)
-        if remaining:
-            delete_docs(spark, path, remaining)
-    # TOC swap = the commit point; cleanup after is crash-safe garbage
+        # Expunged ids become TOMBSTONES: their postings are physically gone
+        # from the new segment, but the stored docs table (external to the
+        # index dir) still holds their rows, so live_docs()/Every/Not must
+        # keep masking them. Written BEFORE the TOC swap — under the old TOC
+        # the same ids are still in the delete set, so double-masking is
+        # harmless, and under the new TOC the tombstones are required.
+        existing_tomb = read_tombstones(spark, path)
+        all_tomb = (
+            dels_in_range
+            if existing_tomb is None
+            else existing_tomb.unionByName(dels_in_range).distinct()
+        )
+        _write_id_set(spark, _tombstones_path(path), all_tomb)
+    # TOC swap = the commit point; everything after is crash-safe garbage
     active = [s for s in done if s not in segment_ids]
     _finalize(spark, path, doc_count, active)
+    # Expunged ids leave the delete set AFTER the swap: a crash in between
+    # re-masks already-expunged ids under the new TOC (harmless); rewriting
+    # the set before the swap would UNMASK them under the old TOC (wrong).
+    if n_expunged:
+        _write_id_set(spark, _deletes_path(path), del_df.where(~in_range_cond))
+        dels_in_range.unpersist()
     import shutil
 
     for s in segment_ids:
@@ -581,6 +681,10 @@ class SegmentedIndex(InvertedIndex):
     blocks: DataFrame | None = None
     manifest: dict = dc_field(default_factory=dict)
     deleted: DataFrame | None = None  # (doc_id) rows; None = nothing deleted
+    # ids expunged from postings by a merge but still rows in the external
+    # docs table; masked by live_docs() (postings no longer contain them)
+    tombstones: DataFrame | None = None
+    _ranges_df: DataFrame | None = dc_field(default=None, repr=False)
 
     def _unpack(self, blocks: DataFrame, positions: bool = True) -> DataFrame:
         if not positions:
@@ -598,6 +702,7 @@ class SegmentedIndex(InvertedIndex):
         deletion (totals drop only when a merge rewrites the postings),
         and reading per-block sums avoids decoding anything."""
         if self._field_totals is None:
+            self._field_totals = {}
             text_names = [fs.name for fs in self.schema.text_fields()]
             rows = (
                 self.blocks.where(F.col("field").isin(text_names))
@@ -605,7 +710,10 @@ class SegmentedIndex(InvertedIndex):
                 .agg(F.sum("weight_sum").alias("total_len"))
                 .collect()
             )
-            self._field_totals = {r["field"]: float(r["total_len"]) for r in rows}
+            for r in rows:
+                # weight_sum carries field_boost; totals are raw token counts
+                boost = float(self.schema[r["field"]].field_boost)
+                self._field_totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
         return self._field_totals
 
     def _mask_deleted(self, df: DataFrame) -> DataFrame:
@@ -618,7 +726,24 @@ class SegmentedIndex(InvertedIndex):
         return df.join(F.broadcast(self.deleted), "doc_id", "left_anti")
 
     def live_docs(self) -> DataFrame:
-        return self._mask_deleted(super().live_docs())
+        out = self._mask_deleted(super().live_docs())
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        return out
+
+    def seg_ranges(self) -> DataFrame:
+        """(segment_id, doc_lo, doc_hi) of the active segments — a
+        manifest-sized frame, cached; used to route per-doc side data
+        (e.g. delete ids) to the segment task that owns the doc range."""
+        if self._ranges_df is None:
+            rows = [
+                (int(sid), int(m["doc_lo"]), int(m["doc_hi"]))
+                for sid, m in sorted(self.manifest.items())
+            ]
+            self._ranges_df = self.spark.createDataFrame(
+                rows, "segment_id int, doc_lo long, doc_hi long"
+            )
+        return self._ranges_df
 
     def term_postings(self, fieldname: str, term: str,
                       positions: bool = False) -> DataFrame:
@@ -662,12 +787,6 @@ class SegmentedIndex(InvertedIndex):
             .orderBy("term")
         )
 
-    def deleted_ids(self) -> set[int]:
-        if self.deleted is None:
-            return set()
-        return {r["doc_id"] for r in self.deleted.collect()}
-
-
 # -------------------------------------------------------------- deletions
 
 
@@ -675,39 +794,74 @@ def _deletes_path(path: str) -> str:
     return os.path.join(path, "_deletes")
 
 
-def read_deletes(spark: SparkSession, path: str) -> DataFrame | None:
-    p = _deletes_path(path)
+def _tombstones_path(path: str) -> str:
+    return os.path.join(path, "_tombstones")
+
+
+def _read_id_set(spark: SparkSession, p: str) -> DataFrame | None:
     if not os.path.isdir(p) or not any(f.endswith(".parquet") for f in os.listdir(p)):
         return None
     return spark.read.parquet(p)
 
 
-def delete_docs(spark: SparkSession, path: str, doc_ids: list[int]) -> int:
-    """Mark doc ids deleted (reference: IndexWriter.delete_document —
-    lazy set, applied at read; expunged physically by merge_segments).
-    Returns the total number of deleted ids after the union."""
-    existing = read_deletes(spark, path)
-    new = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
-    allDel = new if existing is None else existing.unionByName(new).distinct()
-    allDel = allDel.persist()
-    n = allDel.count()
-    tmp = _deletes_path(path) + ".tmp"
-    allDel.repartition(1).write.mode("overwrite").parquet(tmp)
+def read_deletes(spark: SparkSession, path: str) -> DataFrame | None:
+    return _read_id_set(spark, _deletes_path(path))
+
+
+def read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """Ids expunged from postings by a merge but still present in the
+    (external) stored docs table — masked by live_docs() forever."""
+    return _read_id_set(spark, _tombstones_path(path))
+
+
+def _write_id_set(spark: SparkSession, dir_path: str, df: DataFrame) -> int:
+    """Atomically (re)write a doc-id set directory from a DataFrame.
+
+    The input may derive from the CURRENT directory contents, so the new
+    files land in a tmp dir first, then swap. An empty set removes the
+    directory. The set never touches the driver — only its count does.
+    """
+    df = df.select(F.col("doc_id").cast("long").alias("doc_id")).persist()
+    n = df.count()
+    tmp = dir_path + ".tmp"
+    if n:
+        df.coalesce(max(1, min(200, n // 5_000_000 + 1))).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+    df.unpersist()
     import shutil as _sh
 
-    if os.path.isdir(_deletes_path(path)):
-        _sh.rmtree(_deletes_path(path))
-    os.replace(tmp, _deletes_path(path))
-    allDel.unpersist()
+    if os.path.isdir(dir_path):
+        _sh.rmtree(dir_path)
+    if n:
+        os.replace(tmp, dir_path)
     return n
+
+
+def delete_docs(spark: SparkSession, path: str,
+                doc_ids: "list[int] | DataFrame") -> int:
+    """Mark doc ids deleted (reference: IndexWriter.delete_document —
+    lazy set, applied at read; expunged physically by merge_segments).
+    Accepts a Python list (small, driver-originated deletes) or a
+    DataFrame with a doc_id column (mass deletes, e.g. a dedup sweep —
+    stays distributed). Returns the delete-set size after the union."""
+    existing = read_deletes(spark, path)
+    if isinstance(doc_ids, DataFrame):
+        new = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        new = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    allDel = new if existing is None else existing.unionByName(new)
+    return _write_id_set(spark, _deletes_path(path), allDel.distinct())
 
 
 def delete_by_term(spark: SparkSession, ix: "SegmentedIndex", fieldname: str,
                    term: str) -> int:
     """delete_by_term(field, text) (reference: writing.py::IndexWriter
-    .delete_by_term ~L480): resolve matching doc ids, add to delete set."""
-    ids = [r["doc_id"] for r in ix.term_postings(fieldname, term).select("doc_id").collect()]
-    if not ids:
+    .delete_by_term ~L480): resolve matching doc ids into the delete set.
+    The matching ids flow as a DataFrame (term-pruned block scan -> id
+    column), never through the driver."""
+    ids = ix.term_postings(fieldname, term).select("doc_id")
+    if not ids.take(1):
         return 0
     return delete_docs(spark, ix.path, ids)
 
@@ -737,5 +891,6 @@ def open_segments(
     )
     ix._doc_count = int(meta["doc_count"])
     ix.deleted = read_deletes(spark, path)
+    ix.tombstones = read_tombstones(spark, path)
     ix.postings = ix._unpack(blocks)
     return ix

@@ -135,20 +135,20 @@ def stem(word: str) -> str:
         "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
         "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
     ]
+    # at most ONE step-4 rule applies (canonical Porter; the reference's
+    # porter.py step4 / step4_2 regexes are mutually exclusive): the 'ion'
+    # s/t-condition rule lives in the for/else so it only fires when no
+    # listed suffix matched — e.g. 'professional' -> 'profession', never
+    # the double reduction 'profession' -> 'profess'.
     for suf in sorted(step4, key=len, reverse=True):
         if w.endswith(suf):
             base = w[: -len(suf)]
-            if suf == "ion":
-                pass
             if _measure(base) > 1:
                 w = base
             break
     else:
         if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
             w = w[:-3]
-    # special 'ion' handling (the for/else above covers non-listed endings)
-    if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
-        w = w[:-3]
 
     # step 5a
     if w.endswith("e"):

@@ -100,7 +100,10 @@ def cosine_neardup_pairs(
 def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     """Deterministic pseudo-gaussian hyperplanes from splitmix64 — identical
     on driver and every executor, no RNG state shipped."""
-    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    # seed offset computed in Python ints with an explicit 2^64 wrap —
+    # numpy scalar uint64 multiply would warn on the intended overflow
+    offset = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(offset)
     z = idx * np.uint64(0x9E3779B97F4A7C15)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)

@@ -70,6 +70,11 @@ class Searcher:
     def compile(self, q: Q.Query) -> DataFrame:
         """Query -> DataFrame(doc_id, score), one row per matching doc."""
         q = q.normalize()
+        # resolve every leaf term's (df, cf) in ONE pushed-down lookup job
+        # (fills the index's stats LRU; per-term calls below then hit cache)
+        pairs = _leaf_terms(q)
+        if pairs:
+            self.index.prefetch_stats(pairs)
         return self._compile(q)
 
     def _compile(self, q: Q.Query) -> DataFrame:
@@ -146,11 +151,14 @@ class Searcher:
         return self._expanded(q, self.index.expand_terms(q.fieldname, like=q.text))
 
     def _c_wildcard(self, q: Q.Wildcard) -> DataFrame:
-        rx = fnmatch.translate(q.text)
+        # fnmatch.translate output ends with \Z; anchor the start for
+        # full-match semantics under Spark rlike (Java regex find())
+        rx = r"\A" + fnmatch.translate(q.text)
         return self._expanded(q, self.index.expand_terms(q.fieldname, rlike=rx))
 
     def _c_regex(self, q: Q.Regex) -> DataFrame:
-        return self._expanded(q, self.index.expand_terms(q.fieldname, rlike=q.text))
+        rx = r"\A(?:" + q.text + r")\Z"
+        return self._expanded(q, self.index.expand_terms(q.fieldname, rlike=rx))
 
     def _c_fuzzyterm(self, q: Q.FuzzyTerm) -> DataFrame:
         exp = self.index.expand_terms(
@@ -273,8 +281,13 @@ class Searcher:
         return self._boosted(out, q.boost)
 
     def _c_otherwise(self, q: Q.Otherwise) -> DataFrame:
+        # Otherwise = a if a matches anything else b: the existence probe is
+        # semantically forced at plan time (the reference peeks the first
+        # matcher the same way). take(1) short-circuits — the scheduler
+        # stops after the first non-empty partition — where limit+count
+        # would run a full (if tiny) aggregation job.
         a = self._compile(q.a)
-        if a.limit(1).count() > 0:
+        if a.take(1):
             return self._boosted(a, q.boost)
         return self._boosted(self._compile(q.b), q.boost)
 
@@ -541,7 +554,7 @@ def _leaf_terms(q: Q.Query) -> list[tuple[str, str]]:
         return [t for k in q.subqueries for t in _leaf_terms(k)]
     if isinstance(q, Q.BinaryQuery):
         return _leaf_terms(q.a) + _leaf_terms(q.b)
-    if isinstance(q, (Q.Not, Q.ConstantScore)):
+    if isinstance(q, (Q.Not, Q.ConstantScore, Q.SpanFirst)):
         return _leaf_terms(q.subquery)
     return []
 

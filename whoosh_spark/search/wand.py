@@ -26,12 +26,15 @@ per-segment top-k -> global top-k is exact):
    true score ≤ max over its covering blocks of (ub + Σ other term_max)
    < θ, so no top-k doc is lost.
 4. **Refine:** docs seen in decoded blocks may still miss contributions
-   from pruned blocks. For each such doc, bound the missing mass by the ub
-   of the (unique, doc-range-disjoint) pruned block of each term covering
-   it (vectorized searchsorted over block ranges); docs whose
+   from pruned blocks. For each such doc, bound the missing mass by the SUM
+   of ub over every pruned block whose [min_doc, max_doc] range covers it
+   (interval-stabbing difference array — block ranges of one term may
+   overlap after a salted hot-term merge); docs whose
    partial + missing-bound ≥ θ get those blocks decoded and their scores
    completed exactly. Everything reported is therefore an EXACT BM25
-   score; pruned ≡ unpruned is asserted in tests/test_wand.py.
+   score; pruned ≡ unpruned is asserted in tests/test_segments.py
+   (test_wand_pruned_equals_unpruned_equals_executor) and
+   tests/test_fixture_queries.py (q22).
 
 The Parquet scan already pruned to the query's (field, term) rows via
 row-group min/max on the sorted term column — WAND here saves decode +
@@ -89,17 +92,33 @@ def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float
                       deleted: np.ndarray | None = None):
     """Build the per-segment applyInPandas function. ``term_meta`` is the
     query's [(term, idf)] resolved on the driver (searching.py::Searcher.idf
-    memoization analogue); everything else rides the closure. ``deleted``
-    (sorted doc ids) is masked right after decode — bounds stay valid
-    (they only overestimate), results stay exact."""
+    memoization analogue); everything else rides the closure.
+
+    Deleted doc ids arrive as MARKER ROWS (``_del_doc`` non-null) unioned
+    into the segment's block rows by wand_topk — the delete set shuffles
+    with the data instead of riding a driver-collected closure. They are
+    masked right after decode — bounds stay valid (they only overestimate),
+    results stay exact. The ``deleted`` array parameter is a test hook with
+    the same semantics."""
     terms = [t for t, _ in term_meta]
     idfs = np.array([i for _, i in term_meta])
     n_terms = len(terms)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        nonlocal_deleted = deleted
+        if "_del_doc" in pdf.columns:
+            dmask = pdf["_del_doc"].notna()
+            if dmask.any():
+                marked = np.unique(pdf.loc[dmask, "_del_doc"].to_numpy(dtype=np.int64))
+                nonlocal_deleted = (
+                    marked if deleted is None
+                    else np.union1d(marked, deleted)
+                )
+                pdf = pdf[~dmask]
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                                  "score": pd.Series([], dtype=np.float64)})
+        deleted_np = nonlocal_deleted
         tcode_map = {t: c for c, t in enumerate(terms)}
         pdf = pdf.assign(_tcode=pdf["term"].map(tcode_map))
         ub = _bm25_np(
@@ -112,8 +131,8 @@ def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float
 
         def score_rows(rows: pd.DataFrame):
             doc, tf, dl, tc = _decode_rows(rows)
-            if deleted is not None and deleted.size:
-                live = ~np.isin(doc, deleted)
+            if deleted_np is not None and deleted_np.size:
+                live = ~np.isin(doc, deleted_np)
                 doc, tf, dl, tc = doc[live], tf[live], dl[live], tc[live]
             return doc, _bm25_np(idfs[tc], tf, dl, avgdl, B, K1), tc
 
@@ -154,27 +173,33 @@ def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float
 
         if len(pruned) and uniq.size:
             # ---- refine: complete scores that pruned blocks could raise ----
-            miss = np.zeros(uniq.size)
-            need_blocks_mask = np.zeros(len(pruned), dtype=bool)
+            # A term's blocks may carry OVERLAPPING [min_doc, max_doc]
+            # ranges after a salted hot-term merge (salt groups repack
+            # independently, segments.py::merge_segments), so a doc can fall
+            # inside SEVERAL pruned blocks of one term. The missing-mass
+            # bound therefore sums ub over EVERY covering block — an
+            # interval-stabbing sum via a difference array over the sorted
+            # doc array — never a single searchsorted hit, which would
+            # under-estimate the bound and return under-scored top-k.
+            # (Summing over all covering blocks only overestimates: the
+            # doc's actual posting lives in exactly one of them.)
             pr = pruned.reset_index(drop=True)
-            for t in range(n_terms):
-                sub = pr[pr["_tcode"] == t]
-                if len(sub) == 0:
-                    continue
-                lo = sub["min_doc"].to_numpy(dtype=np.int64)
-                hi = sub["max_doc"].to_numpy(dtype=np.int64)
-                o = np.argsort(lo)
-                lo, hi = lo[o], hi[o]
-                sub_ub = sub["_ub"].to_numpy()[o]
-                pos = np.searchsorted(lo, uniq, side="right") - 1
-                inside = (pos >= 0) & (uniq <= hi[np.clip(pos, 0, None)])
-                miss[inside] += sub_ub[pos[inside]]
-                # remember which pruned blocks cover a refinable doc
-                covered = np.unique(pos[inside])
-                idx = sub.index.to_numpy()[o][covered]
-                need_blocks_mask[idx] = True
+            lo_all = pr["min_doc"].to_numpy(dtype=np.int64)
+            hi_all = pr["max_doc"].to_numpy(dtype=np.int64)
+            ub_all = pr["_ub"].to_numpy()
+            start_idx = np.searchsorted(uniq, lo_all, side="left")
+            end_idx = np.searchsorted(uniq, hi_all, side="right")
+            diff = np.zeros(uniq.size + 1)
+            np.add.at(diff, start_idx, ub_all)
+            np.add.at(diff, end_idx, -ub_all)
+            miss = np.cumsum(diff)[:-1]
             refine = (sums + miss >= theta) & (miss > 0)
             if refine.any():
+                # decode every pruned block covering a refinable doc
+                ref_docs = uniq[refine]
+                s2 = np.searchsorted(ref_docs, lo_all, side="left")
+                e2 = np.searchsorted(ref_docs, hi_all, side="right")
+                need_blocks_mask = e2 > s2
                 doc_r, contrib_r, tc_r = score_rows(pr[need_blocks_mask])
                 # keep only contributions of docs already tracked (any doc
                 # living solely in pruned blocks was proven < θ) and
@@ -221,6 +246,7 @@ def wand_topk(
     K1 = w.K1
     avgdl = ix.avg_field_length(fieldname)
     n = ix.doc_count
+    ix.prefetch_stats([(fieldname, t) for t in terms])  # one lookup job
     metas = []
     for t in terms:
         dfreq = ix.doc_frequency(fieldname, t)
@@ -234,8 +260,20 @@ def wand_topk(
     blocks = ix.blocks.drop("pos_counts", "pos_vals").where(
         (F.col("field") == fieldname) & F.col("term").isin([t for t, _ in metas])
     )  # WAND never reads positions; dropping pre-scan prunes the columns
-    del_ids = getattr(ix, "deleted_ids", lambda: set())()
-    deleted = np.array(sorted(del_ids), dtype=np.int64) if del_ids else None
-    fn = make_segment_wand(metas, avgdl, B, K1, k, mode, prune, seed_blocks, deleted)
-    local = blocks.groupBy("segment_id").applyInPandas(fn, "doc_id long, score double")
+    deleted = getattr(ix, "deleted", None)
+    if deleted is not None:
+        # delete ids join the per-segment shuffle as marker rows (routed by
+        # the manifest doc ranges) — the set never touches the driver
+        rng = ix.seg_ranges()
+        marks = deleted.join(
+            F.broadcast(rng),
+            (F.col("doc_id") >= F.col("doc_lo")) & (F.col("doc_id") < F.col("doc_hi")),
+        ).select("segment_id", F.col("doc_id").alias("_del_doc"))
+        data = blocks.withColumn("_del_doc", F.lit(None).cast("long")).unionByName(
+            marks, allowMissingColumns=True
+        )
+    else:
+        data = blocks
+    fn = make_segment_wand(metas, avgdl, B, K1, k, mode, prune, seed_blocks)
+    local = data.groupBy("segment_id").applyInPandas(fn, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

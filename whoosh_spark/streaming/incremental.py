@@ -34,6 +34,7 @@ from whoosh_spark.indexing.build import build_index
 from whoosh_spark.indexing.segments import (
     BLOCK_SIZE,
     BLOCKS_SCHEMA,
+    STREAM_BASE,
     _finalize,
     _manifest_dir,
     _pack_partition,
@@ -44,6 +45,18 @@ from whoosh_spark.indexing.segments import (
 # doc_id address space reserved per micro-batch; collisions impossible while
 # a batch stays under this row count (checked at append time).
 BATCH_CAPACITY = 10_000_000
+
+
+def _committed_batch_ids(done: dict[int, dict]) -> set[int]:
+    """Every stream batch id the manifest set accounts for: live stream-batch
+    segments plus batch ids folded into merged segments (merge lineage)."""
+    out: set[int] = set()
+    for m in done.values():
+        lin = m.get("lineage", {})
+        if lin.get("source") == "stream-batch" and lin.get("batch_id") is not None:
+            out.add(int(lin["batch_id"]))
+        out.update(int(b) for b in lin.get("merged_batch_ids", []))
+    return out
 
 
 class IncrementalIndexer:
@@ -72,9 +85,15 @@ class IncrementalIndexer:
         are assigned within the batch's reserved address range in
         (conv_id, turn_idx) order.
         """
-        seg_id = 1_000_000 + int(batch_id)  # streamed segments namespace
+        seg_id = STREAM_BASE + int(batch_id)  # streamed segments namespace
         done = _read_manifest(self.path)
-        if seg_id in done:
+        # Idempotency keys on the BATCH id, not the bare segment id: a merge
+        # deletes the per-batch manifests but carries their batch ids forward
+        # in its lineage (segments.py merge_segments merged_batch_ids), so a
+        # replayed batch whose segment was merged away is still recognized —
+        # and merged ids live in a disjoint namespace (MERGED_BASE), so a
+        # future batch can never mistake a merged segment for its own commit.
+        if seg_id in done or int(batch_id) in _committed_batch_ids(done):
             return  # replayed batch, already committed
         n = batch_df.count()
         if n == 0:
