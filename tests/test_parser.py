@@ -169,3 +169,66 @@ def test_natural_language_dates_with_basedate():
 
     with pytest.raises(ValueError):
         QueryParser("text", schema).parse("ts:yesterday")
+
+
+def test_nl_date_grammar_months_weekdays():
+    """Round-2 grammar extension (reference qparser/dateparse.py): month
+    names, last/next <weekday>, day-month forms, dashed ISO partials."""
+    from whoosh_spark.fields import DATETIME, Schema, TEXT
+
+    schema = Schema(TEXT("text"), DATETIME("ts"))
+    base = datetime(2024, 3, 6, 12, 0, 0)  # a Wednesday
+    pp = QueryParser("text", schema, basedate=base)
+
+    q = pp.parse("ts:[jan 2024 TO feb 2024]")
+    assert q.start == datetime(2024, 1, 1)
+    assert q.end == datetime(2024, 2, 29, 23, 59, 59)  # leap year
+
+    q = pp.parse('ts:"last tuesday"')
+    assert q.start == datetime(2024, 3, 5, 0, 0, 0)
+    assert q.end == datetime(2024, 3, 5, 23, 59, 59)
+
+    q = pp.parse('ts:"next friday"')
+    assert q.start == datetime(2024, 3, 8, 0, 0, 0)
+
+    q = pp.parse('ts:"last wednesday"')  # strictly before basedate
+    assert q.start == datetime(2024, 2, 28, 0, 0, 0)
+
+    q = pp.parse('ts:"jan 15, 2024"')
+    assert (q.start, q.end) == (datetime(2024, 1, 15), datetime(2024, 1, 15, 23, 59, 59))
+
+    q = pp.parse('ts:"15 jan 2024"')
+    assert q.start == datetime(2024, 1, 15)
+
+    q = pp.parse("ts:december")  # bare month = basedate's year
+    assert q.start == datetime(2024, 12, 1)
+    assert q.end == datetime(2024, 12, 31, 23, 59, 59)
+
+    q = pp.parse("ts:2024-02")  # dashed ISO month
+    assert q.start == datetime(2024, 2, 1)
+    assert q.end == datetime(2024, 2, 29, 23, 59, 59)
+
+    q = pp.parse("ts:2024-02-10")  # dashed ISO day
+    assert (q.start, q.end) == (datetime(2024, 2, 10), datetime(2024, 2, 10, 23, 59, 59))
+
+    # month-with-year forms work WITHOUT a basedate (absolute)
+    q = QueryParser("text", schema).parse("ts:[mar 2023 TO apr 2023]")
+    assert q.start == datetime(2023, 3, 1)
+    assert q.end == datetime(2023, 4, 30, 23, 59, 59)
+
+
+def test_variation_forms_irregular():
+    """morph_en irregular table: ran <-> run/running, geese <-> goose."""
+    from whoosh_spark.query.nodes import variation_forms
+
+    for w in ("ran", "run", "running"):
+        forms = variation_forms(w)
+        assert {"ran", "run", "runs", "running"} <= set(forms), (w, forms)
+    assert "goose" in variation_forms("geese")
+    assert "geese" in variation_forms("goose")
+    assert "went" in variation_forms("go")
+    assert "children" in variation_forms("child")
+    # regular + doubling rules still hold
+    assert "hopping" in variation_forms("hop")
+    assert "hop" in variation_forms("hopping")
+    assert "join" in variation_forms("joining")

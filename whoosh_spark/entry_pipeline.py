@@ -241,8 +241,42 @@ def _pipeline_registry() -> dict:
     )
     add(
         "dedup_simhash_pairs",
-        lambda spark, sf: simhash_pairs(_docs(spark, sf), maxdist=3),
-        None,  # xxhash64-dependent: rows-only check
+        lambda spark, sf: simhash_pairs(_docs(spark, sf), maxdist=3).select(
+            "i", "j", F.col("hamming").cast("long").alias("hamming")
+        ),
+        # exact oracle: the token hash is md5-derived (dedup.simhash), so
+        # DuckDB recomputes identical 64-bit signatures and brute-forces
+        # all-pairs hamming (fine at sf0.01; the Spark path blocks by
+        # 16-bit chunks and only verifies bucket collisions)
+        r"""
+WITH tok AS (
+  SELECT doc_id, t, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents)
+  WHERE t <> '' GROUP BY doc_id, t
+),
+hx AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+  FROM tok
+),
+bsum AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN ((CASE WHEN i < 32 THEN lo ELSE hi END) >> (i % 32)) & 1 = 1
+                  THEN tf ELSE -tf END) AS s
+  FROM hx, range(64) r(i)
+  GROUP BY doc_id, i
+),
+sig AS (
+  SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY i) AS bits
+  FROM bsum GROUP BY doc_id
+)
+SELECT i, j, hamming FROM (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         len(list_filter(range(1, 65), k -> a.bits[k] <> b.bits[k]))::BIGINT AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+""",
     )
 
     # ------------------------------ similarity ---------------------------
@@ -733,6 +767,80 @@ SELECT doc_id, round(score, 4) AS score FROM (
         TURNS_PRELUDE
         + "SELECT term, count(*)::BIGINT AS df, sum(w)::DOUBLE AS total_weight "
         "FROM post GROUP BY term",
+    )
+
+    # ---------------- NL date grammar + morph_en irregulars --------------
+
+    def _daterange_nl(spark, sf):
+        from datetime import datetime as _dt
+
+        from whoosh_spark.entry_queries import _events_searcher
+        from whoosh_spark.fields import DATETIME, ID, NUMERIC, Schema
+        from whoosh_spark.query.parser import QueryParser
+
+        s = _events_searcher(spark, sf)
+        schema = Schema(ID("event_type"), NUMERIC("value"), DATETIME("ts"),
+                        NUMERIC("user_id"))
+        # basedate anchors the grammar; the range itself is absolute
+        p = QueryParser("event_type", schema, basedate=_dt(2024, 3, 6))
+        q = p.parse("event_type:click AND ts:[jan 2024 TO feb 15, 2024]")
+        return s.compile(q).select("doc_id", "score")
+
+    add(
+        "daterange_nl",
+        _daterange_nl,
+        "SELECT event_id AS doc_id, 2.0::DOUBLE AS score FROM events "
+        "WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND ts <= TIMESTAMP '2024-02-15 23:59:59'",
+    )
+
+    # Irregular morphology needs forms the synthetic vocabulary lacks, so
+    # both engines query the SAME deterministically-derived corpus: text
+    # plus ' running'/' ran'/' run' appended by doc_id modulus.
+    _IRR_SUFFIX = (
+        "(CASE WHEN doc_id % 7 = 0 THEN ' running' ELSE '' END) || "
+        "(CASE WHEN doc_id % 11 = 0 THEN ' ran' ELSE '' END) || "
+        "(CASE WHEN doc_id % 13 = 0 THEN ' run' ELSE '' END)"
+    )
+
+    def _irr_searcher(spark, sf):
+        key = ("irr_ix", sf)
+        if key not in _CACHE:
+            from whoosh_spark.fields import documents_schema
+            from whoosh_spark.indexing import build_index
+            from whoosh_spark.search import Searcher
+
+            d = _docs(spark, sf).withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    F.when(F.col("doc_id") % 7 == 0, F.lit(" running")).otherwise(F.lit("")),
+                    F.when(F.col("doc_id") % 11 == 0, F.lit(" ran")).otherwise(F.lit("")),
+                    F.when(F.col("doc_id") % 13 == 0, F.lit(" run")).otherwise(F.lit("")),
+                ),
+            )
+            ix = build_index(spark, d, documents_schema()).persist()
+            _CACHE[key] = Searcher(ix)
+        return _CACHE[key]
+
+    def _variations_irregular(spark, sf):
+        from whoosh_spark import query as Qn
+        from whoosh_spark.entry_queries import _topk
+
+        s = _irr_searcher(spark, sf)
+        return _topk(s.compile(Qn.Variations("text", "ran")))
+
+    from whoosh_spark.query.nodes import variation_forms as _vf
+
+    _ran_forms_sql = ", ".join(f"'{t}'" for t in _vf("ran"))
+    add(
+        "variations_irregular_topk",
+        _variations_irregular,
+        "WITH d2 AS (SELECT doc_id, text || " + _IRR_SUFFIX + " AS text FROM documents),\n"
+        + prelude_body("d2")
+        + f"\nSELECT doc_id, round(score, 4) AS score FROM ("
+        f"SELECT doc_id, sum(score) AS score FROM scored WHERE term IN ({_ran_forms_sql}) "
+        "GROUP BY doc_id)\nORDER BY score DESC, doc_id ASC LIMIT 10",
     )
 
     add(

@@ -229,6 +229,11 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     bit_i(doc) = 1 iff Σ_tokens tf * (±1 per token-hash bit i) > 0.
     64 conditional sums in one aggregation — map-side combined, one shuffle.
+
+    The 64-bit token hash is md5-derived (two 32-bit halves from the first
+    16 hex chars) rather than xxhash64: identical bits are reproducible in
+    any engine with md5 — which gives the driver's DuckDB oracle an exact
+    target — at the same one-hash-per-distinct-token cost.
     """
     toks = (
         docs.select(
@@ -238,13 +243,17 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .where(F.col("t") != "")
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("t"))
+        .withColumn("_md5", F.md5("t"))
+        .withColumn("h_hi", F.conv(F.substring("_md5", 1, 8), 16, 10).cast("long"))
+        .withColumn("h_lo", F.conv(F.substring("_md5", 9, 8), 16, 10).cast("long"))
+    )
+    bit_src = lambda i: (  # noqa: E731 — bit i lives in the lo/hi 32-bit half
+        F.shiftright("h_lo" if i < 32 else "h_hi", i % 32).bitwiseAND(F.lit(1))
     )
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-                .otherwise(-F.col("tf"))
+                F.when(bit_src(i) == 1, F.col("tf")).otherwise(-F.col("tf"))
             ).alias(f"b{i}")
             for i in range(bits)
         ]

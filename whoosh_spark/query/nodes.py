@@ -97,24 +97,105 @@ class FuzzyTerm(MultiTermQuery):
     prefixlength: int = 1
 
 
+# Irregular inflection groups (reference: lang/morph_en.py::variations —
+# its rule table bakes in the common English irregulars; this is the
+# public-knowledge core of that table: high-frequency irregular verbs and
+# nouns). Any member of a group expands to the whole group.
+_IRREGULAR_GROUPS: list[tuple[str, ...]] = [
+    ("be", "am", "is", "are", "was", "were", "been", "being"),
+    ("begin", "began", "begun", "beginning"),
+    ("break", "broke", "broken", "breaking"),
+    ("bring", "brought", "bringing"),
+    ("build", "built", "building"),
+    ("buy", "bought", "buying"),
+    ("catch", "caught", "catching"),
+    ("choose", "chose", "chosen", "choosing"),
+    ("come", "came", "coming"),
+    ("do", "does", "did", "done", "doing"),
+    ("draw", "drew", "drawn", "drawing"),
+    ("drive", "drove", "driven", "driving"),
+    ("eat", "ate", "eaten", "eating"),
+    ("fall", "fell", "fallen", "falling"),
+    ("feel", "felt", "feeling"),
+    ("find", "found", "finding"),
+    ("get", "got", "gotten", "getting"),
+    ("give", "gave", "given", "giving"),
+    ("go", "goes", "went", "gone", "going"),
+    ("grow", "grew", "grown", "growing"),
+    ("have", "has", "had", "having"),
+    ("hold", "held", "holding"),
+    ("keep", "kept", "keeping"),
+    ("know", "knew", "known", "knowing"),
+    ("leave", "left", "leaving"),
+    ("lose", "lost", "losing"),
+    ("make", "made", "making"),
+    ("mean", "meant", "meaning"),
+    ("meet", "met", "meeting"),
+    ("run", "ran", "runs", "running"),
+    ("say", "said", "saying"),
+    ("see", "saw", "seen", "seeing"),
+    ("sell", "sold", "selling"),
+    ("send", "sent", "sending"),
+    ("sit", "sat", "sitting"),
+    ("speak", "spoke", "spoken", "speaking"),
+    ("spend", "spent", "spending"),
+    ("stand", "stood", "standing"),
+    ("take", "took", "taken", "taking"),
+    ("teach", "taught", "teaching"),
+    ("tell", "told", "telling"),
+    ("think", "thought", "thinking"),
+    ("understand", "understood", "understanding"),
+    ("write", "wrote", "written", "writing"),
+    ("child", "children"),
+    ("foot", "feet"),
+    ("goose", "geese"),
+    ("man", "men"),
+    ("mouse", "mice"),
+    ("person", "people"),
+    ("tooth", "teeth"),
+    ("woman", "women"),
+    ("leaf", "leaves"),
+    ("life", "lives"),
+    ("half", "halves"),
+    ("knife", "knives"),
+]
+_IRREGULAR: dict[str, frozenset] = {}
+for _grp in _IRREGULAR_GROUPS:
+    for _w in _grp:
+        _IRREGULAR[_w] = _IRREGULAR.get(_w, frozenset()) | frozenset(_grp)
+
+_VOWELS = "aeiou"
+
+
 def variation_forms(word: str) -> list[str]:
-    """Deterministic rule-based morphological candidates of ``word``
-    (simplified form of reference terms.py::Variations over
-    lang/morph_en.py::variations — the full English rule table is
-    unported; these suffix rules cover the regular inflections). The list
-    is static per word: lexicon intersection happens downstream, absent
-    forms simply have no postings."""
+    """Deterministic morphological candidates of ``word`` (reference:
+    terms.py::Variations over lang/morph_en.py::variations): regular suffix
+    rules + consonant doubling + the irregular table above. The list is
+    static per word: lexicon intersection happens downstream, absent forms
+    simply have no postings."""
     forms = {word}
     forms.update({word + "s", word + "es", word + "ed", word + "ing"})
+    forms.update(_IRREGULAR.get(word, ()))
     if word.endswith("e") and len(word) > 2:
         forms.update({word[:-1] + "ing", word + "d"})
     if word.endswith("y") and len(word) > 2:
         forms.update({word[:-1] + "ies", word[:-1] + "ied"})
+    # CVC doubling: hop -> hopping/hopped
+    if (
+        len(word) >= 3
+        and word[-1] not in _VOWELS + "wxy"
+        and word[-2] in _VOWELS
+        and word[-3] not in _VOWELS
+    ):
+        forms.update({word + word[-1] + "ing", word + word[-1] + "ed"})
     for suf in ("ing", "ied", "ies", "ed", "es", "s"):
         if word.endswith(suf) and len(word) - len(suf) >= 2:
             base = word[: len(word) - len(suf)]
             forms.add(base)
             forms.add(base + "e")
+            # reverse doubling: hopping -> hop
+            if len(base) >= 3 and base[-1] == base[-2] and base[-1] not in _VOWELS:
+                forms.add(base[:-1])
     return sorted(forms)
 
 

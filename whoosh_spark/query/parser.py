@@ -217,6 +217,12 @@ class QueryParser:
                 self._next()
             return q
         if t.kind == "phrase":
+            fs = self.schema[field] if field in self.schema else None
+            if fs is not None and fs.kind == "datetime":
+                # quoted date phrase: ts:"last tuesday", ts:"jan 15, 2024"
+                # (reference: DateParserPlugin consumes quoted date text)
+                lo, hi = _date_bounds(t.text, self.basedate)
+                return Q.DateRange(field, lo, hi)
             words = [w for w, _ in analyze_text(t.text, self._analyzer(field))]
             if not words:
                 return None
@@ -335,6 +341,80 @@ def _num(s: str | None):
 _RELDATE_RE = re.compile(r"([+-]?\d+)\s*(day|week|month|year|hour|minute)s?",
                          re.IGNORECASE)
 
+_MONTHS = {
+    "jan": 1, "january": 1, "feb": 2, "february": 2, "mar": 3, "march": 3,
+    "apr": 4, "april": 4, "may": 5, "jun": 6, "june": 6, "jul": 7, "july": 7,
+    "aug": 8, "august": 8, "sep": 9, "sept": 9, "september": 9,
+    "oct": 10, "october": 10, "nov": 11, "november": 11,
+    "dec": 12, "december": 12,
+}
+_WEEKDAYS = {
+    "monday": 0, "mon": 0, "tuesday": 1, "tue": 1, "tues": 1,
+    "wednesday": 2, "wed": 2, "thursday": 3, "thu": 3, "thurs": 3,
+    "friday": 4, "fri": 4, "saturday": 5, "sat": 5, "sunday": 6, "sun": 6,
+}
+
+# "jan 2024" | "january" | "15 jan 2024" | "jan 15, 2024" | "last tuesday" ...
+_MONTH_YEAR_RE = re.compile(r"([a-z]+)\s+(\d{4})")
+_DAY_MONTH_RE = re.compile(r"(\d{1,2})(?:st|nd|rd|th)?\s+([a-z]+)(?:\s+(\d{4}))?")
+_MONTH_DAY_RE = re.compile(r"([a-z]+)\s+(\d{1,2})(?:st|nd|rd|th)?,?(?:\s+(\d{4}))?")
+
+
+def _month_bounds(year: int, month: int) -> tuple[datetime, datetime]:
+    from datetime import timedelta
+
+    lo = datetime(year, month, 1)
+    nxt = lo.replace(year=year + (month == 12), month=(month % 12) + 1)
+    return lo, nxt - timedelta(seconds=1)
+
+
+def _nl_date_bounds(low: str, basedate: datetime | None) -> tuple[datetime, datetime] | None:
+    """English date-phrase subset of the reference's date grammar
+    (src/whoosh/qparser/dateparse.py: month names, weekday names with
+    last/next, day-month-year in either order). Returns [start, end] bounds
+    or None when ``low`` isn't one of these forms. Forms that are relative
+    (bare/last/next weekday, month without a year) need ``basedate``."""
+    from datetime import timedelta
+
+    low = " ".join(low.split())
+
+    def day_of(d: datetime) -> tuple[datetime, datetime]:
+        lo = d.replace(hour=0, minute=0, second=0, microsecond=0)
+        return lo, d.replace(hour=23, minute=59, second=59, microsecond=0)
+
+    # last/next/bare weekday (relative; anchored on basedate)
+    parts = low.split(" ")
+    if basedate is not None:
+        if len(parts) == 2 and parts[0] in ("last", "next") and parts[1] in _WEEKDAYS:
+            wd = _WEEKDAYS[parts[1]]
+            if parts[0] == "last":
+                back = (basedate.weekday() - wd) % 7 or 7
+                return day_of(basedate - timedelta(days=back))
+            fwd = (wd - basedate.weekday()) % 7 or 7
+            return day_of(basedate + timedelta(days=fwd))
+        if len(parts) == 1 and low in _WEEKDAYS:
+            # bare weekday = the most recent one (today counts), like the
+            # reference's relative weekday resolution against basedate
+            back = (basedate.weekday() - _WEEKDAYS[low]) % 7
+            return day_of(basedate - timedelta(days=back))
+        if low in _MONTHS:  # bare month name = that month of basedate's year
+            return _month_bounds(basedate.year, _MONTHS[low])
+
+    m = _MONTH_YEAR_RE.fullmatch(low)
+    if m and m.group(1) in _MONTHS:  # "jan 2024"
+        return _month_bounds(int(m.group(2)), _MONTHS[m.group(1)])
+    m = _DAY_MONTH_RE.fullmatch(low)
+    if m and m.group(2) in _MONTHS:  # "15 jan 2024" / "15 jan"
+        year = int(m.group(3)) if m.group(3) else (basedate.year if basedate else None)
+        if year is not None:
+            return day_of(datetime(year, _MONTHS[m.group(2)], int(m.group(1))))
+    m = _MONTH_DAY_RE.fullmatch(low)
+    if m and m.group(1) in _MONTHS:  # "jan 15, 2024" / "jan 15"
+        year = int(m.group(3)) if m.group(3) else (basedate.year if basedate else None)
+        if year is not None:
+            return day_of(datetime(year, _MONTHS[m.group(1)], int(m.group(2))))
+    return None
+
 
 def _date_bounds(s: str, basedate: datetime | None = None) -> tuple[datetime, datetime]:
     """yyyymmdd[hhmmss] -> [start, end) bounds like the reference's date
@@ -345,6 +425,9 @@ def _date_bounds(s: str, basedate: datetime | None = None) -> tuple[datetime, da
     from datetime import timedelta
 
     s = s.strip()
+    nl = _nl_date_bounds(s.lower(), basedate)
+    if nl is not None:
+        return nl
     if basedate is not None:
         low = s.lower()
         day_of = lambda d: (d.replace(hour=0, minute=0, second=0, microsecond=0),
@@ -372,6 +455,11 @@ def _date_bounds(s: str, basedate: datetime | None = None) -> tuple[datetime, da
         ("%Y%m%d", "day"),
         ("%Y%m", "month"),
         ("%Y", "year"),
+        # dashed ISO partials resolve to ranges too ("2024-01" = the month)
+        ("%Y-%m-%dT%H:%M:%S", "second"),
+        ("%Y-%m-%d %H:%M:%S", "second"),
+        ("%Y-%m-%d", "day"),
+        ("%Y-%m", "month"),
     ]
     for fmt, unit in fmts:
         try:
