@@ -135,3 +135,100 @@ def test_intraword_series_batch():
         (0, "run", 0), (0, "time", 1), (0, "go", 2)
     ]
     assert b.lengths().tolist() == [3, 0, 0]
+
+
+# ---------------- round-2 filter surface (charset/sub/strip/reverse/
+# delimited-boost/biword/shingle/path) ----------------
+
+
+def test_charset_filter_custom_map():
+    from whoosh_spark.analysis import AnalyzerSpec, analyze_text
+
+    spec = AnalyzerSpec(stoplist=None, minsize=1, charmap=(("øß", "os"),))
+    assert [t for t, _ in analyze_text("søss gøß", spec)] == ["soss", "gos"]
+
+
+def test_charset_tokenizer_changes_boundaries():
+    from whoosh_spark.analysis import AnalyzerSpec, analyze_text
+
+    # '_' is \w, so 'ab_cd' is ONE token by default; CharsetTokenizer maps
+    # it to space BEFORE tokenizing and yields two tokens
+    plain = AnalyzerSpec(stoplist=None, minsize=1, charmap=(("_", " "),))
+    tok = AnalyzerSpec(stoplist=None, minsize=1, charmap=(("_", " "),),
+                       charmap_tokenize=True)
+    assert [t for t, _ in analyze_text("ab_cd", plain)] == ["ab cd"]
+    assert [t for t, _ in analyze_text("ab_cd", tok)] == ["ab", "cd"]
+
+
+def test_substitution_filter():
+    from whoosh_spark.analysis import SPACE_SEP, analyze_text
+    from dataclasses import replace
+
+    spec = replace(SPACE_SEP, substitutions=(("-", ""),), lowercase=True)
+    assert [t for t, _ in analyze_text("Wi-Fi up-link", spec)] == ["wifi", "uplink"]
+
+
+def test_comma_separated_with_strip():
+    from whoosh_spark.analysis import COMMA_SEP, analyze_text
+
+    got = analyze_text("alpha, beta ,  gamma delta ", COMMA_SEP)
+    assert [t for t, _ in got] == ["alpha", "beta", "gamma delta"]
+    assert [p for _, p in got] == [0, 1, 2]
+
+
+def test_reverse_filter():
+    from whoosh_spark.analysis import AnalyzerSpec, analyze_text
+
+    spec = AnalyzerSpec(stoplist=None, minsize=1, reverse=True)
+    assert [t for t, _ in analyze_text("abc def", spec)] == ["cba", "fed"]
+
+
+def test_delimited_boost_filter():
+    from whoosh_spark.analysis import AnalyzerSpec, postings_frame
+    import pandas as pd
+
+    # the delimiter must survive tokenization (Whoosh composes this filter
+    # with whitespace tokenizers), so use the space-separated pattern
+    spec = AnalyzerSpec(pattern=r"[^ \t\r\n]+", stoplist=None, minsize=1,
+                        delimited_boost="^")
+    pdf = postings_frame(pd.Series(["big^2 big small^0.5"]), spec)
+    w = dict(zip(pdf["term"], pdf["weight"]))
+    assert w == {"big": 3.0, "small": 0.5}
+    # field length counts TOKENS, independent of boost
+    from whoosh_spark.analysis import analyze_series
+
+    b = analyze_series(pd.Series(["big^2 big small^0.5"]), spec)
+    assert b.lengths().tolist() == [3]
+
+
+def test_biword_filter():
+    from whoosh_spark.analysis import BIWORD, analyze_text
+
+    got = analyze_text("quick brown fox", BIWORD())
+    assert [t for t, _ in got] == ["quick-brown", "brown-fox"]
+    assert [p for _, p in got] == [0, 1]
+
+
+def test_shingle_filter_size3():
+    from whoosh_spark.analysis import SHINGLES, analyze_text
+
+    got = analyze_text("a b c d", SHINGLES(3, " "))
+    assert [t for t, _ in got] == ["a b c", "b c d"]
+
+
+def test_path_tokenizer():
+    from whoosh_spark.analysis import PATH, analyze_text
+
+    got = analyze_text("/usr/local/bin", PATH)
+    assert [t for t, _ in got] == ["usr", "usr/local", "usr/local/bin"]
+    assert analyze_text("", PATH) == []
+
+
+def test_biword_does_not_cross_rows():
+    import pandas as pd
+
+    from whoosh_spark.analysis import BIWORD, analyze_series
+
+    b = analyze_series(pd.Series(["one two", "three four"]), BIWORD())
+    assert b.term.tolist() == ["one-two", "three-four"]
+    assert b.row.tolist() == [0, 1]

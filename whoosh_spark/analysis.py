@@ -52,7 +52,14 @@ class AnalyzerSpec:
     src/whoosh/analysis/analyzers.py (~L60-240). ``ngram=(lo, hi)`` appends
     an NgramFilter stage (char n-grams of each surviving token, reference:
     src/whoosh/analysis/ngrams.py::NgramFilter ~L120; each gram keeps its
-    source token's position)."""
+    source token's position).
+
+    Stage order (fixed, documented — Whoosh chains compose explicitly; this
+    covers the orderings its built-in analyzers actually use):
+    tokenize [charmap_tokenize] -> intraword -> strip -> lowercase ->
+    accent_fold/charmap -> substitutions -> reverse -> delimited boost ->
+    stop/minsize -> stem -> biword/shingle -> ngram.
+    """
 
     pattern: str = DEFAULT_TOKEN_PATTERN
     lowercase: bool = True
@@ -69,9 +76,45 @@ class AnalyzerSpec:
     # ~L30): split camelCase / letter-digit runs into subword tokens before
     # lowercasing; positions renumber over the split stream
     intraword: bool = False
+    # CharsetFilter with a CUSTOM char map (reference: filters.py::
+    # CharsetFilter, support/charset.py) — ((from_chars, to_chars), ...)
+    # pairs applied per token via str.translate; charmap_tokenize=True also
+    # applies the map to the RAW text before tokenizing (CharsetTokenizer,
+    # tokenizers.py::CharsetTokenizer ~L200 — mapping can change token
+    # boundaries there)
+    charmap: tuple[tuple[str, str], ...] | None = None
+    charmap_tokenize: bool = False
+    # SubstitutionFilter(pattern, replacement) (filters.py::
+    # SubstitutionFilter ~L240), applied in order
+    substitutions: tuple[tuple[str, str], ...] | None = None
+    # StripFilter (filters.py::StripFilter): strip whitespace per token
+    strip: bool = False
+    # ReverseTextFilter (filters.py::ReverseTextFilter): reverse each token
+    reverse: bool = False
+    # DelimitedAttributeFilter(delimiter, 'boost') (filters.py::
+    # DelimitedAttributeFilter ~L280): 'word^2' -> token 'word' with
+    # boost 2.0; boosts sum into the posting weight like the reference's
+    # format weight = sum of token boosts
+    delimited_boost: str | None = None
+    # BiWordFilter(sep) / ShingleFilter(size, sep) (analysis/morph? ->
+    # src/whoosh/analysis/intraword.py::BiWordFilter ~L300, ShingleFilter):
+    # emit joins of ``shingle_size`` consecutive tokens
+    shingle_size: int | None = None
+    shingle_sep: str = "-"
+    # PathTokenizer (tokenizers.py::PathTokenizer ~L240): progressive path
+    # prefixes of a '/'-separated value (replaces ``pattern``)
+    path: bool = False
 
     def compiled(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
+
+    def trans_table(self) -> dict | None:
+        if self.charmap is None:
+            return None
+        table: dict[int, str] = {}
+        for src, dst in self.charmap:
+            table.update(str.maketrans(src, dst))
+        return table
 
 
 _INTRAWORD_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|\d+")
@@ -91,6 +134,30 @@ def NGRAM_WORDS(minsize: int = 3, maxsize: int = 3) -> AnalyzerSpec:
     return AnalyzerSpec(stoplist=None, minsize=1, ngram=(minsize, maxsize))
 
 
+# Tokenizer presets (reference: analysis/tokenizers.py): each is the bare
+# tokenizer as an analyzer — compose filters by replacing fields.
+SPACE_SEP = AnalyzerSpec(pattern=r"[^ \t\r\n]+", lowercase=False,
+                         stoplist=None, minsize=1)
+COMMA_SEP = AnalyzerSpec(pattern=r"[^,]+", strip=True, lowercase=False,
+                         stoplist=None, minsize=1)
+PATH = AnalyzerSpec(path=True, lowercase=False, stoplist=None, minsize=1)
+# KeywordAnalyzer(lowercase=True) analogue for simple keyword fields
+KEYWORD_LOWER = AnalyzerSpec(pattern=r"[^ \t\r\n]+", lowercase=True,
+                             stoplist=None, minsize=1)
+
+
+def BIWORD(sep: str = "-") -> AnalyzerSpec:
+    """BiWordFilter chain: tokenize | lowercase | biword join (reference:
+    analysis/intraword.py::BiWordFilter — merges adjacent token pairs to
+    make phrase-ish searching cheap)."""
+    return AnalyzerSpec(stoplist=None, minsize=1, shingle_size=2, shingle_sep=sep)
+
+
+def SHINGLES(size: int, sep: str = " ") -> AnalyzerSpec:
+    """ShingleFilter chain (reference: analysis/intraword.py::ShingleFilter)."""
+    return AnalyzerSpec(stoplist=None, minsize=1, shingle_size=size, shingle_sep=sep)
+
+
 @dataclass(frozen=True)
 class AnalyzedBatch:
     """Flat (row, term, pos) view of an analyzed batch of texts.
@@ -103,6 +170,8 @@ class AnalyzedBatch:
     term: np.ndarray  # object (str)
     pos: np.ndarray  # int64
     n_rows: int
+    # per-token boost (DelimitedAttributeFilter); None = all 1.0
+    boost: np.ndarray | None = None
 
     def lengths(self) -> np.ndarray:
         """Post-filter token count per input row (the Whoosh field length)."""
@@ -121,28 +190,68 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
     """
     texts = texts.reset_index(drop=True).fillna("")
     n_rows = len(texts)
-    toks = texts.str.findall(spec.compiled())
-    flat = toks.explode()
-    flat = flat[flat.notna()]
+
+    def _empty():
+        e = np.empty(0, dtype=np.int64)
+        return AnalyzedBatch(e, np.empty(0, dtype=object), e, n_rows)
+
+    table = spec.trans_table()
+    if table is not None and spec.charmap_tokenize:
+        # CharsetTokenizer: the map applies to the RAW text (can merge or
+        # split token boundaries), then tokenization proceeds normally
+        texts = texts.str.translate(table)
+    if spec.path:
+        # PathTokenizer: progressive '/'-prefixes; one C-level slice+join
+        # per depth level, never per-row Python
+        parts = texts.str.strip("/").str.split("/")
+        depth = parts.str.len().fillna(0).astype(int)
+        max_d = int(depth.max()) if n_rows else 0
+        cols = []
+        for d in range(1, max_d + 1):
+            pref = parts[depth >= d].str[:d].str.join("/")
+            cols.append(pref)
+        flat = pd.concat(cols).sort_index(kind="stable") if cols else pd.Series([], dtype=object)
+    else:
+        toks = texts.str.findall(spec.compiled())
+        flat = toks.explode()
+        flat = flat[flat.notna()]
     if len(flat) == 0:
-        empty = np.empty(0, dtype=np.int64)
-        return AnalyzedBatch(empty, np.empty(0, dtype=object), empty, n_rows)
+        return _empty()
     if spec.intraword:
         flat = flat.str.findall(_INTRAWORD_RE).explode()
         flat = flat[flat.notna()]
         if len(flat) == 0:
-            empty = np.empty(0, dtype=np.int64)
-            return AnalyzedBatch(empty, np.empty(0, dtype=object), empty, n_rows)
+            return _empty()
+    if spec.strip:
+        flat = flat.str.strip()
+        flat = flat[flat.str.len() > 0]
     if spec.lowercase:
         flat = flat.str.lower()
     if spec.accent_fold:
         flat = flat.str.normalize("NFKD").str.replace(_COMBINING_RE, "", regex=True)
+    if table is not None and not spec.charmap_tokenize:
+        flat = flat.str.translate(table)  # CharsetFilter (per-token map)
+    if spec.substitutions:
+        for pat, repl in spec.substitutions:  # SubstitutionFilter chain
+            flat = flat.str.replace(pat, repl, regex=True)
+        flat = flat[flat.str.len() > 0]
+    if spec.reverse:
+        flat = flat.str[::-1]  # ReverseTextFilter
+    boosts: pd.Series | None = None
+    if spec.delimited_boost is not None:
+        # DelimitedAttributeFilter(delim, 'boost'): 'word^2.5' -> boost 2.5
+        d = re.escape(spec.delimited_boost)
+        m = flat.str.extract(rf"^(.*?)(?:{d}(\d+(?:\.\d+)?))?$", expand=True)
+        flat = m[0]
+        boosts = pd.to_numeric(m[1], errors="coerce").fillna(1.0)
     keep = flat.str.len() >= spec.minsize
     if spec.maxsize is not None:
         keep &= flat.str.len() <= spec.maxsize
     if spec.stoplist is not None:
         keep &= ~flat.isin(spec.stoplist)
     kept = flat[keep]
+    if boosts is not None:
+        boosts = boosts[keep.to_numpy()]
     if spec.stem:
         # stem per UNIQUE term (zipfian batches -> tiny vocabulary), the
         # reference's StemFilter lru_cache trick vectorized via Series.map
@@ -150,6 +259,27 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}
         kept = kept.map(mapping)
+    if spec.shingle_size is not None and spec.shingle_size > 1:
+        # BiWord/ShingleFilter: join n consecutive same-row tokens; the
+        # shingle takes the FIRST token's renumbered position
+        n = spec.shingle_size
+        joined = kept.copy()
+        ok = np.ones(len(kept), dtype=bool)
+        for step in range(1, n):
+            nxt = kept.groupby(level=0).shift(-step)
+            ok &= nxt.notna().to_numpy()
+            # positional concat (indexes are non-unique row labels; pandas
+            # index alignment is undefined there, numpy concat is not)
+            joined = pd.Series(
+                joined.to_numpy(dtype=object)
+                + np.full(len(joined), spec.shingle_sep, dtype=object)
+                + nxt.fillna("").to_numpy(dtype=object),
+                index=kept.index,
+            )
+        kept = joined[ok]
+        boosts = None  # shingles reset per-token boosts (Whoosh: boost 1.0)
+        if len(kept) == 0:
+            return _empty()
     pos = kept.groupby(level=0).cumcount()
     if spec.ngram is not None:
         return _ngram_expand(kept, pos, spec.ngram, n_rows)
@@ -158,6 +288,7 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
         term=kept.to_numpy(dtype=object),
         pos=pos.to_numpy(dtype=np.int64),
         n_rows=n_rows,
+        boost=boosts.to_numpy(dtype=np.float64) if boosts is not None else None,
     )
 
 
@@ -214,12 +345,18 @@ class PostingArrays:
 
     row: np.ndarray  # int64, one per group
     term: np.ndarray  # object (str), one per group
-    weight: np.ndarray  # float64, one per group
+    weight: np.ndarray  # float64, one per group (sum of token boosts)
     positions_flat: np.ndarray  # int32, concatenated per-group positions
     offsets: np.ndarray  # int32, group boundaries into positions_flat
+    count: np.ndarray | None = None  # int64 token count per group (== weight
+    # unless DelimitedAttributeFilter boosts are in play; field LENGTH always
+    # counts tokens, Whoosh field_length is boost-independent)
 
     def __len__(self) -> int:
         return self.row.size
+
+    def token_counts(self) -> np.ndarray:
+        return self.count if self.count is not None else self.weight.astype(np.int64)
 
 
 def postings_arrays(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> PostingArrays:
@@ -238,12 +375,18 @@ def postings_arrays(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> PostingA
     starts = np.concatenate(([0], boundary + 1))
     offsets = np.concatenate((starts, [r.size])).astype(np.int32)
     counts = np.diff(offsets)
+    if b.boost is not None:
+        # reference format weight = sum of token boosts per (doc, term)
+        weight = np.add.reduceat(b.boost[order], starts)
+    else:
+        weight = counts.astype(np.float64)
     return PostingArrays(
         row=r[starts],
         term=np.asarray(uniques, dtype=object)[c[starts]],
-        weight=counts.astype(np.float64),
+        weight=weight,
         positions_flat=p.astype(np.int32),
         offsets=offsets,
+        count=counts.astype(np.int64),
     )
 
 

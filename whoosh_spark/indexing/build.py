@@ -89,8 +89,9 @@ def _text_postings_generator(field_spec: FieldSpec, doc_id_col: str):
                 zero_copy_only=False
             )
             # raw per-row token count -> quantized dl, broadcast to groups
+            # (token_counts, not weight: field length is boost-independent)
             raw_len = np.zeros(batch.num_rows, dtype=np.int64)
-            np.add.at(raw_len, arrs.row, arrs.weight.astype(np.int64))
+            np.add.at(raw_len, arrs.row, arrs.token_counts())
             dl = quantized_length_np(raw_len)[arrs.row]
             n = len(arrs)
             yield pa.RecordBatch.from_arrays(
