@@ -232,3 +232,21 @@ def test_biword_does_not_cross_rows():
     b = analyze_series(pd.Series(["one two", "three four"]), BIWORD())
     assert b.term.tolist() == ["one-two", "three-four"]
     assert b.row.tolist() == [0, 1]
+
+
+def test_compound_word_filter():
+    from whoosh_spark.analysis import AnalyzerSpec, analyze_text
+
+    words = frozenset({"data", "base", "up", "link", "note"})
+    spec = AnalyzerSpec(stoplist=None, minsize=1, compound_words=words)
+    got = analyze_text("database uplink notebook", spec)
+    # decomposable tokens keep the compound + subwords at the SAME position;
+    # 'notebook' has no full decomposition ('book' not in the set) -> kept
+    assert got == [
+        ("database", 0), ("data", 0), ("base", 0),
+        ("uplink", 1), ("up", 1), ("link", 1),
+        ("notebook", 2),
+    ]
+    drop = AnalyzerSpec(stoplist=None, minsize=1, compound_words=words,
+                        keep_compound=False)
+    assert [t for t, _ in analyze_text("database", drop)] == ["data", "base"]

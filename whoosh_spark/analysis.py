@@ -101,6 +101,11 @@ class AnalyzerSpec:
     # emit joins of ``shingle_size`` consecutive tokens
     shingle_size: int | None = None
     shingle_sep: str = "-"
+    # CompoundWordFilter(wordset, keep_compound) (intraword.py::
+    # CompoundWordFilter ~L260): split tokens decomposable into dictionary
+    # words; subwords share the source token's position
+    compound_words: frozenset[str] | None = None
+    keep_compound: bool = True
     # PathTokenizer (tokenizers.py::PathTokenizer ~L240): progressive path
     # prefixes of a '/'-separated value (replaces ``pattern``)
     path: bool = False
@@ -281,6 +286,16 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
         if len(kept) == 0:
             return _empty()
     pos = kept.groupby(level=0).cumcount()
+    if spec.compound_words is not None:
+        # split per UNIQUE term (memoized, the stem-filter trick); subwords
+        # share the source token's position like the reference filter
+        mapping = {
+            u: _compound_split(u, spec.compound_words, spec.keep_compound)
+            for u in pd.unique(kept)
+        }
+        df = pd.DataFrame({"t": kept.map(mapping), "p": pos}).explode("t")
+        kept, pos = df["t"], df["p"].astype(np.int64)
+        boosts = None
     if spec.ngram is not None:
         return _ngram_expand(kept, pos, spec.ngram, n_rows)
     return AnalyzedBatch(
@@ -290,6 +305,31 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
         n_rows=n_rows,
         boost=boosts.to_numpy(dtype=np.float64) if boosts is not None else None,
     )
+
+
+def _compound_subwords(s: str, wordset: frozenset, memo: dict) -> list[str] | None:
+    """Greedy-recursive dictionary decomposition (reference: intraword.py::
+    CompoundWordFilter.subwords): first prefix in the wordset whose
+    remainder also decomposes wins; None = not decomposable."""
+    if s in wordset:
+        return [s]
+    if s in memo:
+        return memo[s]
+    memo[s] = None  # guard against cycles while recursing
+    for i in range(1, len(s)):
+        if s[:i] in wordset:
+            rest = _compound_subwords(s[i:], wordset, memo)
+            if rest is not None:
+                memo[s] = [s[:i]] + rest
+                return memo[s]
+    return None
+
+
+def _compound_split(term: str, wordset: frozenset, keep: bool) -> list[str]:
+    sub = _compound_subwords(term, wordset, {})
+    if sub is None or sub == [term]:
+        return [term]
+    return [term] + sub if keep else sub
 
 
 def _ngram_expand(kept: pd.Series, pos: pd.Series, sizes: tuple[int, int],
