@@ -206,3 +206,45 @@ def test_merge_every_does_not_drop_next_batch(spark, corpus, tmp_path_factory):
     six2 = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
     assert six2.postings.count() == n_post
     assert six2.doc_count == sum(counts)
+
+
+def test_mass_delete_dataframe_merge_expunge(spark, corpus, tmp_path_factory):
+    """Scale-path deletes: a dedup-sweep-sized delete set arrives as a
+    DataFrame (never a Python list), masks reads, then a merge expunges it
+    physically — doc_count, Every, tombstones, and remaining postings all
+    consistent, with zero driver collect of ids anywhere."""
+    from whoosh_spark.indexing.segments import (
+        delete_docs, merge_segments, read_deletes, read_tombstones,
+    )
+
+    path = str(tmp_path_factory.mktemp("massdel") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
+    n_all = corpus.count()
+
+    # delete ~half the corpus, as a frame derived from a predicate
+    victims = corpus.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    n_victims = victims.count()
+    total = delete_docs(spark, path, victims)
+    assert total == n_victims
+
+    six = open_segments(spark, path, corpus, transcript_schema())
+    assert six.doc_count == n_all  # doc_count_all: deletes don't shrink idf
+    assert Searcher(six).compile(Q.Every()).count() == n_all - n_victims
+    hits = Searcher(six).search(Q.Term("text", "spark"), limit=None).collect()
+    assert all(r.doc_id % 2 == 1 for r in hits)
+    wand = wand_topk(six, "text", ["spark"], k=50).collect()
+    assert all(r.doc_id % 2 == 1 for r in wand)
+
+    merge_segments(spark, path)
+    six2 = open_segments(spark, path, corpus, transcript_schema())
+    assert read_deletes(spark, path) is None  # fully expunged
+    tomb = read_tombstones(spark, path)
+    assert tomb is not None and tomb.count() == n_victims
+    assert six2.doc_count == n_all - n_victims
+    assert Searcher(six2).compile(Q.Every()).count() == n_all - n_victims
+    # postings physically contain no even doc ids
+    assert six2.postings.where(F.col("doc_id") % 2 == 0).count() == 0
+    # same query results pre/post expunge (scores change with doc_count,
+    # membership must not)
+    hits2 = Searcher(six2).search(Q.Term("text", "spark"), limit=None).collect()
+    assert {r.doc_id for r in hits2} == {r.doc_id for r in hits}
