@@ -332,3 +332,31 @@ def test_stats_lookup_never_materializes_lexicon(spark, monkeypatch):
     ix.prefetch_stats([("text", "merge"), ("text", "window"), ("role", "user")])
     assert ix.doc_frequency("text", "merge") == 3
     assert ix.doc_frequency("role", "user") == 3
+
+
+def test_time_limit_collector(spark, ix):
+    """TimeLimitCollector analogue: fast queries complete inside the
+    budget; a deliberately slow plan is cancelled and raises
+    TimeLimitError well before it would finish."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from whoosh_spark.search import Searcher, TimeLimitError
+
+    s = Searcher(ix)
+    rows = s.search_with_time_limit(Q.Term("text", "spark"), timelimit=60.0)
+    assert len(rows) > 0
+
+    def slow(batches):
+        for b in batches:
+            time.sleep(30)
+            yield b
+
+    slow_df = ix.docs.select("doc_id").mapInArrow(
+        slow, T.StructType([T.StructField("doc_id", T.LongType())])
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(TimeLimitError):
+        s.search_with_time_limit(slow_df, timelimit=1.0)
+    assert time.perf_counter() - t0 < 20

@@ -1,4 +1,4 @@
-from whoosh_spark.search.executor import Searcher  # noqa: F401
+from whoosh_spark.search.executor import Searcher, TimeLimitError  # noqa: F401
 from whoosh_spark.search.facets import (  # noqa: F401
     FieldFacet,
     FunctionFacet,

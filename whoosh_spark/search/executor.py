@@ -41,6 +41,11 @@ from whoosh_spark.search.facets import ScoreFacet, as_facet
 from whoosh_spark.search.scoring import BM25F, WeightingModel
 
 
+class TimeLimitError(Exception):
+    """Raised when search_with_time_limit exceeds its budget (reference:
+    src/whoosh/collectors.py::TimeLimit)."""
+
+
 class Searcher:
     """Reference surface: src/whoosh/searching.py::Searcher (~L650)."""
 
@@ -438,6 +443,45 @@ class Searcher:
             .where(F.col("_rn") <= keep)
             .select("doc_id", "score")
         )
+
+    def search_with_time_limit(self, q: "Q.Query | DataFrame",
+                               timelimit: float, limit: int | None = 10,
+                               **kw) -> list:
+        """TimeLimitCollector analogue (reference: collectors.py::
+        TimeLimitCollector ~L850 raising ``TimeLimit``): collect the top-k
+        under a wall-clock budget, cancelling the Spark job group on expiry
+        and raising :class:`TimeLimitError`.
+
+        Spark-first shape: the reference interrupts its doc-at-a-time loop
+        and can hand back the partial heap; a cancelled Spark job has no
+        partial to hand back, so this guards runaway queries (the common
+        production use) rather than returning a prefix. Accepts a compiled
+        DataFrame too, so any collector variant can be budgeted.
+        """
+        import threading
+        import uuid
+
+        df = q if isinstance(q, DataFrame) else self.search(q, limit=limit, **kw)
+        sc = self._spark.sparkContext
+        group = f"whoosh-timelimit-{uuid.uuid4().hex[:8]}"
+        out: dict = {}
+
+        def run():
+            # job group is thread-local: only this query's jobs get cancelled
+            sc.setJobGroup(group, "time-limited search", interruptOnCancel=True)
+            try:
+                out["rows"] = df.collect()
+            except Exception as e:  # cancellation surfaces as a Py4J error
+                out["err"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timelimit)
+        if t.is_alive() or "err" in out:
+            sc.cancelJobGroup(group)
+            t.join(5.0)
+            raise TimeLimitError(f"query exceeded {timelimit}s budget")
+        return out["rows"]
 
     def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw) -> DataFrame:
         """Pagination (searching.py::Searcher.search_page ~L700): top
