@@ -247,3 +247,31 @@ def test_wand_prune_with_overlapping_merged_blocks(spark, corpus, tmp_path_facto
         ref = wand_topk(six, "text", terms, k=10, prune=False).collect()
         got = wand_topk(six, "text", terms, k=10, prune=True, seed_blocks=1).collect()
         assert got == ref, terms
+
+
+def test_build_with_tiny_doc_chunk_equivalent(spark, corpus, lix, tmp_path_factory):
+    """Hot-term bound at BUILD time: packing shuffles on (field, term,
+    doc-chunk) so no single task ever owns a zipfian term's whole posting
+    list. Force many chunks (doc_chunk=64) and assert the index is
+    IDENTICAL in content: postings roundtrip equals the logical build, term
+    stats match, and WAND pruned == unpruned despite cross-chunk overlapping
+    block ranges."""
+    path = str(tmp_path_factory.mktemp("chunked") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=2,
+                   doc_chunk=64)
+    six = open_segments(spark, path, corpus, transcript_schema())
+
+    a = six.postings.orderBy("field", "term", "doc_id").toPandas()
+    b = lix.postings.orderBy("field", "term", "doc_id").toPandas()
+    assert len(a) == len(b)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (a["weight"].to_numpy() == b["weight"].to_numpy()).all()
+
+    sa = six.terms.orderBy("field", "term").toPandas()
+    sb = lix.terms.orderBy("field", "term").toPandas()
+    assert sa["df"].tolist() == sb["df"].tolist()
+
+    for terms in (["spark"], ["merge", "join", "window"]):
+        ref = wand_topk(six, "text", terms, k=10, prune=False).collect()
+        got = wand_topk(six, "text", terms, k=10, prune=True, seed_blocks=1).collect()
+        assert got == ref, terms

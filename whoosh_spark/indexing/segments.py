@@ -74,6 +74,16 @@ BLOCK_SIZE = 128  # reference parity: codec blocklimit (SURVEY A.8)
 STREAM_BASE = 1_000_000
 MERGED_BASE = 2_000_000_000
 
+# Build-time pack shuffle key includes floor(doc_id / BUILD_DOC_CHUNK): a
+# zipfian term that appears in (nearly) every doc of a segment would
+# otherwise land its ENTIRE posting list on one pack task. Chunking bounds
+# any (field, term) group at BUILD_DOC_CHUNK postings while keeping blocks
+# doc-clustered (chunks are contiguous doc ranges); ordinary terms almost
+# always fall in one chunk, so small corpora produce identical layouts.
+# Cross-chunk block ranges of one term may overlap after this split — the
+# WAND refine bound and all readers tolerate that (see search/wand.py).
+BUILD_DOC_CHUNK = 1 << 20
+
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("field", T.StringType(), False),
@@ -100,9 +110,12 @@ BLOCKS_SCHEMA = T.StructType(
 def _pack_partition(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
     """Pack one sorted postings partition into block rows, vectorized.
 
-    Input: complete (field, term) groups (hash-partitioned), sorted by
-    (field, term, doc_id). The only Python-level loop is buffer slicing per
-    block; every encode runs once over the whole partition.
+    Input: postings sorted by (field, term, doc_id) within the partition.
+    Groups are hash-partitioned on (field, term, doc-chunk) — a term may
+    span partitions (hot-term bound, see BUILD_DOC_CHUNK), which only
+    yields an extra partial block per boundary, never wrong data. The only
+    Python-level loop is buffer slicing per block; every encode runs once
+    over the whole partition.
     """
     import pyarrow as pa
 
@@ -305,6 +318,7 @@ def build_segments(
     pack_partitions: int | None = None,
     resume: bool = True,
     max_concurrent: int = 4,
+    doc_chunk: int = BUILD_DOC_CHUNK,
 ) -> dict:
     """Build (or resume) the physical segmented index at ``path``.
 
@@ -335,8 +349,12 @@ def build_segments(
         seg_docs = docs.where((F.col(doc_id_col) >= lo) & (F.col(doc_id_col) < hi))
         ix = build_index(spark, seg_docs, schema, doc_id_col=doc_id_col, materialize=False)
         packed = (
-            ix.postings.repartition(pack_partitions, "field", "term")
+            ix.postings.withColumn(
+                "_chunk", (F.col("doc_id") / F.lit(doc_chunk)).cast("long")
+            )
+            .repartition(pack_partitions, "field", "term", "_chunk")
             .sortWithinPartitions("field", "term", "doc_id")
+            .drop("_chunk")
             .mapInArrow(_pack_partition, BLOCKS_SCHEMA)
         )
         seg_path = os.path.join(path, "blocks", f"segment_id={seg_id}")
