@@ -232,3 +232,27 @@ def test_variation_forms_irregular():
     assert "hopping" in variation_forms("hop")
     assert "hop" in variation_forms("hopping")
     assert "join" in variation_forms("joining")
+
+
+def test_nl_time_of_day():
+    from whoosh_spark.fields import DATETIME, Schema, TEXT
+
+    schema = Schema(TEXT("text"), DATETIME("ts"))
+    base = datetime(2024, 3, 6, 12, 0, 0)  # Wednesday
+    pp = QueryParser("text", schema, basedate=base)
+
+    q = pp.parse("ts:3pm")
+    assert (q.start, q.end) == (datetime(2024, 3, 6, 15, 0, 0), datetime(2024, 3, 6, 15, 0, 59))
+    q = pp.parse("ts:noon")
+    assert q.start == datetime(2024, 3, 6, 12, 0, 0)
+    q = pp.parse('ts:"yesterday 3pm"')
+    assert q.start == datetime(2024, 3, 5, 15, 0, 0)
+    q = pp.parse('ts:"last tuesday 9:30 am"')
+    assert q.start == datetime(2024, 3, 5, 9, 30, 0)
+    q = pp.parse('ts:"jan 15, 2024 23:45"')
+    assert (q.start, q.end) == (datetime(2024, 1, 15, 23, 45, 0), datetime(2024, 1, 15, 23, 45, 59))
+    q = pp.parse("ts:midnight")
+    assert q.start == datetime(2024, 3, 6, 0, 0, 0)
+    # plain year/month forms still resolve as ranges, not times
+    q = pp.parse("ts:[jan 2024 TO feb 2024]")
+    assert q.start == datetime(2024, 1, 1)

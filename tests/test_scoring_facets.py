@@ -180,3 +180,41 @@ def test_variations_is_or_over_present_forms(searcher, oracle):
     assert got.keys() == exp.keys()
     for i in exp:
         assert got[i] == pytest.approx(exp[i], rel=1e-9)
+
+
+def test_final_weighting_hook(spark):
+    """Named final() hook (reference: WeightingModel.final + use_final):
+    the transform applies to the ACCUMULATED per-doc score before ordering,
+    and final-hook models are rejected by the WAND fast path."""
+    from pyspark.sql import functions as F
+
+    from whoosh_spark import query as Q
+    from whoosh_spark.fields import Schema, TEXT
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.search import BM25F, FinalWeighting, Searcher
+
+    docs = spark.createDataFrame(
+        [(0, "spark join"), (1, "spark spark join"), (2, "merge")],
+        "doc_id long, text string",
+    )
+    ix = build_index(spark, docs, Schema(TEXT("text"))).persist()
+    base = Searcher(ix, BM25F())
+    fw = Searcher(ix, FinalWeighting(BM25F(), lambda s: s * 10 + 1))
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")])
+    a = {r.doc_id: r.score for r in base.search(q, limit=None).collect()}
+    b = {r.doc_id: r.score for r in fw.search(q, limit=None).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        assert b[d] == pytest.approx(a[d] * 10 + 1, rel=1e-12)
+
+    import pytest as _pt
+
+    from whoosh_spark.indexing.segments import build_segments, open_segments
+    from whoosh_spark.search.wand import wand_topk
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ws_final_") + "/ix"
+    build_segments(spark, docs, Schema(TEXT("text")), path, n_segments=1)
+    six = open_segments(spark, path, docs, Schema(TEXT("text")))
+    with _pt.raises(ValueError):
+        wand_topk(six, "text", ["spark"], weighting=FinalWeighting(BM25F(), lambda s: -s))

@@ -356,6 +356,13 @@ _WEEKDAYS = {
 
 # "jan 2024" | "january" | "15 jan 2024" | "jan 15, 2024" | "last tuesday" ...
 _MONTH_YEAR_RE = re.compile(r"([a-z]+)\s+(\d{4})")
+# trailing time-of-day: "noon" | "midnight" | "3pm" | "9:30 am" | "15:30"
+_TOD_RE = re.compile(
+    r"^(?:(?P<rest>.*\S)\s+)?"
+    r"(?P<tod>noon|midnight"
+    r"|(?P<h>\d{1,2})(?::(?P<m>\d{2}))?\s*(?P<ap>am|pm)"
+    r"|(?P<h2>\d{1,2}):(?P<m2>\d{2}))$"
+)
 _DAY_MONTH_RE = re.compile(r"(\d{1,2})(?:st|nd|rd|th)?\s+([a-z]+)(?:\s+(\d{4}))?")
 _MONTH_DAY_RE = re.compile(r"([a-z]+)\s+(\d{1,2})(?:st|nd|rd|th)?,?(?:\s+(\d{4}))?")
 
@@ -385,6 +392,12 @@ def _nl_date_bounds(low: str, basedate: datetime | None) -> tuple[datetime, date
     # last/next/bare weekday (relative; anchored on basedate)
     parts = low.split(" ")
     if basedate is not None:
+        if low == "today":
+            return day_of(basedate)
+        if low == "yesterday":
+            return day_of(basedate - timedelta(days=1))
+        if low == "tomorrow":
+            return day_of(basedate + timedelta(days=1))
         if len(parts) == 2 and parts[0] in ("last", "next") and parts[1] in _WEEKDAYS:
             wd = _WEEKDAYS[parts[1]]
             if parts[0] == "last":
@@ -399,6 +412,33 @@ def _nl_date_bounds(low: str, basedate: datetime | None) -> tuple[datetime, date
             return day_of(basedate - timedelta(days=back))
         if low in _MONTHS:  # bare month name = that month of basedate's year
             return _month_bounds(basedate.year, _MONTHS[low])
+
+    # time-of-day suffix narrows a resolved day: "3pm", "yesterday noon",
+    # "jan 15, 2024 9:30am" (reference grammar composes date and time the
+    # same way); a bare time resolves against basedate's day
+    m = _TOD_RE.fullmatch(low)
+    if m is not None:
+        tod = m.group("tod")
+        if tod == "noon":
+            hh, mm = 12, 0
+        elif tod == "midnight":
+            hh, mm = 0, 0
+        elif m.group("ap"):
+            hh = int(m.group("h")) % 12 + (12 if m.group("ap") == "pm" else 0)
+            mm = int(m.group("m") or 0)
+        else:
+            hh, mm = int(m.group("h2")), int(m.group("m2"))
+        rest = m.group("rest")
+        day = None
+        if rest:
+            sub = _nl_date_bounds(rest, basedate)
+            if sub is not None:
+                day = sub[0]
+        elif basedate is not None:
+            day = basedate
+        if day is not None and hh < 24 and mm < 60:
+            at = day.replace(hour=hh, minute=mm, second=0, microsecond=0)
+            return at, at.replace(second=59)
 
     m = _MONTH_YEAR_RE.fullmatch(low)
     if m and m.group(1) in _MONTHS:  # "jan 2024"

@@ -8,6 +8,7 @@ from whoosh_spark.search.facets import (  # noqa: F401
 from whoosh_spark.search.scoring import (  # noqa: F401
     BM25F,
     TF_IDF,
+    FinalWeighting,
     Frequency,
     FunctionWeighting,
     MultiWeighting,

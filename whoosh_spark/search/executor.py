@@ -394,6 +394,13 @@ class Searcher:
         (collectors.py::TopCollector ~L260). With sortedby: ordered by the
         key column(s) instead (collectors.py::SortingCollector)."""
         scored = self.compile(q)
+        if getattr(self.weighting, "use_final", False):
+            # named final() hook: adjust the accumulated per-doc score
+            # before any collection/ordering (reference: WeightingModel
+            # .final with use_final=True)
+            scored = scored.withColumn(
+                "score", self.weighting.final_expr(F.col("score"))
+            )
         scored = self._apply_filter_mask(scored, filter, mask)
         if collapse is not None:
             scored = self._collapse(scored, collapse, collapse_limit)

@@ -63,6 +63,40 @@ class WeightingModel:
         (reference: scoring.py::WeightLengthScorer.block_quality)."""
         raise NotImplementedError
 
+    # final() hook (reference: scoring.py::WeightingModel.final ~L120 +
+    # use_final flag): post-process the per-doc ACCUMULATED score before
+    # collection. Spark form: a column expression over the score. Models
+    # with use_final=True are excluded from block-max pruning, exactly as
+    # the reference disables block quality optimizations for them (the
+    # transform need not be monotone, so block bounds don't survive it).
+    use_final: bool = field(default=False, init=False)
+
+    def final_expr(self, score: Column) -> Column:
+        return score
+
+
+@dataclass(frozen=True)
+class FinalWeighting(WeightingModel):
+    """Wrap any model with a named final() transform — e.g.
+    ``FinalWeighting(BM25F(), lambda s: F.sqrt(s))``. The callable takes
+    the score Column and returns the adjusted Column."""
+
+    base: WeightingModel = None  # type: ignore[assignment]
+    fn: object = None  # Callable[[Column], Column]
+    use_final: bool = field(default=True, init=False)
+
+    def term_scalar(self, fs, n, df, cf):
+        return self.base.term_scalar(fs, n, df, cf)
+
+    def score_expr(self, fs, idf_value, avgdl, w, dl):
+        return self.base.score_expr(fs, idf_value, avgdl, w, dl)
+
+    def score_np(self, fs, idf_value, avgdl, w, dl):
+        return self.base.score_np(fs, idf_value, avgdl, w, dl)
+
+    def final_expr(self, score: Column) -> Column:
+        return self.fn(score)
+
 
 @dataclass(frozen=True)
 class BM25F(WeightingModel):

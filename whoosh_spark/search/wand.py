@@ -241,6 +241,13 @@ def wand_topk(
     orderBy(score desc, doc_id asc).limit(k) over ≤ k rows per segment.
     """
     w = weighting or BM25F()
+    if getattr(w, "use_final", False):
+        raise ValueError(
+            "final()-hook models are excluded from block-max pruning "
+            "(non-monotone transforms invalidate block bounds, same as the "
+            "reference disabling block quality under use_final) — use "
+            "Searcher.search instead"
+        )
     fs = ix.schema[fieldname]
     B = fs.B if fs.B is not None else w.B
     K1 = w.K1
