@@ -33,6 +33,7 @@ class FieldSpec:
     phrase: bool = False
     field_boost: float = 1.0
     B: float | None = None  # per-field BM25F B override (<field>_B= kwarg)
+    unique: bool = False  # update_document upsert key (reference: unique=True)
 
     @property
     def indexed(self) -> bool:
@@ -45,8 +46,8 @@ def TEXT(name: str, analyzer: AnalyzerSpec = STANDARD, field_boost: float = 1.0,
                      field_boost=field_boost, B=B)
 
 
-def ID(name: str) -> FieldSpec:
-    return FieldSpec(name, "id")
+def ID(name: str, unique: bool = False) -> FieldSpec:
+    return FieldSpec(name, "id", unique=unique)
 
 
 def KEYWORD(name: str, lowercase: bool = False) -> FieldSpec:
@@ -111,6 +112,65 @@ class Schema:
 
     def text_fields(self) -> list[FieldSpec]:
         return [s for s in self.fields.values() if s.kind == "text"]
+
+    def unique_fields(self) -> list[str]:
+        return [s.name for s in self.fields.values() if s.unique]
+
+
+# ---------------------------------------------------------- serialization
+# The reference pickles the Schema into the index TOC (index.py::TOC) so
+# open_dir() needs no schema argument; here the schema serializes to plain
+# JSON (versionable, greppable) stored as _schema.json by compat.create_in.
+
+
+def schema_to_dict(schema: Schema) -> dict:
+    import dataclasses
+
+    def enc_analyzer(a: AnalyzerSpec | None):
+        if a is None:
+            return None
+        d = dataclasses.asdict(a)
+        for k in ("stoplist", "compound_words"):
+            if d[k] is not None:
+                d[k] = sorted(d[k])
+        return d
+
+    out = []
+    for s in schema.fields.values():
+        import dataclasses as _dc
+
+        d = _dc.asdict(s)
+        d["analyzer"] = enc_analyzer(s.analyzer)
+        out.append(d)
+    return {"version": 1, "fields": out}
+
+
+def schema_from_dict(d: dict) -> Schema:
+    import dataclasses
+
+    an_names = {f.name for f in dataclasses.fields(AnalyzerSpec)}
+    fs_names = {f.name for f in dataclasses.fields(FieldSpec)}
+
+    def dec_analyzer(a):
+        if a is None:
+            return None
+        a = {k: v for k, v in a.items() if k in an_names}
+        for k in ("stoplist", "compound_words"):
+            if a.get(k) is not None:
+                a[k] = frozenset(a[k])
+        if a.get("ngram") is not None:
+            a["ngram"] = tuple(a["ngram"])
+        for k in ("charmap", "substitutions"):
+            if a.get(k) is not None:
+                a[k] = tuple(tuple(x) for x in a[k])
+        return AnalyzerSpec(**a)
+
+    specs = []
+    for f in d["fields"]:
+        kw = {k: v for k, v in f.items() if k in fs_names}
+        kw["analyzer"] = dec_analyzer(f.get("analyzer"))
+        specs.append(FieldSpec(**kw))
+    return Schema(*specs)
 
 
 def transcript_schema() -> Schema:
