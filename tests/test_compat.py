@@ -78,3 +78,11 @@ def test_writer_cancel_and_double_commit(spark, tmp_path_factory):
     with pytest.raises(ValueError):
         w.commit()
     assert ix.doc_count() == 1
+
+
+def test_searcher_document_fetch(spark, ixdir):
+    ix = compat.open_dir(ixdir, spark)
+    s = ix.searcher()
+    d = s.document(docid="c")
+    assert d is not None and d["tag"] == "x" and d["n"] == 3
+    assert s.document(docid="nope") is None

@@ -264,3 +264,27 @@ def _order_cols(top: DataFrame):
     from pyspark.sql import functions as F
 
     return [F.desc("score"), F.asc("doc_id")]
+
+
+def _first(df: DataFrame):
+    rows = df.limit(1).collect()
+    return rows[0] if rows else None
+
+
+def searcher_document(searcher: "CompatSearcher", **kw) -> dict | None:
+    """Fetch one stored document by field values (reference:
+    searching.py::Searcher.document ~L450). Filters push into the stored
+    docs scan."""
+    ix = searcher.index
+    docs = ix._stored_docs()
+    if docs is None:
+        return None
+    for k, v in kw.items():
+        docs = docs.where(docs[k] == v)
+    row = _first(docs)
+    if row is None:
+        return None
+    return {c: row[c] for c in ix.schema.names() if c in row.__fields__}
+
+
+CompatSearcher.document = searcher_document
