@@ -275,3 +275,35 @@ def test_build_with_tiny_doc_chunk_equivalent(spark, corpus, lix, tmp_path_facto
         ref = wand_topk(six, "text", terms, k=10, prune=False).collect()
         got = wand_topk(six, "text", terms, k=10, prune=True, seed_blocks=1).collect()
         assert got == ref, terms
+
+
+def test_wand_doc_shard_equivalence(spark, corpus, six, seg_path):
+    """Horizontal WAND: sharding a segment into doc ranges (blocks
+    replicated across boundaries + range-filtered after decode) must be
+    bit-identical to per-segment WAND, pruned and unpruned, and with
+    deletes in play."""
+    for terms, mode in ((["spark"], "or"), (["merge", "join", "window"], "or"),
+                        (["hash", "join"], "and")):
+        base = wand_topk(six, "text", terms, k=10, mode=mode).collect()
+        for shard in (64, 257, 10**9):
+            got = wand_topk(six, "text", terms, k=10, mode=mode,
+                            shard_docs=shard).collect()
+            assert got == base, (terms, mode, shard)
+        got = wand_topk(six, "text", terms, k=10, mode=mode,
+                        shard_docs=100, seed_blocks=1).collect()
+        assert got == base, (terms, mode, "pruned+sharded")
+
+
+def test_wand_doc_shard_with_deletes(spark, corpus, tmp_path_factory):
+    from whoosh_spark.indexing.segments import delete_docs
+
+    path = str(tmp_path_factory.mktemp("sharddel") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=2)
+    six0 = open_segments(spark, path, corpus, transcript_schema())
+    top = wand_topk(six0, "text", ["spark"], k=5).collect()
+    delete_docs(spark, path, [r.doc_id for r in top[:2]])
+    six1 = open_segments(spark, path, corpus, transcript_schema())
+    base = wand_topk(six1, "text", ["spark"], k=10).collect()
+    got = wand_topk(six1, "text", ["spark"], k=10, shard_docs=97).collect()
+    assert got == base
+    assert {r.doc_id for r in top[:2]}.isdisjoint({r.doc_id for r in got})

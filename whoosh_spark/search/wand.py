@@ -89,7 +89,8 @@ def _topk_partial(doc: np.ndarray, contrib: np.ndarray, tc: np.ndarray):
 
 def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float,
                       K1: float, k: int, mode: str, prune: bool, seed_blocks: int,
-                      deleted: np.ndarray | None = None):
+                      deleted: np.ndarray | None = None,
+                      shard_docs: int | None = None):
     """Build the per-segment applyInPandas function. ``term_meta`` is the
     query's [(term, idf)] resolved on the driver (searching.py::Searcher.idf
     memoization analogue); everything else rides the closure.
@@ -118,6 +119,14 @@ def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                                  "score": pd.Series([], dtype=np.float64)})
+        # doc-range shard bounds (horizontal WAND): the group owns exactly
+        # [shard*C, (shard+1)*C); blocks straddling the boundary arrive
+        # replicated and are range-filtered after decode, so every doc's
+        # postings for ALL query terms are complete within one group
+        shard_lo = shard_hi = None
+        if shard_docs and "_shard" in pdf.columns:
+            sh = int(pdf["_shard"].iloc[0])
+            shard_lo, shard_hi = sh * shard_docs, (sh + 1) * shard_docs
         deleted_np = nonlocal_deleted
         tcode_map = {t: c for c, t in enumerate(terms)}
         pdf = pdf.assign(_tcode=pdf["term"].map(tcode_map))
@@ -131,6 +140,9 @@ def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float
 
         def score_rows(rows: pd.DataFrame):
             doc, tf, dl, tc = _decode_rows(rows)
+            if shard_lo is not None:
+                inside = (doc >= shard_lo) & (doc < shard_hi)
+                doc, tf, dl, tc = doc[inside], tf[inside], dl[inside], tc[inside]
             if deleted_np is not None and deleted_np.size:
                 live = ~np.isin(doc, deleted_np)
                 doc, tf, dl, tc = doc[live], tf[live], dl[live], tc[live]
@@ -232,6 +244,7 @@ def wand_topk(
     prune: bool = True,
     seed_blocks: int = 16,
     weighting: BM25F | None = None,
+    shard_docs: int | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for an Or/And of terms via per-segment WAND.
 
@@ -239,6 +252,15 @@ def wand_topk(
     min/max) -> shuffle by segment_id (tiny: only the query's block rows
     move) -> per-segment vectorized WAND -> global
     orderBy(score desc, doc_id asc).limit(k) over ≤ k rows per segment.
+
+    ``shard_docs`` is the horizontal-scale knob: with it set, the group key
+    becomes (segment_id, doc-range shard) so one zipfian query term can no
+    longer concentrate a whole segment's blocks on one task. Shards are
+    doc-DISJOINT ranges (blocks straddling a boundary replicate to both
+    shards and range-filter after decode), so per-shard top-k -> global
+    merge stays exact — the same argument that makes per-segment WAND
+    exact, applied one level down. Default None = one group per segment
+    (right for segment-sized doc ranges; set ~10^7 at 10^9-doc segments).
     """
     w = weighting or BM25F()
     if getattr(w, "use_final", False):
@@ -267,6 +289,18 @@ def wand_topk(
     blocks = ix.blocks.drop("pos_counts", "pos_vals").where(
         (F.col("field") == fieldname) & F.col("term").isin([t for t, _ in metas])
     )  # WAND never reads positions; dropping pre-scan prunes the columns
+    group_cols = ["segment_id"]
+    if shard_docs:
+        blocks = blocks.withColumn(
+            "_shard",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("min_doc") / shard_docs),
+                    F.floor(F.col("max_doc") / shard_docs),
+                )
+            ),
+        )
+        group_cols.append("_shard")
     deleted = getattr(ix, "deleted", None)
     if deleted is not None:
         # delete ids join the per-segment shuffle as marker rows (routed by
@@ -276,11 +310,16 @@ def wand_topk(
             F.broadcast(rng),
             (F.col("doc_id") >= F.col("doc_lo")) & (F.col("doc_id") < F.col("doc_hi")),
         ).select("segment_id", F.col("doc_id").alias("_del_doc"))
+        if shard_docs:
+            marks = marks.withColumn(
+                "_shard", F.floor(F.col("_del_doc") / shard_docs).cast("long")
+            )
         data = blocks.withColumn("_del_doc", F.lit(None).cast("long")).unionByName(
             marks, allowMissingColumns=True
         )
     else:
         data = blocks
-    fn = make_segment_wand(metas, avgdl, B, K1, k, mode, prune, seed_blocks)
-    local = data.groupBy("segment_id").applyInPandas(fn, "doc_id long, score double")
+    fn = make_segment_wand(metas, avgdl, B, K1, k, mode, prune, seed_blocks,
+                           shard_docs=shard_docs)
+    local = data.groupBy(*group_cols).applyInPandas(fn, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
