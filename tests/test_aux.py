@@ -109,3 +109,21 @@ def test_correct_query_rewrites_unknown_terms(ix):
     q2 = Q.AndNot(Q.Term("text", "querry"), Q.Not(Q.Term("text", "mergge")))
     f2 = correct_query(ix, q2, "text")
     assert f2.a.text == "query" and f2.b.subquery.text == "merge"
+
+
+def test_suggest_trigram_blocked_matches_scan(ix):
+    """Scale path: trigram-blocked candidates == full-lexicon scan for
+    long-enough words (q-gram lemma losslessness); short words fall back."""
+    from whoosh_spark.search.aux import build_spell_index, suggest
+
+    si = build_spell_index(ix, "text").persist()
+    # len >= 3 + 3*maxdist with maxdist=1 -> len >= 6
+    for word, maxdist in (("querry", 1), ("customerr", 2), ("windoww", 1)):
+        a = suggest(ix, "text", word, maxdist=maxdist).collect()
+        b = suggest(ix, "text", word, maxdist=maxdist, spell_index=si).collect()
+        assert a == b, (word, a, b)
+    # short word: blocked path must FALL BACK (lemma bound not met)
+    a = suggest(ix, "text", "hsh", maxdist=2).collect()
+    b = suggest(ix, "text", "hsh", maxdist=2, spell_index=si).collect()
+    assert a == b
+    si.unpersist()

@@ -34,6 +34,23 @@ from whoosh_spark.query import nodes as Q
 LOG2 = 0.6931471805599453  # ln(2)
 
 
+def build_spell_index(ix: InvertedIndex, fieldname: str) -> DataFrame:
+    """(gram, term, total_weight) trigram posting table over the lexicon —
+    the scale path for suggest(): build once (persist or write bucketed by
+    gram), then each suggestion reads only the word's ~len grams instead of
+    scanning the whole 10^8-10^9-term lexicon with a DP distance. The
+    reference gets the same effect from its FSA term index
+    (automata/fsa.py via reading.py::terms_within)."""
+    lex = ix.terms.where(F.col("field") == fieldname).select("term", "total_weight")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("term") - 2, F.lit(1))),
+        lambda i: F.col("term").substr(i, F.lit(3)),
+    )
+    return lex.select(
+        F.explode(F.array_distinct(grams)).alias("gram"), "term", "total_weight"
+    )
+
+
 def suggest(
     ix: InvertedIndex,
     fieldname: str,
@@ -41,10 +58,28 @@ def suggest(
     limit: int = 5,
     maxdist: int = 2,
     prefix: int = 0,
+    spell_index: DataFrame | None = None,
 ) -> DataFrame:
     """(term, dist, freq) candidates ranked like the reference corrector:
-    smaller edit distance first, then higher frequency, then term."""
-    lex = ix.terms.where(F.col("field") == fieldname)
+    smaller edit distance first, then higher frequency, then term.
+
+    With ``spell_index`` (build_spell_index output) and a long-enough word,
+    candidates come from a trigram lookup instead of a lexicon scan. The
+    q-gram lemma makes the blocking LOSSLESS there: one edit destroys at
+    most 3 trigrams, the word has len-2, so any term within ``maxdist``
+    shares >= len-2-3*maxdist of them — >= 1 whenever
+    len(word) >= 3 + 3*maxdist; shorter words fall back to the scan."""
+    if spell_index is not None and len(word) >= 3 + 3 * maxdist:
+        grams = [word[i : i + 3] for i in range(len(word) - 2)]
+        lex = (
+            spell_index.where(F.col("gram").isin(grams))
+            .select("term", "total_weight")
+            .distinct()
+        )
+    else:
+        lex = ix.terms.where(F.col("field") == fieldname).select(
+            "term", "total_weight"
+        )
     if prefix:
         lex = lex.where(F.col("term").startswith(word[:prefix]))
     # cheap length pre-filter before the DP distance
