@@ -175,3 +175,30 @@ def test_multimodal_plumbing(spark, docs):
     assert meta == meta2
     with pytest.raises(NotImplementedError):
         decode_image(assets)
+
+
+def test_minhash_dedup_against_incremental(spark, docs):
+    """Incremental dedup: new-batch-vs-existing pairs equal the cross
+    subset of the full-corpus pairs, and passing precomputed existing
+    signatures (the lake-side reuse path) gives identical output."""
+    from whoosh_spark.pipeline import minhash_dedup_against, minhash_dedup_pairs
+    from whoosh_spark.pipeline.dedup import minhash_signatures
+
+    new = docs.where("doc_id >= 400")
+    old = docs.where("doc_id < 400")
+    full = {
+        (r.i, r.j)
+        for r in minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    cross_expected = {
+        (max(i, j), min(i, j)) for i, j in full if (i >= 400) != (j >= 400)
+    }
+    got = minhash_dedup_against(new, old, threshold=0.8).collect()
+    assert {(r.i, r.j) for r in got} == cross_expected
+    sigs_old = minhash_signatures(old).persist()
+    got2 = minhash_dedup_against(new, old, sigs_existing=sigs_old,
+                                 threshold=0.8).collect()
+    assert sorted((r.i, r.j, round(r.jaccard, 6)) for r in got2) == sorted(
+        (r.i, r.j, round(r.jaccard, 6)) for r in got
+    )
+    sigs_old.unpersist()

@@ -239,6 +239,27 @@ def _pipeline_registry() -> dict:
         "WITH " + _SHINGLES_SQL.strip() + "\n"
         "SELECT i, j, round(jaccard, 4) AS jaccard FROM jacc WHERE jaccard >= 0.8",
     )
+    from whoosh_spark.pipeline import minhash_dedup_against
+
+    add(
+        "dedup_incremental_pairs",
+        # continuous-ingestion shape: docs >= 400 are the "incoming batch",
+        # < 400 the existing corpus; only cross pairs are reported
+        lambda spark, sf: minhash_dedup_against(
+            _docs(spark, sf).where("doc_id >= 400"),
+            _docs(spark, sf).where("doc_id < 400"),
+            threshold=0.8,
+        ).select("i", "j", F.round("jaccard", 4).alias("jaccard")),
+        # oracle = exact cross-corpus Jaccard (LSH recall ~1 at J>=0.8 with
+        # b=16, r=4; candidates exact-verified — same contract as
+        # dedup_minhash_lsh_pairs)
+        "WITH " + _SHINGLES_SQL.strip().replace(
+            "ON a.s = b.s AND a.doc_id < b.doc_id",
+            "ON a.s = b.s AND a.doc_id >= 400 AND b.doc_id < 400",
+        ) + "\n"
+        "SELECT i, j, round(jaccard, 4) AS jaccard FROM jacc WHERE jaccard >= 0.8",
+    )
+
     add(
         "dedup_simhash_pairs",
         lambda spark, sf: simhash_pairs(_docs(spark, sf), maxdist=3).select(

@@ -746,6 +746,7 @@ _WINDOW_FIRST = [
     "streaming_build_lexicon", "multimodal_meta",
     # -- new / newly-oracled this round --
     "dedup_simhash_pairs", "daterange_nl", "variations_irregular_topk",
+    "dedup_incremental_pairs",
     # -- changed code paths this round --
     "prefix_bm25_topk", "wildcard_bm25_topk", "fuzzy_bm25_topk",
     "variations_topk", "otherwise_fallback_topk",

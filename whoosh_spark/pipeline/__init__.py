@@ -2,6 +2,7 @@
 
 from whoosh_spark.pipeline.dedup import (  # noqa: F401
     exact_duplicates,
+    minhash_dedup_against,
     minhash_dedup_pairs,
     minhash_lsh_candidates,
     minhash_signatures,

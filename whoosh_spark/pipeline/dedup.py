@@ -167,6 +167,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5,
     )
 
 
+def _banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: hash each signature band to a bucket."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.hash(F.slice("sig", bnd * rows + 1, rows)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16, rows: int = 4,
                            min_bands: int = 2) -> DataFrame:
     """Band the signatures and self-join buckets -> distinct (i, j) pairs
@@ -179,18 +195,7 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16, rows: int = 4,
     verify stage downstream makes precision exact either way — this knob
     only buys verify cost.
     """
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.struct(
-                    bnd.alias("band"),
-                    F.hash(F.slice("sig", bnd * rows + 1, rows)).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _banded(sigs, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,
@@ -218,6 +223,59 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     return pairs_jaccard(docs, cand, text_col, k, id_col).where(
         F.col("jaccard") >= threshold
     )
+
+
+def pairs_jaccard_cross(docs_i: DataFrame, docs_j: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", k: int = 5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for (i, j) candidates whose sides come from TWO
+    corpora (i from docs_i, j from docs_j)."""
+    sa = docs_i.select(F.col(id_col).alias("i"),
+                       char_shingles(F.col(text_col), k).alias("sa"))
+    sb = docs_j.select(F.col(id_col).alias("j"),
+                       char_shingles(F.col(text_col), k).alias("sb"))
+    return (
+        pairs.join(sa, "i").join(sb, "j")
+        .select(
+            "i", "j",
+            (F.size(F.array_intersect("sa", "sb"))
+             / F.size(F.array_union("sa", "sb"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_against(docs_new: DataFrame, docs_existing: DataFrame,
+                          sigs_existing: DataFrame | None = None,
+                          text_col: str = "text", k: int = 5,
+                          threshold: float = 0.8, bands: int = 16,
+                          rows: int = 4, min_bands: int = 2,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Incremental near-dup: the continuous-ingestion shape — bucket a NEW
+    batch's signatures against an EXISTING corpus's (pass
+    ``sigs_existing`` = persisted minhash_signatures output to skip
+    recomputing the lake side; only the new batch is shingled+hashed).
+    Returns (i=new id, j=existing id, jaccard >= threshold), exact-verified.
+    At 100 TB the existing side's banded buckets live as a bucketed table,
+    so each ingest touches only the new batch's buckets."""
+    sigs_new = minhash_signatures(docs_new, text_col, k, bands * rows, id_col)
+    if sigs_existing is None:
+        sigs_existing = minhash_signatures(docs_existing, text_col,
+                                           k, bands * rows, id_col)
+    a = _banded(sigs_new, bands, rows).alias("a")
+    b = _banded(sigs_existing, bands, rows).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")),
+    ).select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+    if min_bands > 1:
+        cand = (
+            pairs.groupBy("i", "j").agg(F.count("*").alias("_nb"))
+            .where(F.col("_nb") >= min_bands).select("i", "j")
+        )
+    else:
+        cand = pairs.distinct()
+    return pairs_jaccard_cross(docs_new, docs_existing, cand, text_col, k,
+                               id_col).where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------- SimHash

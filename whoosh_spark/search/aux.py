@@ -178,7 +178,8 @@ def collection_frequency_rank(ix: InvertedIndex, fieldname: str, n: int = 10,
 
 
 def correct_query(ix: InvertedIndex, q: Q.Query, fieldname: str,
-                  maxdist: int = 2, prefix: int = 0) -> Q.Query:
+                  maxdist: int = 2, prefix: int = 0,
+                  spell_index: DataFrame | None = None) -> Q.Query:
     """Rewrite Term leaves whose text is missing from the lexicon to their
     best spelling suggestion (reference: searching.py::Searcher
     .correct_query ~L800 over spelling.py::ReaderCorrector). Pure driver
@@ -191,7 +192,8 @@ def correct_query(ix: InvertedIndex, q: Q.Query, fieldname: str,
         if isinstance(node, Q.Term) and node.fieldname == fieldname:
             if ix.doc_frequency(fieldname, node.text) == 0:
                 top = suggest(ix, fieldname, node.text, limit=1,
-                              maxdist=maxdist, prefix=prefix).collect()
+                              maxdist=maxdist, prefix=prefix,
+                              spell_index=spell_index).collect()
                 if top:
                     return Q.Term(fieldname, top[0]["term"], boost=node.boost)
             return node

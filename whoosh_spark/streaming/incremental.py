@@ -102,10 +102,14 @@ class IncrementalIndexer:
             raise ValueError(f"micro-batch of {n} rows exceeds BATCH_CAPACITY")
         t0 = time.perf_counter()
         lo = self.doc_id_base + int(batch_id) * BATCH_CAPACITY
-        # deterministic in-batch order: the transcript key when present
-        # (north-rule parity), else all columns (generic schemas via compat)
-        order_cols = [c for c in ("conv_id", "turn_idx") if c in batch_df.columns]
-        w = Window.orderBy(*(order_cols or batch_df.columns))  # small: one task
+        # deterministic in-batch order: the full transcript key when present
+        # (north-rule parity), else all columns (generic schemas via compat
+        # — a partial key would leave tie order nondeterministic)
+        if "conv_id" in batch_df.columns and "turn_idx" in batch_df.columns:
+            order_cols = ["conv_id", "turn_idx"]
+        else:
+            order_cols = list(batch_df.columns)
+        w = Window.orderBy(*order_cols)  # micro-batch: small, one task
         docs = batch_df.withColumn(
             "doc_id", (F.row_number().over(w) - 1 + F.lit(lo)).cast("long")
         )
