@@ -108,3 +108,43 @@ def test_results_set_ops(two_results):
     up = ordered(results_upgrade(a, b)).collect()
     assert up[0].doc_id == 2  # upgraded doc first
     assert {r.doc_id for r in up} == {0, 1, 2}
+
+
+def test_double_metaphone_codes():
+    """Behavior contract: same-sounding words conflate; the famous canonical
+    vectors hold (smith -> SM0/XMT, katherine -> K0RN/KTRN)."""
+    from whoosh_spark.dmetaphone import double_metaphone as dm
+
+    assert dm("smith") == ("SM0", "XMT")
+    assert dm("smyth") == ("SM0", "XMT")
+    assert dm("katherine") == dm("catherine") == ("K0RN", "KTRN")
+    for a, b in (("wright", "write"), ("knight", "night"), ("phone", "fone"),
+                 ("school", "skool"), ("thomas", "tomas"), ("cycle", "sikle"),
+                 ("philip", "filip"), ("jon", "john")):
+        pa, pb = dm(a), dm(b)
+        assert pa[0] == pb[0] or (pa[1] or pa[0]) == pb[0], (a, b, pa, pb)
+    # different-sounding words must NOT conflate
+    assert dm("dog")[0] != dm("cat")[0]
+    assert dm("") == ("", None)
+
+
+def test_double_metaphone_search_conflates(spark):
+    """A dmetaphone-analyzed field finds sound-alike spellings."""
+    from whoosh_spark import query as Q
+    from whoosh_spark.analysis import AnalyzerSpec
+    from whoosh_spark.dmetaphone import double_metaphone
+    from whoosh_spark.fields import FieldSpec, Schema
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.search import Searcher
+
+    spec = FieldSpec(name="text", kind="text", scorable=True, phrase=False,
+                     analyzer=AnalyzerSpec(stoplist=None, minsize=1,
+                                           dmetaphone=True))
+    docs = spark.createDataFrame(
+        [(0, "mr smith arrived"), (1, "ms smyth called"), (2, "the dog barked")],
+        "doc_id long, text string",
+    )
+    ix = build_index(spark, docs, Schema(spec)).persist()
+    code = double_metaphone("smith")[0]
+    hits = {r.doc_id for r in Searcher(ix).search(Q.Term("text", code), limit=None).collect()}
+    assert hits == {0, 1}

@@ -106,6 +106,10 @@ class AnalyzerSpec:
     # words; subwords share the source token's position
     compound_words: frozenset[str] | None = None
     keep_compound: bool = True
+    # DoubleMetaphoneFilter (analysis/morph.py ~L80 over lang/dmetaphone.py):
+    # replace each token with its phonetic code(s); primary + secondary
+    # share the source position (sounds-like search fields)
+    dmetaphone: bool = False
     # PathTokenizer (tokenizers.py::PathTokenizer ~L240): progressive path
     # prefixes of a '/'-separated value (replaces ``pattern``)
     path: bool = False
@@ -285,6 +289,25 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
         boosts = None  # shingles reset per-token boosts (Whoosh: boost 1.0)
         if len(kept) == 0:
             return _empty()
+    if spec.dmetaphone:
+        # encode per UNIQUE term (memoized, same trick as stem); both codes
+        # emitted at the source token's position
+        from whoosh_spark.dmetaphone import dmetaphone_codes
+
+        pos0 = kept.groupby(level=0).cumcount()
+        mapping = {u: dmetaphone_codes(u) for u in pd.unique(kept)}
+        dfm = pd.DataFrame({"t": kept.map(mapping), "p": pos0}).explode("t")
+        dfm = dfm[dfm["t"].notna() & (dfm["t"] != "")]
+        kept, boosts = dfm["t"], None
+        if len(kept) == 0:
+            return _empty()
+        pos = dfm["p"].astype(np.int64)
+        return AnalyzedBatch(
+            row=kept.index.to_numpy(dtype=np.int64),
+            term=kept.to_numpy(dtype=object),
+            pos=pos.to_numpy(dtype=np.int64),
+            n_rows=n_rows,
+        )
     pos = kept.groupby(level=0).cumcount()
     if spec.compound_words is not None:
         # split per UNIQUE term (memoized, the stem-filter trick); subwords

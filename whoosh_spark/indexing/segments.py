@@ -545,6 +545,8 @@ def merge_segments(
         )
         dels_in_range = del_df.where(in_range_cond).persist()
         n_expunged = dels_in_range.count()
+        if not n_expunged:
+            dels_in_range.unpersist()
     if n_expunged:
         key_cols = ["segment_id", "field", "term", "block_id"]
         hits = (
