@@ -277,11 +277,15 @@ def test_build_with_tiny_doc_chunk_equivalent(spark, corpus, lix, tmp_path_facto
         assert got == ref, terms
 
 
-def test_wand_doc_shard_equivalence(spark, corpus, six, seg_path):
+def test_wand_doc_shard_equivalence(spark, corpus, seg_path):
     """Horizontal WAND: sharding a segment into doc ranges (blocks
     replicated across boundaries + range-filtered after decode) must be
     bit-identical to per-segment WAND, pruned and unpruned, and with
-    deletes in play."""
+    deletes in play.
+
+    Re-opens the index: the module-scoped ``six`` fixture's file listing is
+    stale after the resume test rewrites segment 1's parquet files."""
+    six = open_segments(spark, seg_path, corpus, transcript_schema())
     for terms, mode in ((["spark"], "or"), (["merge", "join", "window"], "or"),
                         (["hash", "join"], "and")):
         base = wand_topk(six, "text", terms, k=10, mode=mode).collect()
