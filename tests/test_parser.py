@@ -256,3 +256,99 @@ def test_nl_time_of_day():
     # plain year/month forms still resolve as ranges, not times
     q = pp.parse("ts:[jan 2024 TO feb 2024]")
     assert q.start == datetime(2024, 1, 1)
+
+
+# ---------------------------------------------------------------- plugins
+# Optional plugins, enabled explicitly like the reference's
+# parser.add_plugin(GtLtPlugin()) (qparser/plugins.py::{GtLtPlugin,
+# PlusMinusPlugin, RegexPlugin} are opt-in there too).
+
+
+def pp_plugins(*names):
+    pp = QueryParser("text", transcript_schema(), basedate=datetime(2024, 3, 6))
+    for n in names:
+        pp.add_plugin(n)
+    return pp
+
+
+def test_gtlt_numeric():
+    pp = pp_plugins("gtlt")
+    q = pp.parse("turn_idx:>5")
+    assert isinstance(q, Q.NumericRange)
+    assert (q.start, q.end, q.startexcl) == (5, None, True)
+    q = pp.parse("turn_idx:>=5")
+    assert (q.start, q.startexcl) == (5, False)
+    q = pp.parse("turn_idx:<=7")
+    assert (q.start, q.end, q.endexcl) == (None, 7, False)
+    q = pp.parse("turn_idx:<7")
+    assert (q.end, q.endexcl) == (7, True)
+
+
+def test_gtlt_date_partial_resolves_to_span_edge():
+    pp = pp_plugins("gtlt")
+    q = pp.parse("ts:>2024-01")  # after January's end
+    assert isinstance(q, Q.DateRange)
+    assert q.start == datetime(2024, 1, 31, 23, 59, 59) and q.startexcl
+    q = pp.parse("ts:>=2024-01")  # from January's start
+    assert q.start == datetime(2024, 1, 1) and not q.startexcl
+    q = pp.parse("ts:<2024-01")
+    assert q.end == datetime(2024, 1, 1) and q.endexcl
+
+
+def test_gtlt_term_range():
+    pp = pp_plugins("gtlt")
+    q = pp.parse("role:>m")
+    assert isinstance(q, Q.TermRange)
+    assert (q.start, q.startexcl) == ("m", True)
+
+
+def test_gtlt_disabled_by_default():
+    pp = QueryParser("text", transcript_schema())
+    q = pp.parse("role:>m")  # '>' is just a word char without the plugin
+    assert isinstance(q, Q.Term)
+
+
+def test_plusminus_group():
+    pp = pp_plugins("plusminus")
+    q = pp.parse("+alpha -beta gamma")
+    assert isinstance(q, Q.AndNot)
+    assert isinstance(q.a, Q.AndMaybe)
+    assert q.a.a == Q.Term("text", "alpha")
+    assert q.a.b == Q.Term("text", "gamma")
+    assert q.b == Q.Term("text", "beta")
+
+
+def test_plusminus_unmarked_terms_are_optional():
+    pp = pp_plugins("plusminus")
+    q = pp.parse("alpha beta")
+    assert isinstance(q, Q.Or)
+
+
+def test_plusminus_only_required():
+    pp = pp_plugins("plusminus")
+    q = pp.parse("+alpha +beta")
+    assert isinstance(q, Q.And)
+    assert len(q.subqueries) == 2
+
+
+def test_plusminus_bare_sign_binds_phrase():
+    pp = pp_plugins("plusminus")
+    q = pp.parse('+alpha -"bad phrase"')
+    assert isinstance(q, Q.AndNot)
+    assert isinstance(q.b, Q.Phrase)
+    assert q.b.words == ("bad", "phrase")
+
+
+def test_regex_plugin():
+    pp = pp_plugins("regex")
+    q = pp.parse('r"colou?r"')
+    assert q == Q.Regex("text", "colou?r")
+    q = pp.parse('role:r"us.r"')
+    assert q == Q.Regex("role", "us.r")
+
+
+def test_unknown_plugin_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        pp_plugins("nosuch")

@@ -99,10 +99,23 @@ class QueryParser:
     ``ts:now``, and ``ts:'-3days'`` / ``ts:'+2weeks'`` relative offsets."""
 
     def __init__(self, default_field: str, schema: Schema,
-                 basedate: datetime | None = None):
+                 basedate: datetime | None = None,
+                 plugins: tuple[str, ...] = ()):
         self.default_field = default_field
         self.schema = schema
         self.basedate = basedate
+        self.plugins = set(plugins)
+
+    def add_plugin(self, name: str) -> None:
+        """Enable an optional plugin by name, mirroring the reference's
+        ``parser.add_plugin(GtLtPlugin())`` idiom
+        (src/whoosh/qparser/plugins.py::{GtLtPlugin, PlusMinusPlugin,
+        RegexPlugin} — all opt-in there too). Names: ``gtlt`` (``field:>5``,
+        ``>=``, ``<``, ``<=``), ``plusminus`` (``+required -prohibited``
+        with unmarked terms optional), ``regex`` (``r"pattern"``)."""
+        if name not in ("gtlt", "plusminus", "regex"):
+            raise ValueError(f"unknown plugin: {name!r}")
+        self.plugins.add(name)
 
     # grammar: or_expr := and_expr (OR and_expr)*
     #          and_expr := bin_expr ((AND)? bin_expr)*      (adjacency = AND)
@@ -149,6 +162,8 @@ class QueryParser:
         return parts[0] if len(parts) == 1 else Q.Or(parts)
 
     def _and_expr(self) -> Q.Query | None:
+        if "plusminus" in self.plugins:
+            return self._plusminus_expr()
         parts = []
         while True:
             if self._at_op("AND"):
@@ -163,6 +178,46 @@ class QueryParser:
         if not parts:
             return None
         return parts[0] if len(parts) == 1 else Q.And(parts)
+
+    def _plusminus_expr(self) -> Q.Query | None:
+        """PlusMinusPlugin group semantics (reference: qparser/plugins.py::
+        PlusMinusPlugin.do_plusminus): ``+x`` required, ``-x`` prohibited,
+        unmarked terms optional — the group becomes
+        AndNot(AndMaybe(And(required), Or(optional)), Or(banned)) with the
+        degenerate cases simplified away."""
+        required: list[Q.Query] = []
+        optional: list[Q.Query] = []
+        banned: list[Q.Query] = []
+        while True:
+            if self._at_op("AND"):
+                self._next()
+                continue
+            t = self._peek()
+            if t is None or t.kind == ")" or self._at_op("OR", "ANDNOT", "ANDMAYBE"):
+                break
+            sign = None
+            if t.kind == "word" and t.text in ("+", "-"):
+                # bare sign binds to the following token: -"bad phrase"
+                sign = t.text
+                self._next()
+            elif t.kind == "word" and len(t.text) > 1 and t.text[0] in "+-":
+                sign = t.text[0]
+                self._toks[self._i] = _Tok("word", t.text[1:], slop=t.slop)
+            p = self._bin_expr()
+            if p is None:
+                continue
+            (required if sign == "+" else banned if sign == "-" else optional).append(p)
+        pos: Q.Query | None = None
+        if required:
+            pos = required[0] if len(required) == 1 else Q.And(required)
+            if optional:
+                pos = Q.AndMaybe(pos, optional[0] if len(optional) == 1 else Q.Or(optional))
+        elif optional:
+            pos = optional[0] if len(optional) == 1 else Q.Or(optional)
+        if banned:
+            neg = banned[0] if len(banned) == 1 else Q.Or(banned)
+            return Q.AndNot(pos, neg) if pos is not None else Q.Not(neg)
+        return pos
 
     def _bin_expr(self) -> Q.Query | None:
         left = self._unary()
@@ -211,6 +266,11 @@ class QueryParser:
         return self._atom_body(t, field if field is not None else self.default_field)
 
     def _atom_body(self, t: _Tok, field: str) -> Q.Query | None:
+        if ("regex" in self.plugins and t.kind == "word" and t.text == "r"
+                and self._peek() is not None and self._peek().kind == "phrase"):
+            # RegexPlugin syntax r"pattern" (reference: qparser/plugins.py::
+            # RegexPlugin, opt-in there too)
+            return Q.Regex(field, self._next().text)
         if t.kind == "(":
             q = self._or_expr()
             if self._peek() is not None and self._peek().kind == ")":
@@ -249,6 +309,10 @@ class QueryParser:
         if field == "*":
             return Q.Every()
         fs = self.schema[field] if field in self.schema else None
+        if "gtlt" in self.plugins:
+            m = re.fullmatch(r"(>=|<=|=>|=<|>|<)(.+)", w)
+            if m is not None:
+                return self._gtlt(m.group(1), m.group(2), field, fs)
         # fuzzy suffix: word~ or word~2
         m = re.fullmatch(r"(.+?)~(\d*)", w)
         if m and fs is not None and fs.kind == "text":
@@ -273,6 +337,30 @@ class QueryParser:
         if len(toks) == 1:
             return Q.Term(field, toks[0])
         return Q.Phrase(field, toks) if fs.phrase else Q.And([Q.Term(field, x) for x in toks])
+
+    def _gtlt(self, op: str, val: str, field: str, fs) -> Q.Query:
+        """GtLtPlugin (reference: qparser/plugins.py::GtLtPlugin, opt-in):
+        ``field:>5`` / ``>=`` / ``<`` / ``<=`` become half-open ranges. On a
+        DATETIME field a partial date resolves to its [lo, hi] span first
+        (``>2024-01`` = after January's end), like the reference rewriting
+        GtLt into a Range node the date plugin then interprets."""
+        gt = op in (">", ">="); incl = op in (">=", "=>", "<=", "=<")
+        if fs is not None and fs.kind == "numeric":
+            v = _num(val)
+            if gt:
+                return Q.NumericRange(field, v, None, startexcl=not incl)
+            return Q.NumericRange(field, None, v, endexcl=not incl)
+        if fs is not None and fs.kind == "datetime":
+            lo, hi = _date_bounds(val, self.basedate)
+            if gt:
+                return Q.DateRange(field, lo if incl else hi, None,
+                                   startexcl=not incl)
+            return Q.DateRange(field, None, hi if incl else lo,
+                               endexcl=not incl)
+        v = val.lower() if (fs is not None and fs.kind == "text") else val
+        if gt:
+            return Q.TermRange(field, v, None, startexcl=not incl)
+        return Q.TermRange(field, None, v, endexcl=not incl)
 
     def _range(self, t: _Tok, field: str) -> Q.Query | None:
         body = t.text.strip()
