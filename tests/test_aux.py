@@ -44,9 +44,11 @@ def test_suggest_prefix_and_no_self(ix):
 def test_key_terms_models(spark, ix):
     docset = spark.range(20).select(F.col("id").alias("doc_id"))
     bo1 = key_terms(ix, docset, "text", numterms=5).collect()
+    bo2 = key_terms(ix, docset, "text", numterms=5, model="bo2").collect()
     kl = key_terms(ix, docset, "text", numterms=5, model="kl").collect()
-    assert len(bo1) == 5 and len(kl) == 5
+    assert len(bo1) == 5 and len(kl) == 5 and len(bo2) == 5
     assert all(r.score > 0 for r in bo1)
+    assert all(r.score > 0 for r in bo2)
     # key terms must actually occur in the doc set
     present = {
         r["term"]
@@ -55,6 +57,7 @@ def test_key_terms_models(spark, ix):
         ).select("term").distinct().collect()
     }
     assert {r.term for r in bo1} <= present
+    assert {r.term for r in bo2} <= present
     assert {r.term for r in kl} <= present
 
 
@@ -127,3 +130,52 @@ def test_suggest_trigram_blocked_matches_scan(ix):
     b = suggest(ix, "text", "hsh", maxdist=2, spell_index=si).collect()
     assert a == b
     si.unpersist()
+
+
+def test_sentence_fragmenter():
+    from whoosh_spark.search.highlight import sentence_fragments
+
+    text = "Spark is fast. Whoosh is a search library. Nothing here."
+    frags = sentence_fragments(text, {"whoosh", "search"})
+    assert len(frags) == 1
+    frag = frags[0]
+    assert text[frag.start:frag.end].startswith("Whoosh is a search")
+    assert {m[2] for m in frag.matches} == {"whoosh", "search"}
+    # a sentence without matches yields no fragment
+    assert sentence_fragments(text, {"absent"}) == []
+
+
+def test_whole_fragmenter():
+    from whoosh_spark.search.highlight import whole_fragment
+
+    text = "alpha beta gamma"
+    (frag,) = whole_fragment(text, {"beta"})
+    assert (frag.start, frag.end) == (0, len(text))
+    assert frag.matches[0][2] == "beta"
+
+
+def test_pinpoint_fragmenter_autotrim():
+    from whoosh_spark.search.highlight import pinpoint_fragments
+
+    text = ("x" * 30 + " left context target right context " + "y" * 30)
+    frags = pinpoint_fragments(text, {"target"}, maxchars=60, surround=12,
+                               autotrim=True)
+    assert len(frags) == 1
+    body = text[frags[0].start:frags[0].end]
+    assert "target" in body
+    # autotrim snapped both padded edges to whitespace boundaries
+    assert not body.startswith("x") and not body.endswith("y")
+    assert " " not in (body[:1], body[-1:])
+
+
+def test_highlights_fragmenter_option_and_html_formatter():
+    from whoosh_spark.search.highlight import html_formatter
+
+    text = "One sentence here. The quick brown fox jumps. Another one."
+    out = highlights(text, {"quick", "fox"}, fragmenter="sentence",
+                     fmt=html_formatter())
+    assert '<strong class="match term0">quick</strong>' in out
+    assert '<strong class="match term1">fox</strong>' in out
+    assert "Another" not in out
+    out2 = highlights(text, {"quick"}, fragmenter="whole")
+    assert out2.startswith("One sentence")

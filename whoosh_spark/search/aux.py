@@ -4,8 +4,8 @@ Reference surface (SURVEY §2.9):
 - suggest: src/whoosh/spelling.py::ReaderCorrector (~L80) over
   reading.py::IndexReader.terms_within (~L500) — candidates within edit
   distance of a word, ranked by (distance asc, frequency desc).
-- key terms: src/whoosh/classify.py::{Bo1Model, KLModel, Expander}
-  (~L40-200); searching.py::Searcher.key_terms (~L750).
+- key terms: src/whoosh/classify.py::{Bo1Model, Bo2Model, KLModel,
+  Expander} (~L40-200); searching.py::Searcher.key_terms (~L750).
 - more-like-this: searching.py::Hit.more_like_this — key terms of the doc
   fed back as an Or query.
 
@@ -14,6 +14,7 @@ so the Bo1/KL formulas below implement the published Amati DFR forms used
 by public Whoosh and are pinned by our own tests + DuckDB oracles rather
 than byte-compared to the fork. Formulas (base-2 logs):
   Bo1: f = cf / N;       score = wt * log2((1+f)/f) + log2(1+f)
+  Bo2: f = wt * tt / ct; score = wt * log2((1+f)/f) + log2(1+f)
   KL:  p = wt / tt, q = cf / ct;  score = p * log2(p / q)  (if p > q else 0)
 where wt = term weight in the doc set, cf = collection term weight,
 tt/ct = total weights of set/collection, N = doc_count_all.
@@ -112,7 +113,7 @@ def key_terms(
     model: str = "bo1",
 ) -> DataFrame:
     """Top distinctive terms of a doc set -> (term, score), model in
-    {bo1, kl}. Plain aggregations over postings + the terms table."""
+    {bo1, bo2, kl}. Plain aggregations over postings + the terms table."""
     wt = _set_weights(ix, doc_ids, fieldname)
     coll = ix.terms.where(F.col("field") == fieldname).select(
         "term", F.col("total_weight").alias("cf")
@@ -121,6 +122,14 @@ def key_terms(
     n = float(ix.doc_count)
     if model == "bo1":
         f = F.col("cf") / F.lit(n)
+        score = (F.col("wt") * F.log((1 + f) / f) + F.log(1 + f)) / F.lit(LOG2)
+    elif model == "bo2":
+        # Bo2 (reference: classify.py::Bo2Model): the prior f is estimated
+        # from the top set itself — f = wt * top_total / collection_total —
+        # instead of Bo1's collection frequency / N
+        tt = wt.agg(F.sum("wt")).collect()[0][0] or 1.0
+        ct = float(ix.field_totals.get(fieldname, 1.0))
+        f = F.col("wt") * F.lit(float(tt)) / F.lit(ct)
         score = (F.col("wt") * F.log((1 + f) / f) + F.log(1 + f)) / F.lit(LOG2)
     elif model == "kl":
         tt = wt.agg(F.sum("wt")).collect()[0][0] or 1.0

@@ -1,8 +1,9 @@
 """Snippet highlighting over top-k results.
 
-Reference: src/whoosh/highlight.py — Fragmenters (WholeFragmenter,
-ContextFragmenter(maxchars=200, surround=20)), BasicFragmentScorer,
-Formatters (UppercaseFormatter, HtmlFormatter); surfaced via
+Reference: src/whoosh/highlight.py — Fragmenters (WholeFragmenter ~L120,
+SentenceFragmenter ~L150, ContextFragmenter(maxchars=200, surround=20)
+~L350, PinpointFragmenter ~L450), BasicFragmentScorer,
+Formatters (UppercaseFormatter, HtmlFormatter ~L650); surfaced via
 Hit.highlights (searching.py ~L1400).
 
 Shape: highlighting runs over the TOP-K stored texts only (k is small), so
@@ -77,14 +78,125 @@ def _close(matches: list[tuple[int, int, str]], text: str, surround: int) -> Fra
     return Fragment(start, end, tuple(matches))
 
 
-def format_fragment(text: str, frag: Fragment, fmt: str = "upper") -> str:
-    """Render one fragment; fmt in {upper, html}."""
+def whole_fragment(text: str, terms: set[str]) -> list[Fragment]:
+    """WholeFragmenter: the entire text is one fragment (used for short
+    stored fields, e.g. titles)."""
+    return [Fragment(0, len(text), tuple(_token_spans(text, terms)))]
+
+
+def sentence_fragments(
+    text: str,
+    terms: set[str],
+    maxchars: int = 200,
+    sentencechars: str = ".!?",
+) -> list[Fragment]:
+    """SentenceFragmenter: each sentence containing a match becomes a
+    fragment, capped at ``maxchars``. Sentence ends = a sentencechar run
+    followed by whitespace/end-of-text (same break rule as the
+    reference)."""
+    spans = _token_spans(text, terms)
+    if not spans:
+        return []
+    bounds = [0]
+    for m in re.finditer(rf"[{re.escape(sentencechars)}]+(?=\s|$)", text):
+        bounds.append(m.end())
+    if bounds[-1] < len(text):
+        bounds.append(len(text))
+    frags: list[Fragment] = []
+    si = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        inside = []
+        while si < len(spans) and spans[si][0] < hi:
+            if spans[si][0] >= lo:
+                inside.append(spans[si])
+            si += 1
+        if inside:
+            # strip leading whitespace; cap at maxchars
+            start = lo + (len(text[lo:hi]) - len(text[lo:hi].lstrip()))
+            end = min(hi, start + maxchars)
+            kept = tuple(s for s in inside if s[1] <= end)
+            if kept:
+                frags.append(Fragment(start, end, kept))
+    return frags
+
+
+def pinpoint_fragments(
+    text: str,
+    terms: set[str],
+    maxchars: int = 256,
+    surround: int = 50,
+    autotrim: bool = False,
+) -> list[Fragment]:
+    """PinpointFragmenter: fragments built directly from matched char
+    ranges — runs of matches whose span fits in ``maxchars`` share one
+    fragment padded by ``surround`` chars; ``autotrim`` snaps the padded
+    edges to the nearest whitespace so fragments never cut mid-word."""
+    spans = _token_spans(text, terms)
+    frags: list[Fragment] = []
+    cur: list[tuple[int, int, str]] = []
+    for span in spans:
+        if cur and (span[1] - cur[0][0] > maxchars - 2 * surround):
+            frags.append(cur)
+            cur = []
+        cur.append(span)
+    if cur:
+        frags.append(cur)
+    out = []
+    for matches in frags:
+        start = max(0, matches[0][0] - surround)
+        end = min(len(text), matches[-1][1] + surround)
+        if autotrim:
+            if start > 0:
+                ws = text.find(" ", start, matches[0][0])
+                if ws >= 0:
+                    start = ws + 1
+            if end < len(text):
+                ws = text.rfind(" ", matches[-1][1], end)
+                if ws >= 0:
+                    end = ws
+        out.append(Fragment(start, end, tuple(matches)))
+    return out
+
+
+_FRAGMENTERS = {
+    "context": lambda text, terms, maxchars, surround: context_fragments(
+        text, terms, maxchars, surround),
+    "whole": lambda text, terms, maxchars, surround: whole_fragment(text, terms),
+    "sentence": lambda text, terms, maxchars, surround: sentence_fragments(
+        text, terms, maxchars),
+    "pinpoint": lambda text, terms, maxchars, surround: pinpoint_fragments(
+        text, terms, max(maxchars, 2 * surround + 1), surround),
+}
+
+
+def html_formatter(tagname: str = "strong", classname: str = "match",
+                   termclass: str = "term"):
+    """HtmlFormatter(tagname=, classname=, termclass=): wraps each matched
+    token in ``<tagname class="classname termclassN">`` where N numbers the
+    distinct matched terms in first-seen order (reference:
+    highlight.py::HtmlFormatter — same numbering scheme)."""
+    seen: dict[str, int] = {}
+
+    def fmt(tok: str, term: str) -> str:
+        n = seen.setdefault(term, len(seen))
+        return f'<{tagname} class="{classname} {termclass}{n}">{tok}</{tagname}>'
+
+    return fmt
+
+
+def format_fragment(text: str, frag: Fragment, fmt="upper") -> str:
+    """Render one fragment; fmt in {upper, html} or a callable
+    ``(token_text, term) -> str`` (e.g. from :func:`html_formatter`)."""
     parts: list[str] = []
     pos = frag.start
     for s, e, term in frag.matches:
+        if s < pos:
+            continue  # overlapping span already rendered
         parts.append(text[pos:s])
         tok = text[s:e]
-        if fmt == "upper":
+        if callable(fmt):
+            parts.append(fmt(tok, term))
+        elif fmt == "upper":
             parts.append(tok.upper())
         else:
             parts.append(f'<b class="match term">{tok}</b>')
@@ -102,12 +214,14 @@ def highlights(
     top: int = 2,
     maxchars: int = 200,
     surround: int = 20,
-    fmt: str = "upper",
+    fmt="upper",
     joiner: str = "...",
+    fragmenter: str = "context",
 ) -> str:
-    """Top-scoring snippets of ``text`` for ``terms`` (Hit.highlights)."""
+    """Top-scoring snippets of ``text`` for ``terms`` (Hit.highlights);
+    ``fragmenter`` in {context, whole, sentence, pinpoint}."""
     terms = {t.lower() for t in terms} - STOP_WORDS
-    frags = context_fragments(text, terms, maxchars, surround)
+    frags = _FRAGMENTERS[fragmenter](text, terms, maxchars, surround)
     frags.sort(key=lambda fr: (-fr.score(), fr.start))
     return joiner.join(format_fragment(text, fr, fmt) for fr in frags[:top])
 
@@ -118,12 +232,14 @@ def highlight_df(
     text_col: str = "text",
     top: int = 2,
     fmt: str = "upper",
+    fragmenter: str = "context",
 ) -> DataFrame:
     """Add a ``highlight`` column to a results frame, Arrow-batched."""
     tset = set(terms)
 
     @F.pandas_udf("string")
     def hl(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: highlights(t or "", tset, top=top, fmt=fmt))
+        return texts.map(lambda t: highlights(t or "", tset, top=top, fmt=fmt,
+                                              fragmenter=fragmenter))
 
     return results_with_text.withColumn("highlight", hl(F.col(text_col)))
