@@ -86,3 +86,64 @@ def test_searcher_document_fetch(spark, ixdir):
     d = s.document(docid="c")
     assert d is not None and d["tag"] == "x" and d["n"] == 3
     assert s.document(docid="nope") is None
+
+
+@pytest.fixture(scope="module")
+def bigixdir(spark, tmp_path_factory):
+    """A slightly larger corpus for paging/suggest/key-terms."""
+    path = str(tmp_path_factory.mktemp("compat2") / "ix")
+    schema = Schema(ID("docid", unique=True), TEXT("text"))
+    ix = compat.create_in(path, schema, spark)
+    w = ix.writer()
+    for i in range(25):
+        w.add_document(docid=f"d{i}", text=f"common filler plus shard{i % 3} query engine")
+    w.add_document(docid="odd", text="completely different words here")
+    w.commit()
+    return path
+
+
+def test_search_page(spark, bigixdir):
+    s = compat.open_dir(bigixdir, spark).searcher()
+    p1 = s.search_page("query engine", 1, pagelen=10)
+    p3 = s.search_page("query engine", 3, pagelen=10)
+    assert p1.pagenum == 1 and len(p1) == 10 and not p1.is_last_page()
+    assert p3.offset == 20 and len(p3) == 5 and p3.is_last_page()
+    # pages tile the full result list without overlap
+    all_ids = [h.docnum for h in s.search("query engine", limit=None)]
+    paged = [h.docnum for n in (1, 2, 3)
+             for h in s.search_page("query engine", n, pagelen=10)]
+    assert paged == all_ids[:25]
+
+
+def test_hit_highlights(spark, bigixdir):
+    s = compat.open_dir(bigixdir, spark).searcher()
+    hits = s.search("different words")
+    assert len(hits) == 1
+    hl = hits[0].highlights("text")
+    assert "DIFFERENT" in hl and "WORDS" in hl
+    html = hits[0].highlights("text", fmt="html")
+    assert "<b" in html
+
+
+def test_corrector_suggest(spark, bigixdir):
+    s = compat.open_dir(bigixdir, spark).searcher()
+    assert s.corrector("text").suggest("quary")[0] == "query"
+
+
+def test_correct_query(spark, bigixdir):
+    from whoosh_spark import query as Q
+
+    s = compat.open_dir(bigixdir, spark).searcher()
+    fixed = s.correct_query("quary engine")
+    terms = {n.text for n in fixed.subqueries if isinstance(n, Q.Term)}
+    assert terms == {"query", "engine"}
+
+
+def test_key_terms_and_more_like(spark, bigixdir):
+    s = compat.open_dir(bigixdir, spark).searcher()
+    kt = s.key_terms([0, 1, 2], "text", numterms=3)
+    assert len(kt) == 3 and all(isinstance(t, str) for t, _ in kt)
+    seed = s.search("shard0")[0]
+    like = s.more_like(seed.docnum, "text", limit=5)
+    assert len(like) == 5
+    assert all(h.docnum != seed.docnum for h in like)

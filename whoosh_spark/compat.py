@@ -77,18 +77,32 @@ def exists_in(dirname: str) -> bool:
 class Hit:
     """One result row: stored fields + score (reference: searching.py::Hit)."""
 
-    __slots__ = ("fields", "score", "docnum")
+    __slots__ = ("fields", "score", "docnum", "_qterms")
 
-    def __init__(self, fields: dict, score: float, docnum: int):
+    def __init__(self, fields: dict, score: float, docnum: int,
+                 qterms: dict[str, set] | None = None):
         self.fields = fields
         self.score = score
         self.docnum = docnum
+        self._qterms = qterms or {}
 
     def __getitem__(self, name):
         return self.fields[name]
 
     def get(self, name, default=None):
         return self.fields.get(name, default)
+
+    def highlights(self, fieldname: str, top: int = 2, fmt="upper",
+                   fragmenter: str = "context") -> str:
+        """Snippets of this hit's stored field for the query's terms
+        (reference: Hit.highlights, searching.py ~L1400)."""
+        from whoosh_spark.search.highlight import highlights as _hl
+
+        terms = self._qterms.get(fieldname, set())
+        text = self.fields.get(fieldname) or ""
+        if not terms or not text:
+            return ""
+        return _hl(str(text), terms, top=top, fmt=fmt, fragmenter=fragmenter)
 
     def __repr__(self):
         return f"<Hit doc={self.docnum} score={self.score:.4f} {self.fields!r}>"
@@ -100,6 +114,44 @@ class Results(list):
 
     def scored_length(self) -> int:
         return len(self)
+
+
+class ResultsPage(Results):
+    """One page of hits (reference: searching.py::ResultsPage ~L1500):
+    slice [offset : offset+pagelen] of the top pagenum*pagelen results."""
+
+    def __init__(self, hits, pagenum: int, pagelen: int, total: int):
+        self.pagenum = pagenum
+        self.pagelen = pagelen
+        self.offset = (pagenum - 1) * pagelen
+        self.total = total
+        super().__init__(hits)
+
+    def is_last_page(self) -> bool:
+        return self.offset + len(self) >= self.total
+
+
+def _query_field_terms(q: "Q.Query") -> dict[str, set]:
+    """field -> term texts of a query tree (feeds Hit.highlights, like the
+    reference's Query.existing_terms)."""
+    out: dict[str, set] = {}
+
+    def walk(node):
+        if isinstance(node, Q.Term):
+            out.setdefault(node.fieldname, set()).add(node.text)
+        elif isinstance(node, Q.Phrase):
+            out.setdefault(node.fieldname, set()).update(node.words)
+        elif isinstance(node, Q.CompoundQuery):
+            for s in node.subqueries:
+                walk(s)
+        elif isinstance(node, Q.BinaryQuery):
+            walk(node.a)
+            walk(node.b)
+        elif hasattr(node, "subquery"):
+            walk(node.subquery)
+
+    walk(q)
+    return out
 
 
 class CompatIndex:
@@ -250,6 +302,75 @@ class CompatSearcher:
         stored = self._searcher.with_stored_fields(top, *self.index.schema.names())
         rows = stored.orderBy(*_order_cols(top)).collect()
         names = self.index.schema.names()
+        qterms = _query_field_terms(q)
+        return Results(
+            Hit({c: r[c] for c in names}, float(r["score"]), int(r["doc_id"]),
+                qterms)
+            for r in rows
+        )
+
+    def search_page(self, q: "Q.Query | str", pagenum: int,
+                    pagelen: int = 10, **kw) -> ResultsPage:
+        """Page ``pagenum`` (1-based) of the results (reference:
+        Searcher.search_page ~L700): top pagenum*pagelen computed
+        distributed, the page sliced driver-side — same shape as the
+        reference's offset slicing over the top-n heap."""
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        if isinstance(q, str):
+            q = QueryParser(self._default_field(), self.index.schema).parse(q)
+        hits = self.search(q, limit=pagenum * pagelen, **kw)
+        # total = full match count (reference: len(Results) is the total
+        # hit count, which is what is_last_page keys on); the count's plan
+        # drops the top-k sort (EliminateSorts under an aggregate)
+        total = len(hits)
+        if len(hits) == pagenum * pagelen and self._searcher is not None:
+            total = self._searcher.search(q, limit=None, **kw).count()
+        off = (pagenum - 1) * pagelen
+        return ResultsPage(hits[off:off + pagelen], pagenum, pagelen, total)
+
+    def corrector(self, fieldname: str) -> "CompatCorrector":
+        """reference: Searcher.corrector(field) -> Corrector.suggest(...)"""
+        return CompatCorrector(self, fieldname)
+
+    def correct_query(self, q: "Q.Query | str", fieldname: str | None = None):
+        """Rewrite unknown terms to their best lexicon suggestion
+        (reference: Searcher.correct_query ~L800; returns the corrected
+        query tree)."""
+        from whoosh_spark.search.aux import correct_query as _cq
+
+        if isinstance(q, str):
+            q = QueryParser(self._default_field(), self.index.schema).parse(q)
+        if self._six is None:
+            return q
+        return _cq(self._six, q, fieldname or self._default_field())
+
+    def key_terms(self, docnums: list[int], fieldname: str,
+                  numterms: int = 5, model: str = "bo1") -> list[tuple[str, float]]:
+        """reference: Searcher.key_terms(docnums, fieldname, numterms)."""
+        from whoosh_spark.search.aux import key_terms as _kt
+
+        if self._six is None or not docnums:
+            return []
+        ids = self.index.spark.createDataFrame(
+            [(int(d),) for d in docnums], "doc_id long"
+        )
+        rows = _kt(self._six, ids, fieldname, numterms, model).collect()
+        return [(r["term"], float(r["score"])) for r in rows]
+
+    def more_like(self, docnum: int, fieldname: str, limit: int = 10,
+                  numterms: int = 5) -> Results:
+        """reference: Searcher.more_like(docnum, fieldname) — key terms of
+        the doc fed back as an Or query, seed doc excluded."""
+        from whoosh_spark.search.aux import more_like_this as _mlt
+
+        if self._searcher is None:
+            return Results()
+        top = _mlt(self._searcher, int(docnum), fieldname, limit=limit,
+                   numterms=numterms)
+        stored = self._searcher.with_stored_fields(top, *self.index.schema.names())
+        rows = stored.orderBy(*_order_cols(top)).collect()
+        names = self.index.schema.names()
         return Results(
             Hit({c: r[c] for c in names}, float(r["score"]), int(r["doc_id"]))
             for r in rows
@@ -258,6 +379,26 @@ class CompatSearcher:
     def refresh(self) -> "CompatSearcher":
         return CompatSearcher(self.index, None if self._searcher is None
                               else self._searcher.weighting)
+
+
+class CompatCorrector:
+    """reference: spelling.py::ReaderCorrector (suggest from the lexicon,
+    ranked distance asc then frequency desc)."""
+
+    def __init__(self, searcher: CompatSearcher, fieldname: str):
+        self.searcher = searcher
+        self.fieldname = fieldname
+
+    def suggest(self, word: str, limit: int = 5, maxdist: int = 2,
+                prefix: int = 0) -> list[str]:
+        from whoosh_spark.search.aux import suggest as _suggest
+
+        six = self.searcher._six
+        if six is None:
+            return []
+        rows = _suggest(six, self.fieldname, word, limit=limit,
+                        maxdist=maxdist, prefix=prefix).collect()
+        return [r["term"] for r in rows]
 
 
 def _order_cols(top: DataFrame):
