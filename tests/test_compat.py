@@ -147,3 +147,13 @@ def test_key_terms_and_more_like(spark, bigixdir):
     like = s.more_like(seed.docnum, "text", limit=5)
     assert len(like) == 5
     assert all(h.docnum != seed.docnum for h in like)
+
+
+def test_search_terms_matched(spark, bigixdir):
+    s = compat.open_dir(bigixdir, spark).searcher()
+    hits = s.search("shard0 OR different", terms=True, limit=None)
+    by_doc = {h["docid"]: h.matched_terms for h in hits}
+    assert by_doc["odd"] == ["different"]
+    assert by_doc["d0"] == ["shard0"]
+    # default stays off
+    assert s.search("different")[0].matched_terms is None

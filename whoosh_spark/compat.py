@@ -77,14 +77,18 @@ def exists_in(dirname: str) -> bool:
 class Hit:
     """One result row: stored fields + score (reference: searching.py::Hit)."""
 
-    __slots__ = ("fields", "score", "docnum", "_qterms")
+    __slots__ = ("fields", "score", "docnum", "_qterms", "matched_terms")
 
     def __init__(self, fields: dict, score: float, docnum: int,
-                 qterms: dict[str, set] | None = None):
+                 qterms: dict[str, set] | None = None,
+                 matched_terms: list[str] | None = None):
         self.fields = fields
         self.score = score
         self.docnum = docnum
         self._qterms = qterms or {}
+        # terms=True surface (reference: Hit.matched_terms returns
+        # (field, termbytes) pairs; here: the matched term texts)
+        self.matched_terms = matched_terms
 
     def __getitem__(self, name):
         return self.fields[name]
@@ -290,22 +294,30 @@ class CompatSearcher:
         return texts[0].name if texts else self.index.schema.names()[0]
 
     def search(self, q: "Q.Query | str", limit: int | None = 10,
-               **kw) -> Results:
+               terms: bool = False, **kw) -> Results:
         """Accepts a Query tree or a query STRING (parsed with the default
         QueryParser over the first TEXT field, the reference's common
-        idiom). Returns Results of Hits with every stored field attached."""
+        idiom). Returns Results of Hits with every stored field attached.
+        ``terms=True`` additionally records which query terms matched each
+        hit (reference: search(terms=True) -> Hit.matched_terms)."""
         if self._searcher is None:
             return Results()
         if isinstance(q, str):
             q = QueryParser(self._default_field(), self.index.schema).parse(q)
         top = self._searcher.search(q, limit=limit, **kw)
         stored = self._searcher.with_stored_fields(top, *self.index.schema.names())
+        if terms:
+            stored = stored.join(
+                self._searcher.matched_terms(q).withColumnRenamed("terms", "_mt"),
+                "doc_id", "left",
+            )
         rows = stored.orderBy(*_order_cols(top)).collect()
         names = self.index.schema.names()
         qterms = _query_field_terms(q)
         return Results(
             Hit({c: r[c] for c in names}, float(r["score"]), int(r["doc_id"]),
-                qterms)
+                qterms,
+                list(r["_mt"] or []) if terms else None)
             for r in rows
         )
 
