@@ -352,3 +352,15 @@ def test_unknown_plugin_rejected():
 
     with pytest.raises(ValueError):
         pp_plugins("nosuch")
+
+
+def test_multifield_plugins_passthrough():
+    from whoosh_spark.query.parser import MultifieldParser
+
+    pp = MultifieldParser(["text", "role"], transcript_schema(),
+                          plugins=("plusminus", "gtlt"))
+    q = pp.parse("+alpha -beta")
+    assert isinstance(q, Q.AndNot)
+    assert isinstance(q.a, Q.Or) and len(q.a.subqueries) == 2  # field fan-out
+    q = pp.parse("turn_idx:>5")
+    assert isinstance(q, Q.NumericRange) and q.startexcl

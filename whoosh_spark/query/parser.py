@@ -393,8 +393,11 @@ class MultifieldParser(QueryParser):
     through their leaves, so the fan-out applies inside parentheses too."""
 
     def __init__(self, fieldnames: list[str], schema: Schema,
-                 fieldboosts: dict[str, float] | None = None):
-        super().__init__(fieldnames[0], schema)
+                 fieldboosts: dict[str, float] | None = None,
+                 basedate: datetime | None = None,
+                 plugins: tuple[str, ...] = ()):
+        super().__init__(fieldnames[0], schema, basedate=basedate,
+                         plugins=plugins)
         self.fieldnames = list(fieldnames)
         self.fieldboosts = dict(fieldboosts or {})
 
