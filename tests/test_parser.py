@@ -364,3 +364,10 @@ def test_multifield_plugins_passthrough():
     assert isinstance(q.a, Q.Or) and len(q.a.subqueries) == 2  # field fan-out
     q = pp.parse("turn_idx:>5")
     assert isinstance(q, Q.NumericRange) and q.startexcl
+
+
+def test_regex_requires_adjacent_quote():
+    pp = pp_plugins("regex")
+    q = pp.parse('r "colou?r"')  # space: the r is just a (dropped) word
+    assert not isinstance(q, Q.Regex)
+    assert pp.parse('role:r"us.r"') == Q.Regex("role", "us.r")

@@ -53,39 +53,44 @@ class _Tok:
     boost: float | None = None
     startexcl: bool = False
     endexcl: bool = False
+    glued: bool = False  # no whitespace between this token and the previous
 
 
 def _scan(s: str) -> list[_Tok]:
     out: list[_Tok] = []
     pos = 0
+    prev_end = -1  # end offset of the previous non-ws token
     while pos < len(s):
         m = _TOKEN_RE.match(s, pos)
         if not m:
             pos += 1
             continue
+        glued = m.start() == prev_end
         pos = m.end()
         if m.group("ws"):
             continue
+        prev_end = m.end()
         if m.group("lparen"):
-            out.append(_Tok("(", "("))
+            out.append(_Tok("(", "(", glued=glued))
         elif m.group("rparen"):
-            out.append(_Tok(")", ")"))
+            out.append(_Tok(")", ")", glued=glued))
         elif m.group("phrase") is not None:
             slop = int(m.group("phrase_slop") or 1)
-            out.append(_Tok("phrase", m.group("phrase_body"), slop=slop))
+            out.append(_Tok("phrase", m.group("phrase_body"), slop=slop,
+                            glued=glued))
         elif m.group("range") is not None:
-            tok = _Tok("range", m.group("range_body"))
+            tok = _Tok("range", m.group("range_body"), glued=glued)
             tok.startexcl = m.group("range").startswith("{")
             tok.endexcl = m.group("range").endswith("}")
             out.append(tok)
         elif m.group("boost") is not None:
-            out.append(_Tok("^", m.group("boost_val")))
+            out.append(_Tok("^", m.group("boost_val"), glued=glued))
         else:
             w = m.group("word")
             if w in _OPS:
-                out.append(_Tok("op", w))
+                out.append(_Tok("op", w, glued=glued))
             else:
-                out.append(_Tok("word", w))
+                out.append(_Tok("word", w, glued=glued))
     return out
 
 
@@ -267,9 +272,11 @@ class QueryParser:
 
     def _atom_body(self, t: _Tok, field: str) -> Q.Query | None:
         if ("regex" in self.plugins and t.kind == "word" and t.text == "r"
-                and self._peek() is not None and self._peek().kind == "phrase"):
-            # RegexPlugin syntax r"pattern" (reference: qparser/plugins.py::
-            # RegexPlugin, opt-in there too)
+                and self._peek() is not None and self._peek().kind == "phrase"
+                and self._peek().glued):
+            # RegexPlugin syntax r"pattern" — the quote must be adjacent to
+            # the r, so a bare word r before a quoted phrase stays a phrase
+            # (reference: qparser/plugins.py::RegexPlugin, opt-in there too)
             return Q.Regex(field, self._next().text)
         if t.kind == "(":
             q = self._or_expr()
