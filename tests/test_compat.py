@@ -157,3 +157,30 @@ def test_search_terms_matched(spark, bigixdir):
     assert by_doc["d0"] == ["shard0"]
     # default stays off
     assert s.search("different")[0].matched_terms is None
+
+
+def test_add_dataframe_bulk_ingest(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("compat3") / "ix")
+    schema = Schema(ID("docid", unique=True), TEXT("text"))
+    ix = compat.create_in(path, schema, spark)
+    df = spark.range(50).select(
+        F.concat(F.lit("bulk"), F.col("id")).alias("docid"),
+        F.concat(F.lit("bulk ingest row number "), F.col("id")).alias("text"),
+        F.lit("extra").alias("ignored_extra_col"),
+    )
+    w = ix.writer()
+    w.add_dataframe(df)
+    w.add_document(docid="manual", text="manual ingest row")
+    w.commit()
+    assert ix.doc_count() == 51
+    s = ix.searcher()
+    assert len(s.search("bulk", limit=None)) == 50
+    assert {h["docid"] for h in s.search("manual")} == {"manual"}
+    # missing schema columns are rejected up front
+    import pytest as _pytest
+
+    w2 = ix.writer()
+    with _pytest.raises(ValueError):
+        w2.add_dataframe(df.select("docid"))

@@ -223,12 +223,24 @@ class CompatWriter:
     def __init__(self, index: CompatIndex):
         self.index = index
         self._adds: list[dict] = []
+        self._add_frames: list[DataFrame] = []
         self._updates: list[dict] = []
         self._deletes: list[tuple[str, str]] = []
         self._committed = False
 
     def add_document(self, **fields) -> None:
         self._adds.append(fields)
+
+    def add_dataframe(self, df: DataFrame) -> None:
+        """Bulk ingest: index a whole DataFrame as this commit's batch —
+        the migration path at corpus scale (the reference's analog is
+        MpWriter fan-out over add_document; here the frame goes straight
+        through the distributed build, no driver round-trip). Columns must
+        cover the schema's indexed fields; extras are ignored."""
+        missing = [c for c in self.index.schema.names() if c not in df.columns]
+        if missing:
+            raise ValueError(f"dataframe lacks schema columns: {missing}")
+        self._add_frames.append(df.select(*self.index.schema.names()))
 
     def update_document(self, **fields) -> None:
         """Upsert by the schema's unique fields (reference:
@@ -242,6 +254,7 @@ class CompatWriter:
 
     def cancel(self) -> None:
         self._adds, self._updates, self._deletes = [], [], []
+        self._add_frames = []
         self._committed = True
 
     def _next_batch_id(self) -> int:
@@ -277,8 +290,11 @@ class CompatWriter:
                 self.index.schema.unique_fields(),
             )
             batch_id += 1
-        if self._adds:
-            self.index._indexer.append_batch(self._frame(self._adds), batch_id)
+        adds = self._frame(self._adds) if self._adds else None
+        for frame in self._add_frames:
+            adds = frame if adds is None else adds.unionByName(frame)
+        if adds is not None:
+            self.index._indexer.append_batch(adds, batch_id)
 
 
 class CompatSearcher:
