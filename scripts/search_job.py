@@ -14,8 +14,9 @@ Completes the build_index_job.py production story (a reference user's
   build's --turns).
 - --wand routes through the block-max WAND top-k path (per-segment
   pruning on packed block metadata); default is the executor pipeline.
-  Both return bit-identical (doc_id, score) rankings — tested in
-  tests/test_segments.py.
+  For unboosted Term / flat And / flat Or queries both paths return
+  bit-identical (doc_id, score) rankings — tested in
+  tests/test_segments.py; boosted queries are refused on the WAND path.
 - Prints one JSON line: the parsed query, top-k (doc_id, score) rows, and
   wall time.
 """
@@ -67,14 +68,20 @@ def main() -> None:
         from whoosh_spark.search.wand import wand_topk
 
         if isinstance(q, Q.Term):
-            terms, mode = [q.text], "or"
+            leaves, mode = [q], "or"
         elif isinstance(q, (Q.And, Q.Or)) and all(
             isinstance(s, Q.Term) for s in q.subqueries
         ):
-            terms = [s.text for s in q.subqueries]
+            leaves = list(q.subqueries)
             mode = "and" if isinstance(q, Q.And) else "or"
         else:
             raise SystemExit("--wand supports Term / flat And / flat Or queries")
+        if any(s.boost != 1.0 for s in leaves) or q.boost != 1.0:
+            # wand_topk scores unboosted terms; a boosted query would
+            # silently rank differently from the executor path
+            raise SystemExit("--wand supports unboosted terms; drop ^boosts "
+                             "or use the executor path")
+        terms = [s.text for s in leaves]
         rows = wand_topk(ix, args.field, terms, k=args.limit, mode=mode).collect()
     else:
         rows = Searcher(ix).search(q, limit=args.limit).collect()

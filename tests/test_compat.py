@@ -184,3 +184,17 @@ def test_add_dataframe_bulk_ingest(spark, tmp_path_factory):
     w2 = ix.writer()
     with _pytest.raises(ValueError):
         w2.add_dataframe(df.select("docid"))
+
+
+def test_search_sortedby_respected(spark, ixdir):
+    s = compat.open_dir(ixdir, spark).searcher()
+    hits = s.search("tag:x", sortedby="n", reverse=True, limit=None)
+    ns = [h["n"] for h in hits]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_search_page_with_terms_kw(spark, bigixdir):
+    s = compat.open_dir(bigixdir, spark).searcher()
+    page = s.search_page("query engine", 1, pagelen=10, terms=True)
+    assert len(page) == 10 and not page.is_last_page()
+    assert all(h.matched_terms for h in page)

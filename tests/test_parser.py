@@ -371,3 +371,34 @@ def test_regex_requires_adjacent_quote():
     q = pp.parse('r "colou?r"')  # space: the r is just a (dropped) word
     assert not isinstance(q, Q.Regex)
     assert pp.parse('role:r"us.r"') == Q.Regex("role", "us.r")
+
+
+def test_gtlt_reversed_forms():
+    pp = pp_plugins("gtlt")
+    q = pp.parse("turn_idx:=>5")  # reference GtLt accepts => for >=
+    assert isinstance(q, Q.NumericRange)
+    assert (q.start, q.end, q.startexcl) == (5, None, False)
+    q = pp.parse("turn_idx:=<5")
+    assert (q.start, q.end, q.endexcl) == (None, 5, False)
+
+
+def test_plusminus_free_standing_hyphen_is_not_a_sign():
+    pp = pp_plugins("plusminus")
+    q = pp.parse("alpha - beta")  # hyphen word, dropped by the analyzer
+    assert isinstance(q, Q.Or)
+    assert {t.text for t in q.subqueries} == {"alpha", "beta"}
+
+
+def test_multifield_regex_fans_out():
+    from whoosh_spark.query.parser import MultifieldParser
+
+    pp = MultifieldParser(["text", "role"], transcript_schema(),
+                          plugins=("regex",))
+    q = pp.parse('r"colou?r"')
+    assert isinstance(q, Q.Or)
+    assert set(map(type, q.subqueries)) == {Q.Regex}
+    assert {s.fieldname for s in q.subqueries} == {"text", "role"}
+    # the stream position advanced past the phrase exactly once: a
+    # following word still parses
+    q2 = pp.parse('r"colou?r" alpha')
+    assert isinstance(q2, Q.And) and len(q2.subqueries) == 2

@@ -321,13 +321,18 @@ class CompatSearcher:
         if isinstance(q, str):
             q = QueryParser(self._default_field(), self.index.schema).parse(q)
         top = self._searcher.search(q, limit=limit, **kw)
+        # keep only the join key + score: a sortedby search also returns
+        # its key columns, which would collide with the stored-field join
+        top = top.select("doc_id", "score")
         stored = self._searcher.with_stored_fields(top, *self.index.schema.names())
         if terms:
+            # bounded to the collected hits (within=top), not every match
             stored = stored.join(
-                self._searcher.matched_terms(q).withColumnRenamed("terms", "_mt"),
+                self._searcher.matched_terms(q, within=top)
+                .withColumnRenamed("terms", "_mt"),
                 "doc_id", "left",
             )
-        rows = stored.orderBy(*_order_cols(top)).collect()
+        rows = stored.orderBy(*_order_cols(kw)).collect()
         names = self.index.schema.names()
         qterms = _query_field_terms(q)
         return Results(
@@ -353,7 +358,10 @@ class CompatSearcher:
         # drops the top-k sort (EliminateSorts under an aggregate)
         total = len(hits)
         if len(hits) == pagenum * pagelen and self._searcher is not None:
-            total = self._searcher.search(q, limit=None, **kw).count()
+            # the count query goes to the engine searcher, which does not
+            # know compat-only kwargs like terms=
+            engine_kw = {k: v for k, v in kw.items() if k != "terms"}
+            total = self._searcher.search(q, limit=None, **engine_kw).count()
         off = (pagenum - 1) * pagelen
         return ResultsPage(hits[off:off + pagelen], pagenum, pagelen, total)
 
@@ -397,7 +405,7 @@ class CompatSearcher:
         top = _mlt(self._searcher, int(docnum), fieldname, limit=limit,
                    numterms=numterms)
         stored = self._searcher.with_stored_fields(top, *self.index.schema.names())
-        rows = stored.orderBy(*_order_cols(top)).collect()
+        rows = stored.orderBy(*_order_cols({})).collect()
         names = self.index.schema.names()
         return Results(
             Hit({c: r[c] for c in names}, float(r["score"]), int(r["doc_id"]))
@@ -429,9 +437,20 @@ class CompatCorrector:
         return [r["term"] for r in rows]
 
 
-def _order_cols(top: DataFrame):
+def _order_cols(search_kw: dict):
+    """Ordering for the collected result rows: the stored-fields join does
+    not preserve the engine's sort, so re-apply it — sortedby key columns
+    (string names; they exist on the joined frame since every stored field
+    is attached) or the default (score desc, doc_id asc) heap key."""
     from pyspark.sql import functions as F
 
+    sortedby = search_kw.get("sortedby")
+    if sortedby is not None:
+        keys = [sortedby] if isinstance(sortedby, str) else list(sortedby)
+        if not all(isinstance(k, str) for k in keys):
+            raise TypeError("compat search(sortedby=...) takes column name strings")
+        rev = search_kw.get("reverse", False)
+        return [F.desc(k) if rev else F.asc(k) for k in keys] + [F.asc("doc_id")]
     return [F.desc("score"), F.asc("doc_id")]
 
 

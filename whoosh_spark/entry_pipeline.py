@@ -310,11 +310,14 @@ SELECT i, j, hamming FROM (
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS raw
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
 )
-SELECT query_id, vec_id, cosine FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+-- rank by the RAW cosine (like the Spark op: window over the true value,
+-- rounding only for display) — ranking by the rounded value manufactures
+-- ties between genuinely different neighbors, which surfaced at sf0.1
+SELECT query_id, vec_id, round(raw, 4) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rn
   FROM scored
 ) WHERE rn <= 10
 """,

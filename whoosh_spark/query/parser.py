@@ -201,8 +201,13 @@ class QueryParser:
             if t is None or t.kind == ")" or self._at_op("OR", "ANDNOT", "ANDMAYBE"):
                 break
             sign = None
-            if t.kind == "word" and t.text in ("+", "-"):
-                # bare sign binds to the following token: -"bad phrase"
+            nxt = self._toks[self._i + 1] if self._i + 1 < len(self._toks) else None
+            if (t.kind == "word" and t.text in ("+", "-")
+                    and nxt is not None and nxt.glued):
+                # bare sign binds to an ADJACENT following token
+                # (-"bad phrase"); a free-standing hyphen between words is
+                # just a word the analyzer drops (reference: PlusMinusPlugin
+                # tags +/- only when followed by non-whitespace)
                 sign = t.text
                 self._next()
             elif t.kind == "word" and len(t.text) > 1 and t.text[0] in "+-":
@@ -351,7 +356,7 @@ class QueryParser:
         DATETIME field a partial date resolves to its [lo, hi] span first
         (``>2024-01`` = after January's end), like the reference rewriting
         GtLt into a Range node the date plugin then interprets."""
-        gt = op in (">", ">="); incl = op in (">=", "=>", "<=", "=<")
+        gt = op in (">", ">=", "=>"); incl = op in (">=", "=>", "<=", "=<")
         if fs is not None and fs.kind == "numeric":
             v = _num(val)
             if gt:
@@ -413,15 +418,23 @@ class MultifieldParser(QueryParser):
             # explicit field, or a group (whose leaves fan out themselves)
             return super()._leaf(t, field)
         subs = []
+        # some atoms consume extra tokens (regex plugin's glued phrase);
+        # rewind to the same stream position for every field's fan-out and
+        # keep the furthest position reached afterwards
+        start_i = self._i
+        end_i = self._i
         for f in self.fieldnames:
+            self._i = start_i
             try:
                 q = self._atom_body(t, f)
             except (ValueError, TypeError):
                 continue  # e.g. a non-numeric word against a NUMERIC field
+            end_i = max(end_i, self._i)
             if q is None:
                 continue
             boost = self.fieldboosts.get(f, 1.0)
             subs.append(q if boost == 1.0 else q.with_boost(boost))
+        self._i = end_i
         if not subs:
             return None
         return subs[0] if len(subs) == 1 else Q.Or(subs)

@@ -568,13 +568,18 @@ class Searcher:
             )
         )
 
-    def matched_terms(self, q: Q.Query) -> DataFrame:
+    def matched_terms(self, q: Q.Query, within: DataFrame | None = None) -> DataFrame:
         """Which leaf terms matched each doc (terms=True / Hit.matched_terms,
-        collectors.py::TermsCollector ~L950) -> (doc_id, terms sorted array)."""
+        collectors.py::TermsCollector ~L950) -> (doc_id, terms sorted array).
+
+        ``within``: a frame whose doc_id column is already known to be a
+        subset of q's matches (e.g. a top-k search result) — skips
+        recompiling q and bounds the aggregation to those docs instead of
+        every match in the corpus."""
         leaves = _leaf_terms(q.normalize())
         if not leaves:
             return self._spark.createDataFrame([], "doc_id long, terms array<string>")
-        matched = self.compile(q).select("doc_id")
+        matched = (within if within is not None else self.compile(q)).select("doc_id")
         return (
             self.index.pairs_postings(leaves)
             .join(matched, "doc_id", "left_semi")

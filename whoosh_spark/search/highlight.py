@@ -220,6 +220,10 @@ def highlights(
 ) -> str:
     """Top-scoring snippets of ``text`` for ``terms`` (Hit.highlights);
     ``fragmenter`` in {context, whole, sentence, pinpoint}."""
+    if fragmenter not in _FRAGMENTERS:
+        raise ValueError(
+            f"unknown fragmenter {fragmenter!r}; one of {sorted(_FRAGMENTERS)}"
+        )
     terms = {t.lower() for t in terms} - STOP_WORDS
     frags = _FRAGMENTERS[fragmenter](text, terms, maxchars, surround)
     frags.sort(key=lambda fr: (-fr.score(), fr.start))
