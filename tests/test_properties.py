@@ -114,3 +114,31 @@ def test_ngram_positions_inherit_source_token(rows):
     # every gram's (row, pos) pair must exist among source tokens
     src = set(zip(base.row.tolist(), base.pos.tolist()))
     assert set(zip(b.row.tolist(), b.pos.tolist())) <= src
+
+
+# ---------------------------------------------------------------- parser
+
+_QUERY_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyz"
+    ' :^"[]{}()*?~<>=+-.1234567890ANDORT'
+)
+
+
+@given(st.text(alphabet=_QUERY_ALPHABET, max_size=30))
+@settings(max_examples=400, deadline=None)
+def test_parser_total_on_arbitrary_input(s):
+    """parse() is total up to ValueError: any input yields a Query or a
+    ValueError (malformed dates/numbers), never an internal error — with
+    every optional plugin enabled (mirrors whoosh test_parsing's garbage
+    inputs)."""
+    from whoosh_spark.fields import DATETIME, ID, NUMERIC, Schema, TEXT
+    from whoosh_spark.query.nodes import Query
+    from whoosh_spark.query.parser import QueryParser
+
+    schema = Schema(TEXT("text"), ID("role"), NUMERIC("turn_idx"), DATETIME("ts"))
+    p = QueryParser("text", schema, plugins=("gtlt", "plusminus", "regex"))
+    try:
+        q = p.parse(s)
+    except ValueError:
+        return
+    assert isinstance(q, Query)
