@@ -202,3 +202,59 @@ def test_minhash_dedup_against_incremental(spark, docs):
         (r.i, r.j, round(r.jaccard, 6)) for r in got
     )
     sigs_old.unpersist()
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def test_pq_encode_shape_and_determinism(spark, emb):
+    from whoosh_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    books = pq_codebooks(emb, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(emb, books).orderBy("vec_id").collect()
+    assert len(codes) == 500
+    assert all(len(r.code) == 8 for r in codes)
+    # deterministic: same books -> same codes
+    codes2 = pq_encode(emb, books).orderBy("vec_id").collect()
+    assert [r.code for r in codes] == [r.code for r in codes2]
+
+
+def test_ivf_pq_recall_and_exact_rerank(spark, emb):
+    from whoosh_spark.pipeline.similarity import cosine_topk, ivf_pq_topk
+
+    qs = emb.where("vec_id < 5")
+    exact = cosine_topk(emb, qs, k=10).collect()
+    ex, exv = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+        exv[(r.query_id, r.vec_id)] = r.cosine
+
+    approx = ivf_pq_topk(emb, qs, k=10, n_probe=6, refine=4).collect()
+    ap = {}
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+        if (r.query_id, r.vec_id) in exv:
+            # the refine stage re-scores exactly — overlap cosines match
+            assert r.cosine == pytest.approx(exv[(r.query_id, r.vec_id)], abs=1e-12)
+    recall = sum(len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    assert recall >= 0.55  # probed 6/16 clusters, coarse 8x16 codes
+
+
+def test_ivf_pq_recall_improves_with_resolution(spark, emb):
+    from whoosh_spark.pipeline.similarity import (
+        cosine_topk, ivf_pq_topk, pq_codebooks)
+
+    qs = emb.where("vec_id < 5")
+    exact = cosine_topk(emb, qs, k=10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    books = pq_codebooks(emb, m=16, ksub=32)
+    full = ivf_pq_topk(emb, qs, k=10, n_probe=16, refine=8, m=16, ksub=32,
+                       codebooks=books).collect()
+    fp = {}
+    for r in full:
+        fp.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = sum(len(ex[q] & fp.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    assert recall >= 0.9  # full probe + fine codes: shortlist ~= exact

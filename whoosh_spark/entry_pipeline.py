@@ -31,6 +31,7 @@ from whoosh_spark.pipeline import (
     exact_duplicates,
     fake_decode_meta,
     fingerprint_overlap_pairs,
+    ivf_pq_topk,
     ivf_topk,
     langid,
     minhash_dedup_pairs,
@@ -339,6 +340,13 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
             _emb(spark, sf), _emb(spark, sf).where("vec_id < 3"), n_probe=6
         ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine")),
         None,  # approximate by design: rows-only check; recall pinned in tests
+    )
+    add(
+        "ann_ivf_pq_topk",
+        lambda spark, sf: ivf_pq_topk(
+            _emb(spark, sf), _emb(spark, sf).where("vec_id < 3"), n_probe=6
+        ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine")),
+        None,  # approximate (PQ shortlist); recall + exact-rerank pinned in tests
     )
 
     # ------------------------------ text stats ---------------------------

@@ -23,6 +23,7 @@ from whoosh_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     hyperplane_buckets,
     ivf_centroids,
+    ivf_pq_topk,
     ivf_topk,
 )
 from whoosh_spark.pipeline.textstats import (  # noqa: F401

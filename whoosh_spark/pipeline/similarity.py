@@ -313,3 +313,174 @@ def ivf_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def pq_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
+                 sample_n: int = 2048, lloyd_iters: int = 5,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> np.ndarray:
+    """Train product-quantization codebooks -> (m, ksub, dim/m) float64.
+
+    Vectors are L2-normalized first (so PQ inner products approximate
+    cosine), split into ``m`` contiguous subspaces, and each subspace gets
+    its own ``ksub``-centroid k-means. Training runs driver-side on a
+    DETERMINISTIC sample (the ``sample_n`` lowest ids — the corpus-size-
+    independent Faiss practice: codebook quality needs a bounded sample,
+    never the full corpus), seeded with the sample's first ``ksub`` rows."""
+    pdf = (emb.orderBy(id_col).limit(sample_n)
+           .select(vec_col).toPandas()[vec_col].tolist())
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(lloyd_iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode vectors to ``m`` uint8 codes -> (vec_id, code: binary).
+
+    One numpy pass per Arrow batch; at 100 TB the codes table is ~m bytes
+    per vector (64-dim float32 -> 8 bytes = 32x smaller), written once and
+    partitioned alongside the IVF assignment."""
+    import pyarrow as pa
+
+    m, ksub, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            x = flat.reshape(len(ids), m * dsub)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(ids), m), dtype=np.uint8)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(list(codes.tobytes(order="C")[i * m:(i + 1) * m]
+                               for i in range(len(ids))), type=pa.binary())],
+                names=["vec_id", "code"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(gen, "vec_id long, code binary")
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ANN with exact refine -> (query_id, vec_id, cosine).
+
+    The 100 TB shape: coarse IVF probe prunes to ~n_probe/n_clusters of
+    the corpus; inside the probed clusters candidates are ranked by
+    asymmetric-distance (ADC) TABLE LOOKUPS over m uint8 codes — no float
+    vectors are read until the final exact re-rank of the top
+    ``refine * k`` shortlist (pass ``codes`` = a persisted pq_encode
+    output to skip re-encoding). Returned cosines are exact; only the
+    shortlist selection is approximate (recall pinned in tests)."""
+    import pyarrow as pa
+
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_clusters, 1, vec_col, id_col)
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m, ksub, vec_col=vec_col, id_col=id_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, vec_col, id_col)
+    m_, ksub_, dsub = codebooks.shape
+
+    assigned = _assign_clusters(emb, centroids, vec_col, id_col)
+    qp = queries.select(id_col, vec_col).toPandas()
+    cnorm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    # per-query ADC lookup tables: T[q][j][c] = <q_sub_j, codebook[j][c]>
+    probes = []
+    tables = {}
+    for _, row in qp.iterrows():
+        qid = int(row[id_col])
+        v = np.asarray(row[vec_col], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        top = np.argsort(-(cnorm @ v))[:n_probe]
+        probes.extend((qid, int(c)) for c in top)
+        tables[qid] = np.stack([
+            codebooks[j] @ v[j * dsub:(j + 1) * dsub] for j in range(m_)
+        ]).astype(np.float32)  # (m, ksub)
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+
+    cand = (probe_df.join(assigned, "cluster")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .join(codes, "vec_id"))
+
+    def adc(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            d = batch.to_pydict()
+            vids = np.asarray(d["vec_id"], dtype=np.int64)
+            qids = np.asarray(d["query_id"], dtype=np.int64)
+            cds = np.frombuffer(b"".join(d["code"]), dtype=np.uint8).reshape(len(vids), m_)
+            score = np.empty(len(vids), dtype=np.float32)
+            for qid in np.unique(qids):
+                sel = qids == qid
+                t = tables[int(qid)]  # (m, ksub)
+                score[sel] = t[np.arange(m_)[None, :], cds[sel]].sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids), pa.array(vids), pa.array(score)],
+                names=["query_id", "vec_id", "adc"],
+            )
+
+    scored = cand.select("query_id", "vec_id", "code").mapInArrow(
+        adc, "query_id long, vec_id long, adc float"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    shortlist = (scored.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") <= refine * k).select("query_id", "vec_id"))
+
+    # exact re-rank of the shortlist (reads float vectors for ~refine*k rows)
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("_ev"))
+    e = e.withColumn("_en", _norm(F.col("_ev")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
+    q = q.withColumn("_qn", _norm(F.col("_qv")))
+    j = shortlist.join(e, "vec_id").join(F.broadcast(q), "query_id")
+    cos = (_dot(F.col("_qv"), F.col("_ev")) / (F.col("_qn") * F.col("_en"))).alias("cosine")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (j.select("query_id", "vec_id", cos)
+            .withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") <= k).drop("_rn"))
