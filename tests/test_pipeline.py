@@ -258,3 +258,17 @@ def test_ivf_pq_recall_improves_with_resolution(spark, emb):
         fp.setdefault(r.query_id, set()).add(r.vec_id)
     recall = sum(len(ex[q] & fp.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
     assert recall >= 0.9  # full probe + fine codes: shortlist ~= exact
+
+
+def test_cluster_neardup_recall_vs_exact(spark, emb):
+    from whoosh_spark.pipeline.similarity import (
+        cluster_neardup_pairs, cosine_neardup_pairs)
+
+    exact = {(r.i, r.j) for r in cosine_neardup_pairs(emb, threshold=0.4).collect()}
+    blocked_rows = cluster_neardup_pairs(emb, threshold=0.4, n_clusters=8).collect()
+    blocked = {(r.i, r.j) for r in blocked_rows}
+    # subset of the exact pairs (cosines are exact inside blocks)...
+    assert blocked <= exact
+    # ...with usable recall on this corpus, and real pruning
+    assert exact, "fixture should contain near-dup pairs at 0.4"
+    assert len(blocked) / len(exact) >= 0.3

@@ -22,6 +22,7 @@ from whoosh_spark.pipeline.similarity import (  # noqa: F401
     cosine_neardup_pairs,
     cosine_topk,
     hyperplane_buckets,
+    cluster_neardup_pairs,
     ivf_centroids,
     ivf_pq_topk,
     ivf_topk,

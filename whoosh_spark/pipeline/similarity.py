@@ -484,3 +484,39 @@ def ivf_pq_topk(
     return (j.select("query_id", "vec_id", cos)
             .withColumn("_rn", F.row_number().over(w2))
             .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def cluster_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Centroid-blocked semantic near-dup (the SemDeDup shape): assign each
+    vector to its nearest k-means centroid, then exact all-pairs cosine
+    ONLY within each cluster -> (i, j, cosine >= threshold).
+
+    The third standard dedup tier next to exact all-pairs (oracle) and
+    hyperplane-LSH: quadratic cost shrinks by ~n_clusters (within-block
+    pairs only), and at 100 TB the assignment is a partition column so each
+    block's pairs compute co-located, no cross-partition shuffle. Recall <
+    1 by construction — near-dups straddling a centroid boundary are
+    missed; pinned vs the exact tier in tests."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_clusters, 1, vec_col, id_col)
+    assigned = _assign_clusters(emb, centroids, vec_col, id_col)
+    e = (
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+        .join(assigned, "vec_id")
+    )
+    a = e.select("cluster", F.col("vec_id").alias("i"),
+                 F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = e.select("cluster", F.col("vec_id").alias("j"),
+                 F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    pairs = a.join(b, "cluster").where(F.col("i") < F.col("j"))
+    cos = (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine")
+    return pairs.select("i", "j", cos).where(F.col("cosine") >= threshold)
