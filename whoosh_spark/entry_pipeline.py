@@ -26,6 +26,7 @@ from whoosh_spark.entry_queries import K, _CACHE, _rounded, prelude_body
 from whoosh_spark.fields import transcript_schema
 from whoosh_spark.indexing.segments import build_segments, open_segments
 from whoosh_spark.pipeline import (
+    cluster_neardup_pairs,
     cosine_neardup_pairs,
     cosine_topk,
     exact_duplicates,
@@ -347,6 +348,13 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
             _emb(spark, sf), _emb(spark, sf).where("vec_id < 3"), n_probe=6
         ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine")),
         None,  # approximate (PQ shortlist); recall + exact-rerank pinned in tests
+    )
+    add(
+        "dedup_cluster_cosine_pairs",
+        lambda spark, sf: cluster_neardup_pairs(
+            _emb(spark, sf), threshold=0.4, n_clusters=8
+        ).select("i", "j", F.round("cosine", 4).alias("cosine")),
+        None,  # approximate (centroid blocking); subset + recall pinned in tests
     )
 
     # ------------------------------ text stats ---------------------------
