@@ -3,8 +3,10 @@ the physical transcript index (segments + WAND).
 
 Merged into entry_queries.registry(). Conventions identical: every Spark
 callable has a DuckDB oracle that recomputes the same semantics in SQL
-(or None for genuinely approximate / hash-dependent ops, which the driver
-records as rows-only checks: simhash pairs, hyperplane-LSH and IVF ANN).
+(or None for genuinely approximate ops, which the driver records as
+rows-only checks: IVF / IVF-PQ ANN, centroid-blocked near-dup — their
+recall and exactness invariants are pinned in pytest instead; simhash
+gained an exact md5-based oracle in round 2).
 
 The MinHash-LSH entry is deliberately oracle-checked against EXACT
 all-pairs Jaccard: reported pairs are exact-verified (correct by
