@@ -272,3 +272,21 @@ def test_cluster_neardup_recall_vs_exact(spark, emb):
     # ...with usable recall on this corpus, and real pruning
     assert exact, "fixture should contain near-dup pairs at 0.4"
     assert len(blocked) / len(exact) >= 0.3
+
+
+def test_sample_frames_plumbing(spark, docs):
+    from whoosh_spark.pipeline.multimodal import sample_frames, synth_assets
+
+    assets = synth_assets(docs.where("doc_id < 10"))
+    frames = sample_frames(assets, frame_bytes=4, stride=2).collect()
+    # 16-byte payload / 4-byte frames, stride 2 -> exactly frames 0 and 2
+    assert len(frames) == 20
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    payloads = {r.doc_id: bytes(r.payload) for r in assets.collect()}
+    for did, rows in by_doc.items():
+        assert sorted(r.frame_idx for r in rows) == [0, 2]
+        for r in rows:
+            lo = r.frame_idx * 4
+            assert bytes(r.frame) == payloads[did][lo:lo + 4]

@@ -39,6 +39,7 @@ from whoosh_spark.pipeline import (
     langid,
     minhash_dedup_pairs,
     quality_scores,
+    sample_frames,
     shingle_jaccard_pairs,
     simhash_pairs,
     synth_assets,
@@ -896,6 +897,19 @@ SELECT doc_id,
        (CAST(('0x' || hx[5:8])::UBIGINT AS INT) % 4096)::INT AS height,
        16::INT AS n_bytes
 FROM h
+""",
+    )
+    add(
+        "multimodal_frames",
+        lambda spark, sf: sample_frames(synth_assets(_docs(spark, sf)))
+        .select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex")),
+        # 16-byte payload, 4-byte frames, stride 2 -> frame_idx 0 and 2;
+        # frame bytes = hex slices of md5(text) (md5 hex is lowercase in
+        # DuckDB, Spark hex() is uppercase -> upper())
+        """
+WITH h AS (SELECT doc_id, upper(md5(text)) AS hx FROM documents)
+SELECT doc_id, fi AS frame_idx, hx[fi * 8 + 1 : fi * 8 + 8] AS frame_hex
+FROM h, unnest([0, 2]) AS u(fi)
 """,
     )
 

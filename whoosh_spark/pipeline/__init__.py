@@ -15,6 +15,7 @@ from whoosh_spark.pipeline.dedup import (  # noqa: F401
 from whoosh_spark.pipeline.multimodal import (  # noqa: F401
     decode_image,
     fake_decode_meta,
+    sample_frames,
     synth_assets,
 )
 from whoosh_spark.pipeline.similarity import (  # noqa: F401

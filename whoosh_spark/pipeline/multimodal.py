@@ -120,3 +120,42 @@ def decode_image(assets: DataFrame, resize: tuple[int, int] | None = None) -> Da
     return assets.select("doc_id", "payload").mapInPandas(
         decode, "doc_id long, width int, height int, mean_pixel double"
     )
+
+
+def sample_frames(assets: DataFrame, frame_bytes: int = 4,
+                  stride: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video payloads -> one row per sampled
+    frame (doc_id, frame_idx, frame:binary).
+
+    Treats the binary as a fixed-size frame sequence and emits every
+    ``stride``-th frame as its own row — the 1->N row explosion a real
+    video sampler produces (swap the byte-slicing for an ffmpeg/pyav
+    keyframe decode and the schema, batching, and partitioning are
+    unchanged). Deterministic over the synthetic assets, so it carries an
+    exact DuckDB oracle (substr over the same payload bytes)."""
+    import pyarrow as pa
+
+    out_schema = "doc_id long, frame_idx int, frame binary"
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            payload = batch.column(1)
+            out_ids, out_idx, out_frames = [], [], []
+            for i in range(len(ids)):
+                raw = payload[i].as_py()
+                n_frames = len(raw) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    out_ids.append(ids[i])
+                    out_idx.append(fi)
+                    out_frames.append(raw[fi * frame_bytes:(fi + 1) * frame_bytes])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()),
+                 pa.array(out_idx, type=pa.int32()),
+                 pa.array(out_frames, type=pa.binary())],
+                names=["doc_id", "frame_idx", "frame"],
+            )
+
+    return assets.select("doc_id", "payload").mapInArrow(gen, out_schema)
