@@ -747,6 +747,7 @@ _WINDOW_FIRST = [
     # -- new / newly-oracled this round --
     "dedup_simhash_pairs", "daterange_nl", "variations_irregular_topk",
     "dedup_incremental_pairs",
+    "multimodal_frames", "ann_ivf_pq_topk", "dedup_cluster_cosine_pairs",
     # -- changed code paths this round --
     "prefix_bm25_topk", "wildcard_bm25_topk", "fuzzy_bm25_topk",
     "variations_topk", "otherwise_fallback_topk",
@@ -759,6 +760,11 @@ _WINDOW_FIRST = [
     "filter_mask_topk", "tfidf_topk", "pl2_topk", "funcweight_topk",
     "multifield_or_topk",
 ]
+# Window math: the driver checks the first ~50 entries. Adding the three
+# late-round ops (frames / IVF-PQ / cluster-dedup) at slot ~26 pushes
+# tfidf/pl2/funcweight_topk past 50 — those are r1-green and re-verified
+# locally at sf0.01 AND sf0.1 this round, while the newcomers are
+# brand-new code with no driver row yet; new code wins the slots.
 
 
 def registry() -> dict:

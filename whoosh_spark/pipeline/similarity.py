@@ -40,6 +40,46 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("_norm", _norm(v))
 
 
+def _normed_queries(queries: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+
+
+def _normed_corpus(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_ev"),
+    ).withColumn("_en", _norm(F.col("_ev")))
+
+
+def _cosine_topk_of(j: DataFrame, k: int) -> DataFrame:
+    """Shared exact-scoring tail: (query_id, vec_id, _qv,_qn,_ev,_en) rows
+    -> per-query top-k by (cosine desc, vec_id asc). The ONE definition of
+    cosine + tie-break used by the exact tier and every approximate tier's
+    re-rank, so the tiers cannot drift apart."""
+    cos = (_dot(F.col("_qv"), F.col("_ev")) / (F.col("_qn") * F.col("_en"))).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        j.select("query_id", "vec_id", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _exact_rerank(candidates: DataFrame, emb: DataFrame, queries: DataFrame,
+                  k: int, vec_col: str, id_col: str,
+                  exclude_self: bool = True) -> DataFrame:
+    """Exact top-k over a (query_id, vec_id) candidate frame."""
+    j = (candidates.join(_normed_corpus(emb, vec_col, id_col), "vec_id")
+         .join(F.broadcast(_normed_queries(queries, vec_col, id_col)), "query_id"))
+    if exclude_self:
+        j = j.where(F.col("vec_id") != F.col("query_id"))
+    return _cosine_topk_of(j, k)
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -54,25 +94,37 @@ def cosine_topk(
     big side; the window top-k runs on corpus_rows × n_queries scored rows.
     Ties break by ascending vec_id (same discipline as search top-k).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("_qn", _norm(F.col("_qv")))
-    e = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_ev"),
-    ).withColumn("_en", _norm(F.col("_ev")))
-    j = e.crossJoin(F.broadcast(q))
+    j = _normed_corpus(emb, vec_col, id_col).crossJoin(
+        F.broadcast(_normed_queries(queries, vec_col, id_col))
+    )
     if not include_self:
         j = j.where(F.col("vec_id") != F.col("query_id"))
-    cos = (_dot(F.col("_qv"), F.col("_ev")) / (F.col("_qn") * F.col("_en"))).alias("cosine")
-    scored = j.select("query_id", "vec_id", cos)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+    return _cosine_topk_of(j, k)
+
+
+def _pair_cosines(e: DataFrame, threshold: float,
+                  block_col: str | None = None) -> DataFrame:
+    """(i, j, cosine >= threshold) pairs from a normed frame
+    (vec_id, _v, _n [, block_col]); all-pairs when block_col is None, else
+    within-block only. One definition of the pair cosine + i<j dedup for
+    the exact and blocked tiers."""
+    keep = ([block_col] if block_col else [])
+    a = e.select(*keep, F.col("vec_id").alias("i"),
+                 F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = e.select(*keep, F.col("vec_id").alias("j"),
+                 F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    pairs = (a.join(b, block_col) if block_col else a.crossJoin(b)).where(
+        F.col("i") < F.col("j")
     )
+    cos = (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine")
+    return pairs.select("i", "j", cos).where(F.col("cosine") >= threshold)
+
+
+def _normed_pairs_input(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
 
 
 def cosine_neardup_pairs(
@@ -83,15 +135,7 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold -> (i, j, cosine). Quadratic —
     verify/oracle tier; generate candidates with hyperplane_buckets at scale."""
-    e = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("_n", _norm(F.col("_v")))
-    a = e.select(F.col("vec_id").alias("i"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    b = e.select(F.col("vec_id").alias("j"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    pairs = a.crossJoin(b).where(F.col("i") < F.col("j"))
-    cos = (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine")
-    return pairs.select("i", "j", cos).where(F.col("cosine") >= threshold)
+    return _pair_cosines(_normed_pairs_input(emb, vec_col, id_col), threshold)
 
 
 # ------------------------------------------------------------ LSH scale path
@@ -282,37 +326,30 @@ def ivf_topk(
         centroids = ivf_centroids(emb, n_clusters, 1, vec_col, id_col)
     assigned = _assign_clusters(emb, centroids, vec_col, id_col)
 
-    qp = queries.select(id_col, vec_col).toPandas()
-    cnorm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    probes = []
-    for _, row in qp.iterrows():
-        v = np.asarray(row[vec_col], dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        top = np.argsort(-(cnorm @ v))[:n_probe]
-        probes.extend((int(row[id_col]), int(c)) for c in top)
-    spark = emb.sparkSession
-    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+    probes, _ = _probe_clusters(queries, centroids, n_probe, vec_col, id_col)
+    probe_df = emb.sparkSession.createDataFrame(probes, "query_id long, cluster int")
 
     cand = probe_df.join(assigned, "cluster").select("query_id", "vec_id")
-    e = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_ev"),
-    ).withColumn("_en", _norm(F.col("_ev")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("_qn", _norm(F.col("_qv")))
-    j = cand.join(e, "vec_id").join(F.broadcast(q), "query_id").where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    cos = (_dot(F.col("_qv"), F.col("_ev")) / (F.col("_qn") * F.col("_en"))).alias("cosine")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        j.select("query_id", "vec_id", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _exact_rerank(cand, emb, queries, k, vec_col, id_col)
+
+
+def _probe_clusters(queries: DataFrame, centroids: np.ndarray, n_probe: int,
+                    vec_col: str, id_col: str):
+    """Per-query coarse probe: -> ([(query_id, cluster), ...],
+    {query_id: normalized query vector}). Shared by IVF-flat and IVF-PQ so
+    the coarse stage cannot diverge between the tiers."""
+    qp = queries.select(id_col, vec_col).toPandas()
+    cnorm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probes: list[tuple[int, int]] = []
+    qvecs: dict[int, np.ndarray] = {}
+    for _, row in qp.iterrows():
+        qid = int(row[id_col])
+        v = np.asarray(row[vec_col], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        qvecs[qid] = v
+        top = np.argsort(-(cnorm @ v))[:n_probe]
+        probes.extend((qid, int(c)) for c in top)
+    return probes, qvecs
 
 
 # ---------------------------------------------------------------- IVF-PQ
@@ -338,6 +375,10 @@ def pq_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    if x.shape[0] < ksub:
+        raise ValueError(
+            f"codebook training needs >= ksub={ksub} sample vectors, got {x.shape[0]}"
+        )
     books = np.empty((m, ksub, dsub))
     for j in range(m):
         sub = x[:, j * dsub:(j + 1) * dsub]
@@ -424,23 +465,15 @@ def ivf_pq_topk(
     m_, ksub_, dsub = codebooks.shape
 
     assigned = _assign_clusters(emb, centroids, vec_col, id_col)
-    qp = queries.select(id_col, vec_col).toPandas()
-    cnorm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-
+    probes, qvecs = _probe_clusters(queries, centroids, n_probe, vec_col, id_col)
     # per-query ADC lookup tables: T[q][j][c] = <q_sub_j, codebook[j][c]>
-    probes = []
-    tables = {}
-    for _, row in qp.iterrows():
-        qid = int(row[id_col])
-        v = np.asarray(row[vec_col], dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        top = np.argsort(-(cnorm @ v))[:n_probe]
-        probes.extend((qid, int(c)) for c in top)
-        tables[qid] = np.stack([
+    tables = {
+        qid: np.stack([
             codebooks[j] @ v[j * dsub:(j + 1) * dsub] for j in range(m_)
         ]).astype(np.float32)  # (m, ksub)
-    spark = emb.sparkSession
-    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+        for qid, v in qvecs.items()
+    }
+    probe_df = emb.sparkSession.createDataFrame(probes, "query_id long, cluster int")
 
     cand = (probe_df.join(assigned, "cluster")
             .where(F.col("vec_id") != F.col("query_id"))
@@ -471,19 +504,10 @@ def ivf_pq_topk(
     shortlist = (scored.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") <= refine * k).select("query_id", "vec_id"))
 
-    # exact re-rank of the shortlist (reads float vectors for ~refine*k rows)
-    e = emb.select(F.col(id_col).alias("vec_id"),
-                   F.col(vec_col).cast("array<double>").alias("_ev"))
-    e = e.withColumn("_en", _norm(F.col("_ev")))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("_qv"))
-    q = q.withColumn("_qn", _norm(F.col("_qv")))
-    j = shortlist.join(e, "vec_id").join(F.broadcast(q), "query_id")
-    cos = (_dot(F.col("_qv"), F.col("_ev")) / (F.col("_qn") * F.col("_en"))).alias("cosine")
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (j.select("query_id", "vec_id", cos)
-            .withColumn("_rn", F.row_number().over(w2))
-            .where(F.col("_rn") <= k).drop("_rn"))
+    # exact re-rank of the shortlist (reads float vectors for ~refine*k
+    # rows); self-matches were already dropped building `cand`
+    return _exact_rerank(shortlist, emb, queries, k, vec_col, id_col,
+                         exclude_self=False)
 
 
 def cluster_neardup_pairs(
@@ -507,16 +531,5 @@ def cluster_neardup_pairs(
     if centroids is None:
         centroids = ivf_centroids(emb, n_clusters, 1, vec_col, id_col)
     assigned = _assign_clusters(emb, centroids, vec_col, id_col)
-    e = (
-        emb.select(F.col(id_col).alias("vec_id"),
-                   F.col(vec_col).cast("array<double>").alias("_v"))
-        .withColumn("_n", _norm(F.col("_v")))
-        .join(assigned, "vec_id")
-    )
-    a = e.select("cluster", F.col("vec_id").alias("i"),
-                 F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    b = e.select("cluster", F.col("vec_id").alias("j"),
-                 F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    pairs = a.join(b, "cluster").where(F.col("i") < F.col("j"))
-    cos = (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine")
-    return pairs.select("i", "j", cos).where(F.col("cosine") >= threshold)
+    e = _normed_pairs_input(emb, vec_col, id_col).join(assigned, "vec_id")
+    return _pair_cosines(e, threshold, block_col="cluster")
