@@ -140,7 +140,8 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     timed("q_wand_and", lambda: wand_topk(six, "text", ["hash", "join"], mode="and").collect())
 
     # -- 5. pipeline operators over the sf corpus ---------------------------
-    from whoosh_spark.pipeline import cosine_topk, minhash_dedup_pairs, quality_scores
+    from whoosh_spark.pipeline import (
+        cosine_topk, ivf_pq_topk, minhash_dedup_pairs, quality_scores)
 
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
     raw_docs.count()
@@ -150,6 +151,34 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     timed(
         "p_cosine_topk",
         lambda: cosine_topk(emb, emb.where("vec_id < 5"), k=10).collect(),
+    )
+    # ANN index build (train codebooks + encode + assign) vs query, timed
+    # separately like build_segments vs q_wand: at scale the build runs
+    # once and the codes/assignment persist as tables
+    from whoosh_spark.pipeline import ivf_centroids
+    from whoosh_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    _pq_state = {}
+
+    def _pq_build():
+        from whoosh_spark.pipeline.similarity import _assign_clusters
+
+        cents = ivf_centroids(emb, 16, 1)
+        books = pq_codebooks(emb)
+        codes = pq_encode(emb, books).persist()
+        codes.count()
+        assigned = _assign_clusters(emb, cents, "embedding", "vec_id").persist()
+        assigned.count()
+        _pq_state.update(cents=cents, books=books, codes=codes, assigned=assigned)
+
+    timed("p_ivf_pq_build", _pq_build)
+    timed(
+        "p_ivf_pq_topk",
+        lambda: ivf_pq_topk(
+            emb, emb.where("vec_id < 5"), k=10, n_probe=6,
+            centroids=_pq_state["cents"], codebooks=_pq_state["books"],
+            codes=_pq_state["codes"], assigned=_pq_state["assigned"],
+        ).collect(),
     )
     timed("p_quality", lambda: quality_scores(raw_docs).count())
 

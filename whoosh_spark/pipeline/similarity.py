@@ -312,6 +312,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -324,10 +325,12 @@ def ivf_topk(
     IVF/Faiss layout as a Spark table)."""
     if centroids is None:
         centroids = ivf_centroids(emb, n_clusters, 1, vec_col, id_col)
-    assigned = _assign_clusters(emb, centroids, vec_col, id_col)
+    if assigned is None:
+        # part of the ANN index at scale — pass the persisted table in
+        assigned = _assign_clusters(emb, centroids, vec_col, id_col)
 
     probes, _ = _probe_clusters(queries, centroids, n_probe, vec_col, id_col)
-    probe_df = emb.sparkSession.createDataFrame(probes, "query_id long, cluster int")
+    probe_df = _probe_frame(emb.sparkSession, probes)
 
     cand = probe_df.join(assigned, "cluster").select("query_id", "vec_id")
     return _exact_rerank(cand, emb, queries, k, vec_col, id_col)
@@ -350,6 +353,20 @@ def _probe_clusters(queries: DataFrame, centroids: np.ndarray, n_probe: int,
         top = np.argsort(-(cnorm @ v))[:n_probe]
         probes.extend((qid, int(c)) for c in top)
     return probes, qvecs
+
+
+def _probe_frame(spark, probes: list) -> DataFrame:
+    """(query_id, cluster) rows as a literal-expression frame — a driver
+    createDataFrame costs ~1 s of py4j round-trips per query batch, an
+    inline array-of-structs literal does not (probe lists are tiny:
+    n_queries * n_probe rows)."""
+    rows = F.array(*[
+        F.struct(F.lit(q).cast("long").alias("query_id"),
+                 F.lit(c).cast("int").alias("cluster"))
+        for q, c in probes
+    ])
+    return (spark.range(1).select(F.explode(rows).alias("p"))
+            .select("p.query_id", "p.cluster"))
 
 
 # ---------------------------------------------------------------- IVF-PQ
@@ -442,6 +459,7 @@ def ivf_pq_topk(
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
     codes: DataFrame | None = None,
+    assigned: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -464,7 +482,9 @@ def ivf_pq_topk(
         codes = pq_encode(emb, codebooks, vec_col, id_col)
     m_, ksub_, dsub = codebooks.shape
 
-    assigned = _assign_clusters(emb, centroids, vec_col, id_col)
+    if assigned is None:
+        # part of the ANN index at scale — pass the persisted table in
+        assigned = _assign_clusters(emb, centroids, vec_col, id_col)
     probes, qvecs = _probe_clusters(queries, centroids, n_probe, vec_col, id_col)
     # per-query ADC lookup tables: T[q][j][c] = <q_sub_j, codebook[j][c]>
     tables = {
@@ -473,7 +493,7 @@ def ivf_pq_topk(
         ]).astype(np.float32)  # (m, ksub)
         for qid, v in qvecs.items()
     }
-    probe_df = emb.sparkSession.createDataFrame(probes, "query_id long, cluster int")
+    probe_df = _probe_frame(emb.sparkSession, probes)
 
     cand = (probe_df.join(assigned, "cluster")
             .where(F.col("vec_id") != F.col("query_id"))
