@@ -157,7 +157,8 @@ def more_like_this(
     """Docs similar to ``doc_id``: its key terms fed back as an Or query
     (the seed doc itself is excluded from results)."""
     ix = searcher.index
-    seed = ix.spark.createDataFrame([(int(doc_id),)], "doc_id long")
+    # literal frame, not createDataFrame: ~1 s of py4j round-trips per call
+    seed = ix.spark.range(1).select(F.lit(int(doc_id)).cast("long").alias("doc_id"))
     terms = [r["term"] for r in key_terms(ix, seed, fieldname, numterms, model).collect()]
     if not terms:
         return ix.spark.createDataFrame([], "doc_id long, score double")
