@@ -388,12 +388,12 @@ class CompatSearcher:
 
         if self._six is None or not docnums:
             return []
-        from pyspark.sql import functions as F
+        from whoosh_spark.util import inline_rows
 
-        # literal frame, not createDataFrame (~1 s of py4j round-trips)
-        ids = (self.index.spark.range(1)
-               .select(F.explode(F.array(*[F.lit(int(d)).cast("long")
-                                           for d in docnums])).alias("doc_id")))
+        # literal frame, not createDataFrame (~1 s of py4j round-trips);
+        # large docnum lists fall back to one serialized batch
+        ids = inline_rows(self.index.spark,
+                          [(int(d),) for d in docnums], "doc_id long")
         rows = _kt(self._six, ids, fieldname, numterms, model).collect()
         return [(r["term"], float(r["score"])) for r in rows]
 

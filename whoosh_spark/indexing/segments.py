@@ -869,7 +869,9 @@ def delete_docs(spark: SparkSession, path: str,
     if isinstance(doc_ids, DataFrame):
         new = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
     else:
-        new = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+        from whoosh_spark.util import inline_rows
+
+        new = inline_rows(spark, [(int(i),) for i in doc_ids], "doc_id long")
     allDel = new if existing is None else existing.unionByName(new)
     return _write_id_set(spark, _deletes_path(path), allDel.distinct())
 

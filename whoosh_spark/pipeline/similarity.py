@@ -357,16 +357,11 @@ def _probe_clusters(queries: DataFrame, centroids: np.ndarray, n_probe: int,
 
 def _probe_frame(spark, probes: list) -> DataFrame:
     """(query_id, cluster) rows as a literal-expression frame — a driver
-    createDataFrame costs ~1 s of py4j round-trips per query batch, an
-    inline array-of-structs literal does not (probe lists are tiny:
-    n_queries * n_probe rows)."""
-    rows = F.array(*[
-        F.struct(F.lit(q).cast("long").alias("query_id"),
-                 F.lit(c).cast("int").alias("cluster"))
-        for q, c in probes
-    ])
-    return (spark.range(1).select(F.explode(rows).alias("p"))
-            .select("p.query_id", "p.cluster"))
+    createDataFrame costs ~1 s of py4j round-trips per query batch;
+    util.inline_rows handles the empty and large-batch fallbacks."""
+    from whoosh_spark.util import inline_rows
+
+    return inline_rows(spark, probes, "query_id long, cluster int")
 
 
 # ---------------------------------------------------------------- IVF-PQ

@@ -211,3 +211,29 @@ def segmented_cumsum(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     sizes = np.diff(np.concatenate((seg_starts, [v.size])))
     offsets = np.repeat(c[seg_starts] - v[seg_starts], sizes)
     return c - offsets
+
+
+def inline_rows(spark, rows: list[tuple], schema: str, threshold: int = 512):
+    """Small literal DataFrames without ``createDataFrame``'s ~1 s of py4j
+    round-trips per call (measured; see BENCH.md query-latency notes).
+
+    ``rows`` is a list of tuples matching the DDL ``schema``. Empty input
+    and lists beyond ``threshold`` fall back to ``createDataFrame`` — an
+    empty literal array has no type, and a huge N-ary literal expression
+    is slower to construct than one serialized Arrow batch and risks
+    codegen size limits."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    if not rows or len(rows) > threshold:
+        return spark.createDataFrame(rows, schema)
+    st = _parse_datatype_string(schema)
+    arr = F.array(*[
+        F.struct(*[
+            F.lit(v).cast(f.dataType).alias(f.name)
+            for v, f in zip(r, st.fields)
+        ])
+        for r in rows
+    ])
+    return (spark.range(1).select(F.explode(arr).alias("_r"))
+            .select(*[F.col(f"_r.{f.name}") for f in st.fields]))
