@@ -402,3 +402,15 @@ def test_multifield_regex_fans_out():
     # following word still parses
     q2 = pp.parse('r"colou?r" alpha')
     assert isinstance(q2, Q.And) and len(q2.subqueries) == 2
+
+
+def test_field_aliases():
+    pp = QueryParser("text", transcript_schema(),
+                     fieldaliases={"who": "role", "body": "text"})
+    q = pp.parse("who:user body:alpha")
+    assert q == Q.And([Q.Term("role", "user"), Q.Term("text", "alpha")])
+    # unaliased names and unknown aliases behave as before
+    q = pp.parse("role:user nosuch:alpha")
+    subs = q.subqueries
+    assert subs[0] == Q.Term("role", "user")
+    assert subs[1].fieldname == "text"  # nosuch: stays part of the word

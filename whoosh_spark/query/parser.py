@@ -105,11 +105,15 @@ class QueryParser:
 
     def __init__(self, default_field: str, schema: Schema,
                  basedate: datetime | None = None,
-                 plugins: tuple[str, ...] = ()):
+                 plugins: tuple[str, ...] = (),
+                 fieldaliases: dict[str, str] | None = None):
         self.default_field = default_field
         self.schema = schema
         self.basedate = basedate
         self.plugins = set(plugins)
+        # FieldAliasPlugin (reference: qparser/plugins.py::FieldAliasPlugin,
+        # opt-in): alias -> real schema field, applied at field resolution
+        self.fieldaliases = dict(fieldaliases or {})
 
     def add_plugin(self, name: str) -> None:
         """Enable an optional plugin by name, mirroring the reference's
@@ -254,6 +258,7 @@ class QueryParser:
         field = None  # None = unfielded (MultifieldParser fans these out)
         if t.kind == "word" and ":" in t.text and not t.text.startswith(":"):
             maybe_field, rest = t.text.split(":", 1)
+            maybe_field = self.fieldaliases.get(maybe_field, maybe_field)
             if maybe_field in self.schema or maybe_field == "*":
                 field = maybe_field
                 if rest:
@@ -407,9 +412,10 @@ class MultifieldParser(QueryParser):
     def __init__(self, fieldnames: list[str], schema: Schema,
                  fieldboosts: dict[str, float] | None = None,
                  basedate: datetime | None = None,
-                 plugins: tuple[str, ...] = ()):
+                 plugins: tuple[str, ...] = (),
+                 fieldaliases: dict[str, str] | None = None):
         super().__init__(fieldnames[0], schema, basedate=basedate,
-                         plugins=plugins)
+                         plugins=plugins, fieldaliases=fieldaliases)
         self.fieldnames = list(fieldnames)
         self.fieldboosts = dict(fieldboosts or {})
 
