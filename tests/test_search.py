@@ -360,3 +360,61 @@ def test_time_limit_collector(spark, ix):
     with pytest.raises(TimeLimitError):
         s.search_with_time_limit(slow_df, timelimit=1.0)
     assert time.perf_counter() - t0 < 20
+
+
+# ----------------------------------------------- randomized composition net
+
+
+def _random_tree(rng, vocab, depth):
+    """Random query tree over the corpus vocabulary: every combinator the
+    engine supports, random boosts, depth-bounded. The pyoracle recomputes
+    the same semantics independently, so this catches composition bugs
+    (e.g. AndMaybe nested under AndNot under Or) no hand-written case
+    covers."""
+    from whoosh_spark import query as Q
+
+    if depth == 0 or rng.random() < 0.35:
+        r = rng.random()
+        if r < 0.55:
+            leaf = Q.Term("text", rng.choice(vocab))
+        elif r < 0.70:
+            leaf = Q.Prefix("text", rng.choice(vocab)[:2])
+        elif r < 0.80:
+            leaf = Q.FuzzyTerm("text", rng.choice(vocab), maxdist=1)
+        elif r < 0.90:
+            w = rng.choice(vocab)
+            leaf = Q.Phrase("text", (w, rng.choice(vocab)), slop=rng.choice((1, 2)))
+        else:
+            leaf = Q.Term("role", rng.choice(["user", "assistant", "tool"]))
+        if rng.random() < 0.3:
+            leaf = leaf.with_boost(rng.choice((0.5, 2.0, 3.0)))
+        return leaf
+    kids = [_random_tree(rng, vocab, depth - 1) for _ in range(rng.randint(2, 3))]
+    kind = rng.randrange(6)
+    if kind == 0:
+        return Q.And(kids)
+    if kind == 1:
+        return Q.Or(kids)
+    if kind == 2:
+        return Q.DisjunctionMax(kids)
+    if kind == 3:
+        return Q.AndNot(kids[0], kids[1])
+    if kind == 4:
+        return Q.AndMaybe(kids[0], kids[1])
+    return Q.Require(kids[0], kids[1])
+
+
+def test_random_query_trees_match_pyoracle(searcher, oracle):
+    import random
+
+    vocab = ["hash", "join", "merge", "spark", "query", "window", "batch",
+             "slow", "scan", "vector", "stream", "engine"]
+    rng = random.Random(20260817)
+    checked = 0
+    for _ in range(40):
+        q = _random_tree(rng, vocab, depth=3)
+        exp = oracle.query(q, limit=None)
+        got = rows(searcher.search(q, limit=None))
+        assert got == [(i, pytest.approx(s, rel=1e-9)) for i, s in exp], repr(q)
+        checked += 1
+    assert checked == 40
