@@ -414,3 +414,20 @@ def test_field_aliases():
     subs = q.subqueries
     assert subs[0] == Q.Term("role", "user")
     assert subs[1].fieldname == "text"  # nosuch: stays part of the word
+
+
+def test_single_quoted_verbatim_terms():
+    """SingleQuotePlugin (reference default set): quoted text is ONE
+    verbatim term — spaces kept, no analysis."""
+    q = p("role:'tool: web search'")
+    assert q == Q.Term("role", "tool: web search")
+    q = p("'verbatim term'")
+    assert q == Q.Term("text", "verbatim term")
+    q = p("hello 'role x' world")
+    assert [getattr(s, "text", None) for s in q.subqueries] == [
+        "hello", "role x", "world"]
+    # NUMERIC/DATETIME fields still interpret the quoted value
+    assert isinstance(p("turn_idx:'7'"), Q.NumericRange)
+    # an unpaired apostrophe degrades to plain words (don't -> don)
+    q = p("don't care")
+    assert {s.text for s in q.subqueries} == {"don", "care"}

@@ -35,8 +35,9 @@ _TOKEN_RE = re.compile(
   | (?P<lparen>\()
   | (?P<rparen>\))
   | (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<phrase_slop>\d+))?)
+  | (?P<squote>'(?P<squote_body>[^']*)')
   | (?P<range>[\[{](?P<range_body>[^\]}]*)[\]}])
-  | (?P<word>[^\s()\[\]{}"^]+)
+  | (?P<word>[^\s()\[\]{}"^']+)
   | (?P<boost>\^(?P<boost_val>\d+(?:\.\d+)?))
 """,
     re.VERBOSE,
@@ -78,6 +79,8 @@ def _scan(s: str) -> list[_Tok]:
             slop = int(m.group("phrase_slop") or 1)
             out.append(_Tok("phrase", m.group("phrase_body"), slop=slop,
                             glued=glued))
+        elif m.group("squote") is not None:
+            out.append(_Tok("squote", m.group("squote_body"), glued=glued))
         elif m.group("range") is not None:
             tok = _Tok("range", m.group("range_body"), glued=glued)
             tok.startexcl = m.group("range").startswith("{")
@@ -308,6 +311,21 @@ class QueryParser:
             return Q.Phrase(field, words, slop=t.slop)
         if t.kind == "range":
             return self._range(t, field)
+        if t.kind == "squote":
+            # SingleQuotePlugin (reference: qparser/plugins.py::
+            # SingleQuotePlugin, in the DEFAULT set): the quoted text is one
+            # verbatim term — spaces and punctuation kept, no analysis
+            # (the reference's use case: ID/KEYWORD values with spaces).
+            # DATETIME/NUMERIC fields still interpret the quoted value
+            # (ts:'-3days', the relative-offset syntax).
+            fs = self.schema[field] if field in self.schema else None
+            if fs is not None and fs.kind == "datetime":
+                lo, hi = _date_bounds(t.text, self.basedate)
+                return Q.DateRange(field, lo, hi)
+            if fs is not None and fs.kind == "numeric":
+                v = _num(t.text)
+                return Q.NumericRange(field, v, v)
+            return Q.Term(field, t.text)
         if t.kind == "word":
             return self._word(t.text, field)
         return None
