@@ -120,7 +120,7 @@ def test_ngram_positions_inherit_source_token(rows):
 
 _QUERY_ALPHABET = (
     "abcdefghijklmnopqrstuvwxyz"
-    ' :^"[]{}()*?~<>=+-.1234567890ANDORT'
+    " :^\"'[]{}()*?~<>=+-.1234567890ANDORT"
 )
 
 
