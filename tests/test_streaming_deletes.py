@@ -248,3 +248,136 @@ def test_mass_delete_dataframe_merge_expunge(spark, corpus, tmp_path_factory):
     # membership must not)
     hits2 = Searcher(six2).search(Q.Term("text", "spark"), limit=None).collect()
     assert {r.doc_id for r in hits2} == {r.doc_id for r in hits}
+
+
+def test_second_merge_repacks_in_doc_order(spark, corpus, tmp_path_factory):
+    """Regression (round-2 deep review): merge #2 mixes the MERGED_BASE
+    segment (LOWEST doc ids, HIGHEST segment id) with newer stream
+    segments, so block order is not doc order; without the in-repack
+    (field, term, doc_id) sort the delta-varint pack corrupts doc ids
+    silently (df/count stats still look right — only decoded ids break)."""
+    from whoosh_spark.indexing.segments import MERGED_BASE, _read_manifest
+
+    path = str(tmp_path_factory.mktemp("merge2") / "ix")
+    ixer = IncrementalIndexer(spark, path, transcript_schema(), merge_every=2)
+    rows = corpus.drop("doc_id")
+    batches = [rows.where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == i)
+               for i in range(3)]
+    for i, b in enumerate(batches):
+        ixer.append_batch(b, i)  # batch2 triggers the second merge
+    done = _read_manifest(path)
+    assert all(s >= MERGED_BASE for s in done)
+    assert len(done) == 1  # everything folded into one merged segment
+
+    stored = ixer.stored_docs()
+    six = open_segments(spark, path, stored, transcript_schema())
+    # the actual corruption vector: block headers are first/last-of-block,
+    # so an unsorted repack produces INVERTED [min_doc, max_doc] ranges
+    # (decoded ids survive via signed varint round-trip — only the
+    # metadata breaks, killing WAND bounds and delete range-attachment)
+    assert six.blocks.where(F.col("min_doc") > F.col("max_doc")).count() == 0
+    lix = build_index(spark, stored, transcript_schema()).persist()
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")])
+    a = Searcher(six).search(q, limit=None).collect()
+    b = Searcher(lix).search(q, limit=None).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    for ra, rb in zip(a, b):
+        assert ra.score == pytest.approx(rb.score, rel=1e-9)
+    # block-max pruning over the repacked metadata == unpruned
+    w_pruned = wand_topk(six, "text", ["spark", "join"], k=10).collect()
+    top10 = Searcher(six).search(q, limit=10).collect()
+    assert [(r.doc_id, r.score) for r in w_pruned] == [
+        (r.doc_id, pytest.approx(r.score, rel=1e-9)) for r in top10
+    ]
+
+
+def test_upsert_replay_does_not_delete_own_docs(spark, tmp_path_factory):
+    """Regression (round-2 deep review): a REPLAYED upsert batch used to run
+    the delete pass against its own committed docs (their unique values now
+    match), permanently masking them while append_batch no-opped."""
+    from whoosh_spark.fields import ID, Schema, TEXT
+    from whoosh_spark.streaming.incremental import upsert_batch
+
+    path = str(tmp_path_factory.mktemp("upsertreplay") / "ix")
+    schema = Schema(ID("docid", unique=True), TEXT("text"))
+    ixer = IncrementalIndexer(spark, path, schema)
+    df = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "gamma delta")], "docid string, text string"
+    )
+    assert upsert_batch(ixer, df, 0, ["docid"]) == 0  # nothing to delete yet
+    # at-least-once delivery: the exact same batch replays after a crash
+    assert upsert_batch(ixer, df, 0, ["docid"]) == 0
+    six = open_segments(spark, path, ixer.stored_docs(), schema)
+    hits = Searcher(six).search(Q.Term("text", "alpha"), limit=None).collect()
+    assert len(hits) == 1
+    assert read_deletes(spark, path) is None
+
+
+def test_merged_input_manifest_resurrection_ignored(spark, corpus, tmp_path_factory):
+    """Regression (round-2 deep review): a crash between the merge's TOC
+    swap and its input-manifest cleanup leaves input manifests on disk;
+    the merge lineage must win or the inputs resurrect (duplicate docs)."""
+    import json as _json
+
+    from whoosh_spark.indexing.segments import _manifest_dir, _read_manifest
+
+    path = str(tmp_path_factory.mktemp("resurrect") / "ix")
+    ixer = IncrementalIndexer(spark, path, transcript_schema())
+    rows = corpus.drop("doc_id")
+    ixer.append_batch(rows.where(F.col("conv_id") < "c00000300"), 0)
+    ixer.append_batch(rows.where(F.col("conv_id") >= "c00000300"), 1)
+    done_before = _read_manifest(path)
+    saved = {
+        s: open(os.path.join(_manifest_dir(path), f"seg_{s}.json")).read()
+        for s in done_before
+    }
+    merge_segments(spark, path)
+    merged_done = _read_manifest(path)
+    n_total = corpus.count()
+    # simulate the crash window: an input manifest survives the merge
+    stale_id, stale_body = next(iter(saved.items()))
+    with open(os.path.join(_manifest_dir(path), f"seg_{stale_id}.json"), "w") as f:
+        f.write(stale_body)
+    done = _read_manifest(path)
+    assert set(done) == set(merged_done)  # stale input excluded via lineage
+    assert sum(m["n_docs"] for m in done.values()) == n_total
+    # and the next batch's doc_count bookkeeping stays correct
+    extra = spark.createDataFrame(
+        [("zz", 0, "user", "brand new turn text", "t", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    ixer.append_batch(extra, 2)
+    _json.load(open(os.path.join(path, "_meta.json")))["doc_count"] == n_total + 1
+
+
+def test_id_set_survives_mid_swap_crash(spark, corpus, tmp_path_factory):
+    """Regression (round-2 deep review): _write_id_set used to rmtree the
+    live directory before installing the new one — a crash in between lost
+    every delete. Now the live dir is renamed to .old first, and the
+    reader falls back to it."""
+    from whoosh_spark.indexing.segments import _deletes_path
+
+    path = str(tmp_path_factory.mktemp("idset") / "ix")
+    corpus2 = corpus.limit(50)
+    build_segments(spark, corpus2, transcript_schema(), path, n_segments=1,
+                   doc_count=50)
+    delete_docs(spark, path, [1, 2, 3])
+    # simulate the crash window: live dir renamed away, new dir not yet in
+    os.replace(_deletes_path(path), _deletes_path(path) + ".old")
+    dels = read_deletes(spark, path)
+    assert dels is not None
+    assert {r.doc_id for r in dels.collect()} == {1, 2, 3}
+
+
+def test_delete_docs_requires_doc_id_column(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("delcol") / "ix")
+    build_segments(spark, corpus.limit(50), transcript_schema(), path,
+                   n_segments=1, doc_count=50)
+    # multi-column frame without doc_id: clear error, not silent column-0
+    bad = spark.createDataFrame([(9, 1)], "rank long, other long")
+    with pytest.raises(ValueError):
+        delete_docs(spark, path, bad)
+    # doc_id among several columns is selected by NAME
+    good = spark.createDataFrame([(9, 1)], "rank long, doc_id long")
+    delete_docs(spark, path, good)
+    assert {r.doc_id for r in read_deletes(spark, path).collect()} == {1}

@@ -304,6 +304,18 @@ def _read_manifest(path: str) -> dict[int, dict]:
                     m = json.load(f)
                 if m.get("status") == "committed":
                     out[m["segment_id"]] = m
+    # A crash between merge_segments' TOC swap and its input-manifest
+    # cleanup leaves the inputs' manifests on disk; trusting them would
+    # resurrect merged-away segments (duplicate postings, double-counted
+    # docs). The merge manifest's lineage is authoritative: anything it
+    # lists as an input is dead, whether or not its file survived.
+    merged_away = {
+        int(s)
+        for m in out.values()
+        for s in m.get("lineage", {}).get("merged_segments", [])
+    }
+    for s in merged_away:
+        out.pop(s, None)
     return out
 
 
@@ -464,6 +476,17 @@ def _finalize(spark: SparkSession, path: str, doc_count: int,
 # ------------------------------------------------------------------- merge
 
 
+def _coalesce_ranges(ranges: list[list[int]]) -> list[list[int]]:
+    """Sort [lo, hi) ranges and merge overlapping/adjacent ones."""
+    out: list[list[int]] = []
+    for lo, hi in sorted([int(a), int(b)] for a, b in ranges):
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
 def merge_segments(
     spark: SparkSession,
     path: str,
@@ -535,13 +558,23 @@ def merge_segments(
     del_df = read_deletes(spark, path)
     n_expunged = 0
     dels_in_range: DataFrame | None = None
+    # Precise per-segment doc ranges, NOT the envelope: a merged segment's
+    # [doc_lo, doc_hi) may span holes belonging to segments outside this
+    # merge (subset merges), and expunging a delete id from such a hole
+    # would resurrect a deleted doc that still has live postings elsewhere.
+    def _seg_ranges(m: dict) -> list[list[int]]:
+        return m.get("lineage", {}).get("doc_ranges") or [[m["doc_lo"], m["doc_hi"]]]
+
+    merged_ranges = _coalesce_ranges(
+        [r for s in segment_ids for r in _seg_ranges(done[s])]
+    )
     if del_df is not None:
         from functools import reduce as _reduce
 
-        ranges = [(done[s]["doc_lo"], done[s]["doc_hi"]) for s in segment_ids]
         in_range_cond = _reduce(
             lambda a, b: a | b,
-            [(F.col("doc_id") >= lo) & (F.col("doc_id") < hi) for lo, hi in ranges],
+            [(F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+             for lo, hi in merged_ranges],
         )
         dels_in_range = del_df.where(in_range_cond).persist()
         n_expunged = dels_in_range.count()
@@ -549,17 +582,34 @@ def merge_segments(
             dels_in_range.unpersist()
     if n_expunged:
         key_cols = ["segment_id", "field", "term", "block_id"]
+        # Route each delete id to its source segment first (ranges are
+        # disjoint across active segments), then join blocks<->deletes on
+        # the segment EQUI key with the doc-range condition as a residual —
+        # a shuffled hash/sort-merge join, so a mass delete (10^9 ids from
+        # a dedup sweep) never needs either side broadcast.
+        seg_route = None
+        for s in segment_ids:
+            for lo, hi in _seg_ranges(done[s]):
+                cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                seg_route = (F.when(cond, F.lit(s)) if seg_route is None
+                             else seg_route.when(cond, F.lit(s)))
+        dels_seg = dels_in_range.select(
+            seg_route.cast("long").alias("segment_id"),
+            F.col("doc_id").alias("_del_doc"),
+        )
+        bk = salted.select(*key_cols, "min_doc", "max_doc")
         hits = (
-            salted.select(*key_cols, "min_doc", "max_doc")
-            .join(
-                F.broadcast(dels_in_range.select(F.col("doc_id").alias("_del_doc"))),
-                (F.col("_del_doc") >= F.col("min_doc"))
+            bk.join(
+                dels_seg,
+                (bk["segment_id"] == dels_seg["segment_id"])
+                & (F.col("_del_doc") >= F.col("min_doc"))
                 & (F.col("_del_doc") <= F.col("max_doc")),
             )
+            .drop(dels_seg["segment_id"])
             .groupBy(*key_cols)
             .agg(F.collect_list("_del_doc").alias("_dels"))
         )
-        salted = salted.join(F.broadcast(hits), key_cols, "left")
+        salted = salted.join(hits, key_cols, "left")
     else:
         salted = salted.withColumn("_dels", F.lit(None).cast("array<long>"))
 
@@ -583,7 +633,26 @@ def merge_segments(
         cat = np.concatenate(flat) if flat else np.empty(0, dtype=np.int64)
         dels_np = np.unique(cat) if cat.size else None
         keep = [n for n in batches[0].schema.names if n != "_dels"]
-        inner = _unpack_partition(iter(b.select(keep) for b in batches))
+        tbl = pa.Table.from_batches(
+            list(_unpack_partition(iter(b.select(keep) for b in batches)))
+        )
+        if tbl.num_rows == 0:
+            return
+        # The decoded postings MUST be re-sorted by (field, term, doc_id)
+        # before repacking: block order alone is NOT doc order once the
+        # inputs include a salted hot-term merge output (one term's blocks
+        # repacked per salt group -> interleaved doc ranges) or a merged
+        # segment (MERGED_BASE id sorts after newer stream ids while
+        # holding the LOWEST doc ids). Decoded ids survive an unsorted
+        # pack (signed varint deltas round-trip), but the per-block
+        # min_doc/max_doc headers are first/last-of-block and go wrong —
+        # breaking WAND's refine bound and the merge delete range-join.
+        # The partition is already materialized for the delete union
+        # above, so the sort adds no extra memory tier.
+        tbl = tbl.sort_by(
+            [("field", "ascending"), ("term", "ascending"), ("doc_id", "ascending")]
+        )
+        inner = iter(tbl.to_batches(max_chunksize=65536))
         if dels_np is None:
             yield from _pack_partition(inner)
             return
@@ -603,7 +672,10 @@ def merge_segments(
 
     merged = (
         salted.repartition(pack_partitions, "field", "term", "_salt")
-        .sortWithinPartitions("field", "term", "segment_id", "block_id")
+        # min_doc (not segment_id) approximates doc order for the repack's
+        # streaming decode; the authoritative (field, term, doc_id) sort
+        # happens on the decoded postings inside _repack
+        .sortWithinPartitions("field", "term", "min_doc", "block_id")
         .drop("_nb", "_ns", "_salt", "segment_id")
         .mapInArrow(_repack, BLOCKS_SCHEMA)
     )
@@ -631,6 +703,7 @@ def merge_segments(
             "source": "merge",
             "merged_segments": segment_ids,
             "merged_batch_ids": merged_batch_ids,
+            "doc_ranges": merged_ranges,
             "hot_term_blocks": hot_term_blocks,
             "block_size": BLOCK_SIZE,
             "code_version": _code_version,
@@ -819,9 +892,16 @@ def _tombstones_path(path: str) -> str:
 
 
 def _read_id_set(spark: SparkSession, p: str) -> DataFrame | None:
-    if not os.path.isdir(p) or not any(f.endswith(".parquet") for f in os.listdir(p)):
-        return None
-    return spark.read.parquet(p)
+    def ok(d):
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+    if ok(p):
+        return spark.read.parquet(p)
+    if ok(p + ".old"):
+        # crash landed mid-swap in _write_id_set: the pre-write set is the
+        # committed one
+        return spark.read.parquet(p + ".old")
+    return None
 
 
 def read_deletes(spark: SparkSession, path: str) -> DataFrame | None:
@@ -851,10 +931,16 @@ def _write_id_set(spark: SparkSession, dir_path: str, df: DataFrame) -> int:
     df.unpersist()
     import shutil as _sh
 
+    # two renames, never a window with NO directory on disk: a crash
+    # between them leaves ".old", which the reader falls back to (the set
+    # it held is the pre-write one — correct, the write never committed)
+    old = dir_path + ".old"
+    _sh.rmtree(old, ignore_errors=True)
     if os.path.isdir(dir_path):
-        _sh.rmtree(dir_path)
+        os.replace(dir_path, old)
     if n:
         os.replace(tmp, dir_path)
+    _sh.rmtree(old, ignore_errors=True)
     return n
 
 
@@ -867,7 +953,15 @@ def delete_docs(spark: SparkSession, path: str,
     stays distributed). Returns the delete-set size after the union."""
     existing = read_deletes(spark, path)
     if isinstance(doc_ids, DataFrame):
-        new = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+        if "doc_id" in doc_ids.columns:
+            col = "doc_id"
+        elif len(doc_ids.columns) == 1:
+            col = doc_ids.columns[0]  # single unnamed id column is unambiguous
+        else:
+            raise ValueError(
+                f"delete_docs needs a doc_id column; got {doc_ids.columns}"
+            )
+        new = doc_ids.select(F.col(col).cast("long").alias("doc_id"))
     else:
         from whoosh_spark.util import inline_rows
 

@@ -64,17 +64,25 @@ class IncrementalIndexer:
     batch, idempotent under batch replay."""
 
     def __init__(self, spark: SparkSession, path: str, schema: Schema,
-                 doc_id_base: int = 0, merge_every: int | None = None,
+                 doc_id_base: int | None = None, merge_every: int | None = None,
                  hot_term_blocks: int = 64):
         self.spark = spark
         self.path = path
         self.schema = schema
-        self.doc_id_base = doc_id_base
         self.merge_every = merge_every
         self.hot_term_blocks = hot_term_blocks
         os.makedirs(_manifest_dir(path), exist_ok=True)
         if not os.path.exists(os.path.join(path, "_meta.json")):
             _finalize_empty(path)
+        if doc_id_base is None:
+            # attaching to an EXISTING index must not reuse its doc ids:
+            # default the base past every committed segment, rounded to the
+            # batch capacity (replayed batches never reach the assignment
+            # path, so a recomputed base across restarts stays safe)
+            hi = max((m["doc_hi"] for m in _read_manifest(path).values()),
+                     default=0)
+            doc_id_base = -(-hi // BATCH_CAPACITY) * BATCH_CAPACITY if hi else 0
+        self.doc_id_base = doc_id_base
 
     # -- the foreachBatch sink ------------------------------------------
 
@@ -94,7 +102,16 @@ class IncrementalIndexer:
         # and merged ids live in a disjoint namespace (MERGED_BASE), so a
         # future batch can never mistake a merged segment for its own commit.
         if seg_id in done or int(batch_id) in _committed_batch_ids(done):
-            return  # replayed batch, already committed
+            # replayed batch, already committed — but if the crash landed
+            # BETWEEN the manifest commit and _finalize, the segment is not
+            # yet in the published TOC: re-publish before returning, or the
+            # committed docs stay invisible until some future batch commits
+            with open(os.path.join(self.path, "_meta.json")) as f:
+                active = set(json.load(f)["active_segments"])
+            if seg_id in done and seg_id not in active:
+                doc_count = sum(m["n_docs"] for m in done.values())
+                _finalize(self.spark, self.path, doc_count, sorted(done))
+            return
         n = batch_df.count()
         if n == 0:
             return
@@ -212,6 +229,14 @@ def upsert_batch(
 
     path = indexer.path
     done = _read_manifest(path)
+    # Idempotency FIRST (same key as append_batch): on a replayed batch the
+    # unique-field values now match the batch's OWN committed docs, so
+    # running the delete pass again would delete what the first attempt
+    # wrote — permanent data loss under at-least-once delivery.
+    seg_id = STREAM_BASE + int(batch_id)
+    if seg_id in done or int(batch_id) in _committed_batch_ids(done):
+        indexer.append_batch(batch_df, batch_id)  # re-finalize if needed
+        return 0
     n_deleted = 0
     if done:
         ix = open_segments(indexer.spark, path, indexer.stored_docs(), indexer.schema)
