@@ -17,6 +17,14 @@ collide with existing segments: (base + batch_id * batch_capacity + row).
 At scale this is the standard "hot tier + compaction" layout: small fresh
 segments absorb arrivals, merge_segments() folds them into the cold tier;
 readers always see a consistent TOC (atomic _meta.json swap).
+
+KNOWN SCALE TRADE: every _finalize republishes terms_global with an
+aggregate over ALL active segments' block rows, so per-batch ingest cost
+grows with total index size. Acceptable while the hot tier stays small
+between merges (the intended operating mode: merge_every bounds the
+active-segment count); a truly huge cold tier wants an incremental
+terms_global (merge per-segment stats deltas) — the per-segment stats are
+already written, so the swap is localized to _finalize.
 """
 
 from __future__ import annotations
