@@ -418,3 +418,44 @@ def test_random_query_trees_match_pyoracle(searcher, oracle):
         assert got == [(i, pytest.approx(s, rel=1e-9)) for i, s in exp], repr(q)
         checked += 1
     assert checked == 40
+
+
+def test_every_fieldname_requires_field_content(searcher):
+    from whoosh_spark import query as Qn
+
+    # doc 4's text is stopword-only -> no text postings; Every() still
+    # includes it, Every("text") must not (reference: Every(fieldname)
+    # iterates that field's postings)
+    all_ids = ids(searcher.search(Qn.Every(), limit=None))
+    text_ids = ids(searcher.search(Qn.Every("text"), limit=None))
+    assert 4 in all_ids
+    assert 4 not in text_ids
+    assert set(text_ids) == set(all_ids) - {4}
+
+
+def test_time_limit_propagates_real_errors(searcher):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    @F.udf("double")
+    def boom(x):
+        raise RuntimeError("genuine failure")
+
+    bad = searcher._spark.range(1).select(
+        F.col("id").alias("doc_id"), boom(F.col("id")).alias("score")
+    )
+    # a fast genuine failure must NOT be reported as a timeout
+    with _pytest.raises(Exception) as ei:
+        searcher.search_with_time_limit(bad, timelimit=30.0)
+    from whoosh_spark.search import TimeLimitError
+
+    assert not isinstance(ei.value, TimeLimitError)
+
+
+def test_search_page_respects_sortedby(searcher):
+    from whoosh_spark import query as Qn
+
+    q = Qn.Every()
+    full = searcher.search(q, limit=None, sortedby="n", reverse=True).collect()
+    p2 = searcher.search_page(q, 2, pagelen=3, sortedby="n", reverse=True).collect()
+    assert [r.doc_id for r in p2] == [r.doc_id for r in full[3:6]]

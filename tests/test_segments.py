@@ -311,3 +311,26 @@ def test_wand_doc_shard_with_deletes(spark, corpus, tmp_path_factory):
     got = wand_topk(six1, "text", ["spark"], k=10, shard_docs=97).collect()
     assert got == base
     assert {r.doc_id for r in top[:2]}.isdisjoint({r.doc_id for r in got})
+
+
+def test_wand_field_b_override_matches_searcher(spark, corpus, seg_path):
+    """Regression (query-path deep review): wand_topk resolved B as
+    fs.B-else-weighting.B, skipping weighting.field_B — the canonical
+    order is field_B > fs.B > B (scoring.BM25F._b_for)."""
+    from whoosh_spark.search.scoring import BM25F
+
+    # fresh open: the module-scoped fixture goes stale after the resume
+    # test rewrites segment files (cached file listings)
+    six = open_segments(spark, seg_path, corpus, transcript_schema())
+    w = BM25F(field_B={"text": 0.3})
+    got = wand_topk(six, "text", ["spark", "join"], k=10, weighting=w).collect()
+    from whoosh_spark import query as Q
+
+    exp = (
+        Searcher(six, w)
+        .search(Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")]), limit=10)
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [r.doc_id for r in exp]
+    for a, b in zip(got, exp):
+        assert a.score == pytest.approx(b.score, rel=1e-9)

@@ -90,3 +90,25 @@ def test_three_way_unordered(s):
     )
     # chains left-to-right: (gamma~beta) then ~delta within slop 2
     assert 3 in ids(s, q)  # delta gamma beta: gamma-beta adjacent, delta before
+
+
+def test_span_contains_and_before_apply_boost(s):
+    from whoosh_spark.query.nodes import SpanBefore, SpanContains, SpanNear2, Term
+
+    inner = SpanNear2([Term("text", "alpha"), Term("text", "beta")], slop=4)
+    plain = s.compile(SpanContains(inner, Term("text", "gamma")).normalize()).collect()
+    boosted = s.compile(
+        SpanContains(inner, Term("text", "gamma"), boost=2.0).normalize()
+    ).collect()
+    assert len(plain) == len(boosted) > 0
+    for a, b in zip(sorted(plain, key=lambda r: r.doc_id),
+                    sorted(boosted, key=lambda r: r.doc_id)):
+        assert b.score == pytest.approx(2.0 * a.score, rel=1e-9)
+    plain2 = s.compile(SpanBefore(Term("text", "alpha"), Term("text", "delta")).normalize()).collect()
+    boosted2 = s.compile(
+        SpanBefore(Term("text", "alpha"), Term("text", "delta"), boost=3.0).normalize()
+    ).collect()
+    assert len(plain2) == len(boosted2) > 0
+    for a, b in zip(sorted(plain2, key=lambda r: r.doc_id),
+                    sorted(boosted2, key=lambda r: r.doc_id)):
+        assert b.score == pytest.approx(3.0 * a.score, rel=1e-9)

@@ -381,3 +381,25 @@ def test_delete_docs_requires_doc_id_column(spark, corpus, tmp_path_factory):
     good = spark.createDataFrame([(9, 1)], "rank long, doc_id long")
     delete_docs(spark, path, good)
     assert {r.doc_id for r in read_deletes(spark, path).collect()} == {1}
+
+
+def test_range_queries_exclude_deleted_docs(spark, corpus, tmp_path_factory):
+    """Regression (query-path deep review): NumericRange/DateRange used to
+    scan index.docs directly, so deleted docs matched range queries even
+    though every term query and Every() excluded them."""
+    path = str(tmp_path_factory.mktemp("rangedel") / "ix")
+    sub = corpus.limit(40)
+    build_segments(spark, sub, transcript_schema(), path, n_segments=1,
+                   doc_count=40)
+    six = open_segments(spark, path, sub, transcript_schema())
+    victim = sub.select("doc_id", "turn_idx").collect()[0]
+    delete_docs(spark, path, [int(victim.doc_id)])
+    six = open_segments(spark, path, sub, transcript_schema())
+    q = Q.NumericRange("turn_idx", int(victim.turn_idx), int(victim.turn_idx))
+    hits = {r.doc_id for r in Searcher(six).search(q, limit=None).collect()}
+    assert victim.doc_id not in hits
+    # and the surviving matches are exactly the undeleted same-turn_idx docs
+    expect = {
+        r.doc_id for r in sub.where(F.col("turn_idx") == victim.turn_idx).collect()
+    } - {victim.doc_id}
+    assert hits == expect

@@ -92,10 +92,20 @@ class Searcher:
         return self._empty()
 
     def _c_every(self, q: Q.Every) -> DataFrame:
-        return self.index.live_docs().select(
+        live = self.index.live_docs().select(
             F.col(self.index.doc_id_col).alias("doc_id"),
             F.lit(1.0 * q.boost).alias("score"),
         )
+        if q.fieldname is None:
+            return live
+        # Every("field") = docs with at least one term in that field
+        # (reference: qcore.py::Every ~L420 iterates the field's postings)
+        with_field = (
+            self.index.postings.where(F.col("field") == q.fieldname)
+            .select("doc_id")
+            .distinct()
+        )
+        return live.join(with_field, "doc_id", "left_semi")
 
     def _c_term(self, q: Q.Term) -> DataFrame:
         fs, avgdl = self._score_ctx(q.fieldname)
@@ -197,7 +207,9 @@ class Searcher:
     def _c_numericrange(self, q: Q.NumericRange) -> DataFrame:
         # Catalyst pushes this predicate into the parquet scan — replaces the
         # reference's tiered-term expansion (ranges.py::NumericRange ~L200).
-        return self.index.docs.where(self._range_pred(q)).select(
+        # live_docs(), not docs: deleted/tombstoned rows must not match
+        # range queries any more than they match term queries.
+        return self.index.live_docs().where(self._range_pred(q)).select(
             F.col(self.index.doc_id_col).alias("doc_id"),
             F.lit(1.0 * q.boost).alias("score"),
         )
@@ -484,18 +496,39 @@ class Searcher:
         t = threading.Thread(target=run, daemon=True)
         t.start()
         t.join(timelimit)
-        if t.is_alive() or "err" in out:
+        if t.is_alive():
             sc.cancelJobGroup(group)
             t.join(5.0)
             raise TimeLimitError(f"query exceeded {timelimit}s budget")
+        if "err" in out:
+            # a genuine query failure inside the budget is NOT a timeout —
+            # surface the real error, don't mask it
+            raise out["err"]
         return out["rows"]
 
     def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw) -> DataFrame:
         """Pagination (searching.py::Searcher.search_page ~L700): top
         pagenum*pagelen then slice — the top set is small, so the final
-        window runs on a trivial frame."""
+        window runs on a trivial frame. The slice window re-applies the
+        SAME ordering the search used (sortedby keys when given, else the
+        score heap key), so sorted paging returns the right rows."""
         top = self.search(q, limit=pagenum * pagelen, **kw)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        sortedby = kw.get("sortedby")
+        if sortedby is not None:
+            keys = ([sortedby] if not isinstance(sortedby, (list, tuple))
+                    else list(sortedby))
+            facets = [as_facet(k) for k in keys]
+            rev = kw.get("reverse", False)
+            order = []
+            for f in facets:
+                key = F.col(f.output_name) if f.output_name else f.key()
+                desc = getattr(f, "reverse", False) ^ rev
+                if isinstance(f, ScoreFacet):
+                    desc = not desc
+                order.append(key.desc() if desc else key.asc())
+            w = Window.orderBy(*order, F.asc("doc_id"))
+        else:
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         lo, hi = (pagenum - 1) * pagelen + 1, pagenum * pagelen
         return (
             top.withColumn("_rn", F.row_number().over(w))
@@ -743,20 +776,26 @@ class SpanCompiler:
         )
 
     def _s_spancontains(self, q: Q.SpanContains) -> DataFrame:
-        return self._join2(
+        out = self._join2(
             self.frame(q.a),
             self.frame(q.b),
             lambda sa, sb: F.filter(
                 sa, lambda x: F.exists(sb, lambda y: (x["s"] <= y["s"]) & (y["e"] <= x["e"]))
             ),
         )
+        if q.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * q.boost)
+        return out
 
     def _s_spanbefore(self, q: Q.SpanBefore) -> DataFrame:
-        return self._join2(
+        out = self._join2(
             self.frame(q.a),
             self.frame(q.b),
             lambda sa, sb: F.filter(sa, lambda x: F.exists(sb, lambda y: x["e"] < y["s"])),
         )
+        if q.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * q.boost)
+        return out
 
     def _s_spanfirst(self, q: Q.SpanFirst) -> DataFrame:
         sub = self.frame(q.subquery)

@@ -271,7 +271,14 @@ def wand_topk(
             "Searcher.search instead"
         )
     fs = ix.schema[fieldname]
-    B = fs.B if fs.B is not None else w.B
+    if not fs.scorable:
+        raise ValueError(
+            f"block-max WAND needs a scorable field; {fieldname!r} is not — "
+            "use Searcher.search"
+        )
+    # the ONE B-resolution order (weighting.field_B > fs.B > weighting.B),
+    # shared with score_expr/score_np so WAND == executor for every config
+    B = w._b_for(fs)
     K1 = w.K1
     avgdl = ix.avg_field_length(fieldname)
     n = ix.doc_count
