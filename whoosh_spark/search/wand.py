@@ -177,10 +177,15 @@ def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float
         rest = pdf.iloc[rest_idx]
         lhs = rest["_ub"].to_numpy() + others[rest["_tcode"].to_numpy(dtype=np.int64)]
         survive = lhs >= theta
-        decoded = pd.concat([seed_rows, rest[survive]])
         pruned = rest[~survive]
 
-        doc_d, contrib_d, tc_d = score_rows(decoded)
+        # reuse the phase-1 seed decode/scores — _topk_partial lexsorts by
+        # (doc, term-code) internally, so concatenation order cannot change
+        # the canonical fold (bit-exact vs re-decoding the seed blocks)
+        doc_r, contrib_r, tc_r = score_rows(rest[survive])
+        doc_d = np.concatenate([doc_s, doc_r])
+        contrib_d = np.concatenate([contrib_s, contrib_r])
+        tc_d = np.concatenate([tc_s, tc_r])
         uniq, sums = _topk_partial(doc_d, contrib_d, tc_d)
 
         if len(pruned) and uniq.size:
