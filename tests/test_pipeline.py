@@ -290,3 +290,23 @@ def test_sample_frames_plumbing(spark, docs):
         for r in rows:
             lo = r.frame_idx * 4
             assert bytes(r.frame) == payloads[did][lo:lo + 4]
+
+
+def test_exact_duplicates_null_texts_stay_singletons(spark):
+    rows = [(i, None) for i in range(5)] + [(10, "same"), (11, "same")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from whoosh_spark.pipeline.dedup import exact_duplicates, normalized_duplicates
+
+    for fn in (exact_duplicates, normalized_duplicates):
+        out = {r.doc_id: r for r in fn(df).collect()}
+        for i in range(5):  # NULL texts: no bogus duplicate group
+            assert out[i].n_copies == 1 and out[i].is_canonical
+        assert out[10].n_copies == 2 and out[10].is_canonical
+        assert out[11].n_copies == 2 and not out[11].is_canonical
+
+
+def test_simhash_rejects_unblockable_maxdist(spark, docs):
+    from whoosh_spark.pipeline.dedup import simhash_pairs
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, maxdist=4)

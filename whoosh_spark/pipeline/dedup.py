@@ -64,25 +64,40 @@ def char_shingles(col: Column, k: int = 5) -> Column:
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(doc_id, group_key, n_copies, is_canonical): canonical = lowest id
-    per identical-text group. One md5-key shuffle."""
+    per identical-text group. One md5-key shuffle. NULL texts are never
+    grouped (md5(NULL)=NULL would pool them into ONE bogus duplicate
+    group); each stays its own singleton."""
     w = Window.partitionBy("group_key")
-    return (
+    out = (
         docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("group_key"))
         .withColumn("n_copies", F.count("*").over(w))
         .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+    null_key = F.col("group_key").isNull()
+    return out.withColumn(
+        "n_copies", F.when(null_key, F.lit(1)).otherwise(F.col("n_copies"))
+    ).withColumn(
+        "is_canonical", F.when(null_key, F.lit(True)).otherwise(F.col("is_canonical"))
     )
 
 
 def normalized_duplicates(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Exact dedup after lowercase + whitespace collapse (catches
-    formatting-only copies)."""
+    formatting-only copies). NULL texts stay singletons (see
+    exact_duplicates)."""
     norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
     w = Window.partitionBy("group_key")
-    return (
+    out = (
         docs.select(F.col(id_col).alias("doc_id"), norm.alias("group_key"))
         .withColumn("n_copies", F.count("*").over(w))
         .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+    null_key = F.col("group_key").isNull()
+    return out.withColumn(
+        "n_copies", F.when(null_key, F.lit(1)).otherwise(F.col("n_copies"))
+    ).withColumn(
+        "is_canonical", F.when(null_key, F.lit(True)).otherwise(F.col("is_canonical"))
     )
 
 
@@ -332,6 +347,12 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", maxdist: int = 3,
     one equal chunk (pigeonhole), so the self-join runs per (chunk_idx,
     chunk_value) bucket, then verifies with bit_count(xor).
     """
+    if maxdist > 3:
+        raise ValueError(
+            "4-chunk pigeonhole blocking only guarantees recall for "
+            f"maxdist <= 3, got {maxdist} (pairs differing in one bit per "
+            "chunk would be silently missed)"
+        )
     sh = simhash(docs, text_col, id_col)
     chunks = sh.select(
         "doc_id",

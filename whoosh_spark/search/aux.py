@@ -26,7 +26,7 @@ Spark's native levenshtein — no automaton needed (SURVEY §2.5 FuzzyTerm).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from whoosh_spark.indexing.build import InvertedIndex
@@ -65,7 +65,10 @@ def suggest(
     smaller edit distance first, then higher frequency, then term.
 
     With ``spell_index`` (build_spell_index output) and a long-enough word,
-    candidates come from a trigram lookup instead of a lexicon scan. The
+    candidates come from a trigram lookup instead of a lexicon scan — the
+    caller must pass an index built for the SAME ``fieldname`` (the frame
+    carries no field column; a mismatched one would suggest cross-field
+    terms). The
     q-gram lemma makes the blocking LOSSLESS there: one edit destroys at
     most 3 trigrams, the word has len-2, so any term within ``maxdist``
     shares >= len-2-3*maxdist of them — >= 1 whenever
@@ -128,14 +131,17 @@ def key_terms(
         # from the top set itself — f = wt * top_total / collection_total —
         # instead of Bo1's collection frequency / N
         tt = wt.agg(F.sum("wt")).collect()[0][0] or 1.0
-        ct = float(ix.field_totals.get(fieldname, 1.0))
-        f = F.col("wt") * F.lit(float(tt)) / F.lit(ct)
+        ct = coll.agg(F.sum("cf")).collect()[0][0] or 1.0
+        f = F.col("wt") * F.lit(float(tt)) / F.lit(float(ct))
         score = (F.col("wt") * F.log((1 + f) / f) + F.log(1 + f)) / F.lit(LOG2)
     elif model == "kl":
         tt = wt.agg(F.sum("wt")).collect()[0][0] or 1.0
-        ct = float(ix.field_totals.get(fieldname, 1.0))
+        # collection total in the SAME unit as cf/wt (posting weights carry
+        # field_boost; field_totals are boost-normalized token counts, and
+        # non-text fields are absent from them entirely)
+        ct = coll.agg(F.sum("cf")).collect()[0][0] or 1.0
         p = F.col("wt") / F.lit(float(tt))
-        q = F.col("cf") / F.lit(ct)
+        q = F.col("cf") / F.lit(float(ct))
         score = F.when(p > q, p * F.log(p / q) / F.lit(LOG2)).otherwise(F.lit(0.0))
     else:
         raise ValueError(f"unknown expansion model {model!r}")
@@ -197,6 +203,14 @@ def correct_query(ix: InvertedIndex, q: Q.Query, fieldname: str,
     per query, the lexicon frame is tiny vs postings)."""
 
     import dataclasses
+
+    # one pushed-down stats lookup for every leaf term up front — each
+    # doc_frequency below then hits the LRU instead of launching a job
+    from whoosh_spark.search.executor import _leaf_terms
+
+    pairs = _leaf_terms(q.normalize())
+    if pairs:
+        ix.prefetch_stats(pairs)
 
     def fix(node: Q.Query) -> Q.Query:
         if isinstance(node, Q.Term) and node.fieldname == fieldname:

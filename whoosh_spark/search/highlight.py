@@ -42,12 +42,14 @@ class Fragment:
         return len(self.matches) + 0.1 * len(terms)
 
 
-def _token_spans(text: str, terms: set[str]) -> list[tuple[int, int, str]]:
+def _token_spans(text: str, terms: set[str],
+                 match_fn=None) -> list[tuple[int, int, str]]:
     out = []
     for m in re.finditer(DEFAULT_TOKEN_PATTERN, text, re.UNICODE):
         tok = m.group(0).lower()
-        if tok in terms:
-            out.append((m.start(), m.end(), tok))
+        key = match_fn(tok) if match_fn is not None else tok
+        if key in terms:
+            out.append((m.start(), m.end(), key))
     return out
 
 
@@ -56,10 +58,11 @@ def context_fragments(
     terms: set[str],
     maxchars: int = 200,
     surround: int = 20,
+    match_fn=None,
 ) -> list[Fragment]:
     """ContextFragmenter: a fragment spans a run of nearby matches plus
     ``surround`` chars of context, capped at ``maxchars``."""
-    spans = _token_spans(text, terms)
+    spans = _token_spans(text, terms, match_fn)
     frags: list[Fragment] = []
     cur: list[tuple[int, int, str]] = []
     for span in spans:
@@ -78,10 +81,10 @@ def _close(matches: list[tuple[int, int, str]], text: str, surround: int) -> Fra
     return Fragment(start, end, tuple(matches))
 
 
-def whole_fragment(text: str, terms: set[str]) -> list[Fragment]:
+def whole_fragment(text: str, terms: set[str], match_fn=None) -> list[Fragment]:
     """WholeFragmenter: the entire text is one fragment (used for short
     stored fields, e.g. titles)."""
-    return [Fragment(0, len(text), tuple(_token_spans(text, terms)))]
+    return [Fragment(0, len(text), tuple(_token_spans(text, terms, match_fn)))]
 
 
 def sentence_fragments(
@@ -89,12 +92,13 @@ def sentence_fragments(
     terms: set[str],
     maxchars: int = 200,
     sentencechars: str = ".!?",
+    match_fn=None,
 ) -> list[Fragment]:
     """SentenceFragmenter: each sentence containing a match becomes a
     fragment, capped at ``maxchars``. Sentence ends = a sentencechar run
     followed by whitespace/end-of-text (same break rule as the
     reference)."""
-    spans = _token_spans(text, terms)
+    spans = _token_spans(text, terms, match_fn)
     if not spans:
         return []
     bounds = [0]
@@ -126,12 +130,13 @@ def pinpoint_fragments(
     maxchars: int = 256,
     surround: int = 50,
     autotrim: bool = False,
+    match_fn=None,
 ) -> list[Fragment]:
     """PinpointFragmenter: fragments built directly from matched char
     ranges — runs of matches whose span fits in ``maxchars`` share one
     fragment padded by ``surround`` chars; ``autotrim`` snaps the padded
     edges to the nearest whitespace so fragments never cut mid-word."""
-    spans = _token_spans(text, terms)
+    spans = _token_spans(text, terms, match_fn)
     frags: list[Fragment] = []
     cur: list[tuple[int, int, str]] = []
     for span in spans:
@@ -159,13 +164,15 @@ def pinpoint_fragments(
 
 
 _FRAGMENTERS = {
-    "context": lambda text, terms, maxchars, surround: context_fragments(
-        text, terms, maxchars, surround),
-    "whole": lambda text, terms, maxchars, surround: whole_fragment(text, terms),
-    "sentence": lambda text, terms, maxchars, surround: sentence_fragments(
-        text, terms, maxchars),
-    "pinpoint": lambda text, terms, maxchars, surround: pinpoint_fragments(
-        text, terms, max(maxchars, 2 * surround + 1), surround),
+    "context": lambda text, terms, maxchars, surround, match_fn=None:
+        context_fragments(text, terms, maxchars, surround, match_fn),
+    "whole": lambda text, terms, maxchars, surround, match_fn=None:
+        whole_fragment(text, terms, match_fn),
+    "sentence": lambda text, terms, maxchars, surround, match_fn=None:
+        sentence_fragments(text, terms, maxchars, match_fn=match_fn),
+    "pinpoint": lambda text, terms, maxchars, surround, match_fn=None:
+        pinpoint_fragments(text, terms, max(maxchars, 2 * surround + 1),
+                           surround, match_fn=match_fn),
 }
 
 
@@ -184,9 +191,12 @@ def html_formatter(tagname: str = "strong", classname: str = "match",
     return fmt
 
 
-def format_fragment(text: str, frag: Fragment, fmt="upper") -> str:
+def format_fragment(text: str, frag: Fragment, fmt="upper",
+                    ellipses: bool = True) -> str:
     """Render one fragment; fmt in {upper, html} or a callable
     ``(token_text, term) -> str`` (e.g. from :func:`html_formatter`)."""
+    if not callable(fmt) and fmt not in ("upper", "html"):
+        raise ValueError(f"unknown formatter {fmt!r}; 'upper', 'html', or a callable")
     parts: list[str] = []
     pos = frag.start
     for s, e, term in frag.matches:
@@ -203,6 +213,8 @@ def format_fragment(text: str, frag: Fragment, fmt="upper") -> str:
         pos = e
     parts.append(text[pos : frag.end])
     body = "".join(parts)
+    if not ellipses:
+        return body
     prefix = "..." if frag.start > 0 else ""
     suffix = "..." if frag.end < len(text) else ""
     return prefix + body + suffix
@@ -217,17 +229,32 @@ def highlights(
     fmt="upper",
     joiner: str = "...",
     fragmenter: str = "context",
+    stoplist: "set[str] | None" = STOP_WORDS,
+    match_fn=None,
 ) -> str:
     """Top-scoring snippets of ``text`` for ``terms`` (Hit.highlights);
-    ``fragmenter`` in {context, whole, sentence, pinpoint}."""
+    ``fragmenter`` in {context, whole, sentence, pinpoint}.
+
+    The TOP fragments are selected by score but rendered in POSITION order
+    (the reference's default order=FIRST), joined by ``joiner`` — fragments
+    do not carry their own ellipses inside the joined string.
+
+    Non-default analyzers: pass ``stoplist`` (None for a no-stopword field)
+    and ``match_fn`` — a ``surface_token -> comparable`` normalizer (e.g.
+    ``whoosh_spark.lang.stem`` for STEMTEXT fields, so the stemmed query
+    term 'run' highlights the surface token 'running')."""
     if fragmenter not in _FRAGMENTERS:
         raise ValueError(
             f"unknown fragmenter {fragmenter!r}; one of {sorted(_FRAGMENTERS)}"
         )
-    terms = {t.lower() for t in terms} - STOP_WORDS
-    frags = _FRAGMENTERS[fragmenter](text, terms, maxchars, surround)
+    terms = {t.lower() for t in terms} - (stoplist or set())
+    frags = _FRAGMENTERS[fragmenter](text, terms, maxchars, surround,
+                                     match_fn=match_fn)
     frags.sort(key=lambda fr: (-fr.score(), fr.start))
-    return joiner.join(format_fragment(text, fr, fmt) for fr in frags[:top])
+    chosen = sorted(frags[:top], key=lambda fr: fr.start)
+    return joiner.join(
+        format_fragment(text, fr, fmt, ellipses=False) for fr in chosen
+    )
 
 
 def highlight_df(
