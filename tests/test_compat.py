@@ -109,7 +109,7 @@ def test_search_page(spark, bigixdir):
     assert p1.pagenum == 1 and len(p1) == 10 and not p1.is_last_page()
     assert p3.offset == 20 and len(p3) == 5 and p3.is_last_page()
     # pages tile the full result list without overlap
-    all_ids = [h.docnum for h in s.search("query engine", limit=None)]
+    all_ids = [h.docnum for h in s.search("query engine", limit=None, unlimited=True)]
     paged = [h.docnum for n in (1, 2, 3)
              for h in s.search_page("query engine", n, pagelen=10)]
     assert paged == all_ids[:25]
@@ -151,7 +151,7 @@ def test_key_terms_and_more_like(spark, bigixdir):
 
 def test_search_terms_matched(spark, bigixdir):
     s = compat.open_dir(bigixdir, spark).searcher()
-    hits = s.search("shard0 OR different", terms=True, limit=None)
+    hits = s.search("shard0 OR different", terms=True, limit=None, unlimited=True)
     by_doc = {h["docid"]: h.matched_terms for h in hits}
     assert by_doc["odd"] == ["different"]
     assert by_doc["d0"] == ["shard0"]
@@ -176,7 +176,7 @@ def test_add_dataframe_bulk_ingest(spark, tmp_path_factory):
     w.commit()
     assert ix.doc_count() == 51
     s = ix.searcher()
-    assert len(s.search("bulk", limit=None)) == 50
+    assert len(s.search("bulk", limit=None, unlimited=True)) == 50
     assert {h["docid"] for h in s.search("manual")} == {"manual"}
     # missing schema columns are rejected up front
     import pytest as _pytest
@@ -188,7 +188,7 @@ def test_add_dataframe_bulk_ingest(spark, tmp_path_factory):
 
 def test_search_sortedby_respected(spark, ixdir):
     s = compat.open_dir(ixdir, spark).searcher()
-    hits = s.search("tag:x", sortedby="n", reverse=True, limit=None)
+    hits = s.search("tag:x", sortedby="n", reverse=True, limit=None, unlimited=True)
     ns = [h["n"] for h in hits]
     assert ns == sorted(ns, reverse=True)
 
@@ -198,3 +198,40 @@ def test_search_page_with_terms_kw(spark, bigixdir):
     page = s.search_page("query engine", 1, pagelen=10, terms=True)
     assert len(page) == 10 and not page.is_last_page()
     assert all(h.matched_terms for h in page)
+
+
+def test_search_limit_none_requires_optin(spark, tmp_path_factory):
+    """Round-3 guard: facade search(limit=None) is an unbounded driver
+    collect — it must demand the explicit unlimited=True opt-in (the
+    engine Searcher's DataFrame API is the corpus-scale path)."""
+    path = str(tmp_path_factory.mktemp("compat_guard") / "ix")
+    ix = compat.create_in(path, Schema(ID("docid", unique=True), TEXT("text")), spark)
+    w = ix.writer()
+    w.add_document(docid="a", text="alpha join")
+    w.add_document(docid="b", text="beta join")
+    w.commit()
+    s = ix.searcher()
+    with pytest.raises(ValueError, match="unlimited=True"):
+        s.search("join", limit=None)
+    hits = s.search("join", limit=None, unlimited=True)
+    assert {h["docid"] for h in hits} == {"a", "b"}
+
+
+def test_doc_count_ignores_phantom_delete_ids(spark, tmp_path_factory):
+    """Advice fix: delete-set ids that are not live docs (arbitrary ids
+    handed to delete_docs) must not drag doc_count below the live total —
+    the count goes through live_docs(), not doc_count_all - len(deletes)."""
+    from whoosh_spark.indexing.segments import delete_docs
+
+    path = str(tmp_path_factory.mktemp("compat_phantom") / "ix")
+    ix = compat.create_in(path, Schema(TEXT("text")), spark)
+    w = ix.writer()
+    w.add_document(text="alpha")
+    w.add_document(text="beta")
+    w.add_document(text="gamma")
+    w.commit()
+    delete_docs(spark, ix.path, [10_000_001, 10_000_002])  # never-existed ids
+    assert ix.doc_count() == 3
+    # a real delete on top still counts correctly
+    assert ix.delete_by_term("text", "alpha") > 0
+    assert ix.doc_count() == 2

@@ -459,3 +459,23 @@ def test_search_page_respects_sortedby(searcher):
     full = searcher.search(q, limit=None, sortedby="n", reverse=True).collect()
     p2 = searcher.search_page(q, 2, pagelen=3, sortedby="n", reverse=True).collect()
     assert [r.doc_id for r in p2] == [r.doc_id for r in full[3:6]]
+
+
+def test_regex_start_anchored_match_semantics(searcher, oracle):
+    """Reference parity (query/terms.py::PatternQuery._btexts ~L150):
+    upstream tests lexicon terms with re.match — START-anchored only —
+    so Regex('sca') behaves like Prefix('sca') (matches scan/scatter/
+    scale), NOT like a full match (which would match nothing here)."""
+    q = Q.Regex("text", "sca")
+    terms = [t for t in oracle.df if t.startswith("sca")]
+    assert terms  # scan, scatter, scale — the corpus guarantees candidates
+    exp = oracle.or_scores(terms)
+    got = {r["doc_id"]: r["score"] for r in searcher.search(q, limit=None).collect()}
+    assert got == pytest.approx(exp, rel=1e-9)
+
+
+def test_regex_explicit_end_anchor_still_works(searcher, oracle):
+    # a user-supplied $ end-anchor narrows back to full-match behavior
+    q = Q.Regex("text", "s.*k$")
+    got = ids(searcher.search(q, limit=None))
+    assert got == sorted(oracle.matching("spark"))

@@ -403,3 +403,42 @@ def test_range_queries_exclude_deleted_docs(spark, corpus, tmp_path_factory):
         r.doc_id for r in sub.where(F.col("turn_idx") == victim.turn_idx).collect()
     } - {victim.doc_id}
     assert hits == expect
+
+
+def test_upsert_delete_lookup_stays_distributed(spark, tmp_path_factory, monkeypatch):
+    """Round-3 scale fix: upsert_batch must not collect the batch's key
+    values or the matching doc ids to the driver — the id FRAME flows
+    straight into delete_docs; only the deleted-count scalar is local."""
+    from pyspark.sql import DataFrame
+
+    from whoosh_spark.fields import ID, Schema, TEXT
+    from whoosh_spark.indexing import segments as S
+    from whoosh_spark.streaming.incremental import upsert_batch
+
+    path = str(tmp_path_factory.mktemp("upsertdist") / "ix")
+    schema = Schema(ID("docid", unique=True), TEXT("text"))
+    ixer = IncrementalIndexer(spark, path, schema)
+    df0 = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "gamma delta"), ("c", "epsilon zeta")],
+        "docid string, text string",
+    )
+    assert upsert_batch(ixer, df0, 0, ["docid"]) == 0
+
+    seen = {}
+    real = S.delete_docs
+
+    def spy(spark_, path_, ids):
+        seen["is_frame"] = isinstance(ids, DataFrame)
+        return real(spark_, path_, ids)
+
+    monkeypatch.setattr(S, "delete_docs", spy)
+    df1 = spark.createDataFrame(
+        [("b", "gamma rewritten"), ("d", "eta theta")], "docid string, text string"
+    )
+    assert upsert_batch(ixer, df1, 1, ["docid"]) == 1
+    assert seen["is_frame"] is True  # id frame, never a collected list
+    six = open_segments(spark, path, ixer.stored_docs(), schema)
+    hits = Searcher(six).search(Q.Term("text", "gamma"), limit=None).collect()
+    assert len(hits) == 1  # old 'b' deleted; only the rewritten 'b' matches
+    hits = Searcher(six).search(Q.Term("text", "delta"), limit=None).collect()
+    assert len(hits) == 0

@@ -194,14 +194,18 @@ class CompatIndex:
         return CompatSearcher(self, weighting)
 
     def doc_count(self) -> int:
-        """Undeleted docs (reference: doc_count)."""
+        """Undeleted docs (reference: doc_count). Counted via live_docs()
+        (anti-joined against the delete set AND merge tombstones) rather
+        than subtracting the raw delete-set size — delete ids that are not
+        live docs (arbitrary ids handed to delete_docs, or ids present in
+        both deletes and tombstones during the merge crash window) must
+        not make the count too low."""
         ix = self._open()
         if ix is None:
             return 0
-        n = ix.doc_count
-        if ix.deleted is not None:
-            n -= ix.deleted.count()
-        return n
+        if ix.deleted is None and ix.tombstones is None:
+            return ix.doc_count
+        return ix.live_docs().count()
 
     def doc_count_all(self) -> int:
         ix = self._open()
@@ -310,12 +314,25 @@ class CompatSearcher:
         return texts[0].name if texts else self.index.schema.names()[0]
 
     def search(self, q: "Q.Query | str", limit: int | None = 10,
-               terms: bool = False, **kw) -> Results:
+               terms: bool = False, unlimited: bool = False, **kw) -> Results:
         """Accepts a Query tree or a query STRING (parsed with the default
         QueryParser over the first TEXT field, the reference's common
         idiom). Returns Results of Hits with every stored field attached.
         ``terms=True`` additionally records which query terms matched each
-        hit (reference: search(terms=True) -> Hit.matched_terms)."""
+        hit (reference: search(terms=True) -> Hit.matched_terms).
+
+        ``limit=None`` materializes EVERY matching doc as a driver-side
+        Hit — on a corpus-scale index a broad query would OOM the driver
+        through this facade, so it requires the explicit ``unlimited=True``
+        opt-in. For full result sets at scale, use the engine Searcher
+        (``whoosh_spark.search.executor.Searcher.search(q, limit=None)``)
+        which returns a lazy DataFrame instead."""
+        if limit is None and not unlimited:
+            raise ValueError(
+                "compat search(limit=None) collects the full match set to "
+                "the driver; pass unlimited=True to opt in, or use the "
+                "engine Searcher's DataFrame API for corpus-scale results"
+            )
         if self._searcher is None:
             return Results()
         if isinstance(q, str):

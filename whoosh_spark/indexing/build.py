@@ -311,6 +311,16 @@ class InvertedIndex:
         )
         return self.postings.where(cond)
 
+    def terms_df_postings(self, fieldname: str, terms_df: DataFrame) -> DataFrame:
+        """Postings for every (fieldname, t) where t comes from a DataFrame
+        column named ``term`` — the distributed analogue of pairs_postings
+        for data-originated term sets (an upsert batch's unique-field
+        values, a dedup sweep's keys): the values never pass through the
+        driver. terms_df is broadcast (batch-sized by contract)."""
+        return self.postings.where(F.col("field") == fieldname).join(
+            F.broadcast(terms_df.select("term").distinct()), "term"
+        )
+
     def live_docs(self) -> DataFrame:
         """Docs visible to Every/Not (deletion-aware in SegmentedIndex;
         the logical index has no delete set)."""

@@ -861,6 +861,18 @@ class SegmentedIndex(InvertedIndex):
         )
         return self._unpack(self.blocks.where(cond))
 
+    def terms_df_postings(self, fieldname: str, terms_df: DataFrame) -> DataFrame:
+        """Distributed pairs_postings (see InvertedIndex.terms_df_postings):
+        the term set joins against the packed BLOCK rows BEFORE decode —
+        only blocks whose term is in the batch are unpacked, and the batch
+        values never pass through the driver."""
+        return self._unpack(
+            self.blocks.where(F.col("field") == fieldname).join(
+                F.broadcast(terms_df.select("term").distinct()), "term"
+            ),
+            positions=False,
+        )
+
     def vector(self, doc_id: int, field_name: str) -> DataFrame:
         """Forward-index read over the block store: prune BLOCK rows by the
         per-block doc-id range (min_doc/max_doc header metadata, SURVEY D7)

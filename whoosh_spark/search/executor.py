@@ -172,7 +172,12 @@ class Searcher:
         return self._expanded(q, self.index.expand_terms(q.fieldname, rlike=rx))
 
     def _c_regex(self, q: Q.Regex) -> DataFrame:
-        rx = r"\A(?:" + q.text + r")\Z"
+        # reference parity (query/terms.py::PatternQuery._btexts ~L150):
+        # upstream tests each lexicon term with re.match — START-anchored
+        # only, not full-match — so Regex('spark') also matches the term
+        # 'sparkle'. Spark rlike is Java find() semantics; anchor \A only
+        # (unlike Wildcard, whose fnmatch.translate already appends \Z).
+        rx = r"\A(?:" + q.text + r")"
         return self._expanded(q, self.index.expand_terms(q.fieldname, rlike=rx))
 
     def _c_fuzzyterm(self, q: Q.FuzzyTerm) -> DataFrame:

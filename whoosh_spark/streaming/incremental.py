@@ -230,8 +230,11 @@ def upsert_batch(
     value in ANY unique field matches an incoming row, then add the batch
     as a new segment. Returns the number of deleted doc ids.
 
-    The delete lookup is a pairs_postings scan over the (ID-field, value)
-    pairs of the incoming batch — batch-sized, so the collect is small.
+    The delete lookup stays distributed end-to-end: the batch's distinct
+    unique-field values broadcast-join against the term-pruned block scan
+    (terms_df_postings) and the matching doc-id FRAME flows straight into
+    delete_docs — only the deleted-count scalar reaches the driver, so a
+    dedup-sweep-sized upsert cannot bottleneck or OOM the driver.
     """
     from whoosh_spark.indexing.segments import delete_docs, open_segments
 
@@ -247,23 +250,23 @@ def upsert_batch(
         return 0
     n_deleted = 0
     if done:
+        from functools import reduce
+
         ix = open_segments(indexer.spark, path, indexer.stored_docs(), indexer.schema)
-        pairs = []
-        for fldname in unique_fields:
-            vals = [
-                r[0]
-                for r in batch_df.select(fldname).where(F.col(fldname).isNotNull())
-                .distinct()
-                .collect()
-            ]
-            pairs.extend((fldname, str(v)) for v in vals)
-        if pairs:
-            hit_ids = [
-                r["doc_id"]
-                for r in ix.pairs_postings(pairs).select("doc_id").distinct().collect()
-            ]
-            if hit_ids:
-                n_deleted = len(hit_ids)
-                delete_docs(indexer.spark, path, hit_ids)
+        hit_frames = [
+            ix.terms_df_postings(
+                fldname,
+                batch_df.select(F.col(fldname).cast("string").alias("term"))
+                .where(F.col("term").isNotNull()),
+            ).select("doc_id")
+            for fldname in unique_fields
+        ]
+        hits = reduce(DataFrame.unionByName, hit_frames).distinct().persist()
+        try:
+            n_deleted = hits.count()
+            if n_deleted:
+                delete_docs(indexer.spark, path, hits)
+        finally:
+            hits.unpersist()
     indexer.append_batch(batch_df, batch_id)
     return n_deleted
