@@ -148,3 +148,25 @@ def test_double_metaphone_search_conflates(spark):
     code = double_metaphone("smith")[0]
     hits = {r.doc_id for r in Searcher(ix).search(Q.Term("text", code), limit=None).collect()}
     assert hits == {0, 1}
+
+
+def test_stemmed_oracle_group_is_pure():
+    """Guards the stemmed_search_topk derived-corpus oracle: the invented
+    inflections must share ONE Porter stem, and no token of the real
+    documents corpus may stem into that group (a collision would make the
+    DuckDB merged-group tf/df diverge from the stemmed index posting)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    forms = ("zorgling", "zorgled", "zorgles")
+    stems = {stem(f) for f in forms}
+    assert len(stems) == 1
+    target = stems.pop()
+    pat = re.compile(r"\w+(?:\.?\w+)*")
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+        vocab = set()
+        for t in texts.column("text").to_pylist():
+            vocab.update(pat.findall(t.lower()))
+        assert not {t for t in vocab if stem(t) == target}

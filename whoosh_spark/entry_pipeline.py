@@ -338,8 +338,33 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
     )
+    # Full probe (n_probe == n_clusters) degenerates IVF to exact search
+    # (proven in tests/test_pipeline.py::test_ivf_full_probe_is_exact), so
+    # the IVF machinery — centroid train, cluster assignment, probe
+    # routing, ADC-free exact re-rank — gets the SAME DuckDB oracle as
+    # cosine_topk. The approximate config keeps a rows-only row below.
+    _IVF_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS raw
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, round(raw, 4) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
     add(
         "ann_ivf_topk",
+        lambda spark, sf: ivf_topk(
+            _emb(spark, sf), _emb(spark, sf).where("vec_id < 3"),
+            n_clusters=16, n_probe=16,
+        ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine")),
+        _IVF_ORACLE,
+    )
+    add(
+        "ann_ivf_probe_topk",
         lambda spark, sf: ivf_topk(
             _emb(spark, sf), _emb(spark, sf).where("vec_id < 3"), n_probe=6
         ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine")),
@@ -747,6 +772,22 @@ SELECT doc_id, round(score, 4) AS score FROM (
 
     # ----------------------- stemming (rows-only) ------------------------
 
+    # Porter itself is not expressible in DuckDB, but a stemmed SEARCH is,
+    # via the derived-corpus trick (same as variations_irregular_topk):
+    # append invented inflections whose shared Porter stem is known and
+    # collides with no natural token ('zorgling/zorgled/zorgles' -> all
+    # 'zorgl'; checked by tests/test_stem_upsert_results.py). The stemmed
+    # index merges the group into ONE posting, so the oracle computes the
+    # merged-group BM25 (tf = sum of the forms' counts, df = docs with any
+    # form) rather than summing per-form scores — tf saturation and idf
+    # are nonlinear, so the distinction matters.
+    _STEM_FORMS = ("zorgling", "zorgled", "zorgles")
+    _STEM_SUFFIX = (
+        "(CASE WHEN doc_id % 7 = 0 THEN ' zorgling' ELSE '' END) || "
+        "(CASE WHEN doc_id % 11 = 0 THEN ' zorgled' ELSE '' END) || "
+        "(CASE WHEN doc_id % 13 = 0 THEN ' zorgles' ELSE '' END)"
+    )
+
     def _stem_topk(spark, sf):
         from whoosh_spark import query as Qn
         from whoosh_spark.entry_queries import _topk
@@ -756,14 +797,43 @@ SELECT doc_id, round(score, 4) AS score FROM (
 
         key = ("stem_ix", sf)
         if key not in _CACHE:
-            ix = build_index(spark, _docs(spark, sf), Schema(STEMTEXT("text"))).persist()
+            d = _docs(spark, sf).withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    F.when(F.col("doc_id") % 7 == 0, F.lit(" zorgling")).otherwise(F.lit("")),
+                    F.when(F.col("doc_id") % 11 == 0, F.lit(" zorgled")).otherwise(F.lit("")),
+                    F.when(F.col("doc_id") % 13 == 0, F.lit(" zorgles")).otherwise(F.lit("")),
+                ),
+            )
+            ix = build_index(spark, d, Schema(STEMTEXT("text"))).persist()
             _CACHE[key] = Searcher(ix)
         s = _CACHE[key]
         from whoosh_spark.lang import stem as _st
 
-        return _topk(s.compile(Qn.Term("text", _st("merging"))))
+        return _topk(s.compile(Qn.Term("text", _st("zorgling"))))
 
-    add("stemmed_search_topk", _stem_topk, None)  # Porter not expressible in SQL
+    from whoosh_spark.entry_queries import prelude_body as _prelude_body
+
+    _STEM_FORMS_SQL = ", ".join(f"'{w}'" for w in _STEM_FORMS)
+    add(
+        "stemmed_search_topk",
+        _stem_topk,
+        "WITH ds AS (SELECT doc_id, text || " + _STEM_SUFFIX + " AS text FROM documents),\n"
+        + _prelude_body("ds")
+        + f""",
+mpost AS (
+  SELECT doc_id, sum(w) AS w FROM post WHERE term IN ({_STEM_FORMS_SQL}) GROUP BY doc_id
+),
+mstat AS (SELECT count(*)::DOUBLE AS df FROM mpost)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT p.doc_id,
+         (ln(g.n / (s.df + 1)) + 1) * (p.w * 2.2)
+           / (p.w + 1.2 * (0.25 + 0.75 * l.dl / g.avgdl)) AS score
+  FROM mpost p CROSS JOIN mstat s JOIN dl l USING (doc_id) CROSS JOIN gstat g
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
 
     # ------------------------------ multimodal ---------------------------
 
