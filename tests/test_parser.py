@@ -431,3 +431,79 @@ def test_single_quoted_verbatim_terms():
     # an unpaired apostrophe degrades to plain words (don't -> don)
     q = p("don't care")
     assert {s.text for s in q.subqueries} == {"don", "care"}
+
+
+def test_copyfield_term():
+    # reference: qparser/plugins.py::CopyFieldPlugin docstring example —
+    # "hello name:matt" with {"name": "author"} -> hello (name:matt OR author:matt)
+    qp = QueryParser("text", transcript_schema(), copyfields={"role": "tool"})
+    q = qp.parse("hello role:user")
+    assert q == Q.And([
+        Q.Term("text", "hello"),
+        Q.Or([Q.Term("role", "user"), Q.Term("tool", "user")]),
+    ])
+
+
+def test_copyfield_only_explicit_fields():
+    # an unfielded word resolved to the default field is NOT copied
+    qp = QueryParser("text", transcript_schema(), copyfields={"text": "tool"})
+    assert qp.parse("hello") == Q.Term("text", "hello")
+    assert qp.parse("text:hello") == Q.Or(
+        [Q.Term("text", "hello"), Q.Term("tool", "hello")])
+
+
+def test_copyfield_mirror_and_multiterm():
+    qp = QueryParser("text", transcript_schema())
+    qp.add_copyfield({"role": "tool"}, mirror=True)
+    assert qp.parse("tool:grep*") == Q.Or(
+        [Q.Prefix("tool", "grep"), Q.Prefix("role", "grep")])
+    assert qp.parse("role:a?min") == Q.Or(
+        [Q.Wildcard("role", "a?min"), Q.Wildcard("tool", "a?min")])
+
+
+def test_copyfield_and_group_and_boost():
+    qp = QueryParser("text", transcript_schema(),
+                     copyfields={"role": "tool"}, copyfield_group="and")
+    q = qp.parse("role:user^2")
+    assert q == Q.And([Q.Term("role", "user"), Q.Term("tool", "user")],
+                      boost=2.0)
+
+
+def test_copyfield_bad_group_rejected():
+    import pytest
+
+    qp = QueryParser("text", transcript_schema())
+    with pytest.raises(ValueError):
+        qp.add_copyfield({"a": "b"}, group="xor")
+
+
+def test_variation_forms_long_tail_irregulars():
+    from whoosh_spark.query.nodes import variation_forms
+
+    # verb chains (reference: lang/morph_en.py irregular inventory)
+    for grp in [("drink", "drank", "drunk"), ("throw", "threw", "thrown"),
+                ("seek", "sought"), ("freeze", "froze", "frozen")]:
+        for w in grp:
+            forms = variation_forms(w)
+            assert all(g in forms for g in grp), (w, forms)
+    # latin/greek plurals
+    assert "analyses" in variation_forms("analysis")
+    assert "analysis" in variation_forms("analyses")
+    assert "indices" in variation_forms("index")
+    assert "matrix" in variation_forms("matrices")
+    assert "criteria" in variation_forms("criterion")
+
+
+def test_variation_forms_derivational():
+    from whoosh_spark.query.nodes import variation_forms
+
+    forms = variation_forms("happy")
+    assert {"happier", "happiest", "happily", "happiness"} <= set(forms)
+    # and back: derived form recovers the base
+    assert "happy" in variation_forms("happiest")
+    assert "happy" in variation_forms("happily")
+    assert "happy" in variation_forms("happiness")
+    assert {"faster", "fastest"} <= set(variation_forms("fast"))
+    assert "fast" in variation_forms("fastest")
+    assert {"larger", "largest"} <= set(variation_forms("large"))
+    assert "large" in variation_forms("largest")

@@ -158,6 +158,115 @@ _IRREGULAR_GROUPS: list[tuple[str, ...]] = [
     ("life", "lives"),
     ("half", "halves"),
     ("knife", "knives"),
+    # long tail (reference: lang/morph_en.py bakes these into its rule
+    # table too; same public irregular-English inventory)
+    ("bear", "bore", "borne", "bearing"),
+    ("beat", "beaten", "beating"),
+    ("become", "became", "becoming"),
+    ("bend", "bent", "bending"),
+    ("bind", "bound", "binding"),
+    ("bite", "bit", "bitten", "biting"),
+    ("blow", "blew", "blown", "blowing"),
+    ("burst", "bursting"),
+    ("cast", "casting"),
+    ("cling", "clung", "clinging"),
+    ("cost", "costing"),
+    ("creep", "crept", "creeping"),
+    ("cut", "cutting"),
+    ("deal", "dealt", "dealing"),
+    ("dig", "dug", "digging"),
+    ("drink", "drank", "drunk", "drinking"),
+    ("fight", "fought", "fighting"),
+    ("flee", "fled", "fleeing"),
+    ("fling", "flung", "flinging"),
+    ("fly", "flew", "flown", "flying"),
+    ("forbid", "forbade", "forbidden", "forbidding"),
+    ("forget", "forgot", "forgotten", "forgetting"),
+    ("forgive", "forgave", "forgiven", "forgiving"),
+    ("freeze", "froze", "frozen", "freezing"),
+    ("hang", "hung", "hanging"),
+    ("hear", "heard", "hearing"),
+    ("hide", "hid", "hidden", "hiding"),
+    ("hit", "hitting"),
+    ("hurt", "hurting"),
+    ("lay", "laid", "laying"),
+    ("lead", "led", "leading"),
+    ("lend", "lent", "lending"),
+    ("let", "letting"),
+    ("lie", "lain", "lying"),
+    ("light", "lit", "lighting"),
+    ("pay", "paid", "paying"),
+    ("put", "putting"),
+    ("quit", "quitting"),
+    ("read", "reading"),
+    ("ride", "rode", "ridden", "riding"),
+    ("ring", "rang", "rung", "ringing"),
+    ("rise", "rose", "risen", "rising"),
+    ("seek", "sought", "seeking"),
+    ("set", "setting"),
+    ("shake", "shook", "shaken", "shaking"),
+    ("shed", "shedding"),
+    ("shine", "shone", "shining"),
+    ("shoot", "shot", "shooting"),
+    ("show", "shown", "showing"),
+    ("shrink", "shrank", "shrunk", "shrinking"),
+    ("shut", "shutting"),
+    ("sing", "sang", "sung", "singing"),
+    ("sink", "sank", "sunk", "sinking"),
+    ("sleep", "slept", "sleeping"),
+    ("slide", "slid", "sliding"),
+    ("sling", "slung", "slinging"),
+    ("spin", "spun", "spinning"),
+    ("split", "splitting"),
+    ("spread", "spreading"),
+    ("spring", "sprang", "sprung", "springing"),
+    ("steal", "stole", "stolen", "stealing"),
+    ("stick", "stuck", "sticking"),
+    ("sting", "stung", "stinging"),
+    ("strike", "struck", "striking"),
+    ("swear", "swore", "sworn", "swearing"),
+    ("sweep", "swept", "sweeping"),
+    ("swim", "swam", "swum", "swimming"),
+    ("swing", "swung", "swinging"),
+    ("tear", "tore", "torn", "tearing"),
+    ("throw", "threw", "thrown", "throwing"),
+    ("tread", "trod", "trodden", "treading"),
+    ("wake", "woke", "woken", "waking"),
+    ("wear", "wore", "worn", "wearing"),
+    ("weave", "wove", "woven", "weaving"),
+    ("weep", "wept", "weeping"),
+    ("win", "won", "winning"),
+    ("wind", "wound", "winding"),
+    ("wring", "wrung", "wringing"),
+    ("ox", "oxen"),
+    ("cactus", "cacti"),
+    ("focus", "foci"),
+    ("fungus", "fungi"),
+    ("nucleus", "nuclei"),
+    ("syllabus", "syllabi"),
+    ("analysis", "analyses"),
+    ("diagnosis", "diagnoses"),
+    ("oasis", "oases"),
+    ("thesis", "theses"),
+    ("crisis", "crises"),
+    ("basis", "bases"),
+    ("axis", "axes"),
+    ("phenomenon", "phenomena"),
+    ("criterion", "criteria"),
+    ("datum", "data"),
+    ("medium", "media"),
+    ("index", "indices", "indexes"),
+    ("matrix", "matrices", "matrixes"),
+    ("vertex", "vertices", "vertexes"),
+    ("appendix", "appendices", "appendixes"),
+    ("wife", "wives"),
+    ("wolf", "wolves"),
+    ("shelf", "shelves"),
+    ("calf", "calves"),
+    ("loaf", "loaves"),
+    ("thief", "thieves"),
+    ("self", "selves"),
+    ("elf", "elves"),
 ]
 _IRREGULAR: dict[str, frozenset] = {}
 for _grp in _IRREGULAR_GROUPS:
@@ -177,22 +286,34 @@ def variation_forms(word: str) -> list[str]:
     forms.update({word + "s", word + "es", word + "ed", word + "ing"})
     forms.update(_IRREGULAR.get(word, ()))
     if word.endswith("e") and len(word) > 2:
-        forms.update({word[:-1] + "ing", word + "d"})
+        forms.update({word[:-1] + "ing", word + "d",
+                      word + "r", word + "st"})  # large -> larger/largest
     if word.endswith("y") and len(word) > 2:
-        forms.update({word[:-1] + "ies", word[:-1] + "ied"})
-    # CVC doubling: hop -> hopping/hopped
+        # happy -> happies/happied/happier/happiest/happily/happiness
+        stem = word[:-1]
+        forms.update({stem + "ies", stem + "ied", stem + "ier", stem + "iest",
+                      stem + "ily", stem + "iness"})
+    else:
+        # fast -> faster/fastest/fastly(harmless)/fastness
+        forms.update({word + "er", word + "est", word + "ly", word + "ness"})
+    # CVC doubling: hop -> hopping/hopped/hopper
     if (
         len(word) >= 3
         and word[-1] not in _VOWELS + "wxy"
         and word[-2] in _VOWELS
         and word[-3] not in _VOWELS
     ):
-        forms.update({word + word[-1] + "ing", word + word[-1] + "ed"})
-    for suf in ("ing", "ied", "ies", "ed", "es", "s"):
+        dbl = word + word[-1]
+        forms.update({dbl + "ing", dbl + "ed", dbl + "er", dbl + "est"})
+    for suf in ("iness", "ness", "iest", "ily", "ier", "ing", "ied", "ies",
+                "est", "ed", "er", "es", "ly", "s"):
         if word.endswith(suf) and len(word) - len(suf) >= 2:
             base = word[: len(word) - len(suf)]
+            if suf in ("iness", "iest", "ily", "ier"):
+                base = base + "y"  # happiest -> happy
             forms.add(base)
-            forms.add(base + "e")
+            if suf not in ("ly", "ness"):
+                forms.add(base + "e")
             # reverse doubling: hopping -> hop
             if len(base) >= 3 and base[-1] == base[-2] and base[-1] not in _VOWELS:
                 forms.add(base[:-1])

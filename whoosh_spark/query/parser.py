@@ -109,7 +109,10 @@ class QueryParser:
     def __init__(self, default_field: str, schema: Schema,
                  basedate: datetime | None = None,
                  plugins: tuple[str, ...] = (),
-                 fieldaliases: dict[str, str] | None = None):
+                 fieldaliases: dict[str, str] | None = None,
+                 copyfields: dict[str, str] | None = None,
+                 copyfield_mirror: bool = False,
+                 copyfield_group: str = "or"):
         self.default_field = default_field
         self.schema = schema
         self.basedate = basedate
@@ -117,6 +120,31 @@ class QueryParser:
         # FieldAliasPlugin (reference: qparser/plugins.py::FieldAliasPlugin,
         # opt-in): alias -> real schema field, applied at field resolution
         self.fieldaliases = dict(fieldaliases or {})
+        self.copyfields: dict[str, str] = {}
+        self.copyfield_group = copyfield_group
+        if copyfields:
+            self.add_copyfield(copyfields, mirror=copyfield_mirror,
+                               group=copyfield_group)
+
+    def add_copyfield(self, fieldmap: dict[str, str], mirror: bool = False,
+                      group: str = "or") -> None:
+        """CopyFieldPlugin (reference: qparser/plugins.py::CopyFieldPlugin,
+        opt-in): an explicitly-fielded leaf whose field is a key of
+        ``fieldmap`` is replaced by a group containing the original plus a
+        copy re-pointed at the mapped field — ``name:matt`` with
+        ``{"name": "author"}`` becomes ``(name:matt OR author:matt)``.
+        ``mirror=True`` also maps values back to keys; ``group`` picks the
+        combining group (``"or"`` like the reference's OrGroup default, or
+        ``"and"``). Like the reference, only *explicit* field prefixes
+        trigger the copy — unfielded words resolved to the default field
+        are untouched (the reference's filter runs on fieldname syntax
+        nodes before the default field is applied)."""
+        if group not in ("or", "and"):
+            raise ValueError(f"copyfield group must be 'or' or 'and': {group!r}")
+        self.copyfields.update(fieldmap)
+        if mirror:
+            self.copyfields.update({v: k for k, v in fieldmap.items()})
+        self.copyfield_group = group
 
     def add_plugin(self, name: str) -> None:
         """Enable an optional plugin by name, mirroring the reference's
@@ -271,6 +299,8 @@ class QueryParser:
                     if t is None:
                         return None
         q = self._leaf(t, field)
+        if (q is not None and field is not None and field in self.copyfields):
+            q = _copy_leaves(q, self.copyfields, self.copyfield_group)
         # boost suffix
         nxt = self._peek()
         if q is not None and nxt is not None and nxt.kind == "^":
@@ -462,6 +492,30 @@ class MultifieldParser(QueryParser):
         if not subs:
             return None
         return subs[0] if len(subs) == 1 else Q.Or(subs)
+
+
+def _copy_leaves(q: Q.Query, cmap: dict[str, str], group: str) -> Q.Query:
+    """Rewrite every fielded leaf of ``q`` whose field is a ``cmap`` key
+    into a group of (original, copy-on-mapped-field) — the tree half of
+    CopyFieldPlugin (reference: qparser/plugins.py::CopyFieldPlugin
+    .do_copyfield, which walks syntax nodes the same way). Compounds and
+    wrappers recurse; a single parse atom can be compound when a text word
+    analyzes to several tokens."""
+    from dataclasses import replace as _replace
+
+    grp = Q.Or if group == "or" else Q.And
+    if isinstance(q, Q.CompoundQuery):
+        return _replace(
+            q, subqueries=tuple(_copy_leaves(s, cmap, group) for s in q.subqueries))
+    if isinstance(q, Q.BinaryQuery):
+        return _replace(q, a=_copy_leaves(q.a, cmap, group),
+                        b=_copy_leaves(q.b, cmap, group))
+    if isinstance(q, (Q.Not, Q.ConstantScore, Q.SpanFirst)):
+        return _replace(q, subquery=_copy_leaves(q.subquery, cmap, group))
+    fname = getattr(q, "fieldname", None)
+    if fname is not None and fname in cmap:
+        return grp([q, _replace(q, fieldname=cmap[fname])])
+    return q
 
 
 def _num(s: str | None):
