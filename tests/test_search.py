@@ -362,6 +362,67 @@ def test_time_limit_collector(spark, ix):
     assert time.perf_counter() - t0 < 20
 
 
+def test_time_limit_partials_complete(ix, searcher):
+    """use_partials with a generous budget streams every doc: results equal
+    the normal top-k (same heap key) and partial is False."""
+    from whoosh_spark.search import PartialResults
+
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "merge")])
+    full = [(r["doc_id"], r["score"]) for r in searcher.search(q, limit=3).collect()]
+    part = searcher.search_with_time_limit(q, timelimit=120.0, limit=3,
+                                           use_partials=True)
+    assert isinstance(part, PartialResults)
+    assert part.partial is False
+    assert [(r["doc_id"], pytest.approx(r["score"], rel=1e-9)) for r in part] == [
+        (d, pytest.approx(s, rel=1e-9)) for d, s in full]
+
+
+def test_time_limit_partials_timeout(spark, ix):
+    """A plan whose later partition stalls: the budget expires, the heap of
+    already-streamed docs comes back flagged partial instead of raising
+    (reference: TimeLimit caught -> collector.results())."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from whoosh_spark.search import PartialResults, Searcher
+
+    s = Searcher(ix)
+
+    def slow_high(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            if any(i > 3 for i in ids):
+                time.sleep(60)
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": ids, "score": [float(i) + 1.0 for i in ids]})
+
+    scored = (
+        ix.docs.select("doc_id").repartitionByRange(2, "doc_id")
+        .mapInArrow(slow_high, T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]))
+    )
+    t0 = time.perf_counter()
+    part = s.search_with_time_limit(scored, timelimit=6.0, limit=10,
+                                    use_partials=True)
+    assert time.perf_counter() - t0 < 30
+    assert isinstance(part, PartialResults) and part.partial is True
+    got = [r["doc_id"] for r in part]
+    assert all(i <= 3 for i in got)
+    # streamed rows are exactly scored and heap-ordered (score desc)
+    assert got == sorted(got, reverse=True)
+
+
+def test_time_limit_partials_rejects_sortedby(searcher):
+    with pytest.raises(ValueError):
+        searcher.search_with_time_limit(Q.Term("text", "spark"), timelimit=5.0,
+                                        use_partials=True, sortedby="n")
+
+
 # ----------------------------------------------- randomized composition net
 
 

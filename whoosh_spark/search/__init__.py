@@ -1,4 +1,8 @@
-from whoosh_spark.search.executor import Searcher, TimeLimitError  # noqa: F401
+from whoosh_spark.search.executor import (  # noqa: F401
+    PartialResults,
+    Searcher,
+    TimeLimitError,
+)
 from whoosh_spark.search.facets import (  # noqa: F401
     FieldFacet,
     FunctionFacet,

@@ -32,7 +32,7 @@ from __future__ import annotations
 import fnmatch
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 from whoosh_spark.indexing.build import InvertedIndex
@@ -44,6 +44,15 @@ from whoosh_spark.search.scoring import BM25F, WeightingModel
 class TimeLimitError(Exception):
     """Raised when search_with_time_limit exceeds its budget (reference:
     src/whoosh/collectors.py::TimeLimit)."""
+
+
+class PartialResults(list):
+    """List of (doc_id, score) Rows from a time-limited search;
+    ``partial`` is True when the budget expired before every document was
+    scored (reference: TimeLimitCollector with use_alarm/partial results —
+    callers catch ``TimeLimit`` then read ``collector.results()``)."""
+
+    partial: bool = False
 
 
 class Searcher:
@@ -470,7 +479,7 @@ class Searcher:
 
     def search_with_time_limit(self, q: "Q.Query | DataFrame",
                                timelimit: float, limit: int | None = 10,
-                               **kw) -> list:
+                               use_partials: bool = False, **kw) -> list:
         """TimeLimitCollector analogue (reference: collectors.py::
         TimeLimitCollector ~L850 raising ``TimeLimit``): collect the top-k
         under a wall-clock budget, cancelling the Spark job group on expiry
@@ -478,13 +487,27 @@ class Searcher:
 
         Spark-first shape: the reference interrupts its doc-at-a-time loop
         and can hand back the partial heap; a cancelled Spark job has no
-        partial to hand back, so this guards runaway queries (the common
-        production use) rather than returning a prefix. Accepts a compiled
-        DataFrame too, so any collector variant can be budgeted.
+        partial to hand back, so by default this guards runaway queries
+        (the common production use) rather than returning a prefix.
+        Accepts a compiled DataFrame too, so any collector variant can be
+        budgeted.
+
+        ``use_partials=True`` mirrors the reference's partial-results mode
+        (searching docs use ``TimeLimit`` then ``collector.results()``):
+        the *unordered* scored frame streams to the driver partition by
+        partition (``toLocalIterator``) into a bounded top-k heap with the
+        reference heap key (score desc, doc_id asc); on budget expiry the
+        job group is cancelled and the heap gathered so far comes back as
+        a :class:`PartialResults` list with ``.partial = True`` instead of
+        raising. Scoring of streamed rows is exact — partiality only means
+        some documents were never seen, exactly like the reference's
+        interrupted doc-at-a-time loop.
         """
         import threading
         import uuid
 
+        if use_partials:
+            return self._search_partials(q, timelimit, limit, **kw)
         df = q if isinstance(q, DataFrame) else self.search(q, limit=limit, **kw)
         sc = self._spark.sparkContext
         group = f"whoosh-timelimit-{uuid.uuid4().hex[:8]}"
@@ -510,6 +533,67 @@ class Searcher:
             # surface the real error, don't mask it
             raise out["err"]
         return out["rows"]
+
+    def _search_partials(self, q: "Q.Query | DataFrame", timelimit: float,
+                         limit: int | None, filter=None, mask=None,
+                         **kw) -> "PartialResults":
+        """Partial-results engine for ``search_with_time_limit(...,
+        use_partials=True)``. Only score ordering is supported (the
+        reference's partial heap is the score heap); ``sortedby`` callers
+        get the raising mode."""
+        import heapq
+        import threading
+        import time
+        import uuid
+
+        if kw.get("sortedby") is not None:
+            raise ValueError("use_partials supports score ordering only")
+        if isinstance(q, DataFrame):
+            scored = q
+        else:
+            scored = self.compile(q)
+            if getattr(self.weighting, "use_final", False):
+                scored = scored.withColumn(
+                    "score", self.weighting.final_expr(F.col("score")))
+            scored = self._apply_filter_mask(scored, filter, mask)
+        sc = self._spark.sparkContext
+        group = f"whoosh-timelimit-{uuid.uuid4().hex[:8]}"
+        deadline = time.monotonic() + timelimit
+        heap: list = []  # min-heap of (score, -doc_id); top-k survivors
+        out: dict = {}
+
+        def run():
+            sc.setJobGroup(group, "time-limited search (partials)",
+                           interruptOnCancel=True)
+            try:
+                for row in scored.toLocalIterator(prefetchPartitions=True):
+                    item = (row["score"], -row["doc_id"])
+                    if limit is None or len(heap) < limit:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                    if time.monotonic() >= deadline:
+                        out["expired"] = True
+                        return
+                out["done"] = True
+            except Exception as e:  # cancellation surfaces as a Py4J error
+                out["err"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timelimit)
+        if t.is_alive():
+            # stuck inside a long partition job — cancel and keep the heap
+            sc.cancelJobGroup(group)
+            t.join(5.0)
+        if "err" in out and "expired" not in out and not t.is_alive():
+            if "cancelled" not in str(out["err"]).lower() and "interrupted" not in str(out["err"]).lower():
+                raise out["err"]
+        rows = [Row(doc_id=-neg, score=s)
+                for s, neg in sorted(heap, reverse=True)]
+        res = PartialResults(rows)
+        res.partial = not out.get("done", False)
+        return res
 
     def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw) -> DataFrame:
         """Pagination (searching.py::Searcher.search_page ~L700): top
