@@ -22,7 +22,7 @@ from whoosh_spark import query as Q
 from whoosh_spark.analysis import STOP_WORDS
 from whoosh_spark.fields import DATETIME, ID, NUMERIC, Schema, documents_schema
 from whoosh_spark.indexing import build_index
-from whoosh_spark.query.parser import MultifieldParser
+from whoosh_spark.query.parser import MultifieldParser, QueryParser
 from whoosh_spark.search import (
     BM25F,
     Frequency,
@@ -320,6 +320,19 @@ def _registry() -> dict:
         _sql_topk(
             "SELECT doc_id, sum(score) AS score FROM scored "
             "WHERE regexp_full_match(term, 's.*m') GROUP BY doc_id"
+        ),
+    )
+
+    add(
+        # Regex term expansion is START-anchored like the reference's
+        # PatternQuery._btexts re.match loop (executor.py::_c_regex) — so
+        # 'quer' matches 'query'/'queries' but not 'inquery'-style infixes;
+        # the oracle mirrors with a ^-anchored (unterminated) regexp_matches.
+        "regex_bm25_topk",
+        lambda spark, sf: _topk(_docs_searcher(spark, sf).compile(Q.Regex("text", "quer"))),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored "
+            "WHERE regexp_matches(term, '^(?:quer)') GROUP BY doc_id"
         ),
     )
 
@@ -633,6 +646,28 @@ SELECT doc_id, round(score, 4) AS score FROM (
     )
 
     add(
+        # CopyFieldPlugin (parser.py::add_copyfield): the explicit
+        # ``lang:en`` leaf is rewritten to ``(lang:en OR text:en)`` at
+        # parse time; oracle = union of the ID-field match (weight 1.0)
+        # and the BM25 text-term scores, same shape as multifield_or_topk.
+        "copyfield_parse_topk",
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                QueryParser(
+                    "text", documents_schema(), copyfields={"lang": "text"}
+                ).parse("lang:en")
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM ("
+            "  SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'en'"
+            "  UNION ALL"
+            "  SELECT doc_id, score FROM scored WHERE term = 'en'"
+            ") GROUP BY doc_id"
+        ),
+    )
+
+    add(
         "term_vector_doc",
         lambda spark, sf: _docs_searcher(spark, sf).index.vector(7, "text"),
         PRELUDE
@@ -724,47 +759,52 @@ SELECT doc_id, round(score, 4) AS score FROM (
 
 _REGISTRY_CACHE: dict | None = None
 
-# The driver checks the FIRST ~50 registry entries per round. Priority order:
-# (1) entries with no driver correctness row in round 1 (spans, range/date/
-#     multi facets, aux retrieval, streaming, ANN, textstats, multimodal),
-# (2) entries whose code path changed this round (simhash oracle, expanded
-#     multi-term via pushed-down term stats, WAND refine, bucketed lexicon,
-#     Otherwise probe, morph_en variations, NL date ranges),
-# (3) one representative per core operator family.
-# Everything after slot ~50 already has a green CORRECTNESS_r01 row on
-# unchanged code.
+# The driver checks the FIRST ~50 registry entries per round. Round-3
+# priority order (VERDICT r2 "Next round" #8):
+# (1) brand-new or newly-ORACLED entries with no hash-checked driver row
+#     yet (regex, copyfield, the derived-corpus stemmed oracle, full-probe
+#     IVF sharing the exact cosine oracle, the approximate-probe split),
+# (2) entries riding round-3-CHANGED code (nodes.py morph_en long tail,
+#     parser.py CopyField/plugins, incremental.py distributed upsert
+#     deletes, build.py expand_terms, segments.py live_docs,
+#     entry_pipeline.py oracle rewrites),
+# (3) the honest rows-only entries (re-recorded each round),
+# (4) one representative per core operator family (rotating in the
+#     compound/binary family that sat past the r2 window).
+# Everything past slot ~50 is r1/r2-green on code UNCHANGED this round
+# (pipeline text/dedup/cosine/multimodal ops, scoring variants, aux
+# retrieval) — see BENCH.md "Correctness gate" for the rehearsal evidence.
 _WINDOW_FIRST = [
-    # -- round-1 unchecked (22) --
-    "cosine_neardup_pairs", "ann_ivf_topk",
-    "text_token_counts", "text_quality_scores", "text_langid",
-    "text_winnow_fingerprints", "text_fingerprint_overlap",
-    "facet_range_nchars", "facet_multi_lang_source", "facet_date_events",
-    "ngram_substring_topk",
-    "span_near_ordered_topk", "span_near_unordered_topk", "span_first_topk",
-    "spell_suggest", "key_terms_bo1", "key_terms_kl", "more_like_this",
-    "highlight_snippets", "stemmed_search_topk",
-    "streaming_build_lexicon", "multimodal_meta",
-    # -- new / newly-oracled this round --
-    "dedup_simhash_pairs", "daterange_nl", "variations_irregular_topk",
-    "dedup_incremental_pairs",
-    "multimodal_frames", "ann_ivf_pq_topk", "dedup_cluster_cosine_pairs",
-    # -- changed code paths this round --
+    # -- (1) new / newly-oracled this round --
+    "regex_bm25_topk", "copyfield_parse_topk",
+    "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",
+    # -- (2) round-3-changed code paths --
+    "variations_topk", "variations_irregular_topk",
+    "daterange_nl", "multifield_or_topk",
+    "streaming_build_lexicon",
     "prefix_bm25_topk", "wildcard_bm25_topk", "fuzzy_bm25_topk",
-    "variations_topk", "otherwise_fallback_topk",
     "turns_wand_term_topk", "turns_wand_or_topk", "turns_wand_and_topk",
-    "turns_lexicon_stats", "lexicon_stats",
-    # -- core operator families --
+    "turns_lexicon_stats", "lexicon_stats", "turns_conv_best_topk",
+    # -- (3) rows-only by nature, re-recorded --
+    "highlight_snippets", "ann_ivf_pq_topk", "dedup_cluster_cosine_pairs",
+    # -- (4) core operator families --
     "term_bm25_topk", "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk",
-    "not_complement_count", "every_count", "numericrange_docs",
-    "daterange_events", "facet_count_by_lang", "collapse_by_source_topk",
-    "filter_mask_topk", "tfidf_topk", "pl2_topk", "funcweight_topk",
-    "multifield_or_topk",
+    "phrase_slop2_topk", "otherwise_fallback_topk",
+    "not_complement_count", "every_count",
+    "andnot_bm25_topk", "andmaybe_bm25_topk", "require_bm25_topk",
+    "dismax_bm25_topk", "or_scale_coord_topk", "termrange_bm25_topk",
+    "idfield_and_text_topk", "boost_group_topk",
+    "numericrange_docs", "daterange_events",
+    "facet_count_by_lang", "facet_best_by_lang",
+    "collapse_by_source_topk", "filter_mask_topk",
+    "sorted_by_lang", "page2_or_query", "matched_terms",
+    "span_near_ordered_topk", "span_first_topk", "ngram_substring_topk",
 ]
-# Window math: the driver checks the first ~50 entries. Adding the three
-# late-round ops (frames / IVF-PQ / cluster-dedup) at slot ~26 pushes
-# tfidf/pl2/funcweight_topk past 50 — those are r1-green and re-verified
-# locally at sf0.01 AND sf0.1 this round, while the newcomers are
-# brand-new code with no driver row yet; new code wins the slots.
+# Window math: 50 head slots. The compound/binary family (andnot/andmaybe/
+# require/dismax/coord/termrange/boost) rotates IN after sitting past the
+# r2 window on its green r1 rows; the pipeline ops (text_*, dedup_*,
+# cosine_*, multimodal_*) rotate OUT — all r2-hash-green and their files
+# are untouched this round.
 
 
 def registry() -> dict:
