@@ -235,3 +235,71 @@ def test_doc_count_ignores_phantom_delete_ids(spark, tmp_path_factory):
     # a real delete on top still counts correctly
     assert ix.delete_by_term("text", "alpha") > 0
     assert ix.doc_count() == 2
+
+
+def test_reader_vocabulary_and_stats(spark, bigixdir):
+    """CompatReader maps the reference IndexReader surface (reading.py::
+    IndexReader): lexicon / contains / expand_prefix / term stats /
+    most_frequent / most_distinctive."""
+    import math
+
+    r = compat.open_dir(bigixdir, spark).reader()
+    lex = r.lexicon("text")
+    assert lex == sorted(lex) and "query" in lex and "shard0" in lex
+    assert ("text", "query") in r and ("text", "zzz") not in r
+    assert r.expand_prefix("text", "shard") == ["shard0", "shard1", "shard2"]
+    assert r.doc_frequency("text", "query") == 25
+    assert r.frequency("text", "query") == 25.0
+    assert r.doc_count() == 26 and r.doc_count_all() == 26
+    # exact total token count: 25 six-token docs + one four-token doc
+    assert r.field_length("text") == 25 * 6 + 4
+    top = r.most_frequent_terms("text", number=5)
+    assert [t for _, t in top] == ["common", "engine", "filler", "plus", "query"]
+    assert all(w == 25.0 for w, _ in top)
+    # tf-idf puts the shard terms first (df 8-9 vs 25), ties by term asc
+    dis = r.most_distinctive_terms("text", number=3)
+    assert [t for _, t in dis] == ["shard0", "shard1", "shard2"]
+    assert dis[0][0] == pytest.approx(9 * math.log(26 / 9), rel=1e-6)
+    assert r.most_frequent_terms("text", number=3, prefix="shard") == [
+        (9.0, "shard0"), (8.0, "shard1"), (8.0, "shard2")]
+    # all_terms streams the whole (field, term) vocabulary, sorted
+    assert [t for f, t in r.all_terms() if f == "text"] == lex
+
+
+def test_reader_lengths_docs_and_vectors(spark, bigixdir):
+    """Quantized length accessors + stored-field/vector reads match the
+    reference semantics (lengths roundtrip length_to_byte/byte_to_length)."""
+    from whoosh_spark.util import quantized_length
+
+    ix = compat.open_dir(bigixdir, spark)
+    r, s = ix.reader(), ix.searcher()
+    assert r.min_field_length("text") == quantized_length(4)
+    assert r.max_field_length("text") == quantized_length(6)
+    odd = s.document_number(docid="odd")
+    assert odd is not None
+    assert r.doc_field_length(odd, "text") == quantized_length(4)
+    assert r.doc_field_length(10_000_001, "text", default=-1) == -1
+    assert r.stored_fields(odd) == {"docid": "odd",
+                                    "text": "completely different words here"}
+    vec = r.vector(odd, "text")
+    assert vec == [("completely", 1.0), ("different", 1.0),
+                   ("here", 1.0), ("words", 1.0)]
+    # streamed whole-corpus iterators
+    assert sum(1 for _ in r.all_stored_fields()) == 26
+    ids = list(r.all_doc_ids())
+    assert len(ids) == 26 and odd in ids
+
+
+def test_searcher_reader_passthroughs(spark, bigixdir):
+    """Searcher proxies its reader like the reference: idf agrees with the
+    scoring module, documents() streams matches."""
+    s = compat.open_dir(bigixdir, spark).searcher()
+    assert s.doc_frequency("text", "query") == 25
+    assert s.frequency("text", "shard0") == 9.0
+    assert "query" in s.lexicon("text")
+    # idf = ln(N/(df+1)) + 1 with N = doc_count_all = 26, df(query) = 25
+    assert s.idf("text", "query") == pytest.approx(1.0)
+    assert s.doc_count() == 26 == s.doc_count_all()
+    docs = list(s.documents(docid="odd"))
+    assert len(docs) == 1 and docs[0]["docid"] == "odd"
+    assert s.reader().doc_frequency("text", "query") == 25

@@ -193,6 +193,10 @@ class CompatIndex:
     def searcher(self, weighting=None) -> "CompatSearcher":
         return CompatSearcher(self, weighting)
 
+    def reader(self) -> "CompatReader":
+        """reference: Index.reader() -> IndexReader."""
+        return CompatReader(self)
+
     def doc_count(self) -> int:
         """Undeleted docs (reference: doc_count). Counted via live_docs()
         (anti-joined against the delete set AND merge tombstones) rather
@@ -436,6 +440,239 @@ class CompatSearcher:
         return CompatSearcher(self.index, None if self._searcher is None
                               else self._searcher.weighting)
 
+    # -- reader passthroughs (reference: Searcher proxies its reader) --
+
+    def reader(self) -> "CompatReader":
+        """reference: Searcher.reader()."""
+        return CompatReader(self.index)
+
+    def doc_frequency(self, fieldname: str, text: str) -> int:
+        return 0 if self._six is None else self._six.doc_frequency(fieldname, str(text))
+
+    def frequency(self, fieldname: str, text: str) -> float:
+        return 0.0 if self._six is None else self._six.frequency(fieldname, str(text))
+
+    def lexicon(self, fieldname: str) -> list[str]:
+        return [] if self._six is None else self._six.lexicon(fieldname)
+
+    def idf(self, fieldname: str, text: str) -> float:
+        """reference: Searcher.idf — ln(N/(df+1))+1 with N = doc_count_all
+        (SURVEY A.5; the same scoring.idf the ranking paths use, so a
+        user's printed idf agrees with the scores)."""
+        from whoosh_spark.search.scoring import idf as _idf
+
+        if self._six is None:
+            return _idf(0, 0)
+        return _idf(self._six.doc_count, self.doc_frequency(fieldname, text))
+
+    def doc_count(self) -> int:
+        return self.index.doc_count()
+
+    def doc_count_all(self) -> int:
+        return self.index.doc_count_all()
+
+    def document_number(self, **kw) -> int | None:
+        """reference: Searcher.document_number — first matching docnum."""
+        doc = searcher_document(self, _with_docnum=True, **kw)
+        return None if doc is None else doc["_docnum"]
+
+    def documents(self, **kw):
+        """Yield every stored doc matching the field values (reference:
+        Searcher.documents) — streamed via toLocalIterator, filters pushed
+        into the stored-docs scan; no full collect."""
+        docs = self.index._stored_docs()
+        if docs is None:
+            return
+        for k, v in kw.items():
+            docs = docs.where(docs[k] == v)
+        names = self.index.schema.names()
+        for r in docs.toLocalIterator():
+            yield {c: r[c] for c in names if c in r.__fields__}
+
+
+class CompatReader:
+    """IndexReader facade (reference: reading.py::IndexReader — the
+    read-side surface a porting user hits most: lexicon / term stats /
+    field lengths / stored fields / term vectors), mapped onto the
+    engine's DataFrames.
+
+    Driver-materialization contract matches the reference: methods that
+    return Python values bring back only vocabulary-sized (lexicon,
+    most_*_terms), expansion-sized (expand_prefix), or single-doc-sized
+    (stored_fields, vector, doc_field_length) data; ``all_stored_fields``
+    and ``all_doc_ids`` stream via ``toLocalIterator`` (one partition in
+    memory at a time, never a full collect). Corpus-scale scans belong on
+    the engine's DataFrame API (``InvertedIndex.postings/.terms``)."""
+
+    def __init__(self, index: CompatIndex):
+        self.index = index
+        self._ix = index._open()
+
+    # -- vocabulary -------------------------------------------------------
+
+    def lexicon(self, fieldname: str) -> list[str]:
+        """All terms of one field, sorted (reference: IndexReader.lexicon)."""
+        return [] if self._ix is None else self._ix.lexicon(fieldname)
+
+    def __contains__(self, pair) -> bool:
+        """``(fieldname, text) in reader`` (reference: IndexReader
+        .__contains__) — one pushed-down point lookup, LRU-cached."""
+        fieldname, text = pair
+        if self._ix is None:
+            return False
+        return self._ix.doc_frequency(fieldname, str(text)) > 0
+
+    def all_terms(self):
+        """Yield (fieldname, text) sorted (reference: IndexReader
+        .all_terms). Whole-index vocabulary — streamed, not collected."""
+        if self._ix is None:
+            return
+        it = (self._ix.terms.select("field", "term")
+              .orderBy("field", "term").toLocalIterator())
+        for r in it:
+            yield (r["field"], r["term"])
+
+    def expand_prefix(self, fieldname: str, prefix: str) -> list[str]:
+        """Terms starting with ``prefix`` (reference: IndexReader
+        .expand_prefix) — the predicate pushes into the sorted terms
+        parquet; only the expansion rows reach the driver."""
+        if self._ix is None:
+            return []
+        pdf = self._ix.expand_terms(fieldname, like=str(prefix))
+        return list(pdf["term"])
+
+    # -- stats --------------------------------------------------------------
+
+    def doc_count(self) -> int:
+        return self.index.doc_count()
+
+    def doc_count_all(self) -> int:
+        return self.index.doc_count_all()
+
+    def doc_frequency(self, fieldname: str, text: str) -> int:
+        return 0 if self._ix is None else self._ix.doc_frequency(fieldname, str(text))
+
+    def frequency(self, fieldname: str, text: str) -> float:
+        return 0.0 if self._ix is None else self._ix.frequency(fieldname, str(text))
+
+    def field_length(self, fieldname: str) -> int:
+        """Total token count of one field (reference: IndexReader
+        .field_length — exact, unlike the quantized per-doc lengths)."""
+        if self._ix is None:
+            return 0
+        return int(round(self._ix.field_totals.get(fieldname, 0.0)))
+
+    def _dl_agg(self, fieldname: str, agg):
+        if self._ix is None:
+            return 0
+        from pyspark.sql import functions as F
+
+        row = _first(
+            self._ix.postings.where(F.col("field") == fieldname)
+            .agg(agg(F.col("dl")).alias("v"))
+        )
+        return 0 if row is None or row["v"] is None else int(row["v"])
+
+    def min_field_length(self, fieldname: str) -> int:
+        """Quantized, like the reference (lengths roundtrip through
+        length_to_byte/byte_to_length — SURVEY A.4)."""
+        from pyspark.sql import functions as F
+
+        return self._dl_agg(fieldname, F.min)
+
+    def max_field_length(self, fieldname: str) -> int:
+        from pyspark.sql import functions as F
+
+        return self._dl_agg(fieldname, F.max)
+
+    def doc_field_length(self, docnum: int, fieldname: str, default: int = 0) -> int:
+        """Per-doc quantized field length (reference: IndexReader
+        .doc_field_length) — doc-filtered posting probe, one row back."""
+        if self._ix is None:
+            return default
+        from pyspark.sql import functions as F
+
+        row = _first(
+            self._ix.postings.where(
+                (F.col("field") == fieldname) & (F.col("doc_id") == int(docnum))
+            ).select("dl")
+        )
+        return default if row is None else int(row["dl"])
+
+    def most_frequent_terms(self, fieldname: str, number: int = 5,
+                            prefix: str = "") -> list[tuple[float, str]]:
+        """(weight, text) by total weight desc (reference: IndexReader
+        .most_frequent_terms' nlargest) — TakeOrdered over the terms
+        frame, only ``number`` rows back."""
+        if self._ix is None:
+            return []
+        from pyspark.sql import functions as F
+
+        t = self._ix.terms.where(F.col("field") == fieldname)
+        if prefix:
+            t = t.where(F.col("term").startswith(prefix))
+        rows = (t.orderBy(F.desc("total_weight"), F.asc("term"))
+                .select("total_weight", "term").limit(int(number)).collect())
+        return [(float(r["total_weight"]), r["term"]) for r in rows]
+
+    def most_distinctive_terms(self, fieldname: str, number: int = 5,
+                               prefix: str = "") -> list[tuple[float, str]]:
+        """(score, text) with score = weight * ln(N/df) (reference:
+        IndexReader.most_distinctive_terms' tf-idf) — same plan shape as
+        most_frequent_terms; oracle-checked via the registry's
+        most_distinctive_terms entry."""
+        if self._ix is None:
+            return []
+        from pyspark.sql import functions as F
+
+        n = self.doc_count_all()
+        t = self._ix.terms.where(F.col("field") == fieldname)
+        if prefix:
+            t = t.where(F.col("term").startswith(prefix))
+        score = F.col("total_weight") * F.log(F.lit(float(n)) / F.col("df"))
+        rows = (t.select(score.alias("score"), "term")
+                .orderBy(F.desc("score"), F.asc("term"))
+                .limit(int(number)).collect())
+        return [(float(r["score"]), r["term"]) for r in rows]
+
+    # -- documents ------------------------------------------------------
+
+    def stored_fields(self, docnum: int) -> dict | None:
+        """Stored fields of one doc (reference: IndexReader.stored_fields)."""
+        docs = self.index._stored_docs()
+        if docs is None:
+            return None
+        row = _first(docs.where(docs["doc_id"] == int(docnum)))
+        if row is None:
+            return None
+        names = self.index.schema.names()
+        return {c: row[c] for c in names if c in row.__fields__}
+
+    def all_stored_fields(self):
+        """Yield every live doc's stored fields (reference: IndexReader
+        .all_stored_fields) — streamed partition-by-partition."""
+        if self._ix is None:
+            return
+        names = self.index.schema.names()
+        for r in self._ix.live_docs().toLocalIterator():
+            yield {c: r[c] for c in names if c in r.__fields__}
+
+    def all_doc_ids(self):
+        """Yield live doc ids (reference: IndexReader.all_doc_ids)."""
+        if self._ix is None:
+            return
+        for r in self._ix.live_docs().select("doc_id").toLocalIterator():
+            yield int(r["doc_id"])
+
+    def vector(self, docnum: int, fieldname: str) -> list[tuple[str, float]]:
+        """Term vector as (term, weight), term-sorted (reference:
+        IndexReader.vector's matcher, driver-side) — doc-filtered posting
+        probe, vector-sized result."""
+        if self._ix is None:
+            return []
+        rows = self._ix.vector(int(docnum), fieldname).collect()
+        return [(r["term"], float(r["weight"])) for r in rows]
+
 
 class CompatCorrector:
     """reference: spelling.py::ReaderCorrector (suggest from the lexicon,
@@ -479,7 +716,8 @@ def _first(df: DataFrame):
     return rows[0] if rows else None
 
 
-def searcher_document(searcher: "CompatSearcher", **kw) -> dict | None:
+def searcher_document(searcher: "CompatSearcher", _with_docnum: bool = False,
+                      **kw) -> dict | None:
     """Fetch one stored document by field values (reference:
     searching.py::Searcher.document ~L450). Filters push into the stored
     docs scan."""
@@ -492,7 +730,10 @@ def searcher_document(searcher: "CompatSearcher", **kw) -> dict | None:
     row = _first(docs)
     if row is None:
         return None
-    return {c: row[c] for c in ix.schema.names() if c in row.__fields__}
+    out = {c: row[c] for c in ix.schema.names() if c in row.__fields__}
+    if _with_docnum:
+        out["_docnum"] = int(row["doc_id"])
+    return out
 
 
 CompatSearcher.document = searcher_document
