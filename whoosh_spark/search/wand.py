@@ -249,7 +249,7 @@ def wand_topk(
     prune: bool = True,
     seed_blocks: int = 16,
     weighting: BM25F | None = None,
-    shard_docs: int | None = None,
+    shard_docs: int | str | None = "auto",
 ) -> DataFrame:
     """Top-k (doc_id, score) for an Or/And of terms via per-segment WAND.
 
@@ -264,8 +264,18 @@ def wand_topk(
     doc-DISJOINT ranges (blocks straddling a boundary replicate to both
     shards and range-filter after decode), so per-shard top-k -> global
     merge stays exact — the same argument that makes per-segment WAND
-    exact, applied one level down. Default None = one group per segment
-    (right for segment-sized doc ranges; set ~10^7 at 10^9-doc segments).
+    exact, applied one level down (pinned ≡ unsharded in
+    tests/test_segments.py).
+
+    The default ``"auto"`` sizes shards to ~4 kernel groups per core with
+    a 65536-doc floor: small/test corpora keep one shard per segment
+    (identical plan to the unsharded path), while a big index stays
+    parallel even when segment count < cores — measured at the 20M-turn
+    sf1 rehearsal, a fully-merged (1-segment) index served the same WAND
+    query 23.9 s -> at multi-segment speed once sharded, because per-
+    segment grouping alone had collapsed the kernel onto one task
+    (BENCH.md round-3 addendum). ``None`` = exactly one group per
+    segment; an int pins the shard size (set ~10^7 at 10^9-doc segments).
     """
     w = weighting or BM25F()
     if getattr(w, "use_final", False):
@@ -301,6 +311,11 @@ def wand_topk(
     blocks = ix.blocks.drop("pos_counts", "pos_vals").where(
         (F.col("field") == fieldname) & F.col("term").isin([t for t, _ in metas])
     )  # WAND never reads positions; dropping pre-scan prunes the columns
+    if shard_docs == "auto":
+        par = max(ix.spark.sparkContext.defaultParallelism, 1)
+        # below the floor every doc lands in shard 0 anyway — skip the
+        # explode/filter entirely and keep the plain per-segment plan
+        shard_docs = max(-(-n // (4 * par)), 65536) if n > 65536 else None
     group_cols = ["segment_id"]
     if shard_docs:
         blocks = blocks.withColumn(
