@@ -264,6 +264,110 @@ def run_scaling(sf: float, synth_n: int, low: int = 8, high: int = 32, reps: int
     }
 
 
+def run_query_scaling(synth_n: int, low: int = 2, high: int = 8,
+                      reps: int = 3, k: int = 10,
+                      index_path: str | None = None,
+                      concurrent: bool = False) -> dict:
+    """Query-side two-cluster-size protocol (BASELINE.md measurement
+    protocol item 4): the same block-max-WAND top-k query set runs against
+    ONE stored segmented index at local[low] vs local[high] (fresh session
+    per level per rep, interleaved, best-of-reps — the build protocol's
+    noise treatment), reporting queries/sec at both plus
+    ``parity`` — 1.0 means every query's (doc_id, rounded score) rows are
+    RANK-IDENTICAL across the two parallelism levels, the north rule's
+    "rank-identical top-k" requirement applied across cluster sizes (the
+    auto doc-range sharding picks different group counts per level, so
+    this also pins that sharding never changes results)."""
+    import shutil
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    from whoosh_spark.fields import transcript_schema
+    from whoosh_spark.indexing.segments import build_segments, open_segments
+    from whoosh_spark.search.wand import wand_topk
+    from whoosh_spark.transcripts import synth_turns
+
+    query_set = [
+        ("term", ["spark"], "or"),
+        ("or3", ["shuffle", "partition", "broadcast"], "or"),
+        ("and2", ["hash", "join"], "and"),
+        ("or3b", ["merge", "join", "window"], "or"),
+    ]
+    # SPARK_GRAFT_QSCALE_INDEX points at an existing synth_turns index of
+    # SPARK_GRAFT_QSCALE_TURNS turns (e.g. the 20M-turn sf1 rehearsal
+    # index): per-query WORK must dominate the fixed per-job overhead for
+    # the level difference to be about the engine — at 2M turns the serial
+    # query stream is latency-bound and efficiency reads as ~flat
+    # (BENCH.md "Query-side scaling").
+    path = index_path or "/tmp/whoosh_spark_qscale_ix"
+    if index_path is None:
+        shutil.rmtree(path, ignore_errors=True)
+        spark = make_spark(high, app="whoosh-spark-qscale-build")
+        try:  # build once; build-side scaling is measured by --scaling
+            docs = synth_turns(spark, synth_n).persist()
+            n = docs.count()
+            build_segments(spark, docs, transcript_schema(), path,
+                           n_segments=8, doc_count=n)
+        finally:
+            spark.stop()
+
+    best: dict[int, float] = {low: float("inf"), high: float("inf")}
+    tops: dict[int, dict] = {}
+    for _rep in range(reps):
+        for cpus in (low, high):
+            spark = make_spark(cpus, app=f"whoosh-spark-qscale-{cpus}")
+            try:
+                six = open_segments(spark, path, synth_turns(spark, synth_n),
+                                    transcript_schema())
+                # warm-up on a DISJOINT term: absorbs worker fork/import
+                # without pre-filling the query set's stats cache
+                wand_topk(six, "text", ["window"], k=k).collect()
+
+                def _one(spec):
+                    name, terms, mode = spec
+                    return name, [
+                        (int(r["doc_id"]), round(float(r["score"]), 9))
+                        for r in wand_topk(six, "text", terms, k=k,
+                                           mode=mode).collect()
+                    ]
+
+                t0 = time.perf_counter()
+                if concurrent:
+                    # capacity, not latency: the query stream overlaps, so
+                    # fixed per-job overhead amortizes and the level
+                    # difference measures the engine (a serving deployment
+                    # always has queries in flight; Spark's scheduler
+                    # interleaves the jobs)
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(len(query_set)) as pool:
+                        out = dict(pool.map(_one, query_set))
+                else:
+                    out = dict(map(_one, query_set))
+                dt = time.perf_counter() - t0
+            finally:
+                spark.stop()
+            best[cpus] = min(best[cpus], dt)
+            if cpus in tops and tops[cpus] != out:
+                raise AssertionError(f"non-deterministic top-k at local[{cpus}]")
+            tops[cpus] = out
+    parity = 1.0 if tops[low] == tops[high] else 0.0
+    qps = {c: len(query_set) / best[c] for c in best}
+    eff = (qps[high] / qps[low]) / (high / low)
+    return {
+        "metric": "query_scaling_efficiency",
+        "mode": "concurrent" if concurrent else "serial",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"queryset_local{c}": round(best[c], 3) for c in best},
+        "qps": {f"local{c}": round(qps[c], 2) for c in qps},
+        "parity": parity,
+        "k": k,
+        "n_queries": len(query_set),
+        "synth_turns": synth_n,
+        "reps": reps,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -273,6 +377,16 @@ def main() -> None:
         sf = 0.1
     # ~2M synthetic turns per sf unit -> 200k at sf0.1 (cap for tiny runs).
     synth_n = int(os.environ.get("SPARK_GRAFT_SYNTH_TURNS", str(max(20_000, int(2_000_000 * sf)))))
+    if "--query-scaling" in sys.argv:
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
+        ixp = os.environ.get("SPARK_GRAFT_QSCALE_INDEX")
+        n = (int(os.environ["SPARK_GRAFT_QSCALE_TURNS"]) if ixp
+             else max(synth_n, 2_000_000))
+        conc = os.environ.get("SPARK_GRAFT_QSCALE_CONCURRENT") == "1"
+        print(json.dumps(run_query_scaling(n, low=lo, high=hi,
+                                           index_path=ixp, concurrent=conc)))
+        return
     if "--scaling" in sys.argv:
         # Default N=2 -> 4N=8: the host stops scaling past ~16 busy cores
         # (even pure-JVM stages), so 8->32 measures the box, not the engine —

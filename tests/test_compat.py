@@ -303,3 +303,37 @@ def test_searcher_reader_passthroughs(spark, bigixdir):
     docs = list(s.documents(docid="odd"))
     assert len(docs) == 1 and docs[0]["docid"] == "odd"
     assert s.reader().doc_frequency("text", "query") == 25
+
+
+def test_search_groupedby_and_filter_mask(spark, bigixdir):
+    """search(groupedby=...) attaches facet groups over ALL matches
+    (reference: Results.groups with OrderedList/Count/Best maptypes);
+    filter=/mask= restrict without rescoring."""
+    from whoosh_spark import query as Q
+
+    ix = compat.open_dir(bigixdir, spark)
+    s = ix.searcher()
+    res = s.search("query engine", limit=5, groupedby="docid", maptype="count")
+    assert len(res) == 5                       # top-k unchanged
+    counts = res.groups()                      # name optional: one facet
+    assert len(counts) == 25 and all(c == 1 for c in counts.values())
+
+    # ordered-list maptype: every group lists its docnums in results order
+    res = s.search(Q.Term("text", "shard0"), groupedby="docid")
+    lists = res.groups("docid")
+    assert len(lists) == 9 and all(len(v) == 1 for v in lists.values())
+
+    # best maptype agrees with the list heads
+    res = s.search(Q.Term("text", "shard0"), groupedby="docid", maptype="best")
+    best = res.groups()
+    assert best == {k: v[0] for k, v in lists.items()}
+
+    with pytest.raises(KeyError):
+        s.search("query").groups()
+
+    # filter restricts to the shard0 docs; mask then removes them all
+    filt = Q.Term("text", "shard0")
+    hits = s.search("query engine", limit=None, unlimited=True, filter=filt)
+    assert len(hits) == 9
+    assert s.search("query engine", limit=None, unlimited=True,
+                    filter=filt, mask=filt) == []

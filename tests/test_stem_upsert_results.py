@@ -170,3 +170,18 @@ def test_stemmed_oracle_group_is_pure():
         for t in texts.column("text").to_pylist():
             vocab.update(pat.findall(t.lower()))
         assert not {t for t in vocab if stem(t) == target}
+
+
+def test_double_metaphone_conflation_pairs():
+    """Sound-alike spellings map to equal codes (reference:
+    lang/dmetaphone.py behavior contract; Philips 2000): silent leading
+    letters, gh clusters, ph->F, y-as-vowel, sch/sh — and czech/check
+    shows WHY two codes exist: czech's secondary equals check's primary,
+    so indexing both codes still conflates them."""
+    from whoosh_spark.dmetaphone import double_metaphone as dm
+
+    for a, b in [("knight", "night"), ("wright", "rite"), ("phone", "fone"),
+                 ("smith", "smyth"), ("catherine", "kathryn"),
+                 ("shell", "schell"), ("wait", "weight")]:
+        assert dm(a) == dm(b), (a, b, dm(a), dm(b))
+    assert dm("czech")[1] == dm("check")[0] == "XK"

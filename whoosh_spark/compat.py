@@ -114,10 +114,25 @@ class Hit:
 
 class Results(list):
     """List of Hits (reference: searching.py::Results — the commonly-used
-    surface: iteration, indexing, len, scored_length)."""
+    surface: iteration, indexing, len, scored_length, groups)."""
+
+    _groups: dict | None = None
 
     def scored_length(self) -> int:
         return len(self)
+
+    def groups(self, name: str | None = None) -> dict:
+        """Facet groups from ``search(groupedby=...)`` (reference:
+        Results.groups ~L950): key -> docnums list (OrderedList maptype),
+        count (Count), or best docnum (Best). ``name`` optional when one
+        facet was requested, like the reference."""
+        if not self._groups:
+            raise KeyError("no groupedby facets were requested in search()")
+        if name is None:
+            if len(self._groups) != 1:
+                raise KeyError(f"several facets present: {sorted(self._groups)}")
+            return next(iter(self._groups.values()))
+        return self._groups[name]
 
 
 class ResultsPage(Results):
@@ -318,12 +333,23 @@ class CompatSearcher:
         return texts[0].name if texts else self.index.schema.names()[0]
 
     def search(self, q: "Q.Query | str", limit: int | None = 10,
-               terms: bool = False, unlimited: bool = False, **kw) -> Results:
+               terms: bool = False, unlimited: bool = False,
+               groupedby: str | None = None, maptype: str = "list",
+               **kw) -> Results:
         """Accepts a Query tree or a query STRING (parsed with the default
         QueryParser over the first TEXT field, the reference's common
         idiom). Returns Results of Hits with every stored field attached.
         ``terms=True`` additionally records which query terms matched each
         hit (reference: search(terms=True) -> Hit.matched_terms).
+
+        ``filter=`` / ``mask=`` (Query or doc_id DataFrame) pass straight
+        to the engine's FilterCollector analogue (restrict / exclude
+        without rescoring). ``groupedby="field"`` attaches facet groups
+        over ALL matches — read them with ``Results.groups()``;
+        ``maptype`` picks the reference's sorting maptype: ``"list"``
+        (OrderedList docnums), ``"count"``, or ``"best"``. Like the
+        reference, group contents are driver-side values — at corpus scale
+        use the engine's ``group_counts/group_ordered`` DataFrames.
 
         ``limit=None`` materializes EVERY matching doc as a driver-side
         Hit — on a corpus-scale index a broad query would OOM the driver
@@ -356,12 +382,31 @@ class CompatSearcher:
         rows = stored.orderBy(*_order_cols(kw)).collect()
         names = self.index.schema.names()
         qterms = _query_field_terms(q)
-        return Results(
+        res = Results(
             Hit({c: r[c] for c in names}, float(r["score"]), int(r["doc_id"]),
                 qterms,
                 list(r["_mt"] or []) if terms else None)
             for r in rows
         )
+        if groupedby:
+            res._groups = {groupedby: self._facet_groups(
+                q, groupedby, maptype, kw.get("filter"), kw.get("mask"))}
+        return res
+
+    def _facet_groups(self, q: "Q.Query", groupedby: str, maptype: str,
+                      filter=None, mask=None) -> dict:
+        s = self._searcher
+        if maptype == "count":
+            rows = s.group_counts(q, groupedby, filter=filter, mask=mask).collect()
+            return {r[groupedby]: int(r["count"]) for r in rows}
+        scored = s._apply_filter_mask(s.compile(q), filter, mask)
+        if maptype == "best":
+            rows = s.group_best(scored, groupedby).collect()
+            return {r[groupedby]: int(r["doc_id"]) for r in rows}
+        if maptype != "list":
+            raise ValueError(f"maptype must be 'list', 'count' or 'best': {maptype!r}")
+        rows = s.group_ordered(scored, groupedby).collect()
+        return {r[groupedby]: [int(d) for d in r["doc_ids"]] for r in rows}
 
     def search_page(self, q: "Q.Query | str", pagenum: int,
                     pagelen: int = 10, **kw) -> ResultsPage:

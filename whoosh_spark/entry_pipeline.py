@@ -327,16 +327,30 @@ SELECT query_id, vec_id, round(raw, 4) AS cosine FROM (
 ) WHERE rn <= 10
 """,
     )
-    add(
-        "cosine_neardup_pairs",
-        lambda spark, sf: cosine_neardup_pairs(_emb(spark, sf), threshold=0.4)
-        .select("i", "j", F.round("cosine", 4).alias("cosine")),
-        """
+    _NEARDUP_ORACLE = """
 SELECT a.vec_id AS i, b.vec_id AS j,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-""",
+"""
+    add(
+        "cosine_neardup_pairs",
+        lambda spark, sf: cosine_neardup_pairs(_emb(spark, sf), threshold=0.4)
+        .select("i", "j", F.round("cosine", 4).alias("cosine")),
+        _NEARDUP_ORACLE,
+    )
+    add(
+        # n_clusters=1 degenerates centroid blocking to ONE block = exact
+        # all-pairs (the full-probe trick, dedup flavor): the whole
+        # cluster machinery — k-means centroid train, mapInArrow
+        # assignment, blocked pair kernel — runs and is hash-checked
+        # against the same exact cosine oracle; the approximate blocked
+        # config keeps its honest rows-only row below.
+        "dedup_cluster_full_pairs",
+        lambda spark, sf: cluster_neardup_pairs(
+            _emb(spark, sf), threshold=0.4, n_clusters=1
+        ).select("i", "j", F.round("cosine", 4).alias("cosine")),
+        _NEARDUP_ORACLE,
     )
     # Full probe (n_probe == n_clusters) degenerates IVF to exact search
     # (proven in tests/test_pipeline.py::test_ivf_full_probe_is_exact), so

@@ -661,10 +661,11 @@ class Searcher:
         docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), *keys)
         return scored.join(docs, "doc_id").groupBy(*keys).agg(F.count("*").alias("count"))
 
-    def group_best(self, q: Q.Query, groupedby: str) -> DataFrame:
+    def group_best(self, q: "Q.Query | DataFrame", groupedby: str) -> DataFrame:
         """Best maptype: highest-scoring doc per group (ties: lowest doc_id)
-        (sorting.py::Best ~L800)."""
-        scored = self.compile(q)
+        (sorting.py::Best ~L800). ``q`` may be a pre-scored
+        (doc_id, score) frame (e.g. already filter/mask-applied)."""
+        scored = q if isinstance(q, DataFrame) else self.compile(q)
         docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), groupedby)
         j = scored.join(docs, "doc_id")
         w = Window.partitionBy(groupedby).orderBy(F.desc("score"), F.asc("doc_id"))
@@ -674,10 +675,10 @@ class Searcher:
             .select(groupedby, "doc_id", "score")
         )
 
-    def group_ordered(self, q: Q.Query, groupedby: str) -> DataFrame:
+    def group_ordered(self, q: "Q.Query | DataFrame", groupedby: str) -> DataFrame:
         """OrderedList maptype: doc_ids per group in results order
-        (score desc, doc_id asc)."""
-        scored = self.compile(q)
+        (score desc, doc_id asc). ``q`` may be a pre-scored frame."""
+        scored = q if isinstance(q, DataFrame) else self.compile(q)
         docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), groupedby)
         j = scored.join(docs, "doc_id")
         return (
