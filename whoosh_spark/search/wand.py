@@ -87,13 +87,16 @@ def _topk_partial(doc: np.ndarray, contrib: np.ndarray, tc: np.ndarray):
     return uniq, sums
 
 
-def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float,
+def make_segment_wand(terms: list[str], n_docs: int, avgdl: float, B: float,
                       K1: float, k: int, mode: str, prune: bool, seed_blocks: int,
                       deleted: np.ndarray | None = None,
                       shard_docs: int | None = None):
-    """Build the per-segment applyInPandas function. ``term_meta`` is the
-    query's [(term, idf)] resolved on the driver (searching.py::Searcher.idf
-    memoization analogue); everything else rides the closure.
+    """Build the per-segment applyInPandas function. Each block row arrives
+    with its term's exact integer ``df`` attached (broadcast-joined from
+    the terms table by wand_topk), and the kernel computes idf with the
+    SAME Python ``idf_fn`` the executor/driver path uses — bit-identical
+    scores with NO per-query stats round-trip job (searching.py::
+    Searcher.idf memoization analogue, pushed into the one kernel action).
 
     Deleted doc ids arrive as MARKER ROWS (``_del_doc`` non-null) unioned
     into the segment's block rows by wand_topk — the delete set shuffles
@@ -101,8 +104,6 @@ def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float
     masked right after decode — bounds stay valid (they only overestimate),
     results stay exact. The ``deleted`` array parameter is a test hook with
     the same semantics."""
-    terms = [t for t, _ in term_meta]
-    idfs = np.array([i for _, i in term_meta])
     n_terms = len(terms)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -130,6 +131,14 @@ def make_segment_wand(term_meta: list[tuple[str, float]], avgdl: float, B: float
         deleted_np = nonlocal_deleted
         tcode_map = {t: c for c, t in enumerate(terms)}
         pdf = pdf.assign(_tcode=pdf["term"].map(tcode_map))
+        # idf per term from the attached exact integer df — same scalar
+        # Python function as the driver path, so floats are bit-identical;
+        # terms absent from this group keep idf 0 and are never scored
+        idfs = np.zeros(n_terms)
+        tc_col = pdf["_tcode"].to_numpy(dtype=np.int64)
+        df_col = pdf["df"].to_numpy(dtype=np.int64)
+        for code in np.unique(tc_col):
+            idfs[code] = idf_fn(n_docs, int(df_col[tc_col == code][0]))
         ub = _bm25_np(
             idfs[pdf["_tcode"].to_numpy(dtype=np.int64)],
             pdf["max_weight"].to_numpy(dtype=np.float64),
@@ -297,19 +306,22 @@ def wand_topk(
     K1 = w.K1
     avgdl = ix.avg_field_length(fieldname)
     n = ix.doc_count
-    ix.prefetch_stats([(fieldname, t) for t in terms])  # one lookup job
-    metas = []
-    for t in terms:
-        dfreq = ix.doc_frequency(fieldname, t)
-        if dfreq > 0:
-            metas.append((t, idf_fn(n, dfreq)))
-        elif mode == "and":
-            return ix.spark.createDataFrame([], "doc_id long, score double")
-    if not metas:
-        return ix.spark.createDataFrame([], "doc_id long, score double")
-
-    blocks = ix.blocks.drop("pos_counts", "pos_vals").where(
-        (F.col("field") == fieldname) & F.col("term").isin([t for t, _ in metas])
+    terms = list(dict.fromkeys(terms))  # dedupe, keep order (tcode identity)
+    # Per-term df rides ON the block rows via a broadcast join against the
+    # terms table — the same pushed-down, row-group-pruned point read the
+    # old prefetch job did, but folded into the ONE kernel action instead
+    # of a separate driver round-trip job per query (the ~0.3-0.5 s/query
+    # orchestration floor measured in BENCH.md "Query-side scaling").
+    # Globally-missing terms simply contribute no rows: OR scores the rest,
+    # AND's per-doc count == len(terms) test goes empty — same semantics
+    # as the old driver-side early returns, now decided inside the plan.
+    stats = ix.terms.where(
+        (F.col("field") == fieldname) & F.col("term").isin(terms)
+    ).select("term", "df")
+    blocks = (
+        ix.blocks.drop("pos_counts", "pos_vals")
+        .where((F.col("field") == fieldname) & F.col("term").isin(terms))
+        .join(F.broadcast(stats), "term")
     )  # WAND never reads positions; dropping pre-scan prunes the columns
     if shard_docs == "auto":
         par = max(ix.spark.sparkContext.defaultParallelism, 1)
@@ -346,7 +358,7 @@ def wand_topk(
         )
     else:
         data = blocks
-    fn = make_segment_wand(metas, avgdl, B, K1, k, mode, prune, seed_blocks,
+    fn = make_segment_wand(terms, n, avgdl, B, K1, k, mode, prune, seed_blocks,
                            shard_docs=shard_docs)
     local = data.groupBy(*group_cols).applyInPandas(fn, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
