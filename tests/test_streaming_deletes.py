@@ -442,3 +442,144 @@ def test_upsert_delete_lookup_stays_distributed(spark, tmp_path_factory, monkeyp
     assert len(hits) == 1  # old 'b' deleted; only the rewritten 'b' matches
     hits = Searcher(six).search(Q.Term("text", "delta"), limit=None).collect()
     assert len(hits) == 0
+
+
+# ------------------------------------------- incremental term stats (gen'd)
+
+
+def test_incremental_stats_match_full_recompute(spark, corpus, tmp_path_factory):
+    """Round-3 scale fix: per-batch _finalize merges the published stats
+    generation with the new segment's delta instead of re-aggregating every
+    active segment's block rows. The merged table must be BIT-EXACT vs a
+    full recompute, generations must advance, and superseded generation
+    dirs must be cleaned up after the TOC swap."""
+    import json
+
+    from whoosh_spark.indexing.segments import _finalize, _stats_dir
+
+    path = str(tmp_path_factory.mktemp("incstats") / "ix")
+    ixer = IncrementalIndexer(spark, path, transcript_schema())
+    turns = corpus.drop("doc_id")
+    cuts = ["c00000150", "c00000300", "c00000450"]
+    batches = [
+        turns.where(F.col("conv_id") < cuts[0]),
+        turns.where((F.col("conv_id") >= cuts[0]) & (F.col("conv_id") < cuts[1])),
+        turns.where((F.col("conv_id") >= cuts[1]) & (F.col("conv_id") < cuts[2])),
+        turns.where(F.col("conv_id") >= cuts[2]),
+    ]
+    for i, b in enumerate(batches):
+        ixer.append_batch(b, i)
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    # batch 0 publishes gen 0 (full), batches 1-3 publish delta merges
+    assert meta["stats"]["generation"] == 3
+    assert sorted(meta["stats"]["segments"]) == meta["active_segments"]
+    # superseded generations are gone; only the published dir remains
+    gens = sorted(n for n in os.listdir(path) if n.startswith("terms_global"))
+    assert gens == [os.path.basename(_stats_dir(path, 3))]
+
+    incremental = (
+        spark.read.parquet(_stats_dir(path, 3))
+        .orderBy("field", "term")
+        .toPandas()
+    )
+    # force a full recompute of the SAME active set by wiping the stats
+    # provenance from the TOC (unknown provenance -> full path)
+    del meta["stats"]
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    _finalize(spark, path, meta["doc_count"], meta["active_segments"])
+    with open(os.path.join(path, "_meta.json")) as f:
+        gen2 = json.load(f)["stats"]["generation"]
+    full = (
+        spark.read.parquet(_stats_dir(path, gen2))
+        .orderBy("field", "term")
+        .toPandas()
+    )
+    for col in ["field", "term", "df", "total_weight", "max_weight",
+                "min_doc", "max_doc"]:
+        assert incremental[col].tolist() == full[col].tolist(), col
+
+
+def test_stats_generation_crash_window(spark, corpus, tmp_path_factory,
+                                       monkeypatch):
+    """A crash between writing the next stats generation and the _meta.json
+    swap leaves a garbage gen dir under the OLD TOC (which still reads its
+    own, untouched generation); the replayed batch retries into the same
+    gen dir and lands the swap."""
+    import json
+
+    from whoosh_spark.indexing import segments as S
+
+    path = str(tmp_path_factory.mktemp("crashstats") / "ix")
+    ixer = IncrementalIndexer(spark, path, transcript_schema())
+    turns = corpus.drop("doc_id")
+    b0 = turns.where(F.col("conv_id") < "c00000300")
+    b1 = turns.where(F.col("conv_id") >= "c00000300")
+    ixer.append_batch(b0, 0)
+    n0 = ixer.stored_docs().count()
+
+    # crash AT the TOC swap: segment + manifest + next-gen stats all written,
+    # _meta.json untouched
+    real_replace = os.replace
+
+    def failing_swap(src, dst):
+        if str(dst).endswith("_meta.json"):
+            raise OSError("simulated crash at TOC swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(S.os, "replace", failing_swap)
+    with pytest.raises(OSError, match="simulated crash"):
+        ixer.append_batch(b1, 1)
+    monkeypatch.undo()
+
+    # old TOC is intact and still opens against ITS stats generation
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["stats"]["generation"] == 0
+    six = open_segments(spark, path, b0, transcript_schema())
+    assert six.doc_count == n0
+
+    # replay: manifest present but segment absent from the TOC -> the
+    # re-finalize path retries the gen write (overwrite) and lands the swap
+    ixer.append_batch(b1, 1)
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["stats"]["generation"] == 1
+    six = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
+    assert six.doc_count == corpus.count()
+    assert wand_topk(six, "text", ["spark"], k=5).count() == 5
+
+
+def test_legacy_flat_stats_layout_opens(spark, corpus, tmp_path_factory):
+    """An index published by the pre-generation code (flat terms_global dir,
+    no `stats` key in _meta.json) must open unchanged, and the next
+    _finalize over a superset must take the DELTA path from the legacy dir."""
+    import json
+
+    from whoosh_spark.indexing.segments import _published_stats
+
+    path = str(tmp_path_factory.mktemp("legacy") / "ix")
+    ixer = IncrementalIndexer(spark, path, transcript_schema())
+    turns = corpus.drop("doc_id")
+    ixer.append_batch(turns.where(F.col("conv_id") < "c00000300"), 0)
+    # strip the stats key to forge a legacy TOC (gen 0 dir name is the flat
+    # historical name, so the layout on disk is identical)
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["stats"]["generation"] == 0
+    legacy = {k: v for k, v in meta.items() if k != "stats"}
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(legacy, f)
+
+    six = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
+    assert six.terms.count() > 0  # legacy open works
+    assert _published_stats(path) == (0, legacy["active_segments"])
+
+    ixer.append_batch(turns.where(F.col("conv_id") >= "c00000300"), 1)
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta2 = json.load(f)
+    assert meta2["stats"]["generation"] == 1  # delta-merged off the flat dir
+    six = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
+    assert six.doc_count == corpus.count()

@@ -429,6 +429,34 @@ def _segment_blocks(spark: SparkSession, path: str, segment_ids: list[int]) -> D
     return spark.read.option("basePath", base).parquet(*dirs)
 
 
+def _stats_dir(path: str, generation: int) -> str:
+    """Directory of the term-stats table at ``generation`` (gen 0 keeps the
+    historical flat name so pre-generation indexes open unchanged)."""
+    name = "terms_global" if generation == 0 else f"terms_global_g{generation}"
+    return os.path.join(path, name)
+
+
+def _published_stats(path: str) -> tuple[int, list[int]] | None:
+    """(generation, covered segment ids) of the currently published term
+    stats, or None if no TOC / no stats have ever been published."""
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    stats = meta.get("stats")
+    if stats is None:
+        # legacy TOC (pre-generation layout): stats live at the flat dir and
+        # cover exactly the TOC's active set
+        if os.path.exists(_stats_dir(path, 0)):
+            return 0, list(meta.get("active_segments", []))
+        return None
+    gen = int(stats["generation"])
+    if not os.path.exists(_stats_dir(path, gen)):
+        return None  # TOC names a missing stats dir (tampered/partial
+    return gen, list(stats["segments"])  # restore): fall back to recompute
+
+
 def _finalize(spark: SparkSession, path: str, doc_count: int,
               active_segments: list[int], lexicon_buckets: int | None = None) -> None:
     """(Re)write global term stats, then atomically publish the TOC.
@@ -437,6 +465,23 @@ def _finalize(spark: SparkSession, path: str, doc_count: int,
     generation swap, src/whoosh/index.py::TOC.write ~L420): readers only
     see `active_segments`, so a crash between publishing a merged segment
     and deleting its inputs leaves garbage files, never duplicate docs.
+
+    Term stats are GENERATIONED and built INCREMENTALLY: when the new
+    active set is a superset of the set the published stats cover (the
+    streaming append case — every micro-batch adds one segment), the new
+    generation is prev stats ∪ the NEW segments' block aggregate, combined
+    with decomposable folds (sum/sum/max/min/max). Per-batch cost is then
+    O(lexicon + new-segment blocks) instead of O(all active segments'
+    blocks) — ingest no longer slows down as the cold tier grows (the
+    remaining per-batch term-stats cost is one lexicon-sized merge, linear
+    in vocabulary, never in total postings). Any other transition (merge,
+    first build, unknown provenance) recomputes from all active blocks.
+    Each generation is written to a FRESH directory and published by the
+    atomic `_meta.json` swap — a crash mid-write leaves a garbage dir under
+    the old TOC, never a half-written table under the new one (the
+    overwrite-in-place of the pre-generation layout had that window).
+    Superseded generations are deleted after the swap, same garbage
+    discipline as merge_segments' input cleanup.
 
     The lexicon is RANGE-bucketed on (field, term) with a per-file sort —
     every bucket is a disjoint sorted key range, so point/range lookups
@@ -447,30 +492,74 @@ def _finalize(spark: SparkSession, path: str, doc_count: int,
     """
     if lexicon_buckets is None:
         lexicon_buckets = max(spark.sparkContext.defaultParallelism // 4, 2)
-    blocks_all = _segment_blocks(spark, path, active_segments)
-    (
-        blocks_all.groupBy("field", "term")
-        .agg(
-            F.sum("n").alias("df"),
-            F.sum("weight_sum").alias("total_weight"),
-            F.max("max_weight").cast("double").alias("max_weight"),
-            F.min("min_doc").alias("min_doc"),
-            F.max("max_doc").alias("max_doc"),
+
+    def _block_stats(segment_ids: list[int]) -> DataFrame:
+        return (
+            _segment_blocks(spark, path, segment_ids)
+            .groupBy("field", "term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.sum("weight_sum").alias("total_weight"),
+                F.max("max_weight").cast("double").alias("max_weight"),
+                F.min("min_doc").alias("min_doc"),
+                F.max("max_doc").alias("max_doc"),
+            )
         )
-        .repartitionByRange(lexicon_buckets, "field", "term")
-        .sortWithinPartitions("field", "term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "terms_global"))
-    )
+
+    prev = _published_stats(path)
+    active = sorted(active_segments)
+    gen = 0 if prev is None else prev[0] + 1
+    if prev is not None and sorted(prev[1]) == active:
+        # stats already cover exactly this set (checkpoint-resume republish,
+        # append_batch's crash-window re-finalize of an already-covered TOC)
+        gen = prev[0]
+    elif prev is not None and prev[1] and set(prev[1]) <= set(active):
+        delta_ids = sorted(set(active) - set(prev[1]))
+        stats = (
+            spark.read.parquet(_stats_dir(path, prev[0]))
+            .unionByName(_block_stats(delta_ids))
+            .groupBy("field", "term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("total_weight").alias("total_weight"),
+                F.max("max_weight").cast("double").alias("max_weight"),
+                F.min("min_doc").alias("min_doc"),
+                F.max("max_doc").alias("max_doc"),
+            )
+        )
+        _write_stats(stats, _stats_dir(path, gen), lexicon_buckets)
+    elif active:
+        stats = _block_stats(active)
+        _write_stats(stats, _stats_dir(path, gen), lexicon_buckets)
+    else:
+        gen = None  # empty index: no stats table (matches _finalize_empty)
     meta = {
         "doc_count": doc_count,
-        "active_segments": sorted(active_segments),
+        "active_segments": active,
         "block_size": BLOCK_SIZE,
     }
+    if gen is not None:
+        meta["stats"] = {"generation": gen, "segments": active}
     tmp = os.path.join(path, "_meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, "_meta.json"))
+    # superseded generations are crash-safe garbage once the swap landed
+    import shutil
+
+    keep = os.path.basename(_stats_dir(path, gen)) if gen is not None else None
+    for name in os.listdir(path):
+        if name.startswith("terms_global") and name != keep:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def _write_stats(stats: DataFrame, out_dir: str, lexicon_buckets: int) -> None:
+    (
+        stats.repartitionByRange(lexicon_buckets, "field", "term")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")  # overwrite: a crashed attempt at the SAME
+        .parquet(out_dir)         # generation retries into the same dir
+    )
 
 
 # ------------------------------------------------------------------- merge
@@ -1005,7 +1094,8 @@ def open_segments(
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
     blocks = _segment_blocks(spark, path, meta["active_segments"])
-    terms = spark.read.parquet(os.path.join(path, "terms_global"))
+    gen = int(meta.get("stats", {}).get("generation", 0))
+    terms = spark.read.parquet(_stats_dir(path, gen))
     ix = SegmentedIndex(
         spark=spark,
         schema=schema,

@@ -18,13 +18,14 @@ At scale this is the standard "hot tier + compaction" layout: small fresh
 segments absorb arrivals, merge_segments() folds them into the cold tier;
 readers always see a consistent TOC (atomic _meta.json swap).
 
-KNOWN SCALE TRADE: every _finalize republishes terms_global with an
-aggregate over ALL active segments' block rows, so per-batch ingest cost
-grows with total index size. Acceptable while the hot tier stays small
-between merges (the intended operating mode: merge_every bounds the
-active-segment count); a truly huge cold tier wants an incremental
-terms_global (merge per-segment stats deltas) — the per-segment stats are
-already written, so the swap is localized to _finalize.
+Term stats stay incremental under append (segments.py::_finalize): each
+batch's _finalize merges the published stats generation with the NEW
+segment's block aggregate (decomposable folds), so per-batch term-stats
+cost is O(lexicon + batch blocks) — independent of how many postings the
+cold tier holds. Full recompute happens only on non-append transitions
+(merge). The remaining per-batch cost that grows with index AGE is the
+lexicon-sized merge itself (one row per distinct term), the standard
+LSM-compaction trade.
 """
 
 from __future__ import annotations
