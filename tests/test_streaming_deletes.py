@@ -447,15 +447,26 @@ def test_upsert_delete_lookup_stays_distributed(spark, tmp_path_factory, monkeyp
 # ------------------------------------------- incremental term stats (gen'd)
 
 
+STATS_COLS = ["field", "term", "df", "total_weight", "max_weight",
+              "min_doc", "max_doc"]
+
+
+def _stats_pdf(spark, path):
+    from whoosh_spark.indexing.segments import read_term_stats
+
+    return (read_term_stats(spark, path).orderBy("field", "term")
+            .toPandas()[STATS_COLS])
+
+
 def test_incremental_stats_match_full_recompute(spark, corpus, tmp_path_factory):
-    """Round-3 scale fix: per-batch _finalize merges the published stats
-    generation with the new segment's delta instead of re-aggregating every
-    active segment's block rows. The merged table must be BIT-EXACT vs a
-    full recompute, generations must advance, and superseded generation
-    dirs must be cleaned up after the TOC swap."""
+    """Round-3 scale fix: per-batch _finalize writes ONLY the new segment's
+    vocabulary as a fresh LSM delta layer; readers fold the layers with the
+    decomposable aggregate. The folded view must be BIT-EXACT vs a full
+    recompute, layers must accumulate under the compaction bound, and
+    superseded stats dirs must be cleaned up after the TOC swap."""
     import json
 
-    from whoosh_spark.indexing.segments import _finalize, _stats_dir
+    from whoosh_spark.indexing.segments import _finalize
 
     path = str(tmp_path_factory.mktemp("incstats") / "ix")
     ixer = IncrementalIndexer(spark, path, transcript_schema())
@@ -472,34 +483,81 @@ def test_incremental_stats_match_full_recompute(spark, corpus, tmp_path_factory)
 
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
-    # batch 0 publishes gen 0 (full), batches 1-3 publish delta merges
+    # batch 0 publishes the base layer (gen 0), batches 1-3 delta layers
     assert meta["stats"]["generation"] == 3
     assert sorted(meta["stats"]["segments"]) == meta["active_segments"]
-    # superseded generations are gone; only the published dir remains
-    gens = sorted(n for n in os.listdir(path) if n.startswith("terms_global"))
-    assert gens == [os.path.basename(_stats_dir(path, 3))]
+    assert len(meta["stats"]["layers"]) == 4  # base + 3 deltas, under bound
+    # on-disk dirs are exactly the published layer set
+    dirs = sorted(n for n in os.listdir(path) if n.startswith("terms_global"))
+    assert dirs == sorted(meta["stats"]["layers"])
 
-    incremental = (
-        spark.read.parquet(_stats_dir(path, 3))
-        .orderBy("field", "term")
-        .toPandas()
-    )
-    # force a full recompute of the SAME active set by wiping the stats
-    # provenance from the TOC (unknown provenance -> full path)
-    del meta["stats"]
+    layered = _stats_pdf(spark, path)
+    # force a full recompute of the SAME active set by pointing the stats
+    # provenance at a missing generation (NOT by deleting the key: gen 0's
+    # dir uses the legacy flat name, so a keyless TOC would be trusted as a
+    # legacy layout covering the whole active set — correct for real legacy
+    # TOCs, which always recomputed before swapping)
+    meta["stats"] = {"generation": 999, "segments": [],
+                     "layers": ["terms_global_g999"]}
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(meta, f)
     _finalize(spark, path, meta["doc_count"], meta["active_segments"])
     with open(os.path.join(path, "_meta.json")) as f:
-        gen2 = json.load(f)["stats"]["generation"]
-    full = (
-        spark.read.parquet(_stats_dir(path, gen2))
-        .orderBy("field", "term")
-        .toPandas()
-    )
-    for col in ["field", "term", "df", "total_weight", "max_weight",
-                "min_doc", "max_doc"]:
-        assert incremental[col].tolist() == full[col].tolist(), col
+        meta2 = json.load(f)
+    assert len(meta2["stats"]["layers"]) == 1  # recompute = one base layer
+    full = _stats_pdf(spark, path)
+    for col in STATS_COLS:
+        assert layered[col].tolist() == full[col].tolist(), col
+
+
+def test_stats_layer_compaction(spark, corpus, tmp_path_factory, monkeypatch):
+    """Crossing STATS_LAYERS_MAX folds every layer + the delta into ONE
+    sorted run; the folded content is unchanged and reads stay bounded."""
+    import json
+
+    from whoosh_spark.indexing import segments as S
+
+    monkeypatch.setattr(S, "STATS_LAYERS_MAX", 2)
+    path = str(tmp_path_factory.mktemp("compact") / "ix")
+    ixer = IncrementalIndexer(spark, path, transcript_schema())
+    turns = corpus.drop("doc_id")
+    cuts = ["c00000150", "c00000300"]
+    batches = [
+        turns.where(F.col("conv_id") < cuts[0]),
+        turns.where((F.col("conv_id") >= cuts[0]) & (F.col("conv_id") < cuts[1])),
+        turns.where(F.col("conv_id") >= cuts[1]),
+    ]
+    ixer.append_batch(batches[0], 0)  # base layer
+    ixer.append_batch(batches[1], 1)  # delta layer (2 layers = at bound)
+    with open(os.path.join(path, "_meta.json")) as f:
+        assert len(json.load(f)["stats"]["layers"]) == 2
+    before = _stats_pdf(spark, path)
+
+    ixer.append_batch(batches[2], 2)  # would be 3 layers -> compaction
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert len(meta["stats"]["layers"]) == 1
+    dirs = [n for n in os.listdir(path) if n.startswith("terms_global")]
+    assert dirs == meta["stats"]["layers"]  # superseded layers cleaned up
+
+    # compacted stats = full recompute over all three batches, and the
+    # pre-compaction fold is a subset-consistent view (batch 0+1 only)
+    from whoosh_spark.indexing.segments import _finalize
+
+    after = _stats_pdf(spark, path)
+    del meta["stats"]
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    _finalize(spark, path, meta["doc_count"], meta["active_segments"])
+    full = _stats_pdf(spark, path)
+    for col in STATS_COLS:
+        assert after[col].tolist() == full[col].tolist(), col
+    assert before["df"].sum() < after["df"].sum()
+
+    # searches against the compacted index are exact
+    six = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
+    assert six.doc_count == corpus.count()
+    assert wand_topk(six, "text", ["spark"], k=5).count() == 5
 
 
 def test_stats_generation_crash_window(spark, corpus, tmp_path_factory,
@@ -575,7 +633,8 @@ def test_legacy_flat_stats_layout_opens(spark, corpus, tmp_path_factory):
 
     six = open_segments(spark, path, ixer.stored_docs(), transcript_schema())
     assert six.terms.count() > 0  # legacy open works
-    assert _published_stats(path) == (0, legacy["active_segments"])
+    assert _published_stats(path) == (0, legacy["active_segments"],
+                                      ["terms_global"])
 
     ixer.append_batch(turns.where(F.col("conv_id") >= "c00000300"), 1)
     with open(os.path.join(path, "_meta.json")) as f:

@@ -436,9 +436,25 @@ def _stats_dir(path: str, generation: int) -> str:
     return os.path.join(path, name)
 
 
-def _published_stats(path: str) -> tuple[int, list[int]] | None:
-    """(generation, covered segment ids) of the currently published term
-    stats, or None if no TOC / no stats have ever been published."""
+# A publish that would exceed this many stats layers compacts them into one
+# (the LSM compaction bound: reads touch ≤ this many sorted runs).
+STATS_LAYERS_MAX = 8
+
+def _stats_agg(df: DataFrame) -> DataFrame:
+    """Re-fold partial term stats — every column is a decomposable
+    aggregate, so folding layer unions is exact."""
+    return df.groupBy("field", "term").agg(
+        F.sum("df").alias("df"),
+        F.sum("total_weight").alias("total_weight"),
+        F.max("max_weight").cast("double").alias("max_weight"),
+        F.min("min_doc").alias("min_doc"),
+        F.max("max_doc").alias("max_doc"),
+    )
+
+
+def _published_stats(path: str) -> tuple[int, list[int], list[str]] | None:
+    """(generation, covered segment ids, layer dir names) of the currently
+    published term stats, or None if no TOC / no stats ever published."""
     meta_path = os.path.join(path, "_meta.json")
     if not os.path.exists(meta_path):
         return None
@@ -449,12 +465,40 @@ def _published_stats(path: str) -> tuple[int, list[int]] | None:
         # legacy TOC (pre-generation layout): stats live at the flat dir and
         # cover exactly the TOC's active set
         if os.path.exists(_stats_dir(path, 0)):
-            return 0, list(meta.get("active_segments", []))
+            return 0, list(meta.get("active_segments", [])), ["terms_global"]
         return None
     gen = int(stats["generation"])
-    if not os.path.exists(_stats_dir(path, gen)):
+    layers = list(stats.get("layers")
+                  or [os.path.basename(_stats_dir(path, gen))])
+    if not all(os.path.exists(os.path.join(path, n)) for n in layers):
         return None  # TOC names a missing stats dir (tampered/partial
-    return gen, list(stats["segments"])  # restore): fall back to recompute
+    return gen, list(stats["segments"]), layers  # restore): recompute
+
+
+def read_term_stats(spark: SparkSession, path: str,
+                    meta: dict | None = None) -> DataFrame:
+    """The published global term stats as one logical table.
+
+    Single layer (batch-built or freshly compacted index): a plain scan of
+    the sorted range-bucketed parquet — point/range lookups prune to one
+    file's row groups, the plan is identical to the pre-layer layout.
+    Multiple layers (streaming appends since the last compaction): the
+    union of ≤ STATS_LAYERS_MAX sorted runs re-folded with the decomposable
+    aggregate; a point lookup still prunes each run independently, so it
+    reads ≤ layers row groups instead of one — the standard LSM read
+    amplification, bounded by the compaction threshold."""
+    if meta is None:
+        with open(os.path.join(path, "_meta.json")) as f:
+            meta = json.load(f)
+    stats = meta.get("stats")
+    if stats is None:
+        dirs = [os.path.join(path, "terms_global")]
+    else:
+        names = stats.get("layers") or [
+            os.path.basename(_stats_dir(path, int(stats["generation"])))]
+        dirs = [os.path.join(path, n) for n in names]
+    df = spark.read.parquet(*dirs)
+    return _stats_agg(df) if len(dirs) > 1 else df
 
 
 def _finalize(spark: SparkSession, path: str, doc_count: int,
@@ -466,24 +510,27 @@ def _finalize(spark: SparkSession, path: str, doc_count: int,
     see `active_segments`, so a crash between publishing a merged segment
     and deleting its inputs leaves garbage files, never duplicate docs.
 
-    Term stats are GENERATIONED and built INCREMENTALLY: when the new
-    active set is a superset of the set the published stats cover (the
-    streaming append case — every micro-batch adds one segment), the new
-    generation is prev stats ∪ the NEW segments' block aggregate, combined
-    with decomposable folds (sum/sum/max/min/max). Per-batch cost is then
-    O(lexicon + new-segment blocks) instead of O(all active segments'
-    blocks) — ingest no longer slows down as the cold tier grows (the
-    remaining per-batch term-stats cost is one lexicon-sized merge, linear
-    in vocabulary, never in total postings). Any other transition (merge,
-    first build, unknown provenance) recomputes from all active blocks.
-    Each generation is written to a FRESH directory and published by the
-    atomic `_meta.json` swap — a crash mid-write leaves a garbage dir under
-    the old TOC, never a half-written table under the new one (the
-    overwrite-in-place of the pre-generation layout had that window).
-    Superseded generations are deleted after the swap, same garbage
-    discipline as merge_segments' input cleanup.
+    Term stats are LSM-LAYERED: when the new active set is a superset of
+    the set the published stats cover (the streaming append case — every
+    micro-batch adds one segment), the publish writes ONLY the new
+    segments' block aggregate as a fresh delta layer — per-batch stats cost
+    is O(batch vocabulary), independent of the cold tier's size AND of the
+    global lexicon's size (a 10^9-term lexicon is never rewritten per
+    micro-batch). Readers fold the ≤ STATS_LAYERS_MAX sorted runs with the
+    decomposable aggregate (read_term_stats); a publish that would exceed
+    the bound COMPACTS every layer plus the delta into one run — classic
+    LSM: O(1) amortized writes, bounded read amplification. Any other
+    transition (merge, first build, unknown provenance) recomputes one base
+    layer from all active blocks.
 
-    The lexicon is RANGE-bucketed on (field, term) with a per-file sort —
+    Every layer is written to a FRESH directory and the set is published by
+    the atomic `_meta.json` swap — a crash mid-write leaves a garbage dir
+    under the old TOC, never a half-written table under the new one (the
+    overwrite-in-place of the pre-generation layout had that window).
+    Superseded layers are deleted after the swap, same garbage discipline
+    as merge_segments' input cleanup.
+
+    Each layer is RANGE-bucketed on (field, term) with a per-file sort —
     every bucket is a disjoint sorted key range, so point/range lookups
     still prune to one file's row groups via Parquet min/max stats (the
     ordered-term-dictionary seek), while the sort itself fans out across
@@ -509,28 +556,33 @@ def _finalize(spark: SparkSession, path: str, doc_count: int,
     prev = _published_stats(path)
     active = sorted(active_segments)
     gen = 0 if prev is None else prev[0] + 1
+    layers: list[str] = []
     if prev is not None and sorted(prev[1]) == active:
         # stats already cover exactly this set (checkpoint-resume republish,
         # append_batch's crash-window re-finalize of an already-covered TOC)
-        gen = prev[0]
+        gen, layers = prev[0], prev[2]
     elif prev is not None and prev[1] and set(prev[1]) <= set(active):
         delta_ids = sorted(set(active) - set(prev[1]))
-        stats = (
-            spark.read.parquet(_stats_dir(path, prev[0]))
-            .unionByName(_block_stats(delta_ids))
-            .groupBy("field", "term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("total_weight").alias("total_weight"),
-                F.max("max_weight").cast("double").alias("max_weight"),
-                F.min("min_doc").alias("min_doc"),
-                F.max("max_doc").alias("max_doc"),
+        new_dir = _stats_dir(path, gen)
+        if len(prev[2]) + 1 > STATS_LAYERS_MAX:
+            # compaction: fold every published layer + the delta into ONE
+            # sorted run (reads layers + the delta's blocks, never the cold
+            # tier's blocks)
+            prev_dirs = [os.path.join(path, n) for n in prev[2]]
+            stats = _stats_agg(
+                spark.read.parquet(*prev_dirs).unionByName(
+                    _block_stats(delta_ids))
             )
-        )
-        _write_stats(stats, _stats_dir(path, gen), lexicon_buckets)
+            _write_stats(stats, new_dir, lexicon_buckets)
+            layers = [os.path.basename(new_dir)]
+        else:
+            # delta layer: just the new segments' vocabulary
+            _write_stats(_block_stats(delta_ids), new_dir, lexicon_buckets)
+            layers = prev[2] + [os.path.basename(new_dir)]
     elif active:
-        stats = _block_stats(active)
-        _write_stats(stats, _stats_dir(path, gen), lexicon_buckets)
+        _write_stats(_block_stats(active), _stats_dir(path, gen),
+                     lexicon_buckets)
+        layers = [os.path.basename(_stats_dir(path, gen))]
     else:
         gen = None  # empty index: no stats table (matches _finalize_empty)
     meta = {
@@ -539,17 +591,18 @@ def _finalize(spark: SparkSession, path: str, doc_count: int,
         "block_size": BLOCK_SIZE,
     }
     if gen is not None:
-        meta["stats"] = {"generation": gen, "segments": active}
+        meta["stats"] = {"generation": gen, "segments": active,
+                         "layers": layers}
     tmp = os.path.join(path, "_meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, "_meta.json"))
-    # superseded generations are crash-safe garbage once the swap landed
+    # superseded layers are crash-safe garbage once the swap landed
     import shutil
 
-    keep = os.path.basename(_stats_dir(path, gen)) if gen is not None else None
+    keep = set(layers)
     for name in os.listdir(path):
-        if name.startswith("terms_global") and name != keep:
+        if name.startswith("terms_global") and name not in keep:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
@@ -1094,8 +1147,7 @@ def open_segments(
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
     blocks = _segment_blocks(spark, path, meta["active_segments"])
-    gen = int(meta.get("stats", {}).get("generation", 0))
-    terms = spark.read.parquet(_stats_dir(path, gen))
+    terms = read_term_stats(spark, path, meta)
     ix = SegmentedIndex(
         spark=spark,
         schema=schema,
