@@ -20,6 +20,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,7 +49,7 @@ from whoosh_spark.pipeline import (
     winnow_fingerprints,
 )
 from whoosh_spark.search.aux import key_terms, more_like_this, suggest
-from whoosh_spark.search.highlight import highlight_df
+from whoosh_spark.search.highlight import highlight_df, highlights
 from whoosh_spark.search.wand import wand_topk
 from whoosh_spark.transcripts import TURNS_FROM_DOCUMENTS_SQL, transcript_corpus
 
@@ -783,6 +785,46 @@ SELECT doc_id, round(score, 4) AS score FROM (
         return highlight_df(with_text, ["spark"]).select("doc_id", "highlight")
 
     add("highlight_snippets", _highlight, None)  # fragmenter: rows-only
+
+    def _highlight_whole(spark, sf):
+        # Exact-oracle highlight via the derived-corpus trick: normalize the
+        # text to single-space-separated alpha tokens, so WholeFragmenter +
+        # UppercaseFormatter (reference: highlight.py::WholeFragmenter ~L210,
+        # UppercaseFormatter ~L330) degenerates to a deterministic per-token
+        # transform DuckDB can mirror (list_transform + CASE). This pins the
+        # REAL highlight pipeline — _token_spans' DEFAULT_TOKEN_PATTERN
+        # matching, lowercase compare, fragment render — end to end; only
+        # the fragment-SELECTION math (context/sentence scoring) stays
+        # rows-only in highlight_snippets.
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        norm = docs.select(
+            "doc_id",
+            F.trim(F.regexp_replace("text", "[^A-Za-z]+", " ")).alias("ntext"),
+        )
+
+        @F.pandas_udf("string")
+        def hl(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: highlights(t or "", {"spark", "join"}, top=1,
+                                     fmt="upper", fragmenter="whole")
+            )
+
+        return (norm.select("doc_id", hl(F.col("ntext")).alias("highlight"))
+                .orderBy("doc_id"))
+
+    add(
+        "highlight_whole_upper",
+        _highlight_whole,
+        """
+SELECT doc_id,
+  array_to_string(
+    list_transform(
+      string_split(trim(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' '),
+      t -> CASE WHEN lower(t) IN ('spark','join') THEN upper(t) ELSE t END),
+    ' ') AS highlight
+FROM documents ORDER BY doc_id
+""",
+    )
 
     # ----------------------- stemming (rows-only) ------------------------
 
