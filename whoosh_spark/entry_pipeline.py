@@ -187,6 +187,48 @@ def _pipeline_registry() -> dict:
             "GROUP BY doc_id HAVING count(*) = 2"
         ),
     )
+    def _wand_batch(spark, sf):
+        # Batched query-set execution: 3 queries, ONE Spark action
+        # (wand_topk_many), per-query rounded re-rank (same tie discipline
+        # as the single-query entries)
+        from pyspark.sql import Window
+
+        from whoosh_spark.search.wand import wand_topk_many
+
+        six = _turns_index(spark, sf)
+        queries = {0: ["spark"], 1: ["merge", "join", "window"],
+                   2: ["hash", "join"]}
+        raw = wand_topk_many(six, "text", queries, k=3 * K)
+        rounded = raw.withColumn("score", F.round("score", 4))
+        rn = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id")))
+        return (rounded.withColumn("rn", rn).where(F.col("rn") <= K)
+                .drop("rn")
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+    add(
+        "turns_wand_batch_topk",
+        _wand_batch,
+        TURNS_PRELUDE
+        + """
+SELECT query_id, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT 0 AS query_id, doc_id, score FROM scored WHERE term = 'spark'
+    UNION ALL
+    SELECT 1, doc_id, sum(score) FROM scored
+      WHERE term IN ('merge','join','window') GROUP BY doc_id
+    UNION ALL
+    SELECT 2, doc_id, sum(score) FROM scored
+      WHERE term IN ('hash','join') GROUP BY doc_id
+  )
+) WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id ASC
+""",
+    )
+
     add(
         "turns_lexicon_stats",
         lambda spark, sf: _turns_index(spark, sf)

@@ -362,3 +362,125 @@ def wand_topk(
                            shard_docs=shard_docs)
     local = data.groupBy(*group_cols).applyInPandas(fn, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_topk_many(
+    ix: SegmentedIndex,
+    fieldname: str,
+    queries: "dict[int, list[str]]",
+    k: int = 10,
+    mode: str = "or",
+    prune: bool = True,
+    seed_blocks: int = 16,
+    weighting: BM25F | None = None,
+    shard_docs: int | str | None = "auto",
+) -> DataFrame:
+    """Batched WAND: an entire query SET as ONE Spark action, returning
+    (query_id, doc_id, score) with per-query top-k.
+
+    This is the reference-query-set evaluation pattern (the north rule
+    grades rank-identity over a query set, and offline eval / relevance
+    sweeps at 100 TB run thousands of queries against one index): serial
+    per-query execution pays a ~0.8 s/query driver-orchestration floor
+    that neither grows with data nor shrinks with cores (BENCH.md
+    "Query-side scaling"); batching amortizes it across the whole set —
+    one scan pruned to the UNION of all query terms, one shuffle, one
+    kernel wave, one collect.
+
+    Plan shape: blocks scan pruned to all queries' terms -> broadcast-join
+    per-term df (stats) and the (term -> query_id) map, which REPLICATES a
+    shared term's block rows per query (queries are independent top-k
+    problems; sharing the scan, not the kernel) -> groupBy (query_id,
+    segment_id[, doc-range shard]) -> the SAME single-query kernel per
+    group (make_segment_wand, bit-identical scores by construction) ->
+    per-query window top-k. Delete markers replicate per query so every
+    group masks the same delete set. Per-query results are EXACTLY
+    wand_topk's (pinned in tests/test_segments.py)."""
+    if not queries:
+        return ix.spark.createDataFrame(
+            [], "query_id long, doc_id long, score double")
+    w = weighting or BM25F()
+    if getattr(w, "use_final", False):
+        raise ValueError(
+            "final()-hook models are excluded from block-max pruning — "
+            "use Searcher.search instead")
+    fs = ix.schema[fieldname]
+    if not fs.scorable:
+        raise ValueError(
+            f"block-max WAND needs a scorable field; {fieldname!r} is not")
+    B, K1 = w._b_for(fs), w.K1
+    avgdl = ix.avg_field_length(fieldname)
+    n = ix.doc_count
+    queries = {int(q): list(dict.fromkeys(ts)) for q, ts in queries.items()}
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    stats = ix.terms.where(
+        (F.col("field") == fieldname) & F.col("term").isin(all_terms)
+    ).select("term", "df")
+    from whoosh_spark.util import inline_rows
+
+    qmap = inline_rows(
+        ix.spark,
+        [(t, q) for q, ts in queries.items() for t in ts],
+        "term string, _qid long",
+    )
+    blocks = (
+        ix.blocks.drop("pos_counts", "pos_vals")
+        .where((F.col("field") == fieldname) & F.col("term").isin(all_terms))
+        .join(F.broadcast(stats), "term")
+        .join(F.broadcast(qmap), "term")
+    )
+    if shard_docs == "auto":
+        par = max(ix.spark.sparkContext.defaultParallelism, 1)
+        shard_docs = max(-(-n // (4 * par)), 65536) if n > 65536 else None
+    group_cols = ["_qid", "segment_id"]
+    if shard_docs:
+        blocks = blocks.withColumn(
+            "_shard",
+            F.explode(F.sequence(F.floor(F.col("min_doc") / shard_docs),
+                                 F.floor(F.col("max_doc") / shard_docs))),
+        )
+        group_cols.append("_shard")
+    deleted = getattr(ix, "deleted", None)
+    if deleted is not None:
+        rng = ix.seg_ranges()
+        marks = (
+            deleted.join(
+                F.broadcast(rng),
+                (F.col("doc_id") >= F.col("doc_lo"))
+                & (F.col("doc_id") < F.col("doc_hi")),
+            )
+            .select("segment_id", F.col("doc_id").alias("_del_doc"))
+            # every query's groups mask the same delete set
+            .withColumn("_qid", F.explode(F.array(
+                *[F.lit(q).cast("long") for q in queries])))
+        )
+        if shard_docs:
+            marks = marks.withColumn(
+                "_shard", F.floor(F.col("_del_doc") / shard_docs).cast("long"))
+        data = blocks.withColumn(
+            "_del_doc", F.lit(None).cast("long")
+        ).unionByName(marks, allowMissingColumns=True)
+    else:
+        data = blocks
+
+    kernels = {
+        q: make_segment_wand(ts, n, avgdl, B, K1, k, mode, prune,
+                             seed_blocks, shard_docs=shard_docs)
+        for q, ts in queries.items()
+    }
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["_qid"].iloc[0])
+        out = kernels[qid](pdf)
+        out.insert(0, "query_id", np.int64(qid))
+        return out
+
+    local = data.groupBy(*group_cols).applyInPandas(
+        run, "query_id long, doc_id long, score double")
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id")))
+    return (local.withColumn("_rn", rn).where(F.col("_rn") <= k)
+            .drop("_rn").orderBy("query_id", F.desc("score"), F.asc("doc_id")))
