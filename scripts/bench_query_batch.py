@@ -73,13 +73,37 @@ def main():
         by_q.get(q, []) == [(r.doc_id, r.score) for r in serial_rows[q]]
         for q in queries
     )
+    # executor path (arbitrary query trees): Searcher.search_many vs serial
+    from whoosh_spark import query as Q
+    from whoosh_spark.search import Searcher
+
+    s = Searcher(six)
+    trees = {q: Q.Or([Q.Term("text", t) for t in ts])
+             for q, ts in queries.items()}
+    s.search(trees[0], limit=10).collect()  # warm
+    t0 = time.perf_counter()
+    ex_serial_rows = {q: s.search(t, limit=10).collect()
+                      for q, t in trees.items()}
+    ex_serial = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ex_batch_rows = s.search_many(trees, limit=10).collect()
+    ex_batch = round(time.perf_counter() - t0, 2)
+    ex_by_q = {}
+    for r in ex_batch_rows:
+        ex_by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    ex_parity = all(
+        ex_by_q.get(q, []) == [(r.doc_id, r.score) for r in ex_serial_rows[q]]
+        for q in trees
+    )
     print(json.dumps({
         "turns": TURNS, "n_queries": N_QUERIES,
-        "serial_wall_s": serial, "batch_wall_s": batch,
-        "speedup": round(serial / batch, 2),
-        "serial_qps": round(N_QUERIES / serial, 2),
-        "batch_qps": round(N_QUERIES / batch, 2),
-        "parity": parity,
+        "wand_serial_wall_s": serial, "wand_batch_wall_s": batch,
+        "wand_speedup": round(serial / batch, 2),
+        "wand_parity": parity,
+        "executor_serial_wall_s": ex_serial,
+        "executor_batch_wall_s": ex_batch,
+        "executor_speedup": round(ex_serial / ex_batch, 2),
+        "executor_parity": ex_parity,
     }))
 
 

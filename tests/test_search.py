@@ -540,3 +540,28 @@ def test_regex_explicit_end_anchor_still_works(searcher, oracle):
     q = Q.Regex("text", "s.*k$")
     got = ids(searcher.search(q, limit=None))
     assert got == sorted(oracle.matching("spark"))
+
+
+def test_search_many_equals_per_query(searcher):
+    """Batched query-set evaluation (ONE action) returns exactly each
+    query's search() rows — arbitrary trees: booleans, phrase, prefix,
+    numeric range, an empty-result query."""
+    queries = {
+        0: Q.Term("text", "spark"),
+        1: Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
+        2: Q.Phrase("text", ["hash", "join"]),
+        3: Q.Prefix("text", "sc"),
+        4: Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")]),
+        5: Q.NumericRange("n", 4, 5),
+        9: Q.Term("text", "zzzznope"),
+    }
+    batch = searcher.search_many(queries, limit=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert set(by_q) <= set(queries)
+    for qid, q in queries.items():
+        solo = [(r.doc_id, r.score)
+                for r in searcher.search(q, limit=5).collect()]
+        assert by_q.get(qid, []) == solo, qid
+    assert 9 not in by_q  # empty result set contributes no rows

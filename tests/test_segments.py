@@ -127,6 +127,59 @@ def test_wand_missing_term(six):
     assert a == b
 
 
+
+def test_wand_batch_equals_per_query(spark, six):
+    """wand_topk_many (one action for the whole query set) returns EXACTLY
+    each query's wand_topk rows — bit-identical scores, same tie order —
+    including a query with a globally-missing term and mixed overlap of
+    terms across queries (shared-term block rows replicate per query)."""
+    from whoosh_spark.search.wand import wand_topk_many
+
+    queries = {
+        0: ["spark"],
+        1: ["merge", "join", "window"],
+        2: ["data", "line", "the"],
+        3: ["spark", "zzzznope"],  # missing term: OR degrades to the rest
+        7: ["join", "merge"],      # overlaps q1's terms
+    }
+    batch = wand_topk_many(six, "text", queries, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert set(by_q) <= set(queries)
+    for qid, terms in queries.items():
+        solo = [(r.doc_id, r.score)
+                for r in wand_topk(six, "text", terms, k=10).collect()]
+        assert by_q.get(qid, []) == solo, qid
+
+
+def test_wand_batch_and_mode_and_deletes(spark, corpus, tmp_path_factory):
+    """Batched AND-mode parity on an index WITH deletions: the delete
+    markers must replicate into every query's kernel groups."""
+    from whoosh_spark.indexing.segments import delete_docs
+    from whoosh_spark.search.wand import wand_topk_many
+
+    path = str(tmp_path_factory.mktemp("batchdel") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
+    six0 = open_segments(spark, path, corpus, transcript_schema())
+    victims = [r.doc_id
+               for r in wand_topk(six0, "text", ["spark"], k=3).collect()]
+    delete_docs(spark, path, victims)
+    six = open_segments(spark, path, corpus, transcript_schema())
+
+    queries = {0: ["hash", "join"], 1: ["spark", "data"]}
+    batch = wand_topk_many(six, "text", queries, k=8, mode="and").collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    for qid, terms in queries.items():
+        solo = [(r.doc_id, r.score)
+                for r in wand_topk(six, "text", terms, k=8,
+                                   mode="and").collect()]
+        assert by_q.get(qid, []) == solo, qid
+        assert not set(victims) & {d for d, _ in by_q.get(qid, [])}
+
+
 def test_parallelism_invariance(spark, corpus, tmp_path_factory, six):
     """mpwriter analogue: different segment counts -> identical search."""
     path2 = str(tmp_path_factory.mktemp("segix2") / "ix")
@@ -334,55 +387,3 @@ def test_wand_field_b_override_matches_searcher(spark, corpus, seg_path):
     assert [r.doc_id for r in got] == [r.doc_id for r in exp]
     for a, b in zip(got, exp):
         assert a.score == pytest.approx(b.score, rel=1e-9)
-
-
-def test_wand_batch_equals_per_query(spark, six):
-    """wand_topk_many (one action for the whole query set) returns EXACTLY
-    each query's wand_topk rows — bit-identical scores, same tie order —
-    including a query with a globally-missing term and mixed overlap of
-    terms across queries (shared-term block rows replicate per query)."""
-    from whoosh_spark.search.wand import wand_topk_many
-
-    queries = {
-        0: ["spark"],
-        1: ["merge", "join", "window"],
-        2: ["data", "line", "the"],
-        3: ["spark", "zzzznope"],  # missing term: OR degrades to the rest
-        7: ["join", "merge"],      # overlaps q1's terms
-    }
-    batch = wand_topk_many(six, "text", queries, k=10).collect()
-    by_q = {}
-    for r in batch:
-        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
-    assert set(by_q) <= set(queries)
-    for qid, terms in queries.items():
-        solo = [(r.doc_id, r.score)
-                for r in wand_topk(six, "text", terms, k=10).collect()]
-        assert by_q.get(qid, []) == solo, qid
-
-
-def test_wand_batch_and_mode_and_deletes(spark, corpus, tmp_path_factory):
-    """Batched AND-mode parity on an index WITH deletions: the delete
-    markers must replicate into every query's kernel groups."""
-    from whoosh_spark.indexing.segments import delete_docs
-    from whoosh_spark.search.wand import wand_topk_many
-
-    path = str(tmp_path_factory.mktemp("batchdel") / "ix")
-    build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
-    six0 = open_segments(spark, path, corpus, transcript_schema())
-    victims = [r.doc_id
-               for r in wand_topk(six0, "text", ["spark"], k=3).collect()]
-    delete_docs(spark, path, victims)
-    six = open_segments(spark, path, corpus, transcript_schema())
-
-    queries = {0: ["hash", "join"], 1: ["spark", "data"]}
-    batch = wand_topk_many(six, "text", queries, k=8, mode="and").collect()
-    by_q = {}
-    for r in batch:
-        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
-    for qid, terms in queries.items():
-        solo = [(r.doc_id, r.score)
-                for r in wand_topk(six, "text", terms, k=8,
-                                   mode="and").collect()]
-        assert by_q.get(qid, []) == solo, qid
-        assert not set(victims) & {d for d, _ in by_q.get(qid, [])}

@@ -159,6 +159,52 @@ def _registry() -> dict:
         _sql_topk("SELECT doc_id, score FROM scored WHERE term = 'spark'"),
     )
 
+    def _batch_query(spark, sf):
+        # Searcher.search_many: 3 heterogeneous query trees (term / OR /
+        # positional phrase), ONE Spark action, per-query rounded re-rank
+        from pyspark.sql import Window
+
+        s = _docs_searcher(spark, sf)
+        queries = {
+            0: Q.Term("text", "spark"),
+            1: Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")]),
+            2: Q.Phrase("text", ["hash", "join"]),
+        }
+        raw = s.search_many(queries, limit=3 * K)
+        rounded = raw.withColumn("score", F.round("score", 4))
+        rn = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id")))
+        return (rounded.withColumn("rn", rn).where(F.col("rn") <= K)
+                .drop("rn")
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+    add(
+        "batch_query_topk",
+        _batch_query,
+        PRELUDE
+        + """
+SELECT query_id, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT 0 AS query_id, doc_id, score FROM scored WHERE term = 'spark'
+    UNION ALL
+    SELECT 1, doc_id, sum(score) FROM scored
+      WHERE term IN ('spark','vector') GROUP BY doc_id
+    UNION ALL
+    SELECT 2, s.doc_id, sum(s.score) FROM scored s
+      WHERE s.term IN ('hash','join')
+      AND s.doc_id IN (SELECT a.doc_id FROM ftok a JOIN ftok b
+                       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                       WHERE a.term = 'hash' AND b.term = 'join')
+      GROUP BY s.doc_id HAVING count(*) = 2
+  )
+) WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id ASC
+""",
+    )
+
     add(
         "and_bm25_topk",
         lambda spark, sf: _topk(
@@ -779,7 +825,7 @@ _WINDOW_FIRST = [
     "regex_bm25_topk", "copyfield_parse_topk",
     "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",
     "dedup_cluster_full_pairs", "highlight_whole_upper",
-    "turns_wand_batch_topk",
+    "turns_wand_batch_topk", "batch_query_topk",
     # -- (2) round-3-changed code paths --
     "variations_topk", "variations_irregular_topk",
     "daterange_nl", "multifield_or_topk",

@@ -595,6 +595,48 @@ class Searcher:
         res.partial = not out.get("done", False)
         return res
 
+    def search_many(self, queries: "dict[int, Q.Query]",
+                    limit: int = 10) -> DataFrame:
+        """Batched evaluation of a QUERY SET as ONE Spark action ->
+        (query_id, doc_id, score), per-query top-``limit`` in the score
+        heap order.
+
+        The offline-eval shape (run the reference query set, relevance
+        sweeps) for ARBITRARY query trees — booleans, phrases, spans,
+        ranges, anything compile() accepts: each query's scored plan is
+        tagged with its query_id and the branches union into one job, so
+        the per-query driver-orchestration floor (BENCH.md "Query-side
+        scaling") is paid once per SET, and ALL queries' stats resolve in
+        ONE pushed-down lookup job up front (the per-query compile()
+        prefetch then hits the warm LRU). Per-query rows are exactly
+        search(q, limit=limit)'s. For flat term OR/AND sets prefer the
+        block-max kernel batch (wand.wand_topk_many), which also prunes."""
+        if not queries:
+            return self.index.spark.createDataFrame(
+                [], "query_id long, doc_id long, score double")
+        pairs = [p for q in queries.values()
+                 for p in _leaf_terms(q.normalize())]
+        if pairs:
+            self.index.prefetch_stats(pairs)
+        from functools import reduce
+
+        branches = []
+        for qid, q in queries.items():
+            scored = self.compile(q)
+            if getattr(self.weighting, "use_final", False):
+                scored = scored.withColumn(
+                    "score", self.weighting.final_expr(F.col("score")))
+            branches.append(scored.select(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                "doc_id", "score"))
+        un = reduce(DataFrame.unionByName, branches)
+        rn = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id")))
+        return (un.withColumn("_rn", rn).where(F.col("_rn") <= limit)
+                .drop("_rn")
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
     def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw) -> DataFrame:
         """Pagination (searching.py::Searcher.search_page ~L700): top
         pagenum*pagelen then slice — the top set is small, so the final
