@@ -138,6 +138,18 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     six = open_segments(spark, seg_path, corpus, transcript_schema())
     timed("q_wand_or", lambda: wand_topk(six, "text", ["merge", "join", "window"]).collect())
     timed("q_wand_and", lambda: wand_topk(six, "text", ["hash", "join"], mode="and").collect())
+    from whoosh_spark.search.wand import wand_topk_many
+
+    # 8-query set in ONE action (batched offline-eval shape; per-query
+    # results bit-identical to serial wand_topk — tests/test_segments.py)
+    _batch_qs = {
+        0: ["merge", "join", "window"], 1: ["hash", "join"],
+        2: ["spark"], 3: ["scan", "filter", "group"],
+        4: ["batch", "stream"], 5: ["query", "engine"],
+        6: ["sort", "shuffle", "partition"], 7: ["table", "row"],
+    }
+    timed("q_wand_batch8",
+          lambda: wand_topk_many(six, "text", _batch_qs).collect())
 
     # -- 5. pipeline operators over the sf corpus ---------------------------
     from whoosh_spark.pipeline import (
