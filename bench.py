@@ -150,6 +150,12 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     }
     timed("q_wand_batch8",
           lambda: wand_topk_many(six, "text", _batch_qs).collect())
+    from whoosh_spark.search.wand import wand_phrase_topk
+
+    # positional phrase on the pruned path (lazy per-block position decode,
+    # score-ordered verify); executor q_phrase above is the unpruned plan
+    timed("q_wand_phrase",
+          lambda: wand_phrase_topk(six, "text", ["hash", "join"]).collect())
 
     # -- 5. pipeline operators over the sf corpus ---------------------------
     from whoosh_spark.pipeline import (

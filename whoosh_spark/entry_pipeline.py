@@ -229,6 +229,32 @@ SELECT query_id, doc_id, score FROM (
 """,
     )
 
+    def _wand_phrase(spark, sf):
+        # Block-max phrase WAND over the physical index: lazy per-block
+        # position decode + score-ordered verify with early exit
+        # (wand.wand_phrase_topk); same rounded re-rank tie discipline as
+        # the other turns_wand entries
+        from whoosh_spark.search.wand import wand_phrase_topk
+
+        six = _turns_index(spark, sf)
+        raw = wand_phrase_topk(six, "text", ["window", "merge", "join"],
+                               k=3 * K, slop=2)
+        return _rounded(raw).orderBy(F.desc("score"), F.asc("doc_id")).limit(K)
+
+    add(
+        "turns_wand_phrase_topk",
+        _wand_phrase,
+        _turns_sql_topk(
+            "SELECT s.doc_id, sum(s.score) AS score FROM scored s "
+            "WHERE s.term IN ('window','merge','join') AND s.doc_id IN ("
+            "SELECT a.doc_id FROM ftok a "
+            "JOIN ftok b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2 "
+            "JOIN ftok c ON b.doc_id = c.doc_id AND c.pos > b.pos AND c.pos <= b.pos + 2 "
+            "WHERE a.term = 'window' AND b.term = 'merge' AND c.term = 'join') "
+            "GROUP BY s.doc_id HAVING count(*) = 3"
+        ),
+    )
+
     add(
         "turns_lexicon_stats",
         lambda spark, sf: _turns_index(spark, sf)

@@ -825,7 +825,7 @@ _WINDOW_FIRST = [
     "regex_bm25_topk", "copyfield_parse_topk",
     "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",
     "dedup_cluster_full_pairs", "highlight_whole_upper",
-    "turns_wand_batch_topk", "batch_query_topk",
+    "turns_wand_batch_topk", "batch_query_topk", "turns_wand_phrase_topk",
     # -- (2) round-3-changed code paths --
     "variations_topk", "variations_irregular_topk",
     "daterange_nl", "multifield_or_topk",

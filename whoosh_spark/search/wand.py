@@ -364,6 +364,309 @@ def wand_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _decode_block_positions(pc, pv, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """One block's position payload -> (offsets[n+1], values) arrays.
+    ``pc`` (uint16 per-posting counts) may be None for non-positional
+    blocks (ID/KEYWORD fields) — those yield zero positions per posting,
+    which makes every phrase chain over them empty, matching the executor's
+    null-positions no-match semantics."""
+    if pc is None:
+        return np.zeros(int(n) + 1, dtype=np.int64), np.empty(0, dtype=np.int64)
+    counts = np.frombuffer(pc, dtype=np.uint16).astype(np.int64)
+    vals = varint_decode(pv) if pv else np.empty(0, dtype=np.int64)
+    return np.concatenate(([0], np.cumsum(counts))), vals
+
+
+def make_segment_phrase_wand(words: list[str], n_docs: int, avgdl: float,
+                             B: float, K1: float, k: int, slop: int,
+                             prune: bool = True,
+                             shard_docs: int | None = None,
+                             deleted: np.ndarray | None = None,
+                             verify_chunk: int | None = None):
+    """Per-segment phrase top-k kernel (see wand_phrase_topk for the plan).
+
+    Three vectorized stages, each skipping work the reference's
+    doc-at-a-time intersection+positions matcher (positional.py::Phrase ->
+    SpanNear2 over W3LeafMatcher.skip_to) saves with seeks:
+
+    1. **Candidate intersection with block-range skipping**: decode the
+       RAREST word's postings first (fewest blocks); every other word's
+       blocks are decoded only if their [min_doc, max_doc] range stabs a
+       surviving candidate (vectorized searchsorted interval test — the
+       batch form of skip_to). Candidates shrink monotonically, cheapest
+       word first.
+    2. **Conjunction scores**: the phrase score IS the And score (the span
+       chain filters, it does not rescore — executor._c_phrase), so scores
+       for all candidates come from the already-decoded tf/dl arrays,
+       summed in WORD order (duplicate words contribute once per slot) with
+       the same left-associative float64 fold as the executor's reduce —
+       bit-identical scores.
+    3. **Score-ordered positional verification with early exit**: position
+       payloads are varint-decoded lazily PER BLOCK, only for blocks
+       holding docs reached by the verify frontier. Candidates are checked
+       in (score desc, doc asc) order in chunks; once k phrase matches
+       exist and the next candidate's conjunction score cannot outrank the
+       k-th match (ties resolve doc-asc, and the verify order already IS
+       the final order), the remaining candidates' positions are never
+       decoded. The chain test per chunk is one sorted searchsorted pass
+       per word over composite (doc, position) int64 keys — the
+       SpanNear2 window (prev < x <= prev + slop) with no per-doc Python
+       loop in the match test.
+    """
+    n_slots = len(words)
+    uniq_terms = list(dict.fromkeys(words))
+    idf_slot_of = [uniq_terms.index(w) for w in words]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float64)})
+        dele = deleted
+        if "_del_doc" in pdf.columns:
+            dmask = pdf["_del_doc"].notna()
+            if dmask.any():
+                marked = np.unique(pdf.loc[dmask, "_del_doc"].to_numpy(dtype=np.int64))
+                dele = marked if dele is None else np.union1d(marked, dele)
+                pdf = pdf[~dmask]
+        if len(pdf) == 0:
+            return empty
+        shard_lo = shard_hi = None
+        if shard_docs and "_shard" in pdf.columns:
+            sh = int(pdf["_shard"].iloc[0])
+            shard_lo, shard_hi = sh * shard_docs, (sh + 1) * shard_docs
+        pdf = pdf.reset_index(drop=True)
+        present = set(pdf["term"])
+        if any(t not in present for t in uniq_terms):
+            return empty  # AND semantics: a word absent here matches nothing
+        term_rows = {t: pdf[pdf["term"] == t] for t in uniq_terms}
+        idfs_u = np.array([
+            idf_fn(n_docs, int(term_rows[t]["df"].iloc[0])) for t in uniq_terms
+        ])
+
+        def decode_term(rows: pd.DataFrame):
+            n_per = rows["n"].to_numpy(dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(n_per)))[:-1]
+            doc = segmented_cumsum(varint_decode(b"".join(rows["doc_deltas"])), starts)
+            tf = np.frombuffer(b"".join(rows["weights"]), dtype=np.float32).astype(np.float64)
+            dl = np.frombuffer(b"".join(rows["dls"]), dtype=np.uint16).astype(np.float64)
+            rowrep = np.repeat(rows.index.to_numpy(), n_per)
+            inblk = np.arange(doc.size, dtype=np.int64) - np.repeat(starts, n_per)
+            return doc, tf, dl, rowrep, inblk
+
+        # ---- stage 1: candidate intersection, cheapest word first ----
+        order_terms = sorted(uniq_terms,
+                             key=lambda t: int(term_rows[t]["n"].sum()))
+        data: dict[str, tuple] = {}
+        C = None  # sorted candidate doc ids (unique: one posting per doc/term)
+        for ti, t in enumerate(order_terms):
+            rows = term_rows[t]
+            if C is not None:
+                # block-range skipping: decode only blocks stabbing a candidate
+                lo = np.searchsorted(C, rows["min_doc"].to_numpy(dtype=np.int64), side="left")
+                hi = np.searchsorted(C, rows["max_doc"].to_numpy(dtype=np.int64), side="right")
+                rows = rows[hi > lo]
+                if len(rows) == 0:
+                    return empty
+            arrs = decode_term(rows)
+            doc = arrs[0]
+            if ti == 0:
+                m = np.ones(doc.size, dtype=bool)
+                if shard_lo is not None:
+                    m &= (doc >= shard_lo) & (doc < shard_hi)
+                if dele is not None and dele.size:
+                    m &= ~np.isin(doc, dele)
+            else:
+                # candidate membership implies shard + delete filtering
+                m = np.isin(doc, C, assume_unique=False)
+            if not m.all():
+                arrs = tuple(a[m] for a in arrs)
+                doc = arrs[0]
+            if doc.size == 0:
+                return empty
+            srt = np.argsort(doc)
+            arrs = tuple(a[srt] for a in arrs)
+            data[t] = arrs
+            C = arrs[0]
+        # earlier-decoded terms may still hold docs dropped by later words
+        for t in uniq_terms:
+            arrs = data[t]
+            if arrs[0].size != C.size:
+                sel = np.isin(arrs[0], C, assume_unique=True)
+                data[t] = tuple(a[sel] for a in arrs)
+        # every data[t][0] now equals C exactly (sorted, aligned)
+
+        # ---- stage 2: conjunction scores, word-order left-assoc fold ----
+        score = None
+        for s, wd in enumerate(words):
+            _, tf_t, dl_t, _, _ = data[wd]
+            contrib = _bm25_np(idfs_u[idf_slot_of[s]], tf_t, dl_t, avgdl, B, K1)
+            score = contrib if score is None else score + contrib
+
+        # ---- stage 3: score-ordered positional verify, early exit ----
+        vorder = np.lexsort((C, -score))
+        pos_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        pc_col = pdf["pos_counts"].to_numpy()
+        pv_col = pdf["pos_vals"].to_numpy()
+        n_col = pdf["n"].to_numpy(dtype=np.int64)
+
+        def keys_for(word: str, cand_idx: np.ndarray) -> np.ndarray:
+            """(chunk-local doc index << 32 | position) keys, sorted."""
+            _, _, _, rowrep, inblk = data[word]
+            rws, ibs = rowrep[cand_idx], inblk[cand_idx]
+            parts = []
+            for li in range(cand_idx.size):
+                r = int(rws[li])
+                ent = pos_cache.get(r)
+                if ent is None:
+                    ent = pos_cache[r] = _decode_block_positions(
+                        pc_col[r], pv_col[r], n_col[r])
+                offs, vals = ent
+                b = int(ibs[li])
+                p = vals[offs[b]:offs[b + 1]]
+                if p.size:
+                    parts.append((np.int64(li) << np.int64(32)) + p)
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            return np.sort(np.concatenate(parts))
+
+        chunk = (C.size if not prune
+                 else (verify_chunk or max(4 * k, 64)))
+        matched_docs: list[np.ndarray] = []
+        matched_scores: list[np.ndarray] = []
+        n_matched = 0
+        pos0 = 0
+        base_mask = np.int64(-1) << np.int64(32)
+        while pos0 < vorder.size:
+            ci = vorder[pos0:pos0 + chunk]
+            cur = keys_for(words[0], ci)
+            for wd in words[1:]:
+                if cur.size == 0:
+                    break
+                x = keys_for(wd, ci)
+                if x.size == 0:
+                    cur = x
+                    break
+                lo_val = np.maximum(x - slop, x & base_mask)
+                lo = np.searchsorted(cur, lo_val, side="left")
+                hi = np.searchsorted(cur, x - 1, side="right")
+                cur = x[hi > lo]
+            if cur.size:
+                loc = np.unique(cur >> np.int64(32))
+                hit = ci[loc]
+                matched_docs.append(C[hit])
+                matched_scores.append(score[hit])
+                n_matched += loc.size
+            pos0 += chunk
+            if prune and n_matched >= k and pos0 < vorder.size:
+                kth = np.concatenate(matched_scores)[k - 1]
+                # verify order == final (score desc, doc asc) order: an
+                # unverified candidate with score == kth has a LARGER
+                # doc_id than the k-th match, so it cannot enter the top-k
+                if score[vorder[pos0]] <= kth:
+                    break
+        if not matched_docs:
+            return empty
+        return _head_k(np.concatenate(matched_docs),
+                       np.concatenate(matched_scores), k)
+
+    return run
+
+
+def wand_phrase_topk(
+    ix: SegmentedIndex,
+    fieldname: str,
+    words: list[str],
+    k: int = 10,
+    slop: int = 1,
+    prune: bool = True,
+    weighting: BM25F | None = None,
+    shard_docs: int | str | None = "auto",
+    verify_chunk: int | None = None,
+) -> DataFrame:
+    """Pruned phrase top-k (doc_id, score) over the physical block store —
+    the scale path for positional queries.
+
+    The executor's phrase plan (executor._c_phrase, mirroring the
+    reference's positional.py::Phrase -> SpanNear2 chain) inner-joins the
+    FULL posting lists of every word and runs the position chain on every
+    co-occurring doc; for a phrase of common words at corpus scale that
+    decodes positions for millions of docs that can never reach the top-k.
+    This kernel keeps the exact same semantics (results are bit-identical,
+    pinned in tests/test_phrase_wand.py) but bounds the work three ways:
+    block-range candidate skipping (only blocks of the non-rarest words
+    that can contain a surviving candidate are decoded — the vectorized
+    form of the reference matcher's skip_to), conjunction-score bounds
+    (the phrase score is exactly the And score, so candidates are
+    position-verified in score order and verification STOPS once the k-th
+    best verified match dominates every remaining candidate), and lazy
+    per-block position decode (position payloads — the bulk of a
+    positional index — are only varint-decoded for blocks the verify
+    frontier actually touches).
+
+    Plan shape: blocks scan pruned to the phrase's terms (row-group
+    min/max on the sorted term column, positions KEPT) -> broadcast-join
+    per-term df -> groupBy (segment_id[, doc-range shard]) -> per-group
+    kernel -> global orderBy(score desc, doc_id asc).limit(k). Shard and
+    delete handling are identical to wand_topk (doc-disjoint shards with
+    straddling-block replication; deletes as marker rows). Fields indexed
+    without positions (phrase=False) return no matches, same as the
+    executor's null-positions semantics.
+    """
+    w = weighting or BM25F()
+    if getattr(w, "use_final", False):
+        raise ValueError(
+            "final()-hook models are excluded from block-max pruning — "
+            "use Searcher.search instead")
+    fs = ix.schema[fieldname]
+    if not fs.scorable:
+        raise ValueError(
+            f"block-max phrase WAND needs a scorable field; {fieldname!r} "
+            "is not — use Searcher.search")
+    if not words:
+        return ix.spark.createDataFrame([], "doc_id long, score double")
+    B, K1 = w._b_for(fs), w.K1
+    avgdl = ix.avg_field_length(fieldname)
+    n = ix.doc_count
+    uniq_terms = list(dict.fromkeys(words))
+    stats = ix.terms.where(
+        (F.col("field") == fieldname) & F.col("term").isin(uniq_terms)
+    ).select("term", "df")
+    blocks = (
+        ix.blocks  # positions kept: the kernel decodes them lazily per block
+        .where((F.col("field") == fieldname) & F.col("term").isin(uniq_terms))
+        .join(F.broadcast(stats), "term")
+    )
+    if shard_docs == "auto":
+        par = max(ix.spark.sparkContext.defaultParallelism, 1)
+        shard_docs = max(-(-n // (4 * par)), 65536) if n > 65536 else None
+    group_cols = ["segment_id"]
+    if shard_docs:
+        blocks = blocks.withColumn(
+            "_shard",
+            F.explode(F.sequence(F.floor(F.col("min_doc") / shard_docs),
+                                 F.floor(F.col("max_doc") / shard_docs))),
+        )
+        group_cols.append("_shard")
+    deleted = getattr(ix, "deleted", None)
+    if deleted is not None:
+        rng = ix.seg_ranges()
+        marks = deleted.join(
+            F.broadcast(rng),
+            (F.col("doc_id") >= F.col("doc_lo")) & (F.col("doc_id") < F.col("doc_hi")),
+        ).select("segment_id", F.col("doc_id").alias("_del_doc"))
+        if shard_docs:
+            marks = marks.withColumn(
+                "_shard", F.floor(F.col("_del_doc") / shard_docs).cast("long"))
+        data = blocks.withColumn("_del_doc", F.lit(None).cast("long")).unionByName(
+            marks, allowMissingColumns=True)
+    else:
+        data = blocks
+    fn = make_segment_phrase_wand(words, n, avgdl, B, K1, k, int(slop), prune,
+                                  shard_docs=shard_docs,
+                                  verify_chunk=verify_chunk)
+    local = data.groupBy(*group_cols).applyInPandas(fn, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def wand_topk_many(
     ix: SegmentedIndex,
     fieldname: str,
