@@ -58,7 +58,8 @@ def main():
     for words, slop in PHRASES:
         t0 = time.time()
         ref = [(r.doc_id, round(r.score, 9)) for r in
-               s.search(Q.Phrase("text", words, slop=slop)).collect()]
+               s.search(Q.Phrase("text", words, slop=slop),
+                        optimize=False).collect()]
         t_exec = time.time() - t0
         t0 = time.time()
         got = [(r.doc_id, round(r.score, 9)) for r in

@@ -53,7 +53,8 @@ CASES = [
 def _ref(six, words, slop, k=10):
     return [
         (r.doc_id, r.score)
-        for r in Searcher(six).search(Q.Phrase("text", words, slop=slop), limit=k).collect()
+        for r in Searcher(six).search(Q.Phrase("text", words, slop=slop), limit=k,
+                                      optimize=False).collect()
     ]
 
 

@@ -94,7 +94,7 @@ def test_search_parity_segmented_vs_logical(six, lix):
     ]
     sa, sb = Searcher(six), Searcher(lix)
     for q in qs:
-        assert sa.search(q).collect() == sb.search(q).collect(), q
+        assert sa.search(q, optimize=False).collect() == sb.search(q).collect(), q
 
 
 def test_wand_pruned_equals_unpruned_equals_executor(six):
@@ -107,7 +107,9 @@ def test_wand_pruned_equals_unpruned_equals_executor(six):
     ]
     for terms, mode in cases:
         mk = Q.Or if mode == "or" else Q.And
-        ref = [(r.doc_id, r.score) for r in s.search(mk([Q.Term("text", t) for t in terms])).collect()]
+        ref = [(r.doc_id, r.score)
+               for r in s.search(mk([Q.Term("text", t) for t in terms]),
+                                 optimize=False).collect()]
         for prune in (False, True):
             for seed in (2, 16):
                 got = [
@@ -126,6 +128,51 @@ def test_wand_missing_term(six):
     b = wand_topk(six, "text", ["spark"], mode="or").collect()
     assert a == b
 
+
+
+def test_search_optimize_routes_to_wand(six, lix):
+    """Searcher.search(optimize=True) over a PHYSICAL index routes
+    eligible top-k shapes through the block-max WAND kernels (the engine's
+    form of the reference's default matcher-quality pruning —
+    searching.py::Searcher.search optimize=True) and returns EXACTLY the
+    unpruned executor rows; ineligible shapes keep the executor plan."""
+    from whoosh_spark.search.scoring import TF_IDF
+
+    s = Searcher(six)
+    eligible = [
+        Q.Term("text", "spark"),
+        Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")]),
+        Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
+        Q.Phrase("text", ["hash", "join"], slop=2),
+        Q.Phrase("text", ["window", "merge", "join"], slop=2),
+    ]
+    for q in eligible:
+        assert s._wand_route(q, 10) is not None, q
+        assert (
+            s.search(q, limit=10).collect()
+            == s.search(q, limit=10, optimize=False).collect()
+        ), q  # bit-exact: pruned plan, identical rows
+    ineligible = [
+        Q.Term("text", "spark", boost=2.0),  # boosted
+        Q.Or([Q.Term("text", "merge"), Q.Term("role", "user")]),  # 2 fields
+        Q.Or([Q.Term("text", "merge"), Q.Phrase("text", ["hash", "join"])]),
+        Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")], scale=0.5),
+        Q.Prefix("text", "sp"),
+        Q.Term("role", "user"),  # ID field: not scorable
+    ]
+    for q in ineligible:
+        assert s._wand_route(q, 10) is None, q
+        # and the executor plan still answers them under the default flag
+        s.search(q, limit=3).collect()
+    # a logical (non-segmented) index never routes
+    assert Searcher(lix)._wand_route(Q.Term("text", "spark"), 10) is None
+    # non-BM25F models keep the executor path (block bounds are BM25-shaped)
+    assert Searcher(six, TF_IDF())._wand_route(Q.Term("text", "spark"), 10) is None
+    # flags that change collection semantics bypass the route
+    ref = s.search(Q.Term("text", "spark"), limit=None, optimize=True)
+    assert ref.orderBy(F.desc("score"), F.asc("doc_id")).collect() == \
+        s.search(Q.Term("text", "spark"), limit=None, optimize=False) \
+         .orderBy(F.desc("score"), F.asc("doc_id")).collect()
 
 
 def test_wand_batch_equals_per_query(spark, six):
@@ -187,7 +234,8 @@ def test_parallelism_invariance(spark, corpus, tmp_path_factory, six):
                    pack_partitions=5)
     six_1 = open_segments(spark, path2, corpus, transcript_schema())
     q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")])
-    assert Searcher(six_1).search(q).collect() == Searcher(six).search(q).collect()
+    assert (Searcher(six_1).search(q, optimize=False).collect()
+            == Searcher(six).search(q, optimize=False).collect())
     assert (
         wand_topk(six_1, "text", ["spark", "join"]).collect()
         == wand_topk(six, "text", ["spark", "join"]).collect()
@@ -198,7 +246,7 @@ def test_parallelism_invariance(spark, corpus, tmp_path_factory, six):
 # invalidate the module-scoped `six` fixture's cached file listing for any
 # test that follows it.
 def test_resume_completes_missing_segment(spark, corpus, seg_path, six):
-    before = Searcher(six).search(Q.Term("text", "spark")).collect()
+    before = Searcher(six).search(Q.Term("text", "spark"), optimize=False).collect()
     os.remove(os.path.join(seg_path, "_manifest", "seg_1.json"))
     shutil.rmtree(os.path.join(seg_path, "blocks", "segment_id=1"))
     man = build_segments(spark, corpus, transcript_schema(), seg_path, n_segments=3)
@@ -206,7 +254,8 @@ def test_resume_completes_missing_segment(spark, corpus, seg_path, six):
     assert all(m["status"] == "committed" for m in man.values())
     assert {"n_docs", "n_postings", "n_blocks", "n_terms", "lineage"} <= set(man[1])
     six2 = open_segments(spark, seg_path, corpus, transcript_schema())
-    assert Searcher(six2).search(Q.Term("text", "spark")).collect() == before
+    assert (Searcher(six2).search(Q.Term("text", "spark"), optimize=False)
+            .collect() == before)
 
 
 def test_merge_segments_salted(spark, corpus, tmp_path_factory):
@@ -223,7 +272,7 @@ def test_merge_segments_salted(spark, corpus, tmp_path_factory):
     stats_before = six_a.terms.orderBy("field", "term").toPandas()
     nb_before = six_a.blocks.count()
     q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")])
-    res_before = Searcher(six_a).search(q).collect()
+    res_before = Searcher(six_a).search(q, optimize=False).collect()
     wand_before = wand_topk(six_a, "text", ["merge", "window"]).collect()
 
     merge_segments(spark, path, hot_term_blocks=4, target_blocks_per_salt=4)
@@ -239,7 +288,7 @@ def test_merge_segments_salted(spark, corpus, tmp_path_factory):
     assert stats_before["term"].tolist() == stats_after["term"].tolist()
     assert stats_before["df"].tolist() == stats_after["df"].tolist()
     assert np.abs(stats_before["total_weight"] - stats_after["total_weight"]).max() < 1e-9
-    assert Searcher(six_b).search(q).collect() == res_before
+    assert Searcher(six_b).search(q, optimize=False).collect() == res_before
     assert wand_topk(six_b, "text", ["merge", "window"]).collect() == wand_before
     assert six_b.manifest[MERGED_BASE]["lineage"]["merged_segments"] == [0, 1, 2, 3]
 
@@ -381,7 +430,8 @@ def test_wand_field_b_override_matches_searcher(spark, corpus, seg_path):
 
     exp = (
         Searcher(six, w)
-        .search(Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")]), limit=10)
+        .search(Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")]), limit=10,
+                optimize=False)
         .collect()
     )
     assert [r.doc_id for r in got] == [r.doc_id for r in exp]

@@ -414,11 +414,29 @@ class Searcher:
         mask: Q.Query | DataFrame | None = None,
         collapse: str | None = None,
         collapse_limit: int = 1,
+        optimize: bool = True,
     ) -> DataFrame:
         """Top-k search -> DataFrame(doc_id, score) ordered by
         (score desc, doc_id asc) — the reference heap key (score, -docnum)
         (collectors.py::TopCollector ~L260). With sortedby: ordered by the
-        key column(s) instead (collectors.py::SortingCollector)."""
+        key column(s) instead (collectors.py::SortingCollector).
+
+        ``optimize`` mirrors the reference's default (searching.py::
+        Searcher.search(..., optimize=True) lets TopCollector use matcher
+        block quality): eligible plain top-k shapes over a physical
+        SegmentedIndex route through the block-max WAND kernels — bit-
+        identical results, pruned plan (see :meth:`_wand_route`)."""
+        if (
+            optimize
+            and limit is not None
+            and sortedby is None
+            and filter is None
+            and mask is None
+            and collapse is None
+        ):
+            routed = self._wand_route(q, limit)
+            if routed is not None:
+                return routed
         scored = self.compile(q)
         if getattr(self.weighting, "use_final", False):
             # named final() hook: adjust the accumulated per-doc score
@@ -455,6 +473,69 @@ class Searcher:
             return out.limit(limit) if limit is not None else out
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(limit) if limit is not None else out
+
+    def _wand_route(self, q: Q.Query, k: int) -> DataFrame | None:
+        """Route an eligible top-k query through the block-max WAND kernels.
+
+        The reference prunes by default: Searcher.search(optimize=True)
+        hands TopCollector matchers whose block_quality bounds skip
+        non-competitive blocks (searching.py::Searcher.search ~L780,
+        collectors.py::TopCollector.use_block_quality). The engine's
+        equivalent pruned path is the per-segment vectorized WAND kernel
+        over the physical block store — pinned bit-identical to the
+        unpruned executor plan (tests/test_segments.py::
+        test_wand_pruned_equals_unpruned_equals_executor,
+        tests/test_phrase_wand.py), so routing changes the PLAN, never the
+        rows. Eligible: a physical SegmentedIndex, a plain BM25F model
+        (subclasses and final()-hooks keep the executor path — their
+        scoring isn't covered by the block bounds), and an unboosted
+        Term / flat same-field And / Or of unique terms / Phrase. Anything
+        else returns None and compiles normally.
+        """
+        from whoosh_spark.indexing.segments import SegmentedIndex
+        from whoosh_spark.search.wand import wand_phrase_topk, wand_topk
+
+        ix = self.index
+        w = self.weighting
+        if not isinstance(ix, SegmentedIndex):
+            return None
+        if type(w) is not BM25F or getattr(w, "use_final", False):
+            return None
+        qn = q.normalize()
+        if getattr(qn, "boost", 1.0) != 1.0:
+            return None
+        if isinstance(qn, Q.Phrase):
+            if qn.fieldname not in ix.schema or not ix.schema[qn.fieldname].scorable:
+                return None
+            return wand_phrase_topk(
+                ix, qn.fieldname, list(qn.words), k=k, slop=int(qn.slop),
+                weighting=w,
+            )
+        if isinstance(qn, Q.Term):
+            kids: list[Q.Query] = [qn]
+            mode = "or"
+        elif isinstance(qn, (Q.And, Q.Or)):
+            if isinstance(qn, Q.Or) and qn.scale is not None:
+                return None  # coord scaling rescores; executor path
+            kids = list(qn.subqueries)
+            mode = "and" if isinstance(qn, Q.And) else "or"
+        else:
+            return None
+        if not kids or not all(
+            type(c) is Q.Term and c.boost == 1.0 for c in kids
+        ):
+            return None
+        field = kids[0].fieldname
+        if any(c.fieldname != field for c in kids):
+            return None
+        texts = [c.text for c in kids]
+        if len(set(texts)) != len(texts):
+            # duplicate terms score once per occurrence on the executor;
+            # wand_topk dedupes — keep the semantics, skip the route
+            return None
+        if field not in ix.schema or not ix.schema[field].scorable:
+            return None
+        return wand_topk(ix, field, texts, k=k, mode=mode, weighting=w)
 
     def _apply_filter_mask(self, scored, filter, mask):
         if filter is not None:
