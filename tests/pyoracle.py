@@ -142,9 +142,13 @@ class PyIndex:
             return boosted({i: sum(d[i] for d in kid) for i in docs})
         if isinstance(q, Q.Or):
             out: dict[int, float] = {}
+            nmatch: dict[int, int] = {}
             for d in (self.scores(k) for k in q.subqueries):
                 for i, s in d.items():
                     out[i] = out.get(i, 0.0) + s
+                    nmatch[i] = nmatch.get(i, 0) + 1
+            if q.minmatch > 1:
+                out = {i: s for i, s in out.items() if nmatch[i] >= q.minmatch}
             return boosted(out)
         if isinstance(q, Q.DisjunctionMax):
             out = {}

@@ -83,6 +83,45 @@ def test_or_query(searcher, oracle):
     assert rows(got) == [(i, pytest.approx(s, rel=1e-9)) for i, s in exp]
 
 
+def test_or_minmatch(searcher, oracle):
+    """Or(minmatch=m) keeps only docs matching >= m DISTINCT children
+    (compound.py::Or.__init__ minmatch); scores stay the plain union sum
+    over the matching children."""
+    kids = [Q.Term("text", t) for t in ("spark", "merge", "hash")]
+    got = searcher.search(Q.Or(kids, minmatch=2), limit=None)
+    exp = oracle.query(Q.Or(kids, minmatch=2), limit=None)
+    assert rows(got) == [(i, pytest.approx(s, rel=1e-9)) for i, s in exp]
+    assert ids(got) == [0, 7]  # the only docs with >= 2 of the three terms
+    # minmatch <= 1 is the plain union
+    assert rows(searcher.search(Q.Or(kids, minmatch=1), limit=None)) == rows(
+        searcher.search(Q.Or(kids), limit=None)
+    )
+    # composes with coord scaling: same doc set, scaled scores
+    sc = searcher.search(Q.Or(kids, minmatch=2, scale=0.5), limit=None)
+    exp_sc = oracle.query(Q.Or(kids, minmatch=2), limit=None)
+    assert ids(sc) == [0, 7]
+    for r in sc.collect():
+        base = dict(exp_sc)[r["doc_id"]]
+        n_match = sum(r["doc_id"] in oracle.matching(t) for t in ("spark", "merge", "hash"))
+        assert r["score"] == pytest.approx(base * (0.5 + 0.5 * n_match / 3.0), rel=1e-9)
+
+
+def test_or_minmatch_normalize():
+    """minmatch survives normalize; impossible minmatch -> NullQuery; a
+    minmatch-carrying child Or is NOT flattened into a parent Or (its
+    constraint would be lost)."""
+    kids = [Q.Term("text", "a"), Q.Term("text", "b")]
+    n = Q.Or(kids, minmatch=2).normalize()
+    assert isinstance(n, Q.Or) and n.minmatch == 2
+    assert isinstance(Q.Or(kids, minmatch=3).normalize(), Q.NullQuery)
+    outer = Q.Or([Q.Or(kids, minmatch=2), Q.Term("text", "c")]).normalize()
+    assert isinstance(outer, Q.Or) and len(outer.subqueries) == 2
+    assert any(isinstance(k, Q.Or) and k.minmatch == 2 for k in outer.subqueries)
+    # same guard protects a scale-carrying child
+    outer2 = Q.Or([Q.Or(kids, scale=0.5), Q.Term("text", "c")]).normalize()
+    assert any(getattr(k, "scale", None) == 0.5 for k in outer2.subqueries)
+
+
 def test_andnot(searcher, oracle):
     got = searcher.search(Q.AndNot(Q.Term("text", "merge"), Q.Term("text", "window")), limit=None)
     exp = oracle.matching("merge") - oracle.matching("window")

@@ -157,6 +157,7 @@ def test_search_optimize_routes_to_wand(six, lix):
         Q.Or([Q.Term("text", "merge"), Q.Term("role", "user")]),  # 2 fields
         Q.Or([Q.Term("text", "merge"), Q.Phrase("text", ["hash", "join"])]),
         Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")], scale=0.5),
+        Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")], minmatch=2),
         Q.Prefix("text", "sp"),
         Q.Term("role", "user"),  # ID field: not scorable
     ]

@@ -241,6 +241,29 @@ SELECT query_id, doc_id, score FROM (
                                k=3 * K, slop=2)
         return _rounded(raw).orderBy(F.desc("score"), F.asc("doc_id")).limit(K)
 
+    def _search_default(spark, sf):
+        # The END-USER default path: Searcher.search(optimize=True) over
+        # the physical index routes this flat Or through the block-max
+        # WAND kernel (executor.Searcher._wand_route — the engine's form
+        # of searching.py::Searcher.search optimize=True); same rounded
+        # re-rank tie discipline as the turns_wand entries
+        from whoosh_spark import query as Q
+        from whoosh_spark.search import Searcher
+
+        six = _turns_index(spark, sf)
+        q = Q.Or([Q.Term("text", t) for t in ("hash", "window", "spark")])
+        raw = Searcher(six).search(q, limit=3 * K)
+        return _rounded(raw).orderBy(F.desc("score"), F.asc("doc_id")).limit(K)
+
+    add(
+        "turns_search_default_topk",
+        _search_default,
+        _turns_sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored "
+            "WHERE term IN ('hash','window','spark') GROUP BY doc_id"
+        ),
+    )
+
     add(
         "turns_wand_phrase_topk",
         _wand_phrase,

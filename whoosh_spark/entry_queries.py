@@ -300,6 +300,25 @@ SELECT query_id, doc_id, score FROM (
     )
 
     add(
+        "or_minmatch_topk",
+        # Or(minmatch=2): only docs matching >= 2 distinct children score
+        # (compound.py::Or.__init__ minmatch) — plain union sum otherwise
+        lambda spark, sf: _topk(
+            _docs_searcher(spark, sf).compile(
+                Q.Or(
+                    [Q.Term("text", "spark"), Q.Term("text", "hash"), Q.Term("text", "join")],
+                    minmatch=2,
+                )
+            )
+        ),
+        _sql_topk(
+            "SELECT doc_id, sum(score) AS score "
+            "FROM scored WHERE term IN ('spark','hash','join') "
+            "GROUP BY doc_id HAVING count(*) >= 2"
+        ),
+    )
+
+    add(
         "otherwise_fallback_topk",
         lambda spark, sf: _topk(
             _docs_searcher(spark, sf).compile(
@@ -822,6 +841,7 @@ _REGISTRY_CACHE: dict | None = None
 # retrieval) — see BENCH.md "Correctness gate" for the rehearsal evidence.
 _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
+    "or_minmatch_topk", "turns_search_default_topk",
     "regex_bm25_topk", "copyfield_parse_topk",
     "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",
     "dedup_cluster_full_pairs", "highlight_whole_upper",

@@ -371,7 +371,16 @@ class CompoundQuery(Query):
             q = q.normalize()
             if isinstance(q, NullQuery):
                 continue
-            if type(q) is type(self) and q.boost == 1.0:
+            if (
+                type(q) is type(self)
+                and q.boost == 1.0
+                # a child carrying a non-default scoring knob (Or.scale /
+                # Or.minmatch / DisMax.tiebreak) keeps its own group — the
+                # knob's semantics would be lost in the parent's flat list
+                and getattr(q, "scale", None) is None
+                and getattr(q, "minmatch", 0) <= 1
+                and getattr(q, "tiebreak", 0.0) == 0.0
+            ):
                 kids = q.subqueries  # type: ignore[attr-defined]
             else:
                 kids = (q,)
@@ -408,15 +417,25 @@ class And(CompoundQuery):
 
 @dataclass(frozen=True)
 class Or(CompoundQuery):
+    """Union of subqueries; scores sum over the matching children.
+
+    ``minmatch``: a document qualifies only if it matches at least that
+    many DISTINCT subqueries (reference: compound.py::Or.__init__
+    ``minmatch=0`` — the documented contract of the constructor argument;
+    0/1 mean plain union). ``scale``: coord scaling, see executor.
+    """
+
     scale: float | None = field(default=None, kw_only=True)
+    minmatch: int = field(default=0, kw_only=True)
 
     def normalize(self) -> Query:
         kids = self._normalized_children()
-        if not kids:
+        if not kids or self.minmatch > len(kids):
+            # fewer children than required matches -> can never qualify
             return _NULL
         if len(kids) == 1:
             return kids[0].with_boost(self.boost)
-        q = Or(kids, scale=self.scale)
+        q = Or(kids, scale=self.scale, minmatch=self.minmatch)
         return q.with_boost(self.boost) if self.boost != 1.0 else q
 
 

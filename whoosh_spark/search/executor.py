@@ -272,14 +272,23 @@ class Searcher:
         if q.scale:
             n = len(kids)
             scale = float(q.scale)
-            out = u.groupBy("doc_id").agg(
-                (
-                    self._ordered_sum()
-                    * ((1 - scale) + scale * F.count_distinct("_q") / F.lit(float(n)))
-                ).alias("score")
+            score = self._ordered_sum() * (
+                (1 - scale) + scale * F.count_distinct("_q") / F.lit(float(n))
             )
         else:
-            out = u.groupBy("doc_id").agg(self._ordered_sum().alias("score"))
+            score = self._ordered_sum()
+        if q.minmatch > 1:
+            # Or(minmatch=m): at least m distinct children must match
+            # (compound.py::Or.__init__ minmatch) — a HAVING on the same
+            # groupBy the union already shuffles for, no extra exchange
+            out = (
+                u.groupBy("doc_id")
+                .agg(score.alias("score"), F.count_distinct("_q").alias("_n"))
+                .where(F.col("_n") >= int(q.minmatch))
+                .drop("_n")
+            )
+        else:
+            out = u.groupBy("doc_id").agg(score.alias("score"))
         return self._boosted(out, q.boost)
 
     def _c_disjunctionmax(self, q: Q.DisjunctionMax) -> DataFrame:
@@ -515,8 +524,11 @@ class Searcher:
             kids: list[Q.Query] = [qn]
             mode = "or"
         elif isinstance(qn, (Q.And, Q.Or)):
-            if isinstance(qn, Q.Or) and qn.scale is not None:
-                return None  # coord scaling rescores; executor path
+            if isinstance(qn, Q.Or) and (
+                qn.scale is not None or qn.minmatch > 1
+            ):
+                return None  # coord scaling / minmatch rescore-or-filter;
+                # executor path
             kids = list(qn.subqueries)
             mode = "and" if isinstance(qn, Q.And) else "or"
         else:
