@@ -104,9 +104,11 @@ def test_wand_pruned_equals_unpruned_equals_executor(six):
         (["merge", "join", "window"], "or"),
         (["hash", "join"], "and"),
         (["data", "line", "the"], "or"),
+        (["merge", "join", "window"], "max"),
+        (["hash", "spark"], "max"),
     ]
     for terms, mode in cases:
-        mk = Q.Or if mode == "or" else Q.And
+        mk = {"or": Q.Or, "and": Q.And, "max": Q.DisjunctionMax}[mode]
         ref = [(r.doc_id, r.score)
                for r in s.search(mk([Q.Term("text", t) for t in terms]),
                                  optimize=False).collect()]
@@ -145,6 +147,7 @@ def test_search_optimize_routes_to_wand(six, lix):
         Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
         Q.Phrase("text", ["hash", "join"], slop=2),
         Q.Phrase("text", ["window", "merge", "join"], slop=2),
+        Q.DisjunctionMax([Q.Term("text", "merge"), Q.Term("text", "window")]),
     ]
     for q in eligible:
         assert s._wand_route(q, 10) is not None, q
@@ -158,6 +161,9 @@ def test_search_optimize_routes_to_wand(six, lix):
         Q.Or([Q.Term("text", "merge"), Q.Phrase("text", ["hash", "join"])]),
         Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")], scale=0.5),
         Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")], minmatch=2),
+        Q.DisjunctionMax(
+            [Q.Term("text", "merge"), Q.Term("text", "window")], tiebreak=0.3
+        ),
         Q.Prefix("text", "sp"),
         Q.Term("role", "user"),  # ID field: not scorable
     ]

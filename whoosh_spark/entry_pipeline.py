@@ -241,6 +241,19 @@ SELECT query_id, doc_id, score FROM (
                                k=3 * K, slop=2)
         return _rounded(raw).orderBy(F.desc("score"), F.asc("doc_id")).limit(K)
 
+    add(
+        "turns_wand_dismax_topk",
+        # max-mode WAND (wrappers.py::DisMaxMatcher, tiebreak=0): per-doc
+        # MAX of term scores with the tighter single-block prune bound —
+        # Searcher.search(DisMax, optimize=True) routes here
+        lambda spark, sf: _wand(spark, sf, ["merge", "join", "spark"],
+                                mode="max"),
+        _turns_sql_topk(
+            "SELECT doc_id, max(score) AS score FROM scored "
+            "WHERE term IN ('merge','join','spark') GROUP BY doc_id"
+        ),
+    )
+
     def _search_default(spark, sf):
         # The END-USER default path: Searcher.search(optimize=True) over
         # the physical index routes this flat Or through the block-max

@@ -498,8 +498,8 @@ class Searcher:
         rows. Eligible: a physical SegmentedIndex, a plain BM25F model
         (subclasses and final()-hooks keep the executor path — their
         scoring isn't covered by the block bounds), and an unboosted
-        Term / flat same-field And / Or of unique terms / Phrase. Anything
-        else returns None and compiles normally.
+        Term / flat same-field And / Or / DisMax(tiebreak=0) of unique
+        terms / Phrase. Anything else returns None and compiles normally.
         """
         from whoosh_spark.indexing.segments import SegmentedIndex
         from whoosh_spark.search.wand import wand_phrase_topk, wand_topk
@@ -523,14 +523,20 @@ class Searcher:
         if isinstance(qn, Q.Term):
             kids: list[Q.Query] = [qn]
             mode = "or"
-        elif isinstance(qn, (Q.And, Q.Or)):
+        elif isinstance(qn, (Q.And, Q.Or, Q.DisjunctionMax)):
             if isinstance(qn, Q.Or) and (
                 qn.scale is not None or qn.minmatch > 1
             ):
                 return None  # coord scaling / minmatch rescore-or-filter;
                 # executor path
+            if isinstance(qn, Q.DisjunctionMax) and qn.tiebreak != 0.0:
+                return None  # tiebreak mixes max and sum; executor path
             kids = list(qn.subqueries)
-            mode = "and" if isinstance(qn, Q.And) else "or"
+            mode = (
+                "and" if isinstance(qn, Q.And)
+                else "max" if isinstance(qn, Q.DisjunctionMax)
+                else "or"
+            )
         else:
             return None
         if not kids or not all(

@@ -87,6 +87,18 @@ def _topk_partial(doc: np.ndarray, contrib: np.ndarray, tc: np.ndarray):
     return uniq, sums
 
 
+def _topk_partial_max(doc: np.ndarray, contrib: np.ndarray, tc: np.ndarray):
+    """Per-doc MAX of contributions (DisjunctionMax semantics,
+    matching/wrappers.py::DisMaxMatcher.score = max of children). IEEE max
+    is order-insensitive, so no canonical fold is needed for bit-parity
+    with the executor's F.max aggregate."""
+    del tc
+    uniq, inv = np.unique(doc, return_inverse=True)
+    maxs = np.full(uniq.size, -np.inf)
+    np.maximum.at(maxs, inv, contrib)
+    return uniq, maxs
+
+
 def make_segment_wand(terms: list[str], n_docs: int, avgdl: float, B: float,
                       K1: float, k: int, mode: str, prune: bool, seed_blocks: int,
                       deleted: np.ndarray | None = None,
@@ -157,9 +169,11 @@ def make_segment_wand(terms: list[str], n_docs: int, avgdl: float, B: float,
                 doc, tf, dl, tc = doc[live], tf[live], dl[live], tc[live]
             return doc, _bm25_np(idfs[tc], tf, dl, avgdl, B, K1), tc
 
+        agg = _topk_partial_max if mode == "max" else _topk_partial
+
         if mode == "and" or not prune or len(pdf) <= seed_blocks:
             doc, contrib, tc = score_rows(pdf)
-            uniq, sums = _topk_partial(doc, contrib, tc)
+            uniq, sums = agg(doc, contrib, tc)
             if mode == "and":
                 nterm = np.bincount(np.searchsorted(uniq, doc))
                 keep = nterm == n_terms  # one posting per (doc, term)
@@ -171,19 +185,36 @@ def make_segment_wand(terms: list[str], n_docs: int, avgdl: float, B: float,
         seed_idx = order[:seed_blocks]
         seed_rows = pdf.iloc[seed_idx]
         doc_s, contrib_s, tc_s = score_rows(seed_rows)
-        uniq_s, sums_s = _topk_partial(doc_s, contrib_s, tc_s)
+        uniq_s, sums_s = agg(doc_s, contrib_s, tc_s)
         if uniq_s.size >= k:
             theta = np.partition(sums_s, uniq_s.size - k)[uniq_s.size - k]
         else:
             theta = -np.inf
+
+        rest_idx = order[seed_blocks:]
+        rest = pdf.iloc[rest_idx]
+        if mode == "max":
+            # ---- max-mode prune: a block whose own bound is < θ cannot
+            # raise ANY doc's max to >= θ (every contribution <= block ub),
+            # so the survive test is the block bound alone and NO refine
+            # pass is needed: any doc whose true max >= θ has that max in a
+            # surviving block; docs whose every block was pruned are < θ
+            # and θ is a lower bound on the final k-th score (>= k seed
+            # docs already scored >= θ whenever pruning is armed) ----
+            survive = rest["_ub"].to_numpy() >= theta
+            doc_r, contrib_r, tc_r = score_rows(rest[survive])
+            uniq, sums = agg(
+                np.concatenate([doc_s, doc_r]),
+                np.concatenate([contrib_s, contrib_r]),
+                np.concatenate([tc_s, tc_r]),
+            )
+            return _head_k(uniq, sums, k)
 
         # ---- prune: term-max WAND test on the remaining blocks ----
         term_max = np.full(n_terms, 0.0)
         tc_all = pdf["_tcode"].to_numpy(dtype=np.int64)
         np.maximum.at(term_max, tc_all, pdf["_ub"].to_numpy())
         others = term_max.sum() - term_max  # Σ_{t'≠t} term_max(t')
-        rest_idx = order[seed_blocks:]
-        rest = pdf.iloc[rest_idx]
         lhs = rest["_ub"].to_numpy() + others[rest["_tcode"].to_numpy(dtype=np.int64)]
         survive = lhs >= theta
         pruned = rest[~survive]
@@ -260,7 +291,11 @@ def wand_topk(
     weighting: BM25F | None = None,
     shard_docs: int | str | None = "auto",
 ) -> DataFrame:
-    """Top-k (doc_id, score) for an Or/And of terms via per-segment WAND.
+    """Top-k (doc_id, score) for an Or/And/DisMax of terms via per-segment
+    WAND. ``mode``: "or" sums matching-term scores (UnionMatcher), "and"
+    keeps docs matching every term (IntersectionMatcher), "max" takes the
+    per-doc maximum (wrappers.py::DisMaxMatcher, tiebreak=0) with the
+    tighter single-block prune bound.
 
     Plan shape: blocks parquet scan pruned to the query terms (row-group
     min/max) -> shuffle by segment_id (tiny: only the query's block rows
