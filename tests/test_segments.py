@@ -234,6 +234,45 @@ def test_wand_batch_and_mode_and_deletes(spark, corpus, tmp_path_factory):
         assert not set(victims) & {d for d, _ in by_q.get(qid, [])}
 
 
+def test_search_many_optimize_routes_batched_wand(six):
+    """search_many(optimize=True) routes WAND-eligible set members through
+    the batched block-max kernel (ONE pruned scan per field, per-query
+    modes) and phrases through the phrase kernel, while ineligible members
+    keep the tagged executor union — all in one plan, rows bit-identical
+    to optimize=False (which in turn equals per-query search())."""
+    s = Searcher(six)
+    queries = {
+        0: Q.Term("text", "spark"),
+        1: Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
+        2: Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")]),
+        3: Q.DisjunctionMax(
+            [Q.Term("text", "merge"), Q.Term("text", "window")]),
+        4: Q.Phrase("text", ["hash", "join"]),
+        5: Q.Prefix("text", "sp"),                       # executor path
+        6: Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")],
+                minmatch=2),                             # executor path
+        9: Q.Term("text", "zzzznope"),                   # empty result
+    }
+    ref_df = s.search_many(queries, limit=8, optimize=False)
+    opt_df = s.search_many(queries, limit=8, optimize=True)
+    # the batched kernel is an applyInPandas group map; the executor union
+    # is pure JVM SQL — presence/absence discriminates the routing
+    assert "FlatMapGroupsInPandas" in opt_df._jdf.queryExecution().toString()
+    assert ("FlatMapGroupsInPandas"
+            not in ref_df._jdf.queryExecution().toString())
+    ref = [(r.query_id, r.doc_id, r.score) for r in ref_df.collect()]
+    got = [(r.query_id, r.doc_id, r.score) for r in opt_df.collect()]
+    assert got == ref
+    # and the unoptimized batch equals per-query search (both paths)
+    by_q = {}
+    for qid, doc, sc in ref:
+        by_q.setdefault(qid, []).append((doc, sc))
+    for qid, q in queries.items():
+        solo = [(r.doc_id, r.score)
+                for r in s.search(q, limit=8, optimize=False).collect()]
+        assert by_q.get(qid, []) == solo, qid
+
+
 def test_parallelism_invariance(spark, corpus, tmp_path_factory, six):
     """mpwriter analogue: different segment counts -> identical search."""
     path2 = str(tmp_path_factory.mktemp("segix2") / "ix")

@@ -277,6 +277,56 @@ SELECT query_id, doc_id, score FROM (
         ),
     )
 
+    def _batch_default(spark, sf):
+        # The END-USER default BATCH path: Searcher.search_many(optimize=
+        # True) routes this heterogeneous Or/And/DisMax set through ONE
+        # batched block-max kernel call (wand.wand_topk_many, per-query
+        # modes — one pruned scan over the union of all terms), per-query
+        # rounded re-rank with the same tie discipline
+        from pyspark.sql import Window
+
+        from whoosh_spark import query as Q
+        from whoosh_spark.search import Searcher
+
+        six = _turns_index(spark, sf)
+        queries = {
+            0: Q.Or([Q.Term("text", t) for t in ("merge", "join", "window")]),
+            1: Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
+            2: Q.DisjunctionMax(
+                [Q.Term("text", t) for t in ("merge", "join", "spark")]),
+        }
+        raw = Searcher(six).search_many(queries, limit=3 * K)
+        rounded = raw.withColumn("score", F.round("score", 4))
+        rn = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id")))
+        return (rounded.withColumn("rn", rn).where(F.col("rn") <= K)
+                .drop("rn")
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+    add(
+        "turns_batch_default_topk",
+        _batch_default,
+        TURNS_PRELUDE
+        + """
+SELECT query_id, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT 0 AS query_id, doc_id, sum(score) AS score FROM scored
+      WHERE term IN ('merge','join','window') GROUP BY doc_id
+    UNION ALL
+    SELECT 1, doc_id, sum(score) FROM scored
+      WHERE term IN ('hash','join') GROUP BY doc_id HAVING count(*) = 2
+    UNION ALL
+    SELECT 2, doc_id, max(score) FROM scored
+      WHERE term IN ('merge','join','spark') GROUP BY doc_id
+  )
+) WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id ASC
+""",
+    )
+
     add(
         "turns_wand_phrase_topk",
         _wand_phrase,

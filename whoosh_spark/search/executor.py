@@ -483,26 +483,13 @@ class Searcher:
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(limit) if limit is not None else out
 
-    def _wand_route(self, q: Q.Query, k: int) -> DataFrame | None:
-        """Route an eligible top-k query through the block-max WAND kernels.
-
-        The reference prunes by default: Searcher.search(optimize=True)
-        hands TopCollector matchers whose block_quality bounds skip
-        non-competitive blocks (searching.py::Searcher.search ~L780,
-        collectors.py::TopCollector.use_block_quality). The engine's
-        equivalent pruned path is the per-segment vectorized WAND kernel
-        over the physical block store — pinned bit-identical to the
-        unpruned executor plan (tests/test_segments.py::
-        test_wand_pruned_equals_unpruned_equals_executor,
-        tests/test_phrase_wand.py), so routing changes the PLAN, never the
-        rows. Eligible: a physical SegmentedIndex, a plain BM25F model
-        (subclasses and final()-hooks keep the executor path — their
-        scoring isn't covered by the block bounds), and an unboosted
-        Term / flat same-field And / Or / DisMax(tiebreak=0) of unique
-        terms / Phrase. Anything else returns None and compiles normally.
-        """
+    def _wand_desc(self, q: Q.Query):
+        """Eligibility analysis for block-max WAND routing: returns a plan
+        descriptor ``("phrase", field, words, slop)`` or ``("terms", field,
+        texts, mode)``, or None for the executor path. Shared by
+        :meth:`_wand_route` (single query) and :meth:`search_many`
+        (query-set batch). Rules in the :meth:`_wand_route` docstring."""
         from whoosh_spark.indexing.segments import SegmentedIndex
-        from whoosh_spark.search.wand import wand_phrase_topk, wand_topk
 
         ix = self.index
         w = self.weighting
@@ -516,10 +503,7 @@ class Searcher:
         if isinstance(qn, Q.Phrase):
             if qn.fieldname not in ix.schema or not ix.schema[qn.fieldname].scorable:
                 return None
-            return wand_phrase_topk(
-                ix, qn.fieldname, list(qn.words), k=k, slop=int(qn.slop),
-                weighting=w,
-            )
+            return ("phrase", qn.fieldname, list(qn.words), int(qn.slop))
         if isinstance(qn, Q.Term):
             kids: list[Q.Query] = [qn]
             mode = "or"
@@ -553,7 +537,40 @@ class Searcher:
             return None
         if field not in ix.schema or not ix.schema[field].scorable:
             return None
-        return wand_topk(ix, field, texts, k=k, mode=mode, weighting=w)
+        return ("terms", field, texts, mode)
+
+    def _wand_route(self, q: Q.Query, k: int) -> DataFrame | None:
+        """Route an eligible top-k query through the block-max WAND kernels.
+
+        The reference prunes by default: Searcher.search(optimize=True)
+        hands TopCollector matchers whose block_quality bounds skip
+        non-competitive blocks (searching.py::Searcher.search ~L780,
+        collectors.py::TopCollector.use_block_quality). The engine's
+        equivalent pruned path is the per-segment vectorized WAND kernel
+        over the physical block store — pinned bit-identical to the
+        unpruned executor plan (tests/test_segments.py::
+        test_wand_pruned_equals_unpruned_equals_executor,
+        tests/test_phrase_wand.py), so routing changes the PLAN, never the
+        rows. Eligible: a physical SegmentedIndex, a plain BM25F model
+        (subclasses and final()-hooks keep the executor path — their
+        scoring isn't covered by the block bounds), and an unboosted
+        Term / flat same-field And / Or / DisMax(tiebreak=0) of unique
+        terms / Phrase. Anything else returns None and compiles normally.
+        """
+        from whoosh_spark.search.wand import wand_phrase_topk, wand_topk
+
+        desc = self._wand_desc(q)
+        if desc is None:
+            return None
+        if desc[0] == "phrase":
+            _, field, words, slop = desc
+            return wand_phrase_topk(
+                self.index, field, words, k=k, slop=slop,
+                weighting=self.weighting,
+            )
+        _, field, texts, mode = desc
+        return wand_topk(self.index, field, texts, k=k, mode=mode,
+                         weighting=self.weighting)
 
     def _apply_filter_mask(self, scored, filter, mask):
         if filter is not None:
@@ -695,7 +712,7 @@ class Searcher:
         return res
 
     def search_many(self, queries: "dict[int, Q.Query]",
-                    limit: int = 10) -> DataFrame:
+                    limit: int = 10, optimize: bool = True) -> DataFrame:
         """Batched evaluation of a QUERY SET as ONE Spark action ->
         (query_id, doc_id, score), per-query top-``limit`` in the score
         heap order.
@@ -708,33 +725,71 @@ class Searcher:
         scaling") is paid once per SET, and ALL queries' stats resolve in
         ONE pushed-down lookup job up front (the per-query compile()
         prefetch then hits the warm LRU). Per-query rows are exactly
-        search(q, limit=limit)'s. For flat term OR/AND sets prefer the
-        block-max kernel batch (wand.wand_topk_many), which also prunes."""
+        search(q, limit=limit)'s.
+
+        ``optimize`` mirrors :meth:`search`: WAND-eligible queries in the
+        set (see :meth:`_wand_desc`) route through the batched block-max
+        kernel — ONE pruned scan over the union of their terms per field
+        (wand.wand_topk_many, per-query modes), phrases through the phrase
+        kernel — while ineligible queries keep the tagged executor union;
+        all branches still collapse into the same single action. Rows are
+        bit-identical either way (the kernels are pinned against the
+        executor plan)."""
         if not queries:
             return self.index.spark.createDataFrame(
                 [], "query_id long, doc_id long, score double")
-        pairs = [p for q in queries.values()
-                 for p in _leaf_terms(q.normalize())]
-        if pairs:
-            self.index.prefetch_stats(pairs)
         from functools import reduce
 
-        branches = []
+        from whoosh_spark.search.wand import wand_phrase_topk, wand_topk_many
+
+        term_groups: dict[str, tuple[dict, dict]] = {}
+        phrase_branches: list[DataFrame] = []
+        rest: dict[int, Q.Query] = {}
         for qid, q in queries.items():
-            scored = self.compile(q)
-            if getattr(self.weighting, "use_final", False):
-                scored = scored.withColumn(
-                    "score", self.weighting.final_expr(F.col("score")))
-            branches.append(scored.select(
-                F.lit(int(qid)).cast("long").alias("query_id"),
-                "doc_id", "score"))
-        un = reduce(DataFrame.unionByName, branches)
-        rn = F.row_number().over(
-            Window.partitionBy("query_id").orderBy(F.desc("score"),
-                                                   F.asc("doc_id")))
-        return (un.withColumn("_rn", rn).where(F.col("_rn") <= limit)
-                .drop("_rn")
-                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+            desc = self._wand_desc(q) if optimize else None
+            if desc is None:
+                rest[qid] = q
+            elif desc[0] == "phrase":
+                _, field, words, slop = desc
+                br = wand_phrase_topk(self.index, field, words, k=limit,
+                                      slop=slop, weighting=self.weighting)
+                phrase_branches.append(br.select(
+                    F.lit(int(qid)).cast("long").alias("query_id"),
+                    "doc_id", "score"))
+            else:
+                _, field, texts, mode = desc
+                qts, qmodes = term_groups.setdefault(field, ({}, {}))
+                qts[int(qid)] = texts
+                qmodes[int(qid)] = mode
+
+        branches = [
+            wand_topk_many(self.index, field, qts, k=limit, mode=qmodes,
+                           weighting=self.weighting)
+            for field, (qts, qmodes) in term_groups.items()
+        ]
+        branches.extend(phrase_branches)
+        if rest:
+            pairs = [p for q in rest.values()
+                     for p in _leaf_terms(q.normalize())]
+            if pairs:
+                self.index.prefetch_stats(pairs)
+            exec_branches = []
+            for qid, q in rest.items():
+                scored = self.compile(q)
+                if getattr(self.weighting, "use_final", False):
+                    scored = scored.withColumn(
+                        "score", self.weighting.final_expr(F.col("score")))
+                exec_branches.append(scored.select(
+                    F.lit(int(qid)).cast("long").alias("query_id"),
+                    "doc_id", "score"))
+            un = reduce(DataFrame.unionByName, exec_branches)
+            rn = F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                       F.asc("doc_id")))
+            branches.append(un.withColumn("_rn", rn)
+                            .where(F.col("_rn") <= limit).drop("_rn"))
+        out = reduce(DataFrame.unionByName, branches)
+        return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
     def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw) -> DataFrame:
         """Pagination (searching.py::Searcher.search_page ~L700): top

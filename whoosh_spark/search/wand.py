@@ -707,7 +707,7 @@ def wand_topk_many(
     fieldname: str,
     queries: "dict[int, list[str]]",
     k: int = 10,
-    mode: str = "or",
+    mode: "str | dict[int, str]" = "or",
     prune: bool = True,
     seed_blocks: int = 16,
     weighting: BM25F | None = None,
@@ -750,6 +750,13 @@ def wand_topk_many(
     avgdl = ix.avg_field_length(fieldname)
     n = ix.doc_count
     queries = {int(q): list(dict.fromkeys(ts)) for q, ts in queries.items()}
+    # ``mode`` may be per-query (dict) — Searcher.search_many batches a
+    # heterogeneous set (Or/And/DisMax) through one call
+    modes = (
+        {int(q): mode.get(int(q), "or") for q in queries}
+        if isinstance(mode, dict)
+        else {q: mode for q in queries}
+    )
     all_terms = sorted({t for ts in queries.values() for t in ts})
     stats = ix.terms.where(
         (F.col("field") == fieldname) & F.col("term").isin(all_terms)
@@ -802,7 +809,7 @@ def wand_topk_many(
         data = blocks
 
     kernels = {
-        q: make_segment_wand(ts, n, avgdl, B, K1, k, mode, prune,
+        q: make_segment_wand(ts, n, avgdl, B, K1, k, modes[q], prune,
                              seed_blocks, shard_docs=shard_docs)
         for q, ts in queries.items()
     }
