@@ -166,6 +166,15 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
     emb.count()
     timed("p_minhash_dedup", lambda: minhash_dedup_pairs(raw_docs, threshold=0.8).collect())
+    from whoosh_spark.pipeline import dedup_sweep, minhash_dedup_pairs as _mdp
+
+    timed(
+        "p_cc_sweep",
+        # full sweep: LSH pairs -> large-star/small-star transitive
+        # clusters -> keep-min-per-cluster labels for every doc
+        lambda: dedup_sweep(
+            raw_docs, _mdp(raw_docs, threshold=0.8)).collect(),
+    )
     timed(
         "p_cosine_topk",
         lambda: cosine_topk(emb, emb.where("vec_id < 5"), k=10).collect(),

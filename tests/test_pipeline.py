@@ -310,3 +310,62 @@ def test_simhash_rejects_unblockable_maxdist(spark, docs):
 
     with pytest.raises(ValueError):
         simhash_pairs(docs, maxdist=4)
+
+
+def _uf_clusters(n_nodes, edges):
+    """Driver-side union-find reference for connected_components."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+@pytest.mark.parametrize("edges,n", [
+    # long path: diameter 64 — converges only if rounds are O(log n),
+    # the topology that kills naive min-label propagation in max_iter
+    ([(i, i + 1) for i in range(64)], 65),
+    # two cliques bridged by one edge + separate pair + singletons
+    ([(a, b) for a in range(5) for b in range(a + 1, 5)]
+     + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+     + [(4, 10), (20, 21)], 25),
+    # star written child-first and reversed edge directions
+    ([(5, 0), (0, 6), (7, 0), (0, 8)], 9),
+])
+def test_connected_components_vs_union_find(spark, edges, n):
+    from whoosh_spark.pipeline import connected_components
+
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    got = {r.node: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    ref = _uf_clusters(n, edges)
+    nodes_in_pairs = {v for e in edges for v in e}
+    # every non-root node labeled with its component min; roots absent
+    for v in nodes_in_pairs:
+        if ref[v] == v:
+            assert v not in got or got[v] == v
+        else:
+            assert got[v] == ref[v], v
+
+
+def test_dedup_sweep_labels_all_docs(spark):
+    from whoosh_spark.pipeline import dedup_sweep
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "i long, j long")
+    rows = {r.doc_id: (r.cluster_id, r.is_canonical)
+            for r in dedup_sweep(docs, pairs).collect()}
+    assert len(rows) == 10
+    assert rows[1] == (1, True) and rows[2] == (1, False)
+    assert rows[3] == (1, False) and rows[8] == (7, False)
+    assert rows[0] == (0, True) and rows[9] == (9, True)  # singletons
+    kept = {d for d, (_, canon) in rows.items() if canon}
+    assert kept == {0, 1, 4, 5, 6, 7, 9}

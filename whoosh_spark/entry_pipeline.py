@@ -33,6 +33,7 @@ from whoosh_spark.pipeline import (
     cluster_neardup_pairs,
     cosine_neardup_pairs,
     cosine_topk,
+    dedup_sweep,
     exact_duplicates,
     fake_decode_meta,
     fingerprint_overlap_pairs,
@@ -419,6 +420,33 @@ SELECT query_id, doc_id, score FROM (
             "ON a.s = b.s AND a.doc_id >= 400 AND b.doc_id < 400",
         ) + "\n"
         "SELECT i, j, round(jaccard, 4) AS jaccard FROM jacc WHERE jaccard >= 0.8",
+    )
+
+    add(
+        "dedup_cc_sweep",
+        # complete corpus dedup sweep: exact n-gram Jaccard pairs ->
+        # transitive clusters via alternating large-star/small-star
+        # (dedup.connected_components, O(log n) rounds of DataFrame joins,
+        # no driver union-find) -> keep min doc_id per cluster; oracle =
+        # recursive-CTE reachability closure with min-root labels
+        lambda spark, sf: dedup_sweep(
+            _docs(spark, sf),
+            shingle_jaccard_pairs(_docs(spark, sf), threshold=0.5)),
+        "WITH RECURSIVE " + _SHINGLES_SQL.strip().rstrip(",") + """,
+edges AS (SELECT i AS u, j AS v FROM jacc WHERE jaccard >= 0.5),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lab AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id
+        FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+""",
     )
 
     add(

@@ -1,6 +1,8 @@
 """Training-data pipeline operators: dedup, similarity, text stats, media."""
 
 from whoosh_spark.pipeline.dedup import (  # noqa: F401
+    connected_components,
+    dedup_sweep,
     exact_duplicates,
     minhash_dedup_against,
     minhash_dedup_pairs,

@@ -387,3 +387,87 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", maxdist: int = 3,
         .where(F.col("hamming") <= maxdist)
         .distinct()
     )
+
+
+def connected_components(pairs: DataFrame, i: str = "i", j: str = "j",
+                         max_iter: int = 32) -> DataFrame:
+    """Transitive near-duplicate clusters from a pair list via alternating
+    large-star / small-star (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") -> (node, cluster_id = component min node id).
+
+    This is the post-LSH DEDUP SWEEP shape at 100 TB: the pair list itself
+    is distributed (far too large for a driver union-find), every round is
+    two joins + two aggregations over the edge frame, and the round count
+    is O(log n) in the largest component size — independent of component
+    DIAMETER, which is what kills naive min-label propagation on chain
+    topologies (A~B~C~... pair chains are common under near-dup relations
+    because similarity is not transitive).
+
+    Round structure (both operations preserve connectivity and strictly
+    shrink large components toward min-rooted stars, per the paper):
+    - large-star: for each node u, connect every neighbor v > u to
+      m = min(N(u) + {u});
+    - small-star: direct edges hi->lo; connect every lo-neighbor and u
+      itself to m = min(N_lo(u) + {u}).
+    A min-rooted star graph is a fixpoint of both. Each round ends with an
+    eager localCheckpoint (iterative self-joins otherwise stack lineage
+    into an exponentially deep plan) and a (count, xxhash64-sum) signature;
+    on signature match an EXACT set comparison confirms the fixpoint, so a
+    hash collision cannot end the loop early.
+
+    Only nodes present in ``pairs`` appear in the output; singletons are
+    the caller's coalesce (see :func:`dedup_sweep`).
+    """
+    e = (pairs.select(F.col(i).cast("long").alias("u"),
+                      F.col(j).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    prev_sig: tuple | None = None
+    prev_e: DataFrame | None = None
+    for _ in range(max_iter):
+        # large-star
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        e = (sym.join(mins, "u").where(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
+        # small-star
+        d = (e.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v")).distinct())
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (d.join(mins, "u")
+             .select(F.col("v").alias("n"), "m")
+             .union(mins.select(F.col("u").alias("n"), "m"))
+             .where(F.col("n") != F.col("m"))
+             .select(F.col("n").alias("u"), F.col("m").alias("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            # decimal accumulator: int64 hash sums overflow under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row.c, row.h)
+        if prev_sig == sig and prev_e is not None:
+            if e.exceptAll(prev_e).union(prev_e.exceptAll(e)).isEmpty():
+                break
+        prev_sig, prev_e = sig, e
+    return e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+
+
+def dedup_sweep(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                i: str = "i", j: str = "j") -> DataFrame:
+    """Complete corpus dedup sweep: near-dup ``pairs`` -> transitive
+    clusters (:func:`connected_components`) -> one labeled row per doc:
+    (doc_id, cluster_id, is_canonical), canonical = the cluster's minimum
+    doc_id (singletons are their own cluster). The drop set for training
+    is ``is_canonical = false`` — the standard keep-one-per-cluster rule.
+    One broadcast-sized join against the cluster labels; never touches
+    text."""
+    cc = connected_components(pairs, i=i, j=j)
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+            .withColumn("is_canonical",
+                        F.col("doc_id") == F.col("cluster_id")))
