@@ -369,3 +369,26 @@ def test_dedup_sweep_labels_all_docs(spark):
     assert rows[0] == (0, True) and rows[9] == (9, True)  # singletons
     kept = {d for d, (_, canon) in rows.items() if canon}
     assert kept == {0, 1, 4, 5, 6, 7, 9}
+
+
+def test_repetition_stats_hand_computed(spark):
+    from whoosh_spark.pipeline import repetition_stats
+
+    docs = spark.createDataFrame([
+        (0, "a b a b a b"),          # "a b" x3 overlap-counted, capped
+        (1, "x"),                    # single word: no bigrams
+        (2, ""),                     # empty text
+        (3, "one two three four"),   # all distinct
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r0 = rows[0]
+    assert r0.n_words == 6 and abs(r0.dup_word_frac - 4 / 6) < 1e-12
+    assert r0.top_bigram == "a b"
+    assert abs(r0.top_bigram_frac - 9 / 11) < 1e-12
+    assert r0.dup_trigram_frac == 1.0        # 20/11 capped at 1.0
+    assert rows[1].top_bigram is None and rows[1].top_bigram_frac == 0.0
+    assert rows[2].n_words == 0 and rows[2].dup_word_frac == 0.0
+    r3 = rows[3]
+    assert r3.dup_word_frac == 0.0 and r3.dup_trigram_frac == 0.0
+    # all-count-1 ties break to the lexicographically smallest bigram
+    assert r3.top_bigram == "one two"

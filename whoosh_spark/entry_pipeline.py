@@ -42,6 +42,7 @@ from whoosh_spark.pipeline import (
     langid,
     minhash_dedup_pairs,
     quality_scores,
+    repetition_stats,
     sample_frames,
     shingle_jaccard_pairs,
     simhash_pairs,
@@ -635,6 +636,68 @@ FROM feat
         + "))) * 1.0 / len(words)"
         for lang, profile in LANG_PROFILES.items()
     }
+    add(
+        "text_repetition_stats",
+        # Gopher-style repetition filters (textstats.repetition_stats):
+        # dup-word fraction, top bigram + its char coverage, duplicated-
+        # trigram char coverage — exact arithmetic mirror, ::INT casts
+        # align DuckDB's BIGINT len() with Spark's int size()
+        lambda spark, sf: repetition_stats(_docs(spark, sf)).select(
+            "doc_id", "n_words",
+            F.round("dup_word_frac", 4).alias("dup_word_frac"),
+            "top_bigram",
+            F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+            F.round("dup_trigram_frac", 4).alias("dup_trigram_frac")),
+        r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+         length(array_to_string(ws, ' ')) AS norm_len
+  FROM w
+),
+bg AS (
+  SELECT doc_id, g, count(*) AS cnt FROM (
+    SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+                           FOR i IN generate_series(1, nw - 1)]) AS g
+    FROM b WHERE nw >= 2) GROUP BY doc_id, g
+),
+topbg AS (
+  SELECT doc_id, g AS top_bigram, cnt FROM (
+    SELECT doc_id, g, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g ASC) AS rn
+    FROM bg) WHERE rn = 1
+),
+tg AS (
+  SELECT doc_id, sum(cnt * length(g)) AS dupchars FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             FOR i IN generate_series(1, nw - 2)]) AS g
+      FROM b WHERE nw >= 3) GROUP BY doc_id, g)
+  WHERE cnt >= 2 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.nw::INT AS n_words,
+       round(CASE WHEN b.nw > 0
+             THEN (b.nw - len(list_distinct(b.ws))) * 1.0 / b.nw
+             ELSE 0.0 END, 4) AS dup_word_frac,
+       t.top_bigram,
+       round(CASE WHEN b.norm_len > 0
+             THEN least(1.0, coalesce(t.cnt * length(t.top_bigram), 0)
+                             * 1.0 / b.norm_len)
+             ELSE 0.0 END, 4) AS top_bigram_frac,
+       round(CASE WHEN b.norm_len > 0
+             THEN least(1.0, coalesce(g.dupchars, 0) * 1.0 / b.norm_len)
+             ELSE 0.0 END, 4) AS dup_trigram_frac
+FROM b LEFT JOIN topbg t USING (doc_id) LEFT JOIN tg g USING (doc_id)
+""",
+    )
+
     _lang_case = "CASE "
     for lang in ["en", "de", "fr", "es"]:
         _lang_case += f"WHEN r_{lang} = best THEN '{lang}' "

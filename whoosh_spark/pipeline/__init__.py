@@ -34,6 +34,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     fingerprint_overlap_pairs,
     langid,
     quality_scores,
+    repetition_stats,
     token_counts,
     winnow_fingerprints,
 )

@@ -195,3 +195,101 @@ def fingerprint_overlap_pairs(docs: DataFrame, text_col: str = "text",
         .agg(F.count("*").alias("common"))
         .where(F.col("common") >= min_common)
     )
+
+
+# ------------------------------------------------- repetition (Gopher-style)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+    Models", appendix A1.1 — the duplicate-text heuristics every
+    training-data pipeline runs), simplified to deterministic
+    overlap-counted arithmetic so an exact SQL mirror exists:
+
+    - ``dup_word_frac``: 1 - distinct/total words (whitespace-lowercase
+      tokenization, the repeated-token load of the doc)
+    - ``top_bigram`` / ``top_bigram_frac``: the most frequent word bigram
+      (ties -> lexicographically smallest) and the fraction of the
+      whitespace-normalized text's characters its occurrences cover
+    - ``dup_trigram_frac``: fraction of normalized characters covered by
+      occurrences of trigrams appearing >= 2 times (occurrences counted
+      independently; Gopher's overlap dedup is not reproducible in SQL)
+
+    Scale shape: one words split per doc (JVM codegen), n-gram counts via
+    explode -> groupBy(doc_id, gram) with map-side partial aggregation —
+    the only shuffles, keyed fine-grained so hot docs don't skew. No
+    Python in the plan.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("w"),
+    ).select(
+        "doc_id", "w",
+        F.size("w").alias("n_words"),
+        F.length(F.concat_ws(" ", F.col("w"))).alias("norm_len"),
+    )
+
+    def grams(n: int) -> Column:
+        # contiguous word n-grams as space-joined strings; empty when the
+        # doc has < n words (sequence() would otherwise run descending)
+        return F.when(
+            F.col("n_words") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_words") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.get("w", i + off) for off in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    stats = base.select(
+        "doc_id", "n_words", "norm_len",
+        F.when(
+            F.col("n_words") > 0,
+            (F.col("n_words") - F.size(F.array_distinct("w")))
+            / F.col("n_words"),
+        ).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+    )
+
+    from pyspark.sql import Window
+
+    bg = (base.select("doc_id", F.explode(grams(2)).alias("g"))
+          .groupBy("doc_id", "g").count())
+    top_w = Window.partitionBy("doc_id").orderBy(F.desc("count"), F.asc("g"))
+    top_bg = (bg.withColumn("_rn", F.row_number().over(top_w))
+              .where(F.col("_rn") == 1)
+              .select("doc_id", F.col("g").alias("top_bigram"),
+                      F.col("count").alias("_cnt")))
+
+    tg_dup = (base.select("doc_id", F.explode(grams(3)).alias("g"))
+              .groupBy("doc_id", "g").count()
+              .where(F.col("count") >= 2)
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("count") * F.length("g")).alias("_dupchars")))
+
+    return (stats
+            .join(top_bg, "doc_id", "left")
+            .join(tg_dup, "doc_id", "left")
+            .select(
+                "doc_id", "n_words", "dup_word_frac", "top_bigram",
+                # overlap-counted coverage can exceed the text length
+                # ("a a a" counts the shared middle twice) — cap at 1.0 to
+                # keep fraction semantics
+                F.when(
+                    F.col("norm_len") > 0,
+                    F.least(
+                        F.lit(1.0),
+                        F.coalesce(
+                            F.col("_cnt") * F.length("top_bigram"), F.lit(0))
+                        / F.col("norm_len")),
+                ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+                F.when(
+                    F.col("norm_len") > 0,
+                    F.least(
+                        F.lit(1.0),
+                        F.coalesce(F.col("_dupchars"), F.lit(0))
+                        / F.col("norm_len")),
+                ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
+            ))
