@@ -1,0 +1,88 @@
+"""Plan-shape regression tests: pin the scale-critical physical-plan
+properties BENCH.md's `.explain` audits describe — predicate pushdown to
+the Parquet scan, positional-column pruning off the non-positional path,
+broadcast (never shuffle) joins for per-term stats, and the
+single-shuffle / TakeOrderedAndProject top-k shape. A change that breaks
+one of these stays correct on 60k rows and falls over at 100 TB, which is
+exactly why row-level tests can't catch it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from whoosh_spark import query as Q
+from whoosh_spark.fields import transcript_schema
+from whoosh_spark.indexing.segments import build_segments, open_segments
+from whoosh_spark.search import Searcher
+from whoosh_spark.transcripts import transcript_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = transcript_corpus(spark, SF).persist()
+    c.count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def six(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("planix") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=2)
+    return open_segments(spark, path, corpus, transcript_schema())
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_postings_pushdown_and_pruning(six):
+    p = _plan(six.term_postings("text", "spark"))
+    # field+term equality reach the Parquet scan (row-group min/max seek
+    # on the per-file-sorted term dictionary)
+    assert "EqualTo(field,text)" in p
+    assert "EqualTo(term,spark)" in p
+    # the non-positional read never touches the positions columns
+    assert "pos_vals" not in p and "pos_counts" not in p
+
+
+def test_wand_single_shuffle_broadcast_and_pushdown(six):
+    from whoosh_spark.search.wand import wand_topk
+
+    p = _plan(wand_topk(six, "text", ["merge", "join"], k=10))
+    # query terms push into the blocks scan as an In() filter
+    assert re.search(r"In\(term, \[join,merge\]", p)
+    # per-term stats arrive by broadcast join, never a shuffle join
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # exactly ONE shuffle: the per-(segment, shard) kernel groupBy —
+    # the global k-merge is TakeOrderedAndProject over <= segments*k rows
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in p
+    # positions stay unread on the term path
+    assert "pos_vals" not in p and "pos_counts" not in p
+
+
+def test_phrase_wand_reads_positions_but_still_prunes(six):
+    from whoosh_spark.search.wand import wand_phrase_topk
+
+    p = _plan(wand_phrase_topk(six, "text", ["hash", "join"], k=10))
+    # the positional kernel DOES need the position columns...
+    assert "pos_vals" in p
+    # ...but still pushes the term filter into the scan
+    assert re.search(r"In\(term, \[hash,join\]", p)
+
+
+def test_executor_topk_is_take_ordered_not_global_sort(six):
+    s = Searcher(six)
+    q = Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")])
+    p = _plan(s.search(q, limit=10, optimize=False))
+    # top-k collects via TakeOrderedAndProject (per-partition heaps),
+    # never a full global Sort of the scored set
+    assert "TakeOrderedAndProject" in p
+    # term filters reach the postings scan even on the executor path
+    assert "EqualTo(field,text)" in p or "In(field" in p
