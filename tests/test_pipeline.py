@@ -392,3 +392,36 @@ def test_repetition_stats_hand_computed(spark):
     assert r3.dup_word_frac == 0.0 and r3.dup_trigram_frac == 0.0
     # all-count-1 ties break to the lexicographically smallest bigram
     assert r3.top_bigram == "one two"
+
+
+def test_hash_sample_partitioning_invariant(spark, docs):
+    from whoosh_spark.pipeline import hash_sample
+
+    a = sorted(r.doc_id for r in hash_sample(
+        docs.repartition(1), 0.3).select("doc_id").collect())
+    b = sorted(r.doc_id for r in hash_sample(
+        docs.repartition(16), 0.3).select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # monotone: a smaller fraction selects a subset
+    c = set(r.doc_id for r in hash_sample(
+        docs, 0.1).select("doc_id").collect())
+    assert c <= set(a)
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_stratified_sample_exact_quota(spark, docs):
+    from whoosh_spark.pipeline import stratified_sample
+
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = stratified_sample(docs, "lang", 5).groupBy("lang").agg(
+        F.count("*").alias("n")).collect()
+    assert {r.lang: r.n for r in got} == {
+        lg: min(5, n) for lg, n in sizes.items()}
+    # deterministic under repartitioning
+    a = sorted((r.lang, r.doc_id) for r in
+               stratified_sample(docs.repartition(13), "lang", 5).collect())
+    b = sorted((r.lang, r.doc_id) for r in
+               stratified_sample(docs.repartition(2), "lang", 5).collect())
+    assert a == b

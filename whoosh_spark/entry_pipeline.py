@@ -450,6 +450,35 @@ FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
 """,
     )
 
+    from whoosh_spark.pipeline import hash_sample, stratified_sample
+
+    add(
+        "sample_hash_frac",
+        # deterministic Bernoulli sample: keep iff first 32 md5 bits of
+        # salt:doc_id < fraction*2^32 — reproducible under any
+        # partitioning / cluster size (pipeline/sampling.py), pure filter
+        lambda spark, sf: hash_sample(_docs(spark, sf), 0.2)
+        .select("doc_id", "lang", "source"),
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE ('0x' || substr(md5('ws1:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+        f" < {int(0.2 * (1 << 32))}",
+    )
+    add(
+        "sample_stratified_lang",
+        # exactly-n-per-stratum in md5 order: the balanced-mix sampler
+        lambda spark, sf: stratified_sample(_docs(spark, sf), "lang", 20)
+        .select("doc_id", "lang"),
+        """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('ws1:' || doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                    doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 20
+""",
+    )
+
     add(
         "dedup_simhash_pairs",
         lambda spark, sf: simhash_pairs(_docs(spark, sf), maxdist=3).select(

@@ -843,6 +843,7 @@ _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
     "or_minmatch_topk", "turns_search_default_topk", "turns_wand_dismax_topk",
     "turns_batch_default_topk", "dedup_cc_sweep", "text_repetition_stats",
+    "sample_hash_frac", "sample_stratified_lang",
     "regex_bm25_topk", "copyfield_parse_topk",
     "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",
     "dedup_cluster_full_pairs", "highlight_whole_upper",

@@ -38,3 +38,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     token_counts,
     winnow_fingerprints,
 )
+from whoosh_spark.pipeline.sampling import (  # noqa: F401
+    hash_sample,
+    stratified_sample,
+)

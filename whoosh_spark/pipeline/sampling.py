@@ -1,0 +1,58 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Spark's native ``DataFrame.sample`` is seeded per-partition, so its output
+changes with partitioning, cluster size, and input order — useless for a
+reproducible training mix at 100 TB, where the sample must be a pure
+function of the data. Both operators here key the decision on
+``md5(salt || key)``: re-running on any cluster layout (or in another
+engine — the driver oracle recomputes them in DuckDB) selects exactly the
+same rows.
+
+- :func:`hash_sample`: Bernoulli by hash threshold — embarrassingly
+  parallel, no shuffle at all, the filter runs inside the scan's codegen
+  stage.
+- :func:`stratified_sample`: exactly-n-per-stratum by hash order — one
+  shuffle keyed on the stratum (window row_number), the standard shape for
+  balanced language/source mixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_u32(key_col: str, salt: str):
+    """First 32 bits of md5(salt:key) as a long in [0, 2^32)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col(key_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+
+
+def hash_sample(docs: DataFrame, fraction: float, key_col: str = "doc_id",
+                salt: str = "ws1") -> DataFrame:
+    """Keep each row iff md5(salt:key) < fraction — a deterministic
+    Bernoulli sample, reproducible regardless of partitioning or cluster
+    size (unlike ``DataFrame.sample``). Pure filter: no shuffle, stays in
+    whole-stage codegen."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * (1 << 32))
+    return docs.where(_hash_u32(key_col, salt) < F.lit(threshold))
+
+
+def stratified_sample(docs: DataFrame, by: str, n_per_group: int,
+                      key_col: str = "doc_id",
+                      salt: str = "ws1") -> DataFrame:
+    """Exactly min(n, |stratum|) rows per ``by``-group, chosen in
+    md5(salt:key) order (ties -> key asc): the balanced-mix sampler
+    (n docs per language / per source). One shuffle keyed on the stratum;
+    deterministic for a given (salt, data)."""
+    if n_per_group < 0:
+        raise ValueError(f"n_per_group must be >= 0, got {n_per_group}")
+    w = Window.partitionBy(by).orderBy(
+        _hash_u32(key_col, salt).asc(), F.col(key_col).asc())
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_per_group).drop("_rn"))
