@@ -525,6 +525,37 @@ SELECT query_id, doc_id, score FROM (
         "JOIN documents d USING (doc_id) GROUP BY d.lang",
     )
 
+    add(
+        "facet_query_buckets",
+        # QueryFacet (sorting.py::QueryFacet, allow_overlap): q's matches
+        # counted into named bucket QUERIES — arbitrary trees, here two
+        # terms and a numeric range; a doc matching several buckets counts
+        # in each
+        lambda spark, sf: _docs_searcher(spark, sf).query_counts(
+            Q.Term("text", "spark"),
+            {"joins": Q.Term("text", "join"),
+             "merges": Q.Term("text", "merge"),
+             "short": Q.NumericRange("n_chars", 0, 200)},
+        ),
+        PRELUDE
+        + """
+SELECT bucket, count(*)::BIGINT AS count FROM (
+  SELECT 'joins' AS bucket, b.doc_id
+  FROM (SELECT DISTINCT doc_id FROM post WHERE term = 'spark') b
+  WHERE b.doc_id IN (SELECT doc_id FROM post WHERE term = 'join')
+  UNION ALL
+  SELECT 'merges', b.doc_id
+  FROM (SELECT DISTINCT doc_id FROM post WHERE term = 'spark') b
+  WHERE b.doc_id IN (SELECT doc_id FROM post WHERE term = 'merge')
+  UNION ALL
+  SELECT 'short', b.doc_id
+  FROM (SELECT DISTINCT doc_id FROM post WHERE term = 'spark') b
+  JOIN documents d ON d.doc_id = b.doc_id
+  WHERE d.n_chars >= 0 AND d.n_chars <= 200
+) GROUP BY bucket
+""",
+    )
+
     def _facet_best(spark, sf):
         s = _docs_searcher(spark, sf)
         scored = _rounded(s.compile(Q.Term("text", "spark")))
@@ -843,7 +874,7 @@ _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
     "or_minmatch_topk", "turns_search_default_topk", "turns_wand_dismax_topk",
     "turns_batch_default_topk", "dedup_cc_sweep", "text_repetition_stats",
-    "sample_hash_frac", "sample_stratified_lang",
+    "sample_hash_frac", "sample_stratified_lang", "facet_query_buckets",
     "regex_bm25_topk", "copyfield_parse_topk",
     "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",
     "dedup_cluster_full_pairs", "highlight_whole_upper",

@@ -850,6 +850,30 @@ class Searcher:
         key = F.to_date(F.date_trunc(unit, F.col(fieldname))).alias("bucket")
         return scored.join(docs, "doc_id").groupBy(key).agg(F.count("*").alias("count"))
 
+    def query_counts(self, q: Q.Query,
+                     buckets: "dict[str, Q.Query]") -> DataFrame:
+        """QueryFacet (reference: sorting.py::QueryFacet ~L500, with
+        allow_overlap semantics — a doc matching several bucket queries
+        counts in each) -> (bucket, count) over q's matches.
+
+        Spark shape: each bucket is a left-semi join of the base match set
+        against that bucket query's matches; the tagged branches union
+        into ONE action. Bucket queries are arbitrary compiled trees, so
+        range/phrase/boolean buckets all work."""
+        from functools import reduce
+
+        base = self.compile(q).select("doc_id")
+        branches = []
+        for name, bq in buckets.items():
+            bdf = self.compile(bq).select("doc_id")
+            branches.append(
+                base.join(bdf, "doc_id", "left_semi")
+                .select(F.lit(name).alias("bucket")))
+        if not branches:
+            return self._spark.createDataFrame([], "bucket string, count long")
+        un = reduce(DataFrame.unionByName, branches)
+        return un.groupBy("bucket").agg(F.count("*").alias("count"))
+
     def group_counts_multi(self, q: Q.Query, keys: list[str]) -> DataFrame:
         """MultiFacet (reference: sorting.py::MultiFacet ~L600): composite
         grouping key -> (k1, ..., kn, count)."""
