@@ -425,3 +425,29 @@ def test_stratified_sample_exact_quota(spark, docs):
     b = sorted((r.lang, r.doc_id) for r in
                stratified_sample(docs.repartition(2), "lang", 5).collect())
     assert a == b
+
+
+def test_merge_cluster_labels_equals_full_recluster(spark):
+    """Incremental fold-in == full recluster: old labels re-enter as star
+    edges for touched clusters only; untouched labels pass through."""
+    from whoosh_spark.pipeline import dedup_sweep, merge_cluster_labels
+
+    old_edges = [(0, 1), (1, 2), (5, 6), (10, 11), (20, 21), (30, 31)]
+    # bridges old clusters (2-5 merges {0,1,2}+{5,6}), extends one (6-40),
+    # all-new pair (41-42), duplicate edge (11-10), new-to-old (50-21)
+    new_edges = [(2, 5), (6, 40), (41, 42), (11, 10), (50, 21)]
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    labels_old = dedup_sweep(
+        docs, spark.createDataFrame(old_edges, "i long, j long")
+    ).select("doc_id", "cluster_id")
+    merged = merge_cluster_labels(
+        labels_old, spark.createDataFrame(new_edges, "i long, j long"))
+    full = dedup_sweep(
+        docs, spark.createDataFrame(old_edges + new_edges, "i long, j long"))
+    got = {r.doc_id: r.cluster_id for r in merged.collect()}
+    ref = {r.doc_id: r.cluster_id for r in full.collect()}
+    assert got == ref
+    # the untouched cluster kept its old labels
+    assert got[30] == 30 and got[31] == 30
+    # the bridged mega-cluster re-rooted at the global min
+    assert got[40] == 0 and got[5] == 0 and got[2] == 0

@@ -423,16 +423,7 @@ SELECT query_id, doc_id, score FROM (
         "SELECT i, j, round(jaccard, 4) AS jaccard FROM jacc WHERE jaccard >= 0.8",
     )
 
-    add(
-        "dedup_cc_sweep",
-        # complete corpus dedup sweep: exact n-gram Jaccard pairs ->
-        # transitive clusters via alternating large-star/small-star
-        # (dedup.connected_components, O(log n) rounds of DataFrame joins,
-        # no driver union-find) -> keep min doc_id per cluster; oracle =
-        # recursive-CTE reachability closure with min-root labels
-        lambda spark, sf: dedup_sweep(
-            _docs(spark, sf),
-            shingle_jaccard_pairs(_docs(spark, sf), threshold=0.5)),
+    _CC_SWEEP_ORACLE = (
         "WITH RECURSIVE " + _SHINGLES_SQL.strip().rstrip(",") + """,
 edges AS (SELECT i AS u, j AS v FROM jacc WHERE jaccard >= 0.5),
 sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
@@ -447,6 +438,75 @@ SELECT d.doc_id,
        coalesce(l.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
 FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+""")
+
+    add(
+        "dedup_cc_sweep",
+        # complete corpus dedup sweep: exact n-gram Jaccard pairs ->
+        # transitive clusters via alternating large-star/small-star
+        # (dedup.connected_components, O(log n) rounds of DataFrame joins,
+        # no driver union-find) -> keep min doc_id per cluster; oracle =
+        # recursive-CTE reachability closure with min-root labels
+        lambda spark, sf: dedup_sweep(
+            _docs(spark, sf),
+            shingle_jaccard_pairs(_docs(spark, sf), threshold=0.5)),
+        _CC_SWEEP_ORACLE,
+    )
+
+    def _cc_incremental(spark, sf):
+        # INCREMENTAL sweep: docs >= 400 arrive as a new batch — old labels
+        # come from a sweep over old-only pairs, then merge_cluster_labels
+        # folds in the pairs touching the batch (star edges only for
+        # touched clusters, untouched labels pass through an anti-join).
+        # Must equal the full-corpus sweep, so it shares its oracle.
+        from whoosh_spark.pipeline import merge_cluster_labels
+
+        docs = _docs(spark, sf)
+        all_pairs = shingle_jaccard_pairs(docs, threshold=0.5).select("i", "j")
+        old_pairs = all_pairs.where("i < 400 AND j < 400")
+        new_pairs = all_pairs.where("i >= 400 OR j >= 400")
+        labels_old = dedup_sweep(
+            docs.where("doc_id < 400"), old_pairs
+        ).select("doc_id", "cluster_id")
+        merged = merge_cluster_labels(labels_old, new_pairs)
+        return (docs.select("doc_id")
+                .join(merged, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("cluster_id", F.col("doc_id"))
+                        .alias("cluster_id"))
+                .withColumn("is_canonical",
+                            F.col("doc_id") == F.col("cluster_id")))
+
+    add("dedup_cc_incremental", _cc_incremental, _CC_SWEEP_ORACLE)
+
+    add(
+        "dedup_semantic_sweep",
+        # the SemDeDup-style semantic variant: embedding-cosine near-dup
+        # pairs -> same transitive sweep; oracle = recursive closure over
+        # the exact cosine pair list
+        lambda spark, sf: dedup_sweep(
+            _emb(spark, sf),
+            cosine_neardup_pairs(_emb(spark, sf), threshold=0.4),
+            id_col="vec_id"),
+        """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS i, b.vec_id AS j
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.4
+),
+sym AS (SELECT i AS u, j AS v FROM pairs UNION SELECT j, i FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lab AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id
+        FROM reach GROUP BY u)
+SELECT e.vec_id AS doc_id,
+       coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+       e.vec_id = coalesce(l.cluster_id, e.vec_id) AS is_canonical
+FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.doc_id
 """,
     )
 

@@ -875,6 +875,7 @@ _WINDOW_FIRST = [
     "or_minmatch_topk", "turns_search_default_topk", "turns_wand_dismax_topk",
     "turns_batch_default_topk", "dedup_cc_sweep", "text_repetition_stats",
     "sample_hash_frac", "sample_stratified_lang", "facet_query_buckets",
+    "dedup_cc_incremental", "dedup_semantic_sweep",
     "regex_bm25_topk", "copyfield_parse_topk",
     "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",
     "dedup_cluster_full_pairs", "highlight_whole_upper",

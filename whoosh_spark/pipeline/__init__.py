@@ -3,6 +3,7 @@
 from whoosh_spark.pipeline.dedup import (  # noqa: F401
     connected_components,
     dedup_sweep,
+    merge_cluster_labels,
     exact_duplicates,
     minhash_dedup_against,
     minhash_dedup_pairs,

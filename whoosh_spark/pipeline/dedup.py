@@ -471,3 +471,50 @@ def dedup_sweep(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                     F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
             .withColumn("is_canonical",
                         F.col("doc_id") == F.col("cluster_id")))
+
+
+def merge_cluster_labels(labels: DataFrame, pairs_new: DataFrame,
+                         i: str = "i", j: str = "j") -> DataFrame:
+    """Incremental dedup sweep: fold a new batch's near-dup pairs into an
+    existing ``(doc_id, cluster_id)`` labeling WITHOUT re-clustering the
+    corpus — the ingest-time shape at 100 TB, where a daily batch must not
+    pay an O(corpus) connected-components pass.
+
+    Existing labels re-enter the graph as star edges (doc -> cluster root
+    carries exactly the old connectivity), but only for clusters TOUCHED
+    by a new pair; untouched clusters pass through verbatim via an
+    anti-join, so the CC pass is sized by the affected components plus the
+    new batch. New nodes absent from ``labels`` label themselves unless a
+    pair connects them. Output: (doc_id, cluster_id) for every node in
+    ``labels`` plus every node in ``pairs_new`` — equal to re-running
+    :func:`connected_components` over old-pairs ∪ new-pairs (old labels
+    preserve old components exactly; any pair node is touched, so no
+    untouched cluster can gain or lose members). Pinned against the full
+    recluster in tests/test_pipeline.py.
+
+    Pair source: :func:`minhash_dedup_against` (new-vs-existing) unioned
+    with :func:`minhash_dedup_pairs` over the new batch (new-vs-new).
+    """
+    lab = labels.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"))
+    pn = (pairs_new.select(F.col(i).cast("long").alias("i"),
+                           F.col(j).cast("long").alias("j"))
+          .where(F.col("i") != F.col("j")).distinct())
+    touched_nodes = (pn.select(F.col("i").alias("doc_id"))
+                     .union(pn.select(F.col("j").alias("doc_id"))).distinct())
+    touched_clusters = (lab.join(touched_nodes, "doc_id", "left_semi")
+                        .select("cluster_id").distinct())
+    affected = lab.join(touched_clusters, "cluster_id", "left_semi")
+    star = (affected.where(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias("i"),
+                    F.col("cluster_id").alias("j")))
+    cc = connected_components(star.unionByName(pn))
+    nodes = affected.select("doc_id").union(touched_nodes).distinct()
+    relabeled = (nodes.join(cc.withColumnRenamed("node", "doc_id"),
+                            "doc_id", "left")
+                 .select("doc_id",
+                         F.coalesce("cluster_id", F.col("doc_id"))
+                         .alias("cluster_id")))
+    untouched = lab.join(touched_clusters, "cluster_id", "left_anti")
+    return untouched.unionByName(relabeled)
