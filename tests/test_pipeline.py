@@ -451,3 +451,20 @@ def test_merge_cluster_labels_equals_full_recluster(spark):
     assert got[30] == 30 and got[31] == 30
     # the bridged mega-cluster re-rooted at the global min
     assert got[40] == 0 and got[5] == 0 and got[2] == 0
+
+
+def test_contamination_pairs_cross_corpus(spark):
+    from whoosh_spark.pipeline import contamination_pairs
+
+    shared = "jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame([
+        (0, "totally clean document about spark shuffles and joins here"),
+        (1, "contaminated one " + shared + " with extra prose"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (100, "benchmark item " + shared + " question answer"),
+        (101, "an unrelated benchmark prompt about quantum pigeons"),
+    ], "doc_id long, text string")
+    rows = contamination_pairs(corpus, bench, min_common=2).collect()
+    assert {(r.corpus_id, r.bench_id) for r in rows} == {(1, 100)}
+    assert rows[0].common >= 2

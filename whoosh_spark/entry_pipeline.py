@@ -33,6 +33,7 @@ from whoosh_spark.pipeline import (
     cluster_neardup_pairs,
     cosine_neardup_pairs,
     cosine_topk,
+    contamination_pairs,
     dedup_sweep,
     exact_duplicates,
     fake_decode_meta,
@@ -830,6 +831,25 @@ FROM b
   GROUP BY 1, 2
 )
 SELECT i, j, common FROM ov WHERE common >= 20
+""",
+    )
+    add(
+        "text_contamination_pairs",
+        # benchmark decontamination: corpus-vs-benchmark fingerprint
+        # overlap (textstats.contamination_pairs) — the benchmark
+        # fingerprint frame broadcasts, the corpus is touched once
+        lambda spark, sf: contamination_pairs(
+            _docs(spark, sf).where("doc_id < 450"),
+            _docs(spark, sf).where("doc_id >= 450"),
+            min_common=20),
+        "WITH "
+        + _WINNOW_SQL.strip()
+        + """
+SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+       count(*)::BIGINT AS common
+FROM fps c JOIN fps b ON c.fp = b.fp
+WHERE c.doc_id < 450 AND b.doc_id >= 450
+GROUP BY 1, 2 HAVING count(*) >= 20
 """,
     )
 

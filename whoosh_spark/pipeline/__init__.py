@@ -32,6 +32,7 @@ from whoosh_spark.pipeline.similarity import (  # noqa: F401
     ivf_topk,
 )
 from whoosh_spark.pipeline.textstats import (  # noqa: F401
+    contamination_pairs,
     fingerprint_overlap_pairs,
     langid,
     quality_scores,

@@ -197,6 +197,31 @@ def fingerprint_overlap_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", k: int = 8, window: int = 4,
+                        min_common: int = 5, id_col: str = "doc_id",
+                        bench_id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: (corpus_id, bench_id, common) for pairs
+    sharing >= min_common winnowing fingerprints ACROSS two corpora — the
+    eval-contamination sweep every training run does before touching the
+    data. Same fingerprint scheme as :func:`winnow_fingerprints`, so a
+    shared substring of ~k+window chars yields shared prints.
+
+    Scale shape: the benchmark side is small by nature (eval sets), so its
+    fingerprint frame BROADCASTS — the 100 TB corpus is fingerprinted in
+    one mapInArrow pass and hash-joined in place; no self-join, no shuffle
+    of corpus fingerprints. Contrast fingerprint_overlap_pairs, which
+    self-joins within one corpus.
+    """
+    cfp = winnow_fingerprints(corpus, text_col, k, window, id_col)
+    bfp = (winnow_fingerprints(benchmark, text_col, k, window, bench_id_col)
+           .withColumnRenamed("doc_id", "bench_id"))
+    return (cfp.join(F.broadcast(bfp), "fp")
+            .groupBy(F.col("doc_id").alias("corpus_id"), "bench_id")
+            .agg(F.count("*").alias("common"))
+            .where(F.col("common") >= min_common))
+
+
 # ------------------------------------------------- repetition (Gopher-style)
 
 
