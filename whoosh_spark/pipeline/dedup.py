@@ -420,7 +420,12 @@ def connected_components(pairs: DataFrame, i: str = "i", j: str = "j",
     """
     e = (pairs.select(F.col(i).cast("long").alias("u"),
                       F.col(j).cast("long").alias("v"))
-         .where(F.col("u") != F.col("v")).distinct())
+         .where(F.col("u") != F.col("v")).distinct()
+         # materialize the (possibly expensive) pair pipeline ONCE before
+         # iterating — round 1 references `e` several times (sym twice,
+         # mins once) and would otherwise recompute the upstream
+         # LSH/shingle plan per reference
+         .localCheckpoint(eager=True))
     prev_sig: tuple | None = None
     prev_e: DataFrame | None = None
     for _ in range(max_iter):
