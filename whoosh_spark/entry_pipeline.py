@@ -814,6 +814,87 @@ SELECT doc_id,
 FROM b
 """,
     )
+    from whoosh_spark.pipeline import curation_labels
+
+    add(
+        "pipeline_curation",
+        # the composed end-to-end curation verdict (pipeline/curate.py):
+        # langid + quality + exact-dup canonical + near-dup CC-sweep
+        # canonical + keep flag, all stages individually oracled above —
+        # this entry pins the COMPOSITION (join keys, flag logic) exactly
+        lambda spark, sf: curation_labels(_docs(spark, sf)),
+        f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip().rstrip(',')},
+edges AS (SELECT i AS u, j AS v FROM jacc WHERE jaccard >= 0.8),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lab AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id
+        FROM reach GROUP BY u),
+qbase AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS words,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+  FROM documents
+),
+qfeat AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> x IN ({_STOP_SQL}))) * 1.0 / len(words)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0 THEN n_alpha * 1.0 / length(text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(words) > 0
+              THEN list_reduce(list_prepend(0, [length(w) FOR w IN words]), (a, b) -> a + b) * 1.0 / len(words)
+              ELSE 0.0 END AS mean_wl
+  FROM qbase
+),
+qual AS (
+  SELECT doc_id,
+         round((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.2 END)
+             * (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+             * (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+             * alpha_ratio, 4) AS quality
+  FROM qfeat
+),
+lwords AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents
+),
+lr AS (
+  SELECT doc_id,
+         CASE WHEN len(words) > 0 THEN {_lang_sqls['en']} ELSE 0.0 END AS r_en,
+         CASE WHEN len(words) > 0 THEN {_lang_sqls['de']} ELSE 0.0 END AS r_de,
+         CASE WHEN len(words) > 0 THEN {_lang_sqls['fr']} ELSE 0.0 END AS r_fr,
+         CASE WHEN len(words) > 0 THEN {_lang_sqls['es']} ELSE 0.0 END AS r_es
+  FROM lwords
+),
+lbest AS (SELECT doc_id, r_en, r_de, r_fr, r_es,
+                 greatest(r_en, r_de, r_fr, r_es) AS best FROM lr),
+lid AS (
+  SELECT doc_id,
+         CASE WHEN best > 0 THEN {_lang_case} ELSE 'und' END AS lang_pred
+  FROM lbest
+),
+ex AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_canonical
+  FROM documents
+)
+SELECT d.doc_id, l.lang_pred, q.quality, e.exact_canonical,
+       coalesce(lb.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(lb.cluster_id, d.doc_id) AS cluster_canonical,
+       (e.exact_canonical
+        AND d.doc_id = coalesce(lb.cluster_id, d.doc_id)
+        AND q.quality >= 0.05) AS keep
+FROM documents d
+JOIN qual q USING (doc_id) JOIN lid l USING (doc_id) JOIN ex e USING (doc_id)
+LEFT JOIN lab lb ON d.doc_id = lb.doc_id
+""",
+    )
+
     add(
         "text_winnow_fingerprints",
         lambda spark, sf: winnow_fingerprints(_docs(spark, sf)),

@@ -44,3 +44,6 @@ from whoosh_spark.pipeline.sampling import (  # noqa: F401
     hash_sample,
     stratified_sample,
 )
+from whoosh_spark.pipeline.curate import (  # noqa: F401
+    curation_labels,
+)

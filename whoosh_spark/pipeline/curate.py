@@ -1,0 +1,55 @@
+"""End-to-end corpus curation: the composed verdict a training-data
+pipeline computes per document before a run — language ID, quality score,
+exact-dup canonicality, near-dup transitive-cluster canonicality
+(MinHash-LSH -> connected-components sweep), and the final keep flag.
+
+Composition, not new math: every stage is one of the already-oracled
+pipeline operators, joined on doc_id. The point of shipping it composed is
+the SHAPE — at 100 TB each stage is its own bounded-shuffle pass (dedup.py
+and textstats.py document each one's scale story), the joins are all on
+the doc-id key, and the output is a single labeled frame a training job
+can filter with `WHERE keep`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_spark.pipeline.dedup import (
+    dedup_sweep,
+    exact_duplicates,
+    minhash_dedup_pairs,
+)
+from whoosh_spark.pipeline.textstats import langid, quality_scores
+
+
+def curation_labels(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", quality_min: float = 0.05,
+                    jaccard_threshold: float = 0.8) -> DataFrame:
+    """(doc_id, lang_pred, quality, exact_canonical, cluster_id,
+    cluster_canonical, keep) for every doc.
+
+    keep = exact_canonical AND cluster_canonical AND quality >=
+    quality_min — keep one representative per exact group and per
+    near-dup cluster, drop low-quality text. Language is labeled, not
+    filtered (mix decisions are downstream policy; filter on lang_pred).
+    """
+    q = quality_scores(docs, text_col, id_col).select("doc_id", "quality")
+    lid = langid(docs, text_col, id_col).select("doc_id", "lang_pred")
+    ex = exact_duplicates(docs, text_col, id_col).select(
+        "doc_id", F.col("is_canonical").alias("exact_canonical"))
+    sweep = dedup_sweep(
+        docs,
+        minhash_dedup_pairs(docs, text_col=text_col,
+                            threshold=jaccard_threshold, id_col=id_col),
+        id_col=id_col,
+    ).select("doc_id", "cluster_id",
+             F.col("is_canonical").alias("cluster_canonical"))
+    return (q.join(lid, "doc_id").join(ex, "doc_id").join(sweep, "doc_id")
+            .select(
+                "doc_id", "lang_pred", "quality", "exact_canonical",
+                "cluster_id", "cluster_canonical",
+                (F.col("exact_canonical") & F.col("cluster_canonical")
+                 & (F.col("quality") >= quality_min)).alias("keep"),
+            ))
