@@ -376,6 +376,26 @@ SELECT query_id, doc_id, score FROM (
         "GROUP BY t.conv_id ORDER BY best_score DESC, conv_id ASC LIMIT 10",
     )
 
+    def _conv_children(spark, sf):
+        # NestedChildren (the other nested direction): every TURN of a
+        # conversation containing a 'spark' hit — executor.nested_children
+        # semi-joins the docs frame against the matched parent keys
+        from whoosh_spark import query as Qn
+        from whoosh_spark.search import Searcher
+
+        six = _turns_index(spark, sf)
+        return Searcher(six).nested_children(Qn.Term("text", "spark"),
+                                             "conv_id")
+
+    add(
+        "turns_conv_children",
+        _conv_children,
+        TURNS_PRELUDE
+        + "SELECT t.doc_id, t.conv_id FROM turns t WHERE t.conv_id IN ("
+        "SELECT DISTINCT t2.conv_id FROM scored s JOIN turns t2 USING (doc_id) "
+        "WHERE s.term = 'spark')",
+    )
+
     # --------------------------------- dedup -----------------------------
 
     add(

@@ -850,6 +850,27 @@ class Searcher:
         key = F.to_date(F.date_trunc(unit, F.col(fieldname))).alias("bucket")
         return scored.join(docs, "doc_id").groupBy(key).agg(F.count("*").alias("count"))
 
+    def nested_children(self, q: Q.Query, parent_key: str) -> DataFrame:
+        """NestedChildren (reference: query/nested.py::NestedChildren —
+        "all children of parents where ...", the other direction from the
+        NestedParent block join): every doc whose parent GROUP contains at
+        least one match of ``q`` -> (doc_id, parent_key). Retrieval use:
+        return whole conversations containing a hit.
+
+        The reference walks doc-position blocks (parent doc followed by
+        its children); the engine's parent is a grouping-key column, so
+        the analogue is a semi-join of the docs frame against the matched
+        parent keys. The matched-parents frame is bounded by the match
+        count — AQE turns the semi-join into a broadcast join when it is
+        small at runtime; no forced broadcast, so an every-parent match
+        degrades to a shuffle join instead of an OOM."""
+        docs = self.index.docs.select(
+            F.col(self.index.doc_id_col).alias("doc_id"), parent_key)
+        parents = (self.compile(q).join(docs, "doc_id")
+                   .select(parent_key).distinct())
+        return docs.join(parents, parent_key, "left_semi").select(
+            "doc_id", parent_key)
+
     def query_counts(self, q: Q.Query,
                      buckets: "dict[str, Q.Query]") -> DataFrame:
         """QueryFacet (reference: sorting.py::QueryFacet ~L500, with
