@@ -86,3 +86,19 @@ def test_executor_topk_is_take_ordered_not_global_sort(six):
     assert "TakeOrderedAndProject" in p
     # term filters reach the postings scan even on the executor path
     assert "EqualTo(field,text)" in p or "In(field" in p
+
+
+def test_search_many_batch_shares_one_scan(six):
+    """The batched default path scans the blocks store ONCE for the whole
+    term-query group, pruned to the union of every query's terms."""
+    s = Searcher(six)
+    queries = {
+        0: Q.Or([Q.Term("text", "merge"), Q.Term("text", "join")]),
+        1: Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
+        2: Q.DisjunctionMax(
+            [Q.Term("text", "spark"), Q.Term("text", "window")]),
+    }
+    p = _plan(s.search_many(queries, limit=10))
+    scans = re.findall(r"FileScan parquet \[field#\d+,term#\d+,block_id", p)
+    assert len(scans) == 1
+    assert re.search(r"In\(term, \[hash,join,merge,spark,window", p)
