@@ -147,14 +147,27 @@ class PyIndex:
                 for i, s in d.items():
                     out[i] = out.get(i, 0.0) + s
                     nmatch[i] = nmatch.get(i, 0) + 1
+            if q.scale:
+                # coord scaling: sum * ((1-scale) + scale * matched/children)
+                n = float(len(q.subqueries))
+                sc = float(q.scale)
+                out = {i: s * ((1 - sc) + sc * nmatch[i] / n)
+                       for i, s in out.items()}
             if q.minmatch > 1:
                 out = {i: s for i, s in out.items() if nmatch[i] >= q.minmatch}
             return boosted(out)
         if isinstance(q, Q.DisjunctionMax):
-            out = {}
+            mx: dict[int, float] = {}
+            sm: dict[int, float] = {}
             for d in (self.scores(k) for k in q.subqueries):
                 for i, s in d.items():
-                    out[i] = max(out.get(i, 0.0), s)
+                    mx[i] = max(mx.get(i, 0.0), s)
+                    sm[i] = sm.get(i, 0.0) + s
+            if q.tiebreak:
+                # DisMaxMatcher: max + tiebreak * (sum - max)
+                out = {i: mx[i] + q.tiebreak * (sm[i] - mx[i]) for i in mx}
+            else:
+                out = mx
             return boosted(out)
         if isinstance(q, Q.AndNot):
             a, bb = self.scores(q.a), self.scores(q.b)

@@ -494,8 +494,17 @@ def _random_tree(rng, vocab, depth):
     if kind == 0:
         return Q.And(kids)
     if kind == 1:
+        # sometimes carry the Or knobs (coord scale / minmatch) — both
+        # rescore-or-filter paths the pyoracle mirrors independently
+        r = rng.random()
+        if r < 0.2:
+            return Q.Or(kids, scale=rng.choice((0.5, 0.9)))
+        if r < 0.4:
+            return Q.Or(kids, minmatch=2)
         return Q.Or(kids)
     if kind == 2:
+        if rng.random() < 0.3:
+            return Q.DisjunctionMax(kids, tiebreak=rng.choice((0.1, 0.5)))
         return Q.DisjunctionMax(kids)
     if kind == 3:
         return Q.AndNot(kids[0], kids[1])
