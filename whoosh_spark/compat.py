@@ -647,37 +647,25 @@ class CompatReader:
     def most_frequent_terms(self, fieldname: str, number: int = 5,
                             prefix: str = "") -> list[tuple[float, str]]:
         """(weight, text) by total weight desc (reference: IndexReader
-        .most_frequent_terms' nlargest) — TakeOrdered over the terms
-        frame, only ``number`` rows back."""
+        .most_frequent_terms' nlargest) — delegates to the engine's lazy
+        DataFrame top-k (InvertedIndex.most_frequent_terms), only
+        ``number`` rows back."""
         if self._ix is None:
             return []
-        from pyspark.sql import functions as F
-
-        t = self._ix.terms.where(F.col("field") == fieldname)
-        if prefix:
-            t = t.where(F.col("term").startswith(prefix))
-        rows = (t.orderBy(F.desc("total_weight"), F.asc("term"))
-                .select("total_weight", "term").limit(int(number)).collect())
-        return [(float(r["total_weight"]), r["term"]) for r in rows]
+        rows = self._ix.most_frequent_terms(
+            fieldname, int(number), prefix).collect()
+        return [(float(r["freq"]), r["term"]) for r in rows]
 
     def most_distinctive_terms(self, fieldname: str, number: int = 5,
                                prefix: str = "") -> list[tuple[float, str]]:
         """(score, text) with score = weight * ln(N/df) (reference:
-        IndexReader.most_distinctive_terms' tf-idf) — same plan shape as
-        most_frequent_terms; oracle-checked via the registry's
-        most_distinctive_terms entry."""
+        IndexReader.most_distinctive_terms' tf-idf) — delegates to
+        InvertedIndex.most_distinctive_terms; oracle-checked via the
+        registry's most_distinctive_terms entry."""
         if self._ix is None:
             return []
-        from pyspark.sql import functions as F
-
-        n = self.doc_count_all()
-        t = self._ix.terms.where(F.col("field") == fieldname)
-        if prefix:
-            t = t.where(F.col("term").startswith(prefix))
-        score = F.col("total_weight") * F.log(F.lit(float(n)) / F.col("df"))
-        rows = (t.select(score.alias("score"), "term")
-                .orderBy(F.desc("score"), F.asc("term"))
-                .limit(int(number)).collect())
+        rows = self._ix.most_distinctive_terms(
+            fieldname, int(number), prefix).collect()
         return [(float(r["score"]), r["term"]) for r in rows]
 
     # -- documents ------------------------------------------------------

@@ -238,6 +238,33 @@ class InvertedIndex:
         rows = self.terms.where(F.col("field") == field_name).select("term").collect()
         return sorted(r["term"] for r in rows)
 
+    def most_frequent_terms(self, field_name: str, number: int = 5,
+                            prefix: str = "") -> DataFrame:
+        """Top ``number`` terms by total weight (reference:
+        reading.py::IndexReader.most_frequent_terms) -> DataFrame
+        (term, freq), ties broken term-ascending. Lazy: one filtered pass
+        over the terms table + TakeOrderedAndProject — never the full
+        lexicon on the driver."""
+        t = self.terms.where(F.col("field") == field_name)
+        if prefix:
+            t = t.where(F.col("term").startswith(prefix))
+        return (t.select("term", F.col("total_weight").alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("term")).limit(number))
+
+    def most_distinctive_terms(self, field_name: str, number: int = 5,
+                               prefix: str = "") -> DataFrame:
+        """Top ``number`` terms by tf-idf score = total_weight *
+        log(doc_count / df) (reference: reading.py::IndexReader.
+        most_distinctive_terms) -> DataFrame (term, score). Same lazy
+        top-k shape as most_frequent_terms."""
+        t = self.terms.where(F.col("field") == field_name)
+        if prefix:
+            t = t.where(F.col("term").startswith(prefix))
+        n = float(self.doc_count)
+        score = F.col("total_weight") * F.log(F.lit(n) / F.col("df"))
+        return (t.select("term", score.alias("score"))
+                .orderBy(F.desc("score"), F.asc("term")).limit(number))
+
     def expand_terms(self, field_name: str, like=None, rlike=None, between=None,
                      fuzzy=None, isin=None) -> pd.DataFrame:
         """Lexicon expansion for Prefix/Wildcard/TermRange/Fuzzy queries
