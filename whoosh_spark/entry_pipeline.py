@@ -330,6 +330,53 @@ SELECT query_id, doc_id, score FROM (
 """,
     )
 
+    def _batch_mixed(spark, sf):
+        # batch default with a PHRASE member: the Or routes through the
+        # batched term kernel, the Phrase through wand_phrase_topk, both
+        # branches in the same single action (executor.search_many)
+        from pyspark.sql import Window
+
+        from whoosh_spark import query as Qn
+        from whoosh_spark.search import Searcher
+
+        six = _turns_index(spark, sf)
+        queries = {
+            0: Qn.Or([Qn.Term("text", t) for t in ("hash", "window")]),
+            1: Qn.Phrase("text", ["hash", "join"]),
+        }
+        raw = Searcher(six).search_many(queries, limit=3 * K)
+        rounded = raw.withColumn("score", F.round("score", 4))
+        rn = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id")))
+        return (rounded.withColumn("rn", rn).where(F.col("rn") <= K)
+                .drop("rn")
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+    add(
+        "turns_batch_mixed_topk",
+        _batch_mixed,
+        TURNS_PRELUDE
+        + """
+SELECT query_id, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT 0 AS query_id, doc_id, sum(score) AS score FROM scored
+      WHERE term IN ('hash','window') GROUP BY doc_id
+    UNION ALL
+    SELECT 1, s.doc_id, sum(s.score) FROM scored s
+      WHERE s.term IN ('hash','join') AND s.doc_id IN (
+        SELECT a.doc_id FROM ftok a JOIN ftok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'hash' AND b.term = 'join')
+      GROUP BY s.doc_id HAVING count(*) = 2
+  )
+) WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id ASC
+""",
+    )
+
     add(
         "turns_wand_phrase_topk",
         _wand_phrase,

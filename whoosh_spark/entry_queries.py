@@ -873,7 +873,8 @@ _REGISTRY_CACHE: dict | None = None
 _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
     "or_minmatch_topk", "turns_search_default_topk", "turns_wand_dismax_topk",
-    "turns_batch_default_topk", "dedup_cc_sweep", "text_repetition_stats",
+    "turns_batch_default_topk", "turns_batch_mixed_topk",
+    "dedup_cc_sweep", "text_repetition_stats",
     "sample_hash_frac", "sample_stratified_lang", "facet_query_buckets",
     "dedup_cc_incremental", "dedup_semantic_sweep",
     "text_contamination_pairs", "pipeline_curation", "turns_conv_children",
