@@ -1174,6 +1174,64 @@ SELECT doc_id, round(score, 4) AS score FROM (
 """,
     )
     add(
+        "span_not_topk",
+        # SpanNot (spans.py::SpanNot): near-spans of slow..query (gap<=3)
+        # that do NOT overlap any 'scan' position — a doc survives if at
+        # least one of its spans is clean (4 of 83 matching docs at sf0.01
+        # have every span overlapped and drop out)
+        lambda spark, sf: _span_q(
+            spark, sf,
+            lambda: Qn.SpanNot(
+                Qn.SpanNear2([Qn.Term("text", "slow"),
+                              Qn.Term("text", "query")], slop=3),
+                Qn.Term("text", "scan"),
+            ),
+        ),
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT s.doc_id, sum(s.score) AS score FROM scored s
+  WHERE s.term IN ('slow','query') AND s.doc_id IN (
+    SELECT a.doc_id FROM ftok a JOIN ftok b
+      ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+    WHERE a.term = 'slow' AND b.term = 'query'
+      AND NOT EXISTS (SELECT 1 FROM ftok c WHERE c.doc_id = a.doc_id
+                      AND c.term = 'scan'
+                      AND c.pos >= a.pos AND c.pos <= b.pos))
+  GROUP BY s.doc_id HAVING count(*) = 2
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+    add(
+        "span_contains_topk",
+        # SpanContains (spans.py::SpanContains): near-spans that CONTAIN a
+        # 'scan' position — the inverse selection of span_not_topk
+        lambda spark, sf: _span_q(
+            spark, sf,
+            lambda: Qn.SpanContains(
+                Qn.SpanNear2([Qn.Term("text", "slow"),
+                              Qn.Term("text", "query")], slop=3),
+                Qn.Term("text", "scan"),
+            ),
+        ),
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  -- SpanContains joins a's and b's frames, so the score is the SUM of
+  -- all three terms' contributions (executor._join2)
+  SELECT s.doc_id, sum(s.score) AS score FROM scored s
+  WHERE s.term IN ('slow','query','scan') AND s.doc_id IN (
+    SELECT a.doc_id FROM ftok a JOIN ftok b
+      ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+    WHERE a.term = 'slow' AND b.term = 'query'
+      AND EXISTS (SELECT 1 FROM ftok c WHERE c.doc_id = a.doc_id
+                  AND c.term = 'scan'
+                  AND c.pos >= a.pos AND c.pos <= b.pos))
+  GROUP BY s.doc_id HAVING count(*) = 3
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+    add(
         "span_first_topk",
         lambda spark, sf: _span_q(
             spark, sf, lambda: Qn.SpanFirst(Qn.Term("text", "spark"), limit=2)
