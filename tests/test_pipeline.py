@@ -468,3 +468,13 @@ def test_contamination_pairs_cross_corpus(spark):
     rows = contamination_pairs(corpus, bench, min_common=2).collect()
     assert {(r.corpus_id, r.bench_id) for r in rows} == {(1, 100)}
     assert rows[0].common >= 2
+
+
+def test_connected_components_raises_on_exhausted_iterations(spark):
+    from whoosh_spark.pipeline import connected_components
+
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "i long, j long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # convergence detection needs a confirming round; 1 can never prove
+        # a fixpoint, so this must raise rather than return silent labels
+        connected_components(pairs, max_iter=1)

@@ -962,6 +962,28 @@ LEFT JOIN lab lb ON d.doc_id = lb.doc_id
 """,
     )
 
+    from whoosh_spark.pipeline import mixture_report
+
+    add(
+        "pipeline_mixture_report",
+        # the training-mix planning table: per-(lang, source) doc/token/
+        # char totals + token share of the corpus (one groupBy; the share
+        # window runs on the tiny stratum frame)
+        lambda spark, sf: mixture_report(_docs(spark, sf)),
+        """
+WITH per AS (
+  SELECT lang, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+         length(text) AS chars
+  FROM documents
+)
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(toks)::BIGINT AS tokens, sum(chars)::BIGINT AS chars,
+       round(sum(toks) * 1.0 / sum(sum(toks)) OVER (), 6) AS token_share
+FROM per GROUP BY lang, source
+""",
+    )
+
     add(
         "text_winnow_fingerprints",
         lambda spark, sf: winnow_fingerprints(_docs(spark, sf)),

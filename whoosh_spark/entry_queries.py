@@ -878,7 +878,8 @@ _WINDOW_FIRST = [
     "dedup_cc_sweep", "text_repetition_stats",
     "sample_hash_frac", "sample_stratified_lang", "facet_query_buckets",
     "dedup_cc_incremental", "dedup_semantic_sweep",
-    "text_contamination_pairs", "pipeline_curation", "turns_conv_children",
+    "text_contamination_pairs", "pipeline_curation", "pipeline_mixture_report",
+    "turns_conv_children",
     "regex_bm25_topk", "copyfield_parse_topk",
     "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",
     "dedup_cluster_full_pairs", "highlight_whole_upper",

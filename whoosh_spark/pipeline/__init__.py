@@ -35,6 +35,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     contamination_pairs,
     fingerprint_overlap_pairs,
     langid,
+    mixture_report,
     quality_scores,
     repetition_stats,
     token_counts,

@@ -457,6 +457,13 @@ def connected_components(pairs: DataFrame, i: str = "i", j: str = "j",
             if e.exceptAll(prev_e).union(prev_e.exceptAll(e)).isEmpty():
                 break
         prev_sig, prev_e = sig, e
+    else:
+        # never return silently-unconverged labels — wrong cluster ids
+        # mean wrong dedup drops. Kiveris 2014 bounds rounds at
+        # O(log^2 n); the default max_iter=32 covers any realistic size,
+        # so exhaustion means a bug or an absurd max_iter override.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
     return e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
 
 

@@ -318,3 +318,32 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                         / F.col("norm_len")),
                 ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
             ))
+
+
+# ------------------------------------------------------- mixture report
+
+
+def mixture_report(docs: DataFrame, by: "tuple[str, ...]" = ("lang", "source"),
+                   text_col: str = "text") -> DataFrame:
+    """Corpus mixture report: per-stratum doc / whitespace-token / char
+    totals plus each stratum's token share of the corpus — the table a
+    training-mix plan is drawn from, and the input to
+    :func:`whoosh_spark.pipeline.sampling.stratified_sample` quotas.
+
+    One groupBy with map-side combine over the corpus; the share window
+    runs on the already-aggregated stratum frame (tiny by construction).
+    """
+    t = F.col(text_col)
+    toks = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+    agg = (docs.select(*by, toks.alias("_t"), F.length(t).alias("_c"))
+           .groupBy(*by)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_t").alias("tokens"),
+                F.sum("_c").alias("chars")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return agg.select(
+        *by, "n_docs", "tokens", "chars",
+        F.round(F.col("tokens") / F.sum("tokens").over(w), 6)
+        .alias("token_share"))
