@@ -478,3 +478,27 @@ def test_connected_components_raises_on_exhausted_iterations(spark):
         # convergence detection needs a confirming round; 1 can never prove
         # a fixpoint, so this must raise rather than return silent labels
         connected_components(pairs, max_iter=1)
+
+
+def test_proportional_sample_quotas_and_determinism(spark, docs):
+    from whoosh_spark.pipeline import proportional_sample
+
+    total = 97
+    out = proportional_sample(docs, "lang", total)
+    rows = out.select("doc_id", "lang").collect()
+    assert len(rows) == total  # largest remainder sums exactly
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_corpus = sum(sizes.values())
+    got = {}
+    for r in rows:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    for lg, n in sizes.items():
+        exact = total * n / n_corpus
+        assert abs(got.get(lg, 0) - exact) < 1  # within one seat
+    # deterministic across partitionings
+    b = sorted((r.lang, r.doc_id) for r in proportional_sample(
+        docs.repartition(11), "lang", total).select("doc_id", "lang").collect())
+    assert sorted((r.lang, r.doc_id) for r in rows) == b
+    with pytest.raises(ValueError):
+        proportional_sample(docs, "lang", 10**9)

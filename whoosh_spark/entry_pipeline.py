@@ -607,6 +607,44 @@ SELECT doc_id, lang FROM (
 """,
     )
 
+    from whoosh_spark.pipeline import proportional_sample
+
+    add(
+        "sample_proportional_lang",
+        # exactly-total_n proportional mix: largest-remainder quotas per
+        # lang, strata filled in md5 order (sampling.proportional_sample)
+        lambda spark, sf: proportional_sample(_docs(spark, sf), "lang", 100)
+        .select("doc_id", "lang"),
+        """
+WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+q AS (
+  SELECT lang, n, 100 * n * 1.0 / sum(n) OVER () AS raw FROM sizes
+),
+q2 AS (
+  SELECT lang, floor(raw)::BIGINT AS base, raw - floor(raw) AS frac FROM q
+),
+q3 AS (
+  SELECT lang, base,
+         row_number() OVER (ORDER BY frac DESC, lang ASC) AS rk,
+         100 - sum(base) OVER () AS rem
+  FROM q2
+),
+quotas AS (
+  SELECT lang, base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS quota FROM q3
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY ('0x' || substr(md5('ws1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                    d.doc_id ASC) AS rn
+  FROM documents d
+)
+SELECT r.doc_id, r.lang FROM ranked r JOIN quotas USING (lang)
+WHERE r.rn <= quota
+""",
+    )
+
     add(
         "dedup_simhash_pairs",
         lambda spark, sf: simhash_pairs(_docs(spark, sf), maxdist=3).select(

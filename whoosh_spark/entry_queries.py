@@ -876,7 +876,8 @@ _WINDOW_FIRST = [
     "turns_batch_default_topk", "turns_batch_mixed_topk",
     "span_not_topk", "span_contains_topk", "span_before_topk",
     "dedup_cc_sweep", "text_repetition_stats",
-    "sample_hash_frac", "sample_stratified_lang", "facet_query_buckets",
+    "sample_hash_frac", "sample_stratified_lang", "sample_proportional_lang",
+    "facet_query_buckets",
     "dedup_cc_incremental", "dedup_semantic_sweep",
     "text_contamination_pairs", "pipeline_curation", "pipeline_mixture_report",
     "turns_conv_children",

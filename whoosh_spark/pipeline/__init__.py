@@ -43,6 +43,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
 )
 from whoosh_spark.pipeline.sampling import (  # noqa: F401
     hash_sample,
+    proportional_sample,
     stratified_sample,
 )
 from whoosh_spark.pipeline.curate import (  # noqa: F401

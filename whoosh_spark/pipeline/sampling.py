@@ -56,3 +56,47 @@ def stratified_sample(docs: DataFrame, by: str, n_per_group: int,
         _hash_u32(key_col, salt).asc(), F.col(key_col).asc())
     return (docs.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= n_per_group).drop("_rn"))
+
+
+def proportional_sample(docs: DataFrame, by: str, total_n: int,
+                        key_col: str = "doc_id",
+                        salt: str = "ws1") -> DataFrame:
+    """Exactly ``total_n`` rows, split across ``by``-strata in proportion
+    to stratum size by the largest-remainder method (quota_i =
+    floor(total_n * n_i / N), the leftover seats going to the largest
+    fractional parts, ties by stratum ascending), each stratum filled in
+    md5(salt:key) order — the proportional training-mix sampler, fully
+    deterministic for a given (salt, data).
+
+    Plan: one stratum-count aggregation (tiny output), quota arithmetic in
+    windows over the stratum frame, one broadcast-friendly join back, one
+    stratum-keyed window for the per-stratum fill. total_n must not exceed
+    the corpus size (every quota is then <= its stratum size by
+    construction: raw_i <= n_i, and a +1 seat only lands on strata with a
+    nonzero fractional part, where floor(raw) < raw <= n).
+    """
+    sizes = docs.groupBy(by).agg(F.count(F.lit(1)).alias("_n"))
+    w_all = Window.partitionBy()
+    raw = F.lit(int(total_n)) * F.col("_n") / F.sum("_n").over(w_all)
+    q = (sizes.select(by, "_n", raw.alias("_raw"))
+         .withColumn("_base", F.floor("_raw").cast("long"))
+         .withColumn("_frac", F.col("_raw") - F.col("_base")))
+    # guard AFTER the aggregation plan is built but BEFORE any action on
+    # docs is wasted: one tiny count
+    n_total = q.agg(F.sum("_n")).collect()[0][0] or 0
+    if total_n > n_total:
+        raise ValueError(
+            f"total_n={total_n} exceeds corpus size {n_total}")
+    rem = F.lit(int(total_n)) - F.sum("_base").over(w_all)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("_frac"), F.asc(by)))
+    quotas = q.select(
+        by,
+        (F.col("_base")
+         + F.when(rank <= rem, F.lit(1)).otherwise(F.lit(0))).alias("_quota"))
+    w_fill = Window.partitionBy(by).orderBy(
+        _hash_u32(key_col, salt).asc(), F.col(key_col).asc())
+    return (docs.join(quotas, by)
+            .withColumn("_rn", F.row_number().over(w_fill))
+            .where(F.col("_rn") <= F.col("_quota"))
+            .drop("_rn", "_quota"))
