@@ -1234,6 +1234,40 @@ SELECT doc_id, round(score, 4) AS score FROM (
 """,
     )
     add(
+        "span_or_topk",
+        # SpanOr (spans.py::SpanOr): union of two near-span branches; a
+        # doc matching both sums both branches' scores (ordered fold)
+        lambda spark, sf: _span_q(
+            spark, sf,
+            lambda: Qn.SpanOr([
+                Qn.SpanNear2([Qn.Term("text", "slow"),
+                              Qn.Term("text", "query")], slop=3),
+                Qn.SpanNear2([Qn.Term("text", "hash"),
+                              Qn.Term("text", "join")], slop=2),
+            ]),
+        ),
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, sum(b_score) AS score FROM (
+    SELECT s.doc_id, sum(s.score) AS b_score FROM scored s
+    WHERE s.term IN ('slow','query') AND s.doc_id IN (
+      SELECT a.doc_id FROM ftok a JOIN ftok b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+      WHERE a.term = 'slow' AND b.term = 'query')
+    GROUP BY s.doc_id HAVING count(*) = 2
+    UNION ALL
+    SELECT s.doc_id, sum(s.score) FROM scored s
+    WHERE s.term IN ('hash','join') AND s.doc_id IN (
+      SELECT a.doc_id FROM ftok a JOIN ftok b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+      WHERE a.term = 'hash' AND b.term = 'join')
+    GROUP BY s.doc_id HAVING count(*) = 2
+  ) GROUP BY doc_id
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+    add(
         "span_not_topk",
         # SpanNot (spans.py::SpanNot): near-spans of slow..query (gap<=3)
         # that do NOT overlap any 'scan' position — a doc survives if at

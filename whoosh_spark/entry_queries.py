@@ -874,7 +874,7 @@ _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
     "or_minmatch_topk", "turns_search_default_topk", "turns_wand_dismax_topk",
     "turns_batch_default_topk", "turns_batch_mixed_topk",
-    "span_not_topk", "span_contains_topk", "span_before_topk",
+    "span_not_topk", "span_contains_topk", "span_before_topk", "span_or_topk",
     "dedup_cc_sweep", "text_repetition_stats",
     "sample_hash_frac", "sample_stratified_lang", "sample_proportional_lang",
     "facet_query_buckets",
