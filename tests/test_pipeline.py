@@ -502,3 +502,26 @@ def test_proportional_sample_quotas_and_determinism(spark, docs):
     assert sorted((r.lang, r.doc_id) for r in rows) == b
     with pytest.raises(ValueError):
         proportional_sample(docs, "lang", 10**9)
+
+
+def test_weighted_hash_sample_rate_and_determinism(spark, docs):
+    from whoosh_spark.pipeline import weighted_hash_sample
+
+    a = sorted(r.doc_id for r in weighted_hash_sample(
+        docs.repartition(1), "n_chars", 0.002).select("doc_id").collect())
+    b = sorted(r.doc_id for r in weighted_hash_sample(
+        docs.repartition(9), "n_chars", 0.002).select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # rate 0 keeps nothing; huge rate (p capped at 1) keeps everything
+    assert weighted_hash_sample(docs, "n_chars", 0.0).count() == 0
+    assert weighted_hash_sample(docs, "n_chars", 1e9).count() == docs.count()
+    # longer docs are kept at a higher rate than shorter docs
+    stats = docs.selectExpr("percentile(n_chars, 0.5) AS med").collect()[0]
+    kept = set(a)
+    import numpy as np
+    rows = docs.select("doc_id", "n_chars").collect()
+    long_keep = np.mean([r.doc_id in kept for r in rows if r.n_chars > stats.med])
+    short_keep = np.mean([r.doc_id in kept for r in rows if r.n_chars <= stats.med])
+    assert long_keep > short_keep
+    with pytest.raises(ValueError):
+        weighted_hash_sample(docs, "n_chars", -0.1)

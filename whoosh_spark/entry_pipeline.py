@@ -609,6 +609,20 @@ SELECT doc_id, lang FROM (
 
     from whoosh_spark.pipeline import proportional_sample
 
+    from whoosh_spark.pipeline import weighted_hash_sample
+
+    add(
+        "sample_weighted_nchars",
+        # deterministic weighted Bernoulli: keep probability proportional
+        # to doc length (min(1, 0.002 * n_chars)) — the temperature-
+        # sampling shape with weight = n_chars
+        lambda spark, sf: weighted_hash_sample(
+            _docs(spark, sf), "n_chars", 0.002).select("doc_id", "lang"),
+        "SELECT doc_id, lang FROM documents "
+        "WHERE ('0x' || substr(md5('ws1:' || doc_id::VARCHAR), 1, 8))::BIGINT * 1.0"
+        " < least(1.0, 0.002 * n_chars) * 4294967296.0",
+    )
+
     add(
         "sample_proportional_lang",
         # exactly-total_n proportional mix: largest-remainder quotas per

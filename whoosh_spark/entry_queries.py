@@ -877,6 +877,7 @@ _WINDOW_FIRST = [
     "span_not_topk", "span_contains_topk", "span_before_topk", "span_or_topk",
     "dedup_cc_sweep", "text_repetition_stats",
     "sample_hash_frac", "sample_stratified_lang", "sample_proportional_lang",
+    "sample_weighted_nchars",
     "facet_query_buckets",
     "dedup_cc_incremental", "dedup_semantic_sweep",
     "text_contamination_pairs", "pipeline_curation", "pipeline_mixture_report",

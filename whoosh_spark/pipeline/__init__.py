@@ -45,6 +45,7 @@ from whoosh_spark.pipeline.sampling import (  # noqa: F401
     hash_sample,
     proportional_sample,
     stratified_sample,
+    weighted_hash_sample,
 )
 from whoosh_spark.pipeline.curate import (  # noqa: F401
     curation_labels,

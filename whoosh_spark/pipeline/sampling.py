@@ -100,3 +100,23 @@ def proportional_sample(docs: DataFrame, by: str, total_n: int,
             .withColumn("_rn", F.row_number().over(w_fill))
             .where(F.col("_rn") <= F.col("_quota"))
             .drop("_rn", "_quota"))
+
+
+def weighted_hash_sample(docs: DataFrame, weight_col: str, rate: float,
+                         key_col: str = "doc_id",
+                         salt: str = "ws1") -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: keep a row iff
+    md5(salt:key) / 2^32 < min(1, rate * weight) — each row's keep
+    probability is proportional to its weight (capped at 1), so e.g.
+    ``weight_col="quality"`` upweights high-quality docs in a training
+    mix (temperature sampling: pass quality**tau as the column).
+
+    Same determinism contract as :func:`hash_sample` (pure function of
+    salt+key+weight, invariant to partitioning and cluster size) and the
+    same plan shape: a single filter in whole-stage codegen, no shuffle.
+    """
+    if rate < 0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    p = F.least(F.lit(1.0), F.lit(float(rate)) * F.col(weight_col))
+    return docs.where(
+        _hash_u32(key_col, salt).cast("double") < p * F.lit(float(1 << 32)))
