@@ -102,3 +102,18 @@ def test_search_many_batch_shares_one_scan(six):
     scans = re.findall(r"FileScan parquet \[field#\d+,term#\d+,block_id", p)
     assert len(scans) == 1
     assert re.search(r"In\(term, \[hash,join,merge,spark,window", p)
+
+
+def test_sampler_plan_shapes(spark):
+    """Bernoulli samplers are pure scan-stage filters (zero Exchange);
+    stratified sampling pays exactly its one stratum-keyed window
+    shuffle."""
+    from whoosh_spark.pipeline import (hash_sample, stratified_sample,
+                                       weighted_hash_sample)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p1 = _plan(hash_sample(docs, 0.3).select("doc_id"))
+    p2 = _plan(weighted_hash_sample(docs, "n_chars", 0.002).select("doc_id"))
+    assert "Exchange" not in p1 and "Exchange" not in p2
+    p3 = _plan(stratified_sample(docs, "lang", 5).select("doc_id"))
+    assert p3.count("Exchange hashpartitioning") == 1
