@@ -474,8 +474,9 @@ def dedup_sweep(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     (doc_id, cluster_id, is_canonical), canonical = the cluster's minimum
     doc_id (singletons are their own cluster). The drop set for training
     is ``is_canonical = false`` — the standard keep-one-per-cluster rule.
-    One broadcast-sized join against the cluster labels; never touches
-    text."""
+    One doc_id-keyed join against the cluster labels (bounded by the
+    near-dup NODE count, not the corpus — AQE broadcasts it when small);
+    never touches text."""
     cc = connected_components(pairs, i=i, j=j)
     return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
             .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
