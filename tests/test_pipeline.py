@@ -525,3 +525,19 @@ def test_weighted_hash_sample_rate_and_determinism(spark, docs):
     assert long_keep > short_keep
     with pytest.raises(ValueError):
         weighted_hash_sample(docs, "n_chars", -0.1)
+
+
+def test_redact_pii_hand_cases(spark):
+    from whoosh_spark.pipeline import redact_pii
+
+    docs = spark.createDataFrame([
+        (0, "mail a.b+c@test-domain.org or 10.0.0.1 now"),
+        (1, "call +1 (415) 555-0100 ok"),
+        (2, "clean text, no pii"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[0].text_redacted == "mail <EMAIL> or <IP> now"
+    assert rows[0].n_redactions == 2
+    assert rows[1].text_redacted == "call <PHONE> ok"
+    assert rows[1].n_redactions == 1
+    assert rows[2].n_redactions == 0 and "pii" in rows[2].text_redacted

@@ -1036,6 +1036,48 @@ FROM per GROUP BY lang, source
 """,
     )
 
+    from whoosh_spark.pipeline import redact_pii
+    from whoosh_spark.pipeline.textstats import PII_PATTERNS
+
+    def _redact(spark, sf):
+        # derived corpus: the synth documents contain no PII, so append a
+        # deterministic email + ip per doc in BOTH engines (the
+        # variations_irregular/stemmed oracle trick) — the redaction and
+        # counts are then non-vacuously pinned
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("text"),
+                F.concat(F.lit("contact doc"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com ip 10.0.0."),
+                         (F.col("doc_id") % 255).cast("string"))
+            ).alias("text"))
+        return redact_pii(docs)
+
+    _pii_sql = []
+    _prev = "text"
+    for _k, (_pat, _repl) in enumerate(PII_PATTERNS):
+        _pii_sql.append(
+            f"s{_k} AS (SELECT doc_id, "
+            f"len(regexp_extract_all({_prev}, '{_pat}'))::INT AS c{_k}, "
+            + (", ".join(f"c{_m}" for _m in range(_k)) + ", " if _k else "")
+            + f"regexp_replace({_prev}, '{_pat}', '{_repl}', 'g') AS t{_k} "
+            f"FROM s{_k - 1 if _k else ''})".replace("FROM s)", "FROM derived)")
+        )
+        _prev = f"t{_k}"
+    add(
+        "text_redact_pii",
+        _redact,
+        "WITH derived AS (SELECT doc_id, concat_ws(' ', text, "
+        "'contact doc' || doc_id || '@example.com ip 10.0.0.' || (doc_id % 255)"
+        ") AS text FROM documents),\n"
+        + ",\n".join(_pii_sql) + "\n"
+        f"SELECT doc_id, {_prev} AS text_redacted, "
+        f"({' + '.join(f'c{_m}' for _m in range(len(PII_PATTERNS)))})::INT "
+        f"AS n_redactions FROM s{len(PII_PATTERNS) - 1}",
+    )
+
     add(
         "text_winnow_fingerprints",
         lambda spark, sf: winnow_fingerprints(_docs(spark, sf)),

@@ -880,7 +880,8 @@ _WINDOW_FIRST = [
     "sample_weighted_nchars",
     "facet_query_buckets",
     "dedup_cc_incremental", "dedup_semantic_sweep",
-    "text_contamination_pairs", "pipeline_curation", "pipeline_mixture_report",
+    "text_contamination_pairs", "text_redact_pii",
+    "pipeline_curation", "pipeline_mixture_report",
     "turns_conv_children",
     "regex_bm25_topk", "copyfield_parse_topk",
     "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",

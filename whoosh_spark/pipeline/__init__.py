@@ -37,6 +37,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     langid,
     mixture_report,
     quality_scores,
+    redact_pii,
     repetition_stats,
     token_counts,
     winnow_fingerprints,

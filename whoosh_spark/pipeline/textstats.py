@@ -347,3 +347,39 @@ def mixture_report(docs: DataFrame, by: "tuple[str, ...]" = ("lang", "source"),
         *by, "n_docs", "tokens", "chars",
         F.round(F.col("tokens") / F.sum("tokens").over(w), 6)
         .alias("token_share"))
+
+
+# ------------------------------------------------------------ PII redaction
+
+# ASCII-only patterns chosen to parse identically in Java regex (Spark)
+# and RE2 (DuckDB/most scrubbers) — no lookaround, no unicode classes.
+PII_PATTERNS: "tuple[tuple[str, str], ...]" = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               patterns: "tuple[tuple[str, str], ...]" = PII_PATTERNS
+               ) -> DataFrame:
+    """PII scrubbing: (doc_id, text_redacted, n_redactions) with every
+    pattern occurrence replaced by its placeholder, applied in order —
+    the standard pre-training scrub stage. Pure JVM ``regexp_replace``
+    chain in whole-stage codegen (no Python, no shuffle); patterns are
+    ASCII-only so Java and RE2 engines agree (module note above).
+    ``n_redactions`` counts matches BEFORE replacement, summed across
+    patterns on the progressively-redacted text (so an email's digits are
+    not double-counted by the phone pattern)."""
+    t = F.col(text_col)
+    out = t
+    n = F.lit(0)
+    for pat, repl in patterns:
+        n = n + F.size(F.regexp_extract_all(out, F.lit(pat), 0))
+        out = F.regexp_replace(out, pat, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        out.alias("text_redacted"),
+        n.cast("int").alias("n_redactions"),
+    )
