@@ -1,5 +1,7 @@
 """Text analysis for training-data curation: language ID, quality scoring,
-token counting, winnowing fingerprints.
+token counting, winnowing fingerprints, Gopher-style repetition filters,
+cross-corpus benchmark decontamination, PII redaction, and the corpus
+mixture report.
 
 Every operator here is deterministic arithmetic with an exact DuckDB SQL
 mirror (entry_queries registers them against the driver's oracle), and
