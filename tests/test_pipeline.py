@@ -541,3 +541,48 @@ def test_redact_pii_hand_cases(spark):
     assert rows[1].text_redacted == "call <PHONE> ok"
     assert rows[1].n_redactions == 1
     assert rows[2].n_redactions == 0 and "pii" in rows[2].text_redacted
+
+
+def test_duplicate_substring_spans_hand_case(spark):
+    from whoosh_spark.pipeline import (
+        duplicate_substring_spans,
+        remove_duplicate_substrings,
+    )
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"  # 30 chars, planted twice
+    p0, s0 = "left-prefix-unique-x", "post-unique-tail-zzz"
+    p1 = "other-prefix-ending-y"
+    docs = spark.createDataFrame([
+        (0, p0 + shared + s0),       # shared mid-doc
+        (1, p1 + shared),            # shared at end, different neighbors
+        (2, "Q" * 45),               # within-doc repeat: uniform run
+        (3, "totally distinct words, no repeats here!"),
+        (4, "short < 20 chars"),     # below minlen: never enters grams
+    ], "doc_id long, text string")
+    spans = {(r.doc_id, r.span_start, r.span_end, r.span_len)
+             for r in duplicate_substring_spans(docs).collect()}
+    # the planted copies: exactly the shared block (neighbors differ, so
+    # no boundary-crossing 20-gram duplicates)
+    assert (0, len(p0) + 1, len(p0) + 30, 30) in spans
+    assert (1, len(p1) + 1, len(p1) + 30, 30) in spans
+    # the uniform run: every 20-gram equal => one whole-doc span
+    assert (2, 1, 45, 45) in spans
+    assert len(spans) == 3  # docs 3 and 4 contribute nothing
+
+    clean = {r.doc_id: r for r in remove_duplicate_substrings(docs).collect()}
+    assert clean[0].text_clean == p0 + s0 and clean[0].n_spans == 1
+    assert clean[1].text_clean == p1 and clean[1].dup_chars == 30
+    assert clean[2].text_clean == "" and clean[2].dup_chars == 45
+    assert clean[3].text_clean == "totally distinct words, no repeats here!"
+    assert clean[3].n_spans == 0 and clean[3].dup_chars == 0
+    assert clean[4].text_clean == "short < 20 chars"
+
+
+def test_remove_duplicate_substrings_length_invariant(spark, docs):
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline import remove_duplicate_substrings
+
+    out = remove_duplicate_substrings(docs)
+    bad = (out.join(docs.select("doc_id", F.length("text").alias("n")), "doc_id")
+           .where(F.length("text_clean") != F.col("n") - F.col("dup_chars")))
+    assert bad.count() == 0

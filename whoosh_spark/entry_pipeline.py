@@ -1078,6 +1078,58 @@ FROM per GROUP BY lang, source
         f"AS n_redactions FROM s{len(PII_PATTERNS) - 1}",
     )
 
+    # ------------- exact duplicated-substring dedup (Lee et al. 2022) ----
+    # Both entries share one CTE chain: minlen=20 char-gram start
+    # positions -> md5 gram keys -> grams occurring >= 2x anywhere ->
+    # gaps-and-islands span merge (grams at p < q overlap iff q-p <= 20).
+    _SUBSTR_SQL = """gg AS (
+  SELECT doc_id, unnest(generate_series(1, length(text)-19)) AS pos, text
+  FROM documents WHERE length(text) >= 20
+), h AS (SELECT doc_id, pos, md5(substr(text, pos, 20)) AS g FROM gg),
+dupg AS (SELECT g FROM h GROUP BY g HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, pos FROM h JOIN dupg USING (g)),
+lagd AS (SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dpos),
+isl AS (SELECT doc_id, pos,
+        sum(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        FROM lagd),
+spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+          (max(pos)+19)::BIGINT AS span_end
+          FROM isl GROUP BY doc_id, island)
+"""
+    from whoosh_spark.pipeline.dedup import (
+        duplicate_substring_spans,
+        remove_duplicate_substrings,
+    )
+
+    add(
+        "text_dup_substring_spans",
+        # exact substring-dedup tier: maximal >=20-char spans duplicated
+        # anywhere in the corpus (dedup.duplicate_substring_spans)
+        lambda spark, sf: duplicate_substring_spans(_docs(spark, sf)),
+        "WITH " + _SUBSTR_SQL
+        + "SELECT doc_id, span_start, span_end, "
+          "(span_end - span_start + 1)::BIGINT AS span_len FROM spans",
+    )
+    add(
+        "text_substring_dedup_clean",
+        # the cut applied: per-doc span count / chars removed / cleaned
+        # length, clean_chars measured on the ACTUAL cut text (the JVM
+        # aggregate-cursor walk in remove_duplicate_substrings), pinned
+        # against the oracle's span arithmetic
+        lambda spark, sf: remove_duplicate_substrings(_docs(spark, sf)).select(
+            "doc_id", "n_spans", "dup_chars",
+            F.length("text_clean").cast("long").alias("clean_chars")),
+        "WITH " + _SUBSTR_SQL
+        + """SELECT d.doc_id, coalesce(x.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(x.dup, 0)::BIGINT AS dup_chars,
+       (length(d.text) - coalesce(x.dup, 0))::BIGINT AS clean_chars
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_spans, sum(span_end - span_start + 1) AS dup
+  FROM spans GROUP BY 1) x USING (doc_id)""",
+    )
+
     add(
         "text_winnow_fingerprints",
         lambda spark, sf: winnow_fingerprints(_docs(spark, sf)),

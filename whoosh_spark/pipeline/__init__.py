@@ -3,7 +3,9 @@
 from whoosh_spark.pipeline.dedup import (  # noqa: F401
     connected_components,
     dedup_sweep,
+    duplicate_substring_spans,
     merge_cluster_labels,
+    remove_duplicate_substrings,
     exact_duplicates,
     minhash_dedup_against,
     minhash_dedup_pairs,

@@ -531,3 +531,111 @@ def merge_cluster_labels(labels: DataFrame, pairs_new: DataFrame,
                          .alias("cluster_id")))
     untouched = lab.join(touched_clusters, "cluster_id", "left_anti")
     return untouched.unionByName(relabeled)
+
+
+def duplicate_substring_spans(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", minlen: int = 20,
+                              min_count: int = 2) -> DataFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" exact-substring tier): every
+    maximal character span whose every ``minlen``-gram occurs >= ``min_count``
+    times in the corpus (within OR across docs). Output one row per span:
+    (doc_id, span_start, span_end, span_len), 1-based inclusive character
+    positions — the spans a training pipeline cuts before tokenization.
+
+    Plan shape (all JVM, no Python): explode each doc into its
+    ``minlen``-gram start positions (sequence+explode), key each gram by
+    md5 of the actual substring — a fixed 32-char key, so the shuffle
+    carries 32B/gram instead of the raw minlen chars; one groupBy(gram)
+    with map-side partial counts finds duplicated grams; one equi-join
+    back to positions (no broadcast assumption — the duplicated-gram set
+    is corpus-sized in the worst case); then per-doc gaps-and-islands over
+    a (doc_id, pos) window merges overlapping grams (two grams at p < q
+    overlap-or-touch iff q - p <= minlen) into maximal spans. The window
+    partitions by doc_id, so span assembly is embarrassingly parallel.
+
+    At 100 TB the gram explode is a ~(32B x chars) shuffle — that is the
+    inherent cost of EXACT substring dedup (suffix-array approaches pay
+    the same order); :func:`whoosh_spark.pipeline.textstats.
+    winnow_fingerprints` is the sampled tier when that is too much.
+    Hash collisions: md5 over >= minlen chars; corpus-scale collision
+    probability ~n^2/2^128, negligible, and identical in the DuckDB
+    oracle (same md5, same substring).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    grams = (
+        docs.where(F.length(t) >= minlen)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.length(t) - minlen + 1)).alias("pos"),
+        )
+        .select("doc_id", "pos", F.md5(F.substring(F.col("_t"), F.col("pos"), minlen)).alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.count("*").alias("n")).where(F.col("n") >= min_count)
+    pos = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        pos.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > minlen), 1).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        isl.groupBy("doc_id", "_island")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + minlen - 1).alias("span_end"))
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
+        )
+    )
+
+
+def remove_duplicate_substrings(docs: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", minlen: int = 20,
+                                min_count: int = 2) -> DataFrame:
+    """Cut every duplicated span (:func:`duplicate_substring_spans`) out of
+    the text: (doc_id, text_clean, n_spans, dup_chars). Docs with no
+    duplicated span pass through verbatim (n_spans = 0).
+
+    The cut is one JVM ``aggregate`` over the doc's sorted span array —
+    the accumulator walks a cursor through the text concatenating the
+    kept gaps — so no Python touches the corpus; the spans frame joins on
+    doc_id (plain equi-join, AQE broadcasts it when small).
+    """
+    spans = duplicate_substring_spans(docs, text_col, id_col, minlen, min_count)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_spans"),
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").alias("dup_chars"),
+    ).withColumnRenamed("doc_id", "_sid")
+    t = F.col(text_col)
+    joined = docs.join(
+        per_doc, F.col(id_col).cast("long") == F.col("_sid"), "left"
+    )
+    cut = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit(1).cast("long").alias("cur"), F.lit("").alias("acc")),
+        lambda a, s: F.struct(
+            (s["span_end"] + 1).cast("long").alias("cur"),
+            F.concat(
+                a["acc"],
+                F.substring(t, a["cur"].cast("int"), (s["span_start"] - a["cur"]).cast("int")),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.substring(t, a["cur"].cast("int"), (F.length(t) - a["cur"] + 1).cast("int"))
+        ),
+    )
+    return joined.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.when(F.col("_spans").isNull(), t).otherwise(cut).alias("text_clean"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+    )
