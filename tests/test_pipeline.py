@@ -586,3 +586,36 @@ def test_remove_duplicate_substrings_length_invariant(spark, docs):
     bad = (out.join(docs.select("doc_id", F.length("text").alias("n")), "doc_id")
            .where(F.length("text_clean") != F.col("n") - F.col("dup_chars")))
     assert bad.count() == 0
+
+
+def test_pack_sequences_hand_case(spark):
+    from whoosh_spark.pipeline import pack_sequences
+
+    # md5('pack:'||id) order for ids 0..3: computed below, so the case
+    # stays valid whatever the hash order is
+    import hashlib
+    ids = [0, 1, 2, 3]
+    n = {0: 5, 1: 0, 2: 12, 3: 7}  # doc 2 straddles capacity=10 windows
+    order = sorted(ids, key=lambda i: (hashlib.md5(f"pack:{i}".encode()).hexdigest(), i))
+    docs = spark.createDataFrame([(i, n[i]) for i in ids], "doc_id long, n_tokens long")
+    rows = {r.doc_id: r for r in pack_sequences(docs, capacity=10, partitions=3).collect()}
+    off = 0
+    for i in order:
+        r = rows[i]
+        assert r.begin_offset == off, (i, r)
+        assert r.seq_id == off // 10 and r.seq_offset == off % 10
+        assert r.end_seq_id == (off + max(n[i], 1) - 1) // 10
+        off += n[i]
+    assert max(r.begin_offset + r.n_tokens for r in rows.values()) == sum(n.values())
+
+
+def test_pack_sequences_partitioning_invariant(spark, docs):
+    from whoosh_spark.pipeline import pack_sequences, token_counts
+
+    tc = token_counts(docs)
+    a = sorted(map(tuple, pack_sequences(
+        tc.repartition(1), 512, token_col="bpe_tokens", partitions=2).collect()))
+    b = sorted(map(tuple, pack_sequences(
+        tc.repartition(16), 512, token_col="bpe_tokens", partitions=11,
+        eager=False).collect()))
+    assert a == b and len(a) > 0

@@ -1130,6 +1130,35 @@ FROM documents d LEFT JOIN (
   FROM spans GROUP BY 1) x USING (doc_id)""",
     )
 
+    # -------------------- sequence packing (concat-and-chunk) ------------
+    from whoosh_spark.pipeline.packing import pack_sequences
+
+    add(
+        "pipeline_pack_sequences",
+        # token_counts -> two-phase distributed prefix sum -> window
+        # arithmetic; md5 shuffle-key order makes the global layout
+        # reproducible under any partitioning (packing.pack_sequences)
+        lambda spark, sf: pack_sequences(
+            token_counts(_docs(spark, sf)), capacity=2048,
+            token_col="bpe_tokens"),
+        """
+WITH tc AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::BIGINT AS n,
+         md5('pack:' || doc_id) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY k, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS b
+  FROM tc)
+SELECT doc_id, n AS n_tokens, b AS begin_offset,
+       (b // 2048)::BIGINT AS seq_id, (b % 2048)::BIGINT AS seq_offset,
+       ((b + greatest(n, 1) - 1) // 2048)::BIGINT AS end_seq_id
+FROM c
+""",
+    )
+
     add(
         "text_winnow_fingerprints",
         lambda spark, sf: winnow_fingerprints(_docs(spark, sf)),

@@ -53,3 +53,6 @@ from whoosh_spark.pipeline.sampling import (  # noqa: F401
 from whoosh_spark.pipeline.curate import (  # noqa: F401
     curation_labels,
 )
+from whoosh_spark.pipeline.packing import (  # noqa: F401
+    pack_sequences,
+)
