@@ -619,3 +619,23 @@ def test_pack_sequences_partitioning_invariant(spark, docs):
         tc.repartition(16), 512, token_col="bpe_tokens", partitions=11,
         eager=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_exact_ngram_contamination_hand_case(spark):
+    from whoosh_spark.pipeline import exact_ngram_contamination
+
+    seq = " ".join(f"w{i}" for i in range(15))       # 15 shared words
+    corpus = spark.createDataFrame([
+        (0, "lead in text " + seq + " trailing words"),
+        (1, "nothing shared here at all beyond these isolated tokens"),
+        (2, seq),                                     # exactly the overlap
+        (3, " ".join(f"w{i}" for i in range(12))),    # 12 words: below n=13
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([(100, "bench prefix " + seq)],
+                                  "doc_id long, text string")
+    rows = {(r.corpus_id, r.bench_id): r.n_shared
+            for r in exact_ngram_contamination(corpus, bench, n=13).collect()}
+    # a 15-word shared run yields 15-13+1 = 3 distinct shared 13-grams
+    assert rows[(0, 100)] == 3 and rows[(2, 100)] == 3
+    assert (1, 100) not in rows and (3, 100) not in rows
+    assert len(rows) == 2

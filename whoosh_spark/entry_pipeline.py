@@ -1130,6 +1130,52 @@ FROM documents d LEFT JOIN (
   FROM spans GROUP BY 1) x USING (doc_id)""",
     )
 
+    # ----------- exact 13-gram decontamination (GPT-3 style) -------------
+    from whoosh_spark.pipeline.textstats import exact_ngram_contamination
+
+    _BOILER = ("shared benchmark boilerplate sentence about evaluation data "
+               "leakage detection in large language model training corpora")
+
+    def _decontam(spark, sf):
+        # derived corpora: the synth documents share only ~3 natural
+        # 13-word grams across the <450 / >=450 split, so plant a
+        # deterministic 15-word boilerplate on every 50th corpus doc and
+        # on bench doc 460 in BOTH engines (the redact_pii trick) — the
+        # planted pairs each share exactly 3 distinct 13-grams
+        d = _docs(spark, sf)
+        corpus = d.where("doc_id < 450").select(
+            "doc_id",
+            F.when(F.col("doc_id") % 50 == 0,
+                   F.concat_ws(" ", F.col("text"), F.lit(_BOILER)))
+            .otherwise(F.col("text")).alias("text"))
+        bench = d.where("doc_id >= 450").select(
+            "doc_id",
+            F.when(F.col("doc_id") == 460,
+                   F.concat_ws(" ", F.col("text"), F.lit(_BOILER)))
+            .otherwise(F.col("text")).alias("text"))
+        return exact_ngram_contamination(corpus, bench, n=13)
+
+    add(
+        "text_exact_ngram_decontam",
+        _decontam,
+        f"""
+WITH corp AS (SELECT doc_id,
+       CASE WHEN doc_id % 50 = 0 THEN text || ' ' || '{_BOILER}' ELSE text END AS text
+       FROM documents WHERE doc_id < 450),
+ben AS (SELECT doc_id,
+       CASE WHEN doc_id = 460 THEN text || ' ' || '{_BOILER}' ELSE text END AS text
+       FROM documents WHERE doc_id >= 450),
+cw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM corp),
+bw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM ben),
+cg0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-12)) AS i FROM cw WHERE len(w) >= 13),
+cg AS (SELECT DISTINCT doc_id AS corpus_id, md5(array_to_string(w[i:i+12], ' ')) AS g FROM cg0),
+bg0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-12)) AS i FROM bw WHERE len(w) >= 13),
+bg AS (SELECT DISTINCT doc_id AS bench_id, md5(array_to_string(w[i:i+12], ' ')) AS g FROM bg0)
+SELECT corpus_id, bench_id, count(*)::BIGINT AS n_shared
+FROM cg JOIN bg ON cg.g = bg.g GROUP BY 1, 2
+""",
+    )
+
     # -------------------- sequence packing (concat-and-chunk) ------------
     from whoosh_spark.pipeline.packing import pack_sequences
 

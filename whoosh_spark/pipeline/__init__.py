@@ -35,6 +35,7 @@ from whoosh_spark.pipeline.similarity import (  # noqa: F401
 )
 from whoosh_spark.pipeline.textstats import (  # noqa: F401
     contamination_pairs,
+    exact_ngram_contamination,
     fingerprint_overlap_pairs,
     langid,
     mixture_report,

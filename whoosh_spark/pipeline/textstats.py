@@ -385,3 +385,49 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
         out.alias("text_redacted"),
         n.cast("int").alias("n_redactions"),
     )
+
+
+def _word_ngram_keys(df: DataFrame, n: int, text_col: str, id_col: str,
+                     out_id: str) -> DataFrame:
+    """Distinct md5 keys of the lowercase word n-grams of each doc."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    return (
+        df.select(F.col(id_col).cast("long").alias(out_id), words.alias("_w"))
+        .where(F.size("_w") >= n)
+        .select(
+            out_id,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - n + 1),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def exact_ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
+                              n: int = 13, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              bench_id_col: str = "doc_id") -> DataFrame:
+    """GPT-3/PaLM-style EXACT decontamination: (corpus_id, bench_id,
+    n_shared) for every corpus doc sharing at least one exact lowercase
+    word ``n``-gram (default 13, the GPT-3 value) with a benchmark doc;
+    ``n_shared`` counts the distinct shared n-grams.
+
+    The exact complement to the winnowing-based
+    :func:`contamination_pairs`: no sampling, so a single verbatim
+    13-word overlap is guaranteed to flag. Same scale shape — n-grams are
+    md5-keyed (32B each, not n words), per-doc DISTINCT bounds a doc's
+    keys by its length, the benchmark side is eval-set-sized and
+    BROADCASTS, so the corpus is swept in one pass with no self-join and
+    no corpus-side shuffle beyond the per-doc distinct.
+    """
+    cg = _word_ngram_keys(corpus, n, text_col, id_col, "corpus_id")
+    bg = _word_ngram_keys(benchmark, n, text_col, bench_id_col, "bench_id")
+    return (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
