@@ -1130,6 +1130,31 @@ FROM documents d LEFT JOIN (
   FROM spans GROUP BY 1) x USING (doc_id)""",
     )
 
+    # ------------- streaming monitor: tumbling-window counts -------------
+    from whoosh_spark.streaming.monitor import windowed_turn_counts
+
+    add(
+        "stream_window_counts",
+        # the same expression tree that runs watermarked on a stream
+        # (streaming/monitor.py) — in batch mode here so DuckDB can pin
+        # Spark's epoch-aligned tumbling-window boundaries via
+        # time_bucket; epoch seconds, not timestamps, so the check is
+        # timezone-independent in both engines
+        lambda spark, sf: windowed_turn_counts(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            "6 hours", by="event_type", watermark=None,
+        ).select(
+            F.unix_timestamp("win_start").alias("win_start_epoch"),
+            F.unix_timestamp("win_end").alias("win_end_epoch"),
+            "event_type", "n_turns"),
+        """
+SELECT epoch(time_bucket(INTERVAL '6 hours', ts))::BIGINT AS win_start_epoch,
+       epoch(time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours')::BIGINT AS win_end_epoch,
+       event_type, count(*)::BIGINT AS n_turns
+FROM events GROUP BY 1, 2, 3
+""",
+    )
+
     # ----------- exact 13-gram decontamination (GPT-3 style) -------------
     from whoosh_spark.pipeline.textstats import exact_ngram_contamination
 
