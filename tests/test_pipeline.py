@@ -639,3 +639,23 @@ def test_exact_ngram_contamination_hand_case(spark):
     assert rows[(0, 100)] == 3 and rows[(2, 100)] == 3
     assert (1, 100) not in rows and (3, 100) not in rows
     assert len(rows) == 2
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+    from whoosh_spark.pipeline import unigram_logprob
+
+    # corpus counts: aa=3, bb=2, cc=1 -> T=6
+    docs = spark.createDataFrame([
+        (0, "aa bb aa"),
+        (1, "aa bb cc"),
+        (2, ""),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    lp = {"aa": math.log(3 / 6), "bb": math.log(2 / 6), "cc": math.log(1 / 6)}
+    assert rows[0].n_tokens == 3
+    assert abs(rows[0].mean_logprob - round((2 * lp["aa"] + lp["bb"]) / 3, 4)) < 5e-5
+    assert abs(rows[1].mean_logprob - round((lp["aa"] + lp["bb"] + lp["cc"]) / 3, 4)) < 5e-5
+    assert rows[2].n_tokens == 0 and rows[2].mean_logprob == 0.0
+    # rare-token doc scores lower than common-token doc
+    assert rows[1].mean_logprob < rows[0].mean_logprob

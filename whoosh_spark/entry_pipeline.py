@@ -1130,6 +1130,27 @@ FROM documents d LEFT JOIN (
   FROM spans GROUP BY 1) x USING (doc_id)""",
     )
 
+    # ---------------- unigram LM score (CCNet-style tier) ----------------
+    from whoosh_spark.pipeline.textstats import unigram_logprob
+
+    add(
+        "text_unigram_logprob",
+        lambda spark, sf: unigram_logprob(_docs(spark, sf)),
+        """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c) AS t FROM counts),
+scored AS (
+  SELECT doc_id, count(*) AS n, round(avg(ln(c / t)), 4) AS lp
+  FROM toks JOIN counts USING (term), tot GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_tokens,
+       coalesce(s.lp, 0.0)::DOUBLE AS mean_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+    )
+
     # ------------- streaming monitor: tumbling-window counts -------------
     from whoosh_spark.streaming.monitor import windowed_turn_counts
 

@@ -43,6 +43,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     redact_pii,
     repetition_stats,
     token_counts,
+    unigram_logprob,
     winnow_fingerprints,
 )
 from whoosh_spark.pipeline.sampling import (  # noqa: F401

@@ -431,3 +431,49 @@ def exact_ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
         .groupBy("corpus_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-trained unigram LM score per doc — the deterministic tier of
+    CCNet-style perplexity filtering (no model artifact): (doc_id,
+    n_tokens, mean_logprob) with mean_logprob = mean over token instances
+    of ln(C(token)/T), C = corpus count, T = total tokens. Low (very
+    negative) = rare-token-heavy docs (gibberish, encoding damage); high =
+    function-word soup. Empty docs score 0.0 by convention.
+
+    Plan shape: explode tokens -> groupBy(term) count (one shuffle,
+    map-side partial) -> equi-join tokens to counts on term (no broadcast
+    assumption — a 100 TB vocabulary outgrows one) -> groupBy(doc) mean
+    (second shuffle). Token counts could be reused from an index lexicon
+    when one exists; this op stays standalone so curation does not require
+    building an index first.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+            ).alias("term"),
+        )
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 4).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+        )
+    )
