@@ -117,3 +117,32 @@ def test_sampler_plan_shapes(spark):
     assert "Exchange" not in p1 and "Exchange" not in p2
     p3 = _plan(stratified_sample(docs, "lang", 5).select("doc_id"))
     assert p3.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_sequences_windows_partition_by_pid(spark):
+    """The corpus-sized cumsum windows must be PARTITIONED by _pid (parallel);
+    the only global-order window in the plan runs over the per-partition
+    totals frame (P rows), and those totals come back by broadcast."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline import pack_sequences
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("n_tokens"))
+    p = _plan(pack_sequences(docs, 64, partitions=8, eager=False))
+    # per-row cumsum window is keyed by _pid -> parallel
+    assert re.search(r"windowspecdefinition\(_pid", p)
+    # totals rejoin by broadcast, not a corpus shuffle join
+    assert "BroadcastHashJoin" in p
+
+
+def test_substring_dedup_gram_count_has_partial_agg(spark):
+    """The duplicated-gram groupBy must partial-aggregate map-side: the
+    shuffle carries (md5, partial count), never raw gram rows."""
+    from whoosh_spark.pipeline import duplicate_substring_spans
+    from pyspark.sql import functions as F
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.repeat(F.lit("abcdefghij"), 5).alias("text"))
+    p = _plan(duplicate_substring_spans(docs))
+    assert "partial_count" in p or re.search(r"HashAggregate.*partial", p)
