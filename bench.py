@@ -179,6 +179,16 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
         "p_cosine_topk",
         lambda: cosine_topk(emb, emb.where("vec_id < 5"), k=10).collect(),
     )
+    from whoosh_spark.pipeline import (
+        duplicate_substring_spans, pack_sequences, token_counts)
+
+    # exact substring-dedup tier: gram explode -> one groupBy -> islands
+    timed("p_substr_spans",
+          lambda: duplicate_substring_spans(raw_docs).collect())
+    # concat-and-chunk packing: two-phase distributed prefix sum
+    timed("p_pack_sequences",
+          lambda: pack_sequences(token_counts(raw_docs), 2048,
+                                 token_col="bpe_tokens").count())
     # ANN index build (train codebooks + encode + assign) vs query, timed
     # separately like build_segments vs q_wand: at scale the build runs
     # once and the codes/assignment persist as tables

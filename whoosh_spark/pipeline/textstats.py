@@ -1,7 +1,8 @@
 """Text analysis for training-data curation: language ID, quality scoring,
 token counting, winnowing fingerprints, Gopher-style repetition filters,
-cross-corpus benchmark decontamination, PII redaction, and the corpus
-mixture report.
+cross-corpus benchmark decontamination (winnowing-sampled AND exact
+13-gram), PII redaction, unigram-LM scoring, and the corpus mixture
+report.
 
 Every operator here is deterministic arithmetic with an exact DuckDB SQL
 mirror (entry_queries registers them against the driver's oracle), and
