@@ -659,3 +659,63 @@ def test_unigram_logprob_hand_case(spark):
     assert rows[2].n_tokens == 0 and rows[2].mean_logprob == 0.0
     # rare-token doc scores lower than common-token doc
     assert rows[1].mean_logprob < rows[0].mean_logprob
+
+
+def _mini_turns(spark):
+    rows = [
+        ("c1", 0, "user", "hello there friend", None),
+        ("c1", 1, "assistant", "hi how can i help", None),
+        ("c1", 2, "assistant", "still me two in a row", "search"),
+        ("c1", 3, "user", "thanks bye", None),
+        ("c2", 0, "assistant", "i speak first", None),
+        ("c2", 1, "user", "ok", ""),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string")
+
+
+def test_conversation_stats_hand_case(spark):
+    from whoosh_spark.pipeline import conversation_stats
+
+    s = {r.conv_id: r for r in conversation_stats(_mini_turns(spark)).collect()}
+    c1 = s["c1"]
+    assert (c1.n_turns, c1.n_user, c1.n_assistant, c1.n_tool_calls) == (4, 2, 2, 1)
+    assert c1.role_repeats == 1          # the assistant double-turn
+    assert c1.started_by_user is True
+    assert c1.total_words == 3 + 5 + 6 + 2
+    c2 = s["c2"]
+    assert c2.started_by_user is False and c2.n_tool_calls == 0
+
+
+def test_assemble_conversations_order_and_roles(spark):
+    from whoosh_spark.pipeline import assemble_conversations
+
+    # feed turns in scrambled order; assembly must sort by turn_idx
+    scrambled = _mini_turns(spark).orderBy(F.desc("turn_idx"))
+    out = {r.conv_id: r for r in assemble_conversations(scrambled).collect()}
+    assert out["c1"].text == ("user: hello there friend\n"
+                              "assistant: hi how can i help\n"
+                              "assistant: still me two in a row\n"
+                              "user: thanks bye")
+    assert out["c1"].n_turns == 4
+    plain = {r.conv_id: r.text
+             for r in assemble_conversations(scrambled, sep=" ", with_roles=False).collect()}
+    assert plain["c2"] == "i speak first ok"
+
+
+def test_truncate_conversations_budget(spark):
+    from whoosh_spark.pipeline import truncate_conversations
+
+    kept = truncate_conversations(_mini_turns(spark), 8).collect()
+    by_conv = {}
+    for r in kept:
+        by_conv.setdefault(r.conv_id, []).append(r.turn_idx)
+    # c1: 3 + 5 = 8 <= 8, third turn would hit 14 -> keep first two
+    assert sorted(by_conv["c1"]) == [0, 1]
+    # c2: 4 + 1 = 5 -> keep both
+    assert sorted(by_conv["c2"]) == [0, 1]
+    # first-turn-over-budget keeps nothing
+    big = spark.createDataFrame(
+        [("c3", 0, "user", " ".join(["w"] * 20), None)],
+        "conv_id string, turn_idx int, role string, text string, tool string")
+    assert truncate_conversations(big, 8).count() == 0

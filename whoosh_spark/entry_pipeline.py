@@ -1130,6 +1130,70 @@ FROM documents d LEFT JOIN (
   FROM spans GROUP BY 1) x USING (doc_id)""",
     )
 
+    # ------------- conversation-level ops (north-rule payload) -----------
+    from whoosh_spark.pipeline.conversations import (
+        assemble_conversations,
+        conversation_stats,
+        truncate_conversations,
+    )
+
+    _TURNS_CTE = "WITH " + TURNS_FROM_DOCUMENTS_SQL.strip() + "\n"
+
+    add(
+        "conv_stats",
+        # per-conversation shape/quality features over the oracle-mirrored
+        # derived turns; started_by_user cast to int (engine-portable)
+        lambda spark, sf: conversation_stats(
+            transcript_corpus(spark, sf)
+        ).withColumn("started_by_user", F.col("started_by_user").cast("int")),
+        _TURNS_CTE
+        + """, lagd AS (
+  SELECT conv_id, turn_idx, role, tool, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM turns)
+SELECT conv_id, n_turns, n_user, n_assistant, n_tool_calls, total_chars,
+       total_words, role_repeats, started_by_user,
+       round(total_words * 1.0 / n_turns, 4) AS mean_turn_words
+FROM (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+         sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
+         sum(length(text))::BIGINT AS total_chars,
+         sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))::BIGINT AS total_words,
+         sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)::BIGINT AS role_repeats,
+         max(CASE WHEN turn_idx = 0 THEN CASE WHEN role = 'user' THEN 1 ELSE 0 END END)::INT AS started_by_user
+  FROM lagd GROUP BY conv_id)
+""",
+    )
+    add(
+        "conv_assembled",
+        # ordered reassembly: collect_list structs + array_sort (no
+        # collect_list order assumption) vs string_agg ORDER BY
+        lambda spark, sf: assemble_conversations(transcript_corpus(spark, sf)),
+        _TURNS_CTE
+        + """SELECT conv_id, count(*)::BIGINT AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
+FROM turns GROUP BY conv_id""",
+    )
+    add(
+        "conv_truncate",
+        # context-budget trimming: longest whole-turn prefix with
+        # cum_words <= 30 (turns are 12 words, so ~2 turns survive)
+        lambda spark, sf: truncate_conversations(
+            transcript_corpus(spark, sf), 30
+        ).select("conv_id", "turn_idx", "words", "cum_words"),
+        _TURNS_CTE
+        + """SELECT conv_id, turn_idx, words, cum_words FROM (
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS words,
+         sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_words
+  FROM turns)
+WHERE cum_words <= 30""",
+    )
+
     # ---------------- unigram LM score (CCNet-style tier) ----------------
     from whoosh_spark.pipeline.textstats import unigram_logprob
 

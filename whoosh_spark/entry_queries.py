@@ -875,6 +875,7 @@ _WINDOW_FIRST = [
     "text_dup_substring_spans", "text_substring_dedup_clean",
     "pipeline_pack_sequences", "text_exact_ngram_decontam",
     "stream_window_counts", "text_unigram_logprob",
+    "conv_stats", "conv_assembled", "conv_truncate",
     "or_minmatch_topk", "turns_search_default_topk", "turns_wand_dismax_topk",
     "turns_batch_default_topk", "turns_batch_mixed_topk",
     "span_not_topk", "span_contains_topk", "span_before_topk", "span_or_topk",

@@ -58,3 +58,8 @@ from whoosh_spark.pipeline.curate import (  # noqa: F401
 from whoosh_spark.pipeline.packing import (  # noqa: F401
     pack_sequences,
 )
+from whoosh_spark.pipeline.conversations import (  # noqa: F401
+    assemble_conversations,
+    conversation_stats,
+    truncate_conversations,
+)

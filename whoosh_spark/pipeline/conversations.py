@@ -1,0 +1,100 @@
+"""Conversation-level curation over the north-rule transcript table
+(conv_id, turn_idx, role, text, tool, ts): the operators that work on
+whole conversations rather than turns — stats/quality, assembly back
+into one document, and context-budget truncation.
+
+Everything here is per-conversation arithmetic: one groupBy(conv_id)
+(map-side combined) or one conv-keyed window, so the shuffle key is the
+conversation id — the natural partitioning of a transcript corpus, and
+the one its Iceberg layout would already bucket by. No Python in any
+plan; every op has an exact DuckDB mirror in the driver registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9]+"
+
+
+def conversation_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation shape/quality features: (conv_id, n_turns,
+    n_user, n_assistant, n_tool_calls, total_chars, total_words,
+    mean_turn_words, role_repeats, started_by_user).
+
+    ``role_repeats`` counts adjacent same-role turn pairs (in turn_idx
+    order) — the alternation-violation signal a dialogue-quality filter
+    thresholds on; ``n_tool_calls`` counts turns carrying a tool.
+    One window (conv-keyed, parallel) + one groupBy(conv_id).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = turns.withColumn("_prev_role", F.lag("role").over(w))
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), 0))
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias("n_assistant"),
+            F.sum(F.when(F.col("tool").isNotNull() & (F.col("tool") != ""), 1)
+                  .otherwise(0)).alias("n_tool_calls"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(words).alias("total_words"),
+            F.sum(F.when(F.col("_prev_role") == F.col("role"), 1).otherwise(0))
+            .alias("role_repeats"),
+            F.max(F.when(F.col("turn_idx") == 0, F.col("role") == "user"))
+            .alias("started_by_user"),
+        )
+        .withColumn(
+            "mean_turn_words",
+            F.round(F.col("total_words") / F.col("n_turns"), 4),
+        )
+    )
+
+
+def assemble_conversations(turns: DataFrame, sep: str = "\n",
+                           with_roles: bool = True) -> DataFrame:
+    """Rebuild one document per conversation: (conv_id, n_turns, text) —
+    turns concatenated in turn_idx order, each line ``role: text`` when
+    ``with_roles`` (the rendering a conversation-granularity dedup or an
+    export-to-training-file step consumes).
+
+    collect_list carries (turn_idx, line) structs; array_sort makes the
+    order deterministic regardless of shuffle arrival order — the
+    standard Spark idiom for ordered reassembly (collect_list alone has
+    no order guarantee).
+    """
+    line = (F.concat(F.col("role"), F.lit(": "), F.col("text"))
+            if with_roles else F.col("text"))
+    return (
+        turns.select("conv_id", F.struct(F.col("turn_idx"), line.alias("line")).alias("_s"))
+        .groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list("_s")).alias("_ss"))
+        .select(
+            "conv_id",
+            F.size("_ss").cast("long").alias("n_turns"),
+            F.array_join(F.transform("_ss", lambda s: s["line"]), sep).alias("text"),
+        )
+    )
+
+
+def truncate_conversations(turns: DataFrame, max_words: int) -> DataFrame:
+    """Context-budget trimming: keep each conversation's longest PREFIX of
+    whole turns whose cumulative word count stays <= ``max_words`` (turns
+    after the budget drop entirely — no mid-turn cuts). Returns the kept
+    turns with (words, cum_words) attached.
+
+    One conv-keyed window cumsum — same parallel shape as
+    conversation_stats. A conversation whose FIRST turn already exceeds
+    the budget keeps nothing (strict semantics; relax upstream by
+    splitting oversized turns if needed).
+    """
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), 0))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        turns.withColumn("words", words.cast("long"))
+        .withColumn("cum_words", F.sum("words").over(w))
+        .where(F.col("cum_words") <= max_words)
+    )
