@@ -719,3 +719,16 @@ def test_truncate_conversations_budget(spark):
         [("c3", 0, "user", " ".join(["w"] * 20), None)],
         "conv_id string, turn_idx int, role string, text string, tool string")
     assert truncate_conversations(big, 8).count() == 0
+
+
+def test_sliding_turn_windows_hand_case(spark):
+    from whoosh_spark.pipeline import sliding_turn_windows
+
+    out = sliding_turn_windows(_mini_turns(spark), k=3).collect()
+    by_key = {(r.conv_id, r.start_idx): r for r in out}
+    # c1 has 4 turns -> windows starting at 0 and 1; c2 (2 turns) yields none
+    assert set(by_key) == {("c1", 0), ("c1", 1)}
+    assert by_key[("c1", 0)].end_idx == 2
+    assert by_key[("c1", 1)].text == ("assistant: hi how can i help\n"
+                                      "assistant: still me two in a row\n"
+                                      "user: thanks bye")

@@ -1194,6 +1194,58 @@ FROM turns GROUP BY conv_id""",
 WHERE cum_words <= 30""",
     )
 
+    from whoosh_spark.pipeline.conversations import sliding_turn_windows
+
+    add(
+        "conv_windows",
+        # RAG-style chunking: every 3-consecutive-turn window per conv,
+        # one bounded following frame, no self-join
+        lambda spark, sf: sliding_turn_windows(transcript_corpus(spark, sf), k=3),
+        _TURNS_CTE
+        + """SELECT conv_id, start_idx, end_idx, text FROM (
+  SELECT conv_id, turn_idx AS start_idx,
+         max(turn_idx) OVER w AS end_idx,
+         array_to_string(array_agg(role || ': ' || text) OVER w, chr(10)) AS text,
+         count(*) OVER w AS n
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING))
+WHERE n = 3""",
+    )
+    def _conv_dedup(spark, sf):
+        # derived corpus: the synth conversations are all distinct, so
+        # clone every 25th one under a 'd'-prefixed conv_id in BOTH
+        # engines (the redact_pii trick) — each clone makes a 2-copy
+        # group whose canonical is the 'c' original ('c' < 'd')
+        t = transcript_corpus(spark, sf)
+        clones = (t.where(F.substring("conv_id", 2, 8).cast("int") % 25 == 0)
+                  .withColumn("conv_id",
+                              F.concat(F.lit("d"), F.substring("conv_id", 2, 8))))
+        return exact_duplicates(
+            assemble_conversations(t.unionByName(clones),
+                                   sep=" ", with_roles=False),
+            id_col="conv_id",
+        ).select(F.col("doc_id").alias("conv_id"), "n_copies", "is_canonical")
+
+    add(
+        "conv_exact_dedup",
+        # conversation-GRANULARITY exact dedup: assemble (role-less, space
+        # sep) then the one-md5-shuffle group labeler
+        _conv_dedup,
+        _TURNS_CTE
+        + """, allt AS (
+  SELECT conv_id, turn_idx, text FROM turns
+  UNION ALL
+  SELECT 'd' || substr(conv_id, 2, 8) AS conv_id, turn_idx, text
+  FROM turns WHERE substr(conv_id, 2, 8)::INT % 25 = 0),
+asm AS (
+  SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+  FROM allt GROUP BY conv_id)
+SELECT conv_id, count(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies,
+       conv_id = min(conv_id) OVER (PARTITION BY md5(text)) AS is_canonical
+FROM asm""",
+    )
+
     # ---------------- unigram LM score (CCNet-style tier) ----------------
     from whoosh_spark.pipeline.textstats import unigram_logprob
 

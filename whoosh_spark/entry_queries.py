@@ -876,6 +876,7 @@ _WINDOW_FIRST = [
     "pipeline_pack_sequences", "text_exact_ngram_decontam",
     "stream_window_counts", "text_unigram_logprob",
     "conv_stats", "conv_assembled", "conv_truncate",
+    "conv_windows", "conv_exact_dedup",
     "or_minmatch_topk", "turns_search_default_topk", "turns_wand_dismax_topk",
     "turns_batch_default_topk", "turns_batch_mixed_topk",
     "span_not_topk", "span_contains_topk", "span_before_topk", "span_or_topk",

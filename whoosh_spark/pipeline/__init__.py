@@ -61,5 +61,6 @@ from whoosh_spark.pipeline.packing import (  # noqa: F401
 from whoosh_spark.pipeline.conversations import (  # noqa: F401
     assemble_conversations,
     conversation_stats,
+    sliding_turn_windows,
     truncate_conversations,
 )

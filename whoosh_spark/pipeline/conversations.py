@@ -98,3 +98,32 @@ def truncate_conversations(turns: DataFrame, max_words: int) -> DataFrame:
         .withColumn("cum_words", F.sum("words").over(w))
         .where(F.col("cum_words") <= max_words)
     )
+
+
+def sliding_turn_windows(turns: DataFrame, k: int = 3,
+                         sep: str = "\n") -> DataFrame:
+    """RAG-style chunking: every window of ``k`` consecutive turns per
+    conversation, rendered ``role: text`` lines — (conv_id, start_idx,
+    end_idx, text). Windows are full (exactly k turns); conversations
+    shorter than k yield nothing (index the assembled doc instead).
+
+    One conv-keyed window with a bounded following frame (ROWS CURRENT..
+    k-1 FOLLOWING) — state per row is k lines, no self-join, parallel by
+    conversation.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.currentRow, k - 1))
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    return (
+        turns.withColumn("_lines", F.collect_list(line).over(w))
+        .withColumn("_last", F.max("turn_idx").over(w))
+        .where(F.size("_lines") == k)
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("start_idx"),
+            F.col("_last").alias("end_idx"),
+            F.array_join("_lines", sep).alias("text"),
+        )
+    )
