@@ -732,3 +732,79 @@ def test_sliding_turn_windows_hand_case(spark):
     assert by_key[("c1", 1)].text == ("assistant: hi how can i help\n"
                                       "assistant: still me two in a row\n"
                                       "user: thanks bye")
+
+
+def test_paragraph_dedup_hand_case(spark):
+    from whoosh_spark.pipeline import paragraph_dedup
+
+    docs = spark.createDataFrame([
+        (1, "aa\nbb\naa"),      # 'aa' repeats inside one doc
+        (2, "bb\ncc"),          # 'bb' first seen in doc 1
+        (3, "\n"),              # two empty paragraphs: never dedup'd
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    # keep-first: doc 1 keeps aa@0 and bb@1, drops aa@2
+    assert rows[1].text_clean == "aa\nbb"
+    assert rows[1].n_paras == 3 and rows[1].n_dropped == 1
+    # doc 2 loses bb (first occurrence is (1,1)), keeps cc
+    assert rows[2].text_clean == "cc"
+    assert rows[2].n_paras == 2 and rows[2].n_dropped == 1
+    # empty paragraphs survive verbatim
+    assert rows[3].text_clean == "\n" and rows[3].n_dropped == 0
+
+
+def test_paragraph_dedup_drop_all_boilerplate(spark):
+    from whoosh_spark.pipeline import paragraph_dedup
+
+    docs = spark.createDataFrame([
+        (1, "footer\nbody one"),
+        (2, "footer\nbody two"),
+        (3, "footer\nbody three"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            paragraph_dedup(docs, keep_first=False, min_count=3).collect()}
+    # keep_first=False drops EVERY occurrence once count >= min_count
+    assert all(rows[i].text_clean == f"body {w}" for i, w in
+               [(1, "one"), (2, "two"), (3, "three")])
+    assert all(rows[i].n_dropped == 1 for i in (1, 2, 3))
+
+
+def test_bigram_logprob_hand_case(spark):
+    import math
+    from whoosh_spark.pipeline import bigram_logprob
+
+    # corpus counts: C(a)=3, C(b)=2, C(x)=1, T=6
+    # bigram instances: (a,b)x1, (b,a)x2
+    docs = spark.createDataFrame([
+        (0, "a b a"),
+        (1, "b a"),
+        (2, "x"),      # single token: no bigrams
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in bigram_logprob(docs, lam=0.7).collect()}
+    ca, cb, t = 3, 2, 6
+    p_ab = 0.7 * (1 / ca) + 0.3 * (cb / t)
+    p_ba = 0.7 * (2 / cb) + 0.3 * (ca / t)
+    assert rows[0].n_bigrams == 2
+    exp0 = round((math.log(p_ab) + math.log(p_ba)) / 2, 4)
+    assert abs(rows[0].mean_logprob - exp0) < 5e-5
+    assert rows[1].n_bigrams == 1
+    assert abs(rows[1].mean_logprob - round(math.log(p_ba), 4)) < 5e-5
+    assert rows[2].n_bigrams == 0 and rows[2].mean_logprob == 0.0
+
+
+def test_dsir_logweights_hand_props(spark):
+    from whoosh_spark.pipeline import dsir_logweights
+
+    # target = docs about 'spark sql'; a raw doc repeating the target
+    # vocabulary must outscore one with disjoint vocabulary
+    docs = spark.createDataFrame([
+        (0, "spark sql spark sql spark sql", "en"),
+        (1, "banana kiwi mango papaya lychee", "fr"),
+        (2, "", "en"),
+    ], "doc_id long, text string, lang string")
+    target = docs.where(F.col("doc_id") == 0)
+    rows = {r.doc_id: r for r in dsir_logweights(docs, target).collect()}
+    assert rows[0].log_weight > rows[1].log_weight
+    # n_feats = unigram instances + bigram instances = 6 + 5
+    assert rows[0].n_feats == 11
+    assert rows[2].n_feats == 0 and rows[2].log_weight == 0.0

@@ -2064,6 +2064,126 @@ FROM h, unnest([0, 2]) AS u(fi)
 """,
     )
 
+    # --------- fifth wave: paragraph dedup, bigram LM, DSIR weights ---------
+    from whoosh_spark.pipeline import bigram_logprob, dsir_logweights, paragraph_dedup
+
+    def _para_docs(spark, sf):
+        # documents.parquet text is a flat word stream; derive a
+        # newline-delimited paragraph corpus deterministically (12-word
+        # paragraphs) in BOTH engines so the real paragraph_dedup logic is
+        # exercised on real paragraph boundaries
+        d = _docs(spark, sf)
+        w = F.split(F.col("text"), " ")
+        paras = F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(w) / 12).cast("int") - 1),
+            lambda g: F.array_join(F.slice(w, g * 12 + 1, 12), " "),
+        )
+        return d.select("doc_id", F.array_join(paras, "\n").alias("text"))
+
+    add(
+        "text_paragraph_dedup",
+        # Dolma/CCNet-tier paragraph-granularity exact dedup: drop every
+        # corpus-wide repeat of a paragraph except its first occurrence
+        # ((doc_id, para_idx) order); clean_chars measured on the ACTUAL
+        # reassembled text_clean, so the oracle pins the rebuild too
+        lambda spark, sf: paragraph_dedup(_para_docs(spark, sf)).select(
+            "doc_id", "n_paras", "n_dropped",
+            F.length("text_clean").cast("long").alias("clean_chars")),
+        """
+WITH base AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+p0 AS (SELECT doc_id, w, unnest(range((len(w) + 11) // 12)) AS g FROM base),
+paras AS (
+  SELECT doc_id, g AS para_idx,
+         array_to_string(w[g * 12 + 1 : g * 12 + 12], ' ') AS para
+  FROM p0),
+firsts AS (
+  SELECT md5(para) AS h, count(*) AS n,
+         min(doc_id * 1048576 + para_idx) AS fk
+  FROM paras WHERE para <> '' GROUP BY 1),
+flagged AS (
+  SELECT p.doc_id, p.para_idx, p.para,
+         (p.para = '' OR f.n < 2
+          OR p.doc_id * 1048576 + p.para_idx = f.fk) AS keep
+  FROM paras p LEFT JOIN firsts f ON md5(p.para) = f.h)
+SELECT doc_id, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+       coalesce(length(string_agg(para, chr(10) ORDER BY para_idx)
+                       FILTER (WHERE keep)), 0)::BIGINT AS clean_chars
+FROM flagged GROUP BY doc_id
+""",
+    )
+
+    add(
+        "text_bigram_logprob",
+        # corpus-trained interpolated-bigram LM (tier above
+        # text_unigram_logprob toward CCNet's KenLM filter):
+        # ln(0.7*C(w1w2)/C(w1) + 0.3*C(w2)/T), arithmetic written in the
+        # same order in both engines, mean rounded to 4
+        lambda spark, sf: bigram_logprob(_docs(spark, sf)),
+        """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+u0 AS (SELECT unnest(w) AS wt FROM base),
+uc AS (SELECT wt, count(*) AS c FROM u0 GROUP BY wt),
+tot AS (SELECT sum(c) AS t FROM uc),
+bg0 AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w), 1))) AS i FROM base),
+bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bg0),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT doc_id, count(*) AS n,
+         round(avg(ln(0.7 * (c12 / u1.c) + 0.3 * (u2.c / t))), 4) AS lp
+  FROM bg JOIN bc USING (w1, w2)
+       JOIN uc u1 ON bg.w1 = u1.wt
+       JOIN uc u2 ON bg.w2 = u2.wt, tot
+  GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_bigrams,
+       coalesce(s.lp, 0.0)::DOUBLE AS mean_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+    )
+
+    add(
+        "text_dsir_logweights",
+        # DSIR (Xie et al. 2023) importance weights: hashed unigram+bigram
+        # bucket profiles, target = the English slice, raw = full corpus;
+        # add-1 smoothing over 4096 buckets, same md5-u32 hash convention
+        # as the samplers so DuckDB mirrors the bucketing exactly
+        lambda spark, sf: dsir_logweights(
+            _docs(spark, sf), _docs(spark, sf).where(F.col("lang") == "en")),
+        """
+WITH base AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+g0 AS (
+  SELECT doc_id, lang, w, unnest(range(1, greatest(len(w), 1))) AS i
+  FROM base),
+f0 AS (
+  SELECT doc_id, lang, unnest(w) AS feat FROM base
+  UNION ALL
+  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS feat FROM g0),
+fb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir:' || feat), 1, 8))::BIGINT % 4096 AS b,
+         count(*) AS cnt
+  FROM f0 GROUP BY doc_id, lang, b),
+raw_dist AS (SELECT b, sum(cnt) AS cr FROM fb GROUP BY b),
+tgt_dist AS (SELECT b, sum(cnt) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+rtot AS (SELECT sum(cr) AS tr FROM raw_dist),
+ttot AS (SELECT sum(ct) AS tt FROM tgt_dist),
+scored AS (
+  SELECT doc_id, sum(cnt) AS nf,
+         round(sum(cnt * (ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0))
+                          - ln((cr + 1.0) / (tr + 4096.0)))), 4) AS lw
+  FROM fb JOIN raw_dist USING (b) LEFT JOIN tgt_dist USING (b), rtot, ttot
+  GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.nf, 0)::BIGINT AS n_feats,
+       coalesce(s.lw, 0.0)::DOUBLE AS log_weight
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+    )
+
     return reg
 
 

@@ -13,6 +13,7 @@ from whoosh_spark.pipeline.dedup import (  # noqa: F401
     minhash_signatures,
     normalized_duplicates,
     pairs_jaccard,
+    paragraph_dedup,
     shingle_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -34,7 +35,9 @@ from whoosh_spark.pipeline.similarity import (  # noqa: F401
     ivf_topk,
 )
 from whoosh_spark.pipeline.textstats import (  # noqa: F401
+    bigram_logprob,
     contamination_pairs,
+    dsir_logweights,
     exact_ngram_contamination,
     fingerprint_overlap_pairs,
     langid,

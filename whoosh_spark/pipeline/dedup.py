@@ -639,3 +639,65 @@ def remove_duplicate_substrings(docs: DataFrame, text_col: str = "text",
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
     )
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", delim: str = "\n",
+                    min_count: int = 2, keep_first: bool = True) -> DataFrame:
+    """Paragraph-granularity exact dedup (the Dolma / CCNet tier between
+    whole-doc exact dedup and duplicate_substring_spans): split each doc
+    on ``delim``, drop every occurrence of a paragraph that appears
+    ``min_count``+ times corpus-wide EXCEPT the corpus-first occurrence
+    (``keep_first=True``; order = (doc_id, para_idx) ascending), or drop
+    ALL occurrences (``keep_first=False`` — boilerplate removal, where a
+    paragraph shared by many docs is noise everywhere). Empty paragraphs
+    are never dedup'd (they'd all collapse to one global "first").
+
+    Returns (doc_id, text_clean, n_paras, n_dropped) with text_clean the
+    kept paragraphs rejoined by ``delim`` in original order.
+
+    Plan shape: posexplode -> md5 key -> ONE groupBy(_h) for (count,
+    lexicographic-min first occurrence) -> equi-join back on _h (same key
+    as the groupBy, so the exchange is reused) -> groupBy(doc_id)
+    reassemble via array_sort(collect_list(struct)) — no ordering
+    assumption on collect_list. Paragraph keys shard the shuffle; no
+    driver collect, no Python on the corpus.
+    """
+    paras = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("para_idx", "para"),
+    )
+    keyed = paras.withColumn("_h", F.md5("para"))
+    stats = (
+        keyed.where(F.length("para") > 0)
+        .groupBy("_h")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct("doc_id", "para_idx")).alias("_first"),
+        )
+    )
+    kept_occurrence = (
+        (F.col("_first.doc_id") == F.col("doc_id"))
+        & (F.col("_first.para_idx") == F.col("para_idx"))
+        if keep_first
+        else F.lit(False)
+    )
+    flagged = keyed.join(stats, "_h", "left").withColumn(
+        "_keep",
+        F.when(F.length("para") == 0, F.lit(True))
+        .when(F.col("_n") < min_count, F.lit(True))
+        .otherwise(kept_occurrence),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_keep"), F.struct("para_idx", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+            delim,
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )

@@ -478,3 +478,153 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
             F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
         )
     )
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam: float = 0.7) -> DataFrame:
+    """Corpus-trained interpolated-bigram LM score per doc — one tier above
+    :func:`unigram_logprob` toward CCNet's KenLM filter, still with no
+    model artifact: (doc_id, n_bigrams, mean_logprob) where mean_logprob =
+    mean over bigram instances of ln(lam * C(w1 w2)/C(w1) +
+    (1-lam) * C(w2)/T). Backoff to the unigram term keeps unseen-history
+    mass nonzero without add-k tables. Docs with < 2 tokens score 0.0.
+
+    Plan shape: bigrams derive JVM-side from the token array (transform
+    over sequence — no second regex pass, no Python); ONE groupBy each for
+    unigram and bigram counts (map-side partial); equi-joins on w1/w2/
+    (w1,w2) — no broadcast assumption, a 100 TB bigram vocabulary outgrows
+    one; final groupBy(doc) mean. Arithmetic is written in the exact
+    order the DuckDB oracle mirrors (lam * (c12/c1) + (1-lam) * (c2/t))
+    so the rounded mean is bit-comparable.
+    """
+    toks_arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"), toks_arr.alias("_w"))
+    uni = (
+        base.select(F.explode("_w").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("t"))
+    # sequence(1, size-1) guarded: Spark's sequence DESCENDS when start >
+    # stop, so size < 2 must yield an empty array, not [1, 0, ...]
+    idx = F.when(F.size("_w") >= 2, F.sequence(F.lit(1), F.size("_w") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.struct(
+                F.element_at("_w", i).alias("w1"),
+                F.element_at("_w", i + 1).alias("w2"),
+            ))
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    scored = (
+        bigrams
+        .join(big, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(
+                F.lit(lam) * (F.col("c12") / F.col("c1"))
+                + F.lit(1.0 - lam) * (F.col("c2") / F.col("t"))
+            )), 4).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+        )
+    )
+
+
+# ------------------------------------------------- DSIR importance weights
+
+
+def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
+                   buckets: int, salt: str) -> DataFrame:
+    """(doc_id, b, cnt): hashed word unigram+bigram bucket counts — the
+    feature map of Xie et al. 2023 (DSIR). Bucket = first 32 md5 bits of
+    salt:feature mod ``buckets`` (same hash convention as
+    pipeline/sampling.py so DuckDB mirrors it exactly)."""
+    toks_arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"), toks_arr.alias("_w"))
+    idx = F.when(F.size("_w") >= 2, F.sequence(F.lit(1), F.size("_w") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    feats = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("_w"),
+                F.transform(idx, lambda i: F.concat_ws(
+                    " ", F.element_at("_w", i), F.element_at("_w", i + 1))),
+            )
+        ).alias("feat"),
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("feat"))), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+    return feats.select("doc_id", b.alias("b")).groupBy("doc_id", "b") \
+        .agg(F.count("*").alias("cnt"))
+
+
+def dsir_logweights(docs: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    buckets: int = 4096, alpha: float = 1.0,
+                    salt: str = "dsir") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+    log importance weights: score every raw doc by how target-like its
+    hashed-ngram bucket profile is. (doc_id, n_feats, log_weight) with
+    log_weight = sum_b cnt_b * (ln p_target(b) - ln p_raw(b)), bucket
+    distributions add-alpha smoothed: p(b) = (c_b + alpha)/(T + alpha*B).
+    Select by ordering on log_weight desc (deterministic top-k) or via
+    Gumbel-top-k for the sampled variant.
+
+    Plan shape: feature bucket counts are one explode + groupBy per side;
+    both distributions collapse to <= ``buckets`` rows, so they join back
+    BROADCAST by construction (the whole point of hashing: corpus-size
+    vocabulary -> fixed-size table). One final groupBy(doc). Scales to any
+    corpus: nothing but the B-row tables leaves its input partition twice.
+    """
+    raw_f = _dsir_features(docs, text_col, id_col, buckets, salt)
+    tgt_f = _dsir_features(target, text_col, id_col, buckets, salt)
+    raw_dist = raw_f.groupBy("b").agg(F.sum("cnt").alias("cr"))
+    tgt_dist = tgt_f.groupBy("b").agg(F.sum("cnt").alias("ct"))
+    raw_tot = raw_dist.agg(F.sum("cr").alias("tr"))
+    tgt_tot = tgt_dist.agg(F.sum("ct").alias("tt"))
+    ab = float(alpha) * buckets
+    scored = (
+        raw_f
+        .join(F.broadcast(raw_dist), "b")
+        .join(F.broadcast(tgt_dist), "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.round(F.sum(
+                F.col("cnt") * (
+                    F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(float(alpha)))
+                          / (F.col("tt") + F.lit(ab)))
+                    - F.log((F.col("cr") + F.lit(float(alpha)))
+                            / (F.col("tr") + F.lit(ab)))
+                )
+            ), 4).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
