@@ -808,3 +808,41 @@ def test_dsir_logweights_hand_props(spark):
     # n_feats = unigram instances + bigram instances = 6 + 5
     assert rows[0].n_feats == 11
     assert rows[2].n_feats == 0 and rows[2].log_weight == 0.0
+
+
+def test_token_budget_sample_hand_case(spark):
+    from whoosh_spark.pipeline import token_budget_sample
+
+    docs = spark.createDataFrame([
+        (i, "w " * 10, "en") for i in range(5)
+    ] + [(10, "w w w", "fr")], "doc_id long, text string, lang string")
+    # en: 5 docs x 10 tokens, budget 25 -> exactly the first 2 md5-ordered
+    # docs fit (cum 10, 20; the 3rd would hit 30 > 25)
+    out = token_budget_sample(docs, {"en": 25}, by="lang")
+    rows = out.collect()
+    assert len(rows) == 2 and all(r.lang == "en" for r in rows)
+    assert sorted(r._cum_tokens for r in rows) == [10, 20]
+    # fr absent from the plan -> dropped entirely
+    assert not [r for r in rows if r.lang == "fr"]
+    # partitioning invariance
+    alt = sorted(r.doc_id for r in token_budget_sample(
+        docs.repartition(7), {"en": 25}, by="lang").collect())
+    assert alt == sorted(r.doc_id for r in rows)
+
+
+def test_dsir_gumbel_topk_props(spark):
+    from whoosh_spark.pipeline import dsir_gumbel_topk
+
+    docs = spark.createDataFrame([
+        (i, "spark sql query" if i % 2 == 0 else "banana kiwi mango", "en")
+        for i in range(20)
+    ], "doc_id long, text string, lang string")
+    target = docs.where(F.col("doc_id") % 2 == 0)
+    top = dsir_gumbel_topk(docs, target, n=8).collect()
+    assert len(top) == 8
+    # gumbel noise is bounded enough here that target-like docs dominate
+    evens = sum(1 for r in top if r.doc_id % 2 == 0)
+    assert evens >= 6
+    # determinism under repartitioning
+    again = dsir_gumbel_topk(docs.repartition(5), target, n=8).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in top)

@@ -2184,6 +2184,88 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """,
     )
 
+    from whoosh_spark.pipeline import dsir_gumbel_topk, token_budget_sample
+
+    add(
+        "sample_token_budget",
+        # execute a training-mix plan in TOKENS: per-stratum longest
+        # md5-ordered prefix within the stratum's token budget; fr's
+        # budget exceeds its total (fully kept), de is absent from the
+        # plan (dropped) — both edges pinned
+        lambda spark, sf: token_budget_sample(
+            _docs(spark, sf),
+            {"en": 6000, "zh": 2000, "es": 2000, "fr": 9999},
+        ).select(
+            "doc_id", "lang",
+            F.col("_tokens").alias("n_tokens"),
+            F.col("_cum_tokens").alias("cum_tokens")),
+        """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS tok,
+         ('0x' || substr(md5('ws1:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, tok,
+         sum(tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, lang, tok AS n_tokens, cum::BIGINT AS cum_tokens
+FROM c
+WHERE cum <= CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 2000
+                       WHEN 'es' THEN 2000 WHEN 'fr' THEN 9999 ELSE 0 END
+""",
+    )
+
+    add(
+        "text_dsir_gumbel_topk",
+        # DSIR's resampling step: Gumbel-top-k over the importance
+        # weights with md5-derived (deterministic, partitioning-invariant)
+        # gumbel noise; score arithmetic mirrored op-for-op
+        lambda spark, sf: dsir_gumbel_topk(
+            _docs(spark, sf), _docs(spark, sf).where(F.col("lang") == "en"),
+            n=50),
+        """
+WITH base AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+g0 AS (
+  SELECT doc_id, lang, w, unnest(range(1, greatest(len(w), 1))) AS i
+  FROM base),
+f0 AS (
+  SELECT doc_id, lang, unnest(w) AS feat FROM base
+  UNION ALL
+  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS feat FROM g0),
+fb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir:' || feat), 1, 8))::BIGINT % 4096 AS b,
+         count(*) AS cnt
+  FROM f0 GROUP BY doc_id, lang, b),
+raw_dist AS (SELECT b, sum(cnt) AS cr FROM fb GROUP BY b),
+tgt_dist AS (SELECT b, sum(cnt) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+rtot AS (SELECT sum(cr) AS tr FROM raw_dist),
+ttot AS (SELECT sum(ct) AS tt FROM tgt_dist),
+lw AS (
+  SELECT doc_id,
+         round(sum(cnt * (ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0))
+                          - ln((cr + 1.0) / (tr + 4096.0)))), 4) AS lwv
+  FROM fb JOIN raw_dist USING (b) LEFT JOIN tgt_dist USING (b), rtot, ttot
+  GROUP BY doc_id),
+allw AS (
+  SELECT d.doc_id, coalesce(l.lwv, 0.0) AS log_weight
+  FROM documents d LEFT JOIN lw l USING (doc_id)),
+scored AS (
+  SELECT doc_id, log_weight,
+         round(log_weight / 1.0 +
+               (- ln(- ln((('0x' || substr(md5('dsirg:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                           + 0.5) / 4294967296.0))), 4) AS gumbel_score
+  FROM allw)
+SELECT doc_id, log_weight::DOUBLE AS log_weight,
+       gumbel_score::DOUBLE AS gumbel_score
+FROM scored ORDER BY gumbel_score DESC, doc_id LIMIT 50
+""",
+    )
+
     return reg
 
 

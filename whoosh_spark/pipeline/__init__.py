@@ -37,6 +37,7 @@ from whoosh_spark.pipeline.similarity import (  # noqa: F401
 from whoosh_spark.pipeline.textstats import (  # noqa: F401
     bigram_logprob,
     contamination_pairs,
+    dsir_gumbel_topk,
     dsir_logweights,
     exact_ngram_contamination,
     fingerprint_overlap_pairs,
@@ -53,6 +54,7 @@ from whoosh_spark.pipeline.sampling import (  # noqa: F401
     hash_sample,
     proportional_sample,
     stratified_sample,
+    token_budget_sample,
     weighted_hash_sample,
 )
 from whoosh_spark.pipeline.curate import (  # noqa: F401

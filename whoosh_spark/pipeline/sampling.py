@@ -120,3 +120,43 @@ def weighted_hash_sample(docs: DataFrame, weight_col: str, rate: float,
     p = F.least(F.lit(1.0), F.lit(float(rate)) * F.col(weight_col))
     return docs.where(
         _hash_u32(key_col, salt).cast("double") < p * F.lit(float(1 << 32)))
+
+
+def token_budget_sample(docs: DataFrame, budgets: dict, by: str = "lang",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        salt: str = "ws1") -> DataFrame:
+    """Execute a training-mix plan in TOKENS rather than rows: per
+    ``by``-stratum, keep the longest md5(salt:key)-ordered prefix of docs
+    whose cumulative word-token count stays within that stratum's budget
+    (``budgets`` maps stratum value -> max tokens; strata absent from the
+    map get budget 0, i.e. are dropped — pass them explicitly). The
+    natural downstream of mixture_report: report shares -> plan budgets ->
+    this op materializes the mix deterministically.
+
+    Output: input columns + (_tokens, _cum_tokens) for audit.
+
+    Plan shape: token counts are a scan-stage column expression; the
+    selection is ONE stratum-keyed window cumsum (parallel across strata,
+    same shape as conversation truncation). A pathologically dominant
+    stratum serializes its own cumsum window — pre-thin with hash_sample
+    (rate = budget / stratum_tokens * safety) first if one stratum is
+    most of a 100 TB corpus, then the window runs over the thinned
+    remainder.
+    """
+    if any(int(v) < 0 for v in budgets.values()):
+        raise ValueError("budgets must be >= 0")
+    toks = F.size(F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)).cast("long")
+    budget_map = F.create_map(*[
+        x for k, v in sorted(budgets.items())
+        for x in (F.lit(k), F.lit(int(v)))
+    ])
+    w = Window.partitionBy(by).orderBy(
+        _hash_u32(id_col, salt).asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_tokens", toks)
+        .withColumn("_cum_tokens", F.sum("_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .where(F.col("_cum_tokens")
+               <= F.coalesce(budget_map[F.col(by)], F.lit(0)))
+    )

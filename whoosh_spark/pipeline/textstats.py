@@ -628,3 +628,38 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def dsir_gumbel_topk(docs: DataFrame, target: DataFrame, n: int,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     buckets: int = 4096, alpha: float = 1.0,
+                     beta: float = 1.0, salt: str = "dsirg") -> DataFrame:
+    """The RESAMPLING step of DSIR: draw ``n`` docs without replacement
+    with probability proportional to importance weight^(1/beta), via the
+    Gumbel-top-k trick made deterministic — gumbel noise derives from the
+    doc's md5 (u = (h32 + 0.5) / 2^32, g = -ln(-ln(u))), so the "sample"
+    is reproducible under any partitioning or cluster size, same contract
+    as the other samplers. beta tempers the weights (beta -> inf degrades
+    to uniform; beta -> 0 to deterministic top-k by weight).
+
+    Output: (doc_id, log_weight, gumbel_score) sorted by (rounded score
+    desc, doc_id), limit n. log_weight is the rounded-4 output of
+    :func:`dsir_logweights`, so the score arithmetic is reproducible
+    cross-engine.
+
+    Plan shape: dsir_logweights' plan + one global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort).
+    """
+    w = dsir_logweights(docs, target, text_col, id_col, buckets, alpha)
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                          F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+    )
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    g = -F.log(-F.log(u))
+    scored = w.select(
+        "doc_id", "log_weight",
+        F.round(F.col("log_weight") / F.lit(float(beta)) + g, 4).alias("gumbel_score"),
+    )
+    return scored.orderBy(F.desc("gumbel_score"), F.asc("doc_id")).limit(n)
