@@ -146,3 +146,58 @@ def test_substring_dedup_gram_count_has_partial_agg(spark):
         F.repeat(F.lit("abcdefghij"), 5).alias("text"))
     p = _plan(duplicate_substring_spans(docs))
     assert "partial_count" in p or re.search(r"HashAggregate.*partial", p)
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """The per-paragraph stats groupBy partial-aggregates map-side, and the
+    plan reuses the _h exchange for the join back (no second corpus-wide
+    shuffle on the same key)."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline import paragraph_dedup
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("para one\npara two\n"), F.col("id").cast("string"))
+        .alias("text"))
+    p = _plan(paragraph_dedup(docs))
+    assert re.search(r"HashAggregate.*partial", p) or "partial_count" in p
+    # no cartesian anywhere in the rebuild
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_distributions_join_broadcast(spark):
+    """The bucket distributions collapse to <= `buckets` rows by
+    construction, so they must rejoin the corpus-sized feature frame by
+    BROADCAST — a shuffle join here re-keys the whole corpus twice."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline import dsir_logweights
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("spark sql shuffle join").alias("text"))
+    p = _plan(dsir_logweights(docs, docs.where(F.col("doc_id") < 50)))
+    assert "BroadcastHashJoin" in p
+
+
+def test_token_budget_sample_single_stratum_shuffle(spark):
+    """Token counting stays a scan-stage expression; the only corpus
+    exchange is the one stratum-keyed window cumsum."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(token_budget_sample(docs, {"en": 1000}).select("doc_id"))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_dsir_gumbel_topk_is_take_ordered(spark):
+    """The resampling top-k must be TakeOrderedAndProject (per-partition
+    heaps), never a global Sort + Limit."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline import dsir_gumbel_topk
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("spark sql shuffle join").alias("text"))
+    p = _plan(dsir_gumbel_topk(docs, docs.where(F.col("doc_id") < 50), n=10))
+    assert "TakeOrderedAndProject" in p
