@@ -846,3 +846,28 @@ def test_dsir_gumbel_topk_props(spark):
     # determinism under repartitioning
     again = dsir_gumbel_topk(docs.repartition(5), target, n=8).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in top)
+
+
+def test_loss_mask_spans_tile_assembled_text(spark):
+    from whoosh_spark.pipeline import assemble_conversations, loss_mask_spans
+
+    turns = spark.createDataFrame([
+        ("c1", 0, "user", "hello"),
+        ("c1", 1, "assistant", "hi there"),
+        ("c1", 2, "tool", "ran"),
+        ("c2", 5, "assistant", "solo"),
+    ], "conv_id string, turn_idx int, role string, text string")
+    spans = {(r.conv_id, r.turn_idx): r for r in loss_mask_spans(turns).collect()}
+    docs = {r.conv_id: r.text for r in assemble_conversations(turns).collect()}
+    # every span slices exactly its own rendered line out of the doc
+    for (cid, _), r in spans.items():
+        line = docs[cid][r.char_start:r.char_end]
+        assert ": " in line and "\n" not in line
+    assert docs["c1"][spans[("c1", 1)].char_start:spans[("c1", 1)].char_end] \
+        == "assistant: hi there"
+    # spans tile: last char_end == len(doc); next start == prev end + sep
+    assert spans[("c1", 2)].char_end == len(docs["c1"])
+    assert spans[("c1", 1)].char_start == spans[("c1", 0)].char_end + 1
+    # trainable only on assistant turns
+    assert [spans[("c1", i)].trainable for i in (0, 1, 2)] == [0, 1, 0]
+    assert spans[("c2", 5)].trainable == 1 and spans[("c2", 5)].char_start == 0

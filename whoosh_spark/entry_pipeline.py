@@ -1194,6 +1194,32 @@ FROM turns GROUP BY conv_id""",
 WHERE cum_words <= 30""",
     )
 
+    from whoosh_spark.pipeline.conversations import loss_mask_spans
+
+    add(
+        "conv_loss_spans",
+        # SFT loss masking: per-turn char spans into the assembled doc +
+        # trainable flag (assistant turns train, user/tool turns mask);
+        # offsets are pure window arithmetic mirrored op-for-op
+        lambda spark, sf: loss_mask_spans(transcript_corpus(spark, sf)),
+        _TURNS_CTE
+        + """, llen AS (
+  SELECT conv_id, turn_idx, role,
+         length(role || ': ' || text)::BIGINT AS ln
+  FROM turns)
+SELECT conv_id, turn_idx,
+       (coalesce(sum(ln) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        + row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1)::BIGINT
+         AS char_start,
+       (coalesce(sum(ln) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        + row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+        + ln)::BIGINT AS char_end,
+       (role = 'assistant')::INT AS trainable
+FROM llen""",
+    )
+
     from whoosh_spark.pipeline.conversations import sliding_turn_windows
 
     add(

@@ -873,7 +873,7 @@ _REGISTRY_CACHE: dict | None = None
 _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
     "text_paragraph_dedup", "text_bigram_logprob", "text_dsir_logweights",
-    "text_dsir_gumbel_topk", "sample_token_budget",
+    "text_dsir_gumbel_topk", "sample_token_budget", "conv_loss_spans",
     "text_dup_substring_spans", "text_substring_dedup_clean",
     "pipeline_pack_sequences", "text_exact_ngram_decontam",
     "stream_window_counts", "text_unigram_logprob",

@@ -66,6 +66,7 @@ from whoosh_spark.pipeline.packing import (  # noqa: F401
 from whoosh_spark.pipeline.conversations import (  # noqa: F401
     assemble_conversations,
     conversation_stats,
+    loss_mask_spans,
     sliding_turn_windows,
     truncate_conversations,
 )

@@ -127,3 +127,42 @@ def sliding_turn_windows(turns: DataFrame, k: int = 3,
             F.array_join("_lines", sep).alias("text"),
         )
     )
+
+
+def loss_mask_spans(turns: DataFrame, sep: str = "\n",
+                    train_roles: tuple = ("assistant",)) -> DataFrame:
+    """SFT loss masking: for each turn, the character span it occupies in
+    the assembled conversation document (:func:`assemble_conversations`
+    with the same ``sep``, role-prefixed lines) plus whether the span is
+    trainable (role in ``train_roles`` — train on assistant turns, mask
+    user/tool turns). (conv_id, turn_idx, char_start, char_end, trainable)
+    with 0-based, end-exclusive offsets; separators belong to no span.
+
+    A tokenizer-side consumer maps char spans to token spans after
+    encoding; keeping the mask in characters here keeps the op
+    tokenizer-agnostic and exactly reproducible.
+
+    Plan shape: one conv-keyed window (cumsum of line lengths +
+    row_number), parallel across conversations — same shape as
+    truncate_conversations. Spans tile the assembled text exactly:
+    char_end of the last turn equals length(text) (pinned in tests).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_len = F.coalesce(
+        F.sum("_len").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    rn = F.row_number().over(w)
+    start = prev_len + (rn - 1) * len(sep)
+    return (
+        turns.withColumn(
+            "_len",
+            F.length(F.concat(F.col("role"), F.lit(": "), F.col("text"))).cast("long"),
+        )
+        .select(
+            "conv_id", "turn_idx",
+            start.cast("long").alias("char_start"),
+            (start + F.col("_len")).cast("long").alias("char_end"),
+            F.col("role").isin(*train_roles).cast("int").alias("trainable"),
+        )
+    )
