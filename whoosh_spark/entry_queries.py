@@ -850,6 +850,39 @@ SELECT doc_id, round(score, 4) AS score FROM (
         "ORDER BY total_weight DESC, term ASC LIMIT 10",
     )
 
+    def _setops(spark, sf):
+        # Results.upgrade_and_extend over two executed result sets
+        # (reference: searching.py::Results.upgrade_and_extend ~L1290):
+        # docs of A that B also matched move to the front (grp 0), A's
+        # rest keep their order (grp 1), B's unseen docs append (grp 2)
+        from whoosh_spark.search.results import results_upgrade_and_extend
+
+        s = _docs_searcher(spark, sf)
+        a = _rounded(s.compile(Q.Term("text", "spark"))) \
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+        b = _rounded(s.compile(Q.Term("text", "join"))) \
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+        return results_upgrade_and_extend(a, b).select(
+            "doc_id", "score", F.col("_grp").cast("int").alias("grp"))
+
+    add(
+        "results_setops_topk",
+        _setops,
+        PRELUDE
+        + """, a AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored WHERE term = 'spark'
+  ORDER BY 2 DESC, 1 ASC LIMIT 20),
+b AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored WHERE term = 'join'
+  ORDER BY 2 DESC, 1 ASC LIMIT 20)
+SELECT a.doc_id, a.score,
+       CASE WHEN a.doc_id IN (SELECT doc_id FROM b) THEN 0 ELSE 1 END AS grp
+FROM a
+UNION ALL
+SELECT b.doc_id, b.score, 2 AS grp
+FROM b WHERE b.doc_id NOT IN (SELECT doc_id FROM a)""",
+    )
+
     return reg
 
 
@@ -874,6 +907,7 @@ _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
     "text_paragraph_dedup", "text_bigram_logprob", "text_dsir_logweights",
     "text_dsir_gumbel_topk", "sample_token_budget", "conv_loss_spans",
+    "results_setops_topk",
     "text_dup_substring_spans", "text_substring_dedup_clean",
     "pipeline_pack_sequences", "text_exact_ngram_decontam",
     "stream_window_counts", "text_unigram_logprob",
