@@ -219,6 +219,29 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     )
     timed("p_quality", lambda: quality_scores(raw_docs).count())
 
+    # paragraph-granularity exact dedup over the derived paragraph corpus
+    # (12-word paragraphs, same derivation as the driver entry) — forces
+    # the full rebuild via the text_clean aggregate, not just the count
+    from whoosh_spark.pipeline import bigram_logprob, paragraph_dedup
+
+    _w = F.split(F.col("text"), " ")
+    _paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(_w) / 12).cast("int") - 1),
+        lambda g: F.array_join(F.slice(_w, g * 12 + 1, 12), " "),
+    )
+    _pdocs = raw_docs.select("doc_id", F.array_join(_paras, "\n").alias("text"))
+    timed(
+        "p_paragraph_dedup",
+        lambda: paragraph_dedup(_pdocs)
+        .agg(F.sum(F.length("text_clean")), F.sum("n_dropped")).collect(),
+    )
+    # corpus-trained interpolated-bigram LM: two count shuffles + three
+    # equi-joins over the bigram stream
+    timed(
+        "p_bigram_lm",
+        lambda: bigram_logprob(raw_docs).agg(F.sum("mean_logprob")).collect(),
+    )
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "bench_total_wall",
