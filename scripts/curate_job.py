@@ -15,9 +15,12 @@ Stages (each a bounded-shuffle pass, all joined on doc_id):
                       canonical, composed into one keep verdict
 2. substring pass   — exact duplicated-substring spans cut from the
                       KEPT docs (Lee et al. 2022 tier)
-3. pack             — token counts + concat-and-chunk sequence packing
+3. paragraph pass   — optional (--paragraph-dedup) Dolma-tier
+                      paragraph-granularity exact dedup of the cleaned
+                      text (corpus-first occurrence kept)
+4. pack             — token counts + concat-and-chunk sequence packing
                       of the cleaned survivors into --capacity windows
-4. sample           — optional deterministic md5 Bernoulli downsample
+5. sample           — optional deterministic md5 Bernoulli downsample
 
 Writes the curated/packed table to --out and prints one JSON metrics
 line (docs in/kept, dup chars cut, sequences, wall). Resubmittable: the
@@ -42,6 +45,7 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.1)
     ap.add_argument("--capacity", type=int, default=2048)
     ap.add_argument("--sample", type=float, default=1.0)
+    ap.add_argument("--paragraph-dedup", action="store_true")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("whoosh-spark-curate").getOrCreate()
@@ -66,6 +70,13 @@ def main() -> None:
     dup_chars = cleaned.agg(F.sum("dup_chars")).collect()[0][0] or 0
 
     base = cleaned.select("doc_id", F.col("text_clean").alias("text"))
+    paras_dropped = 0
+    if args.paragraph_dedup:
+        from whoosh_spark.pipeline import paragraph_dedup
+
+        pd_out = paragraph_dedup(base).persist()
+        paras_dropped = pd_out.agg(F.sum("n_dropped")).collect()[0][0] or 0
+        base = pd_out.select("doc_id", F.col("text_clean").alias("text"))
     if args.sample < 1.0:
         from whoosh_spark.pipeline import hash_sample
 
@@ -82,6 +93,7 @@ def main() -> None:
         "docs_in": n_in,
         "docs_kept_curation": n_kept,
         "dup_chars_cut": int(dup_chars),
+        "paragraphs_dropped": int(paras_dropped),
         "docs_out": n_out,
         "sequences": int(n_seqs) + 1 if n_seqs is not None else 0,
         "capacity": args.capacity,
