@@ -871,3 +871,47 @@ def test_loss_mask_spans_tile_assembled_text(spark):
     # trainable only on assistant turns
     assert [spans[("c1", i)].trainable for i in (0, 1, 2)] == [0, 1, 0]
     assert spans[("c2", 5)].trainable == 1 and spans[("c2", 5)].char_start == 0
+
+
+def test_paragraph_dedup_idempotent(spark, docs):
+    """After keep-first paragraph dedup every distinct paragraph occurs
+    exactly once corpus-wide, so a second pass must drop nothing."""
+    from whoosh_spark.pipeline import paragraph_dedup
+
+    w = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(w) / 12).cast("int") - 1),
+        lambda g: F.array_join(F.slice(w, g * 12 + 1, 12), " "),
+    )
+    pdocs = docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
+    once = paragraph_dedup(pdocs).select(
+        "doc_id", F.col("text_clean").alias("text"))
+    twice = paragraph_dedup(once)
+    assert twice.agg(F.sum("n_dropped")).collect()[0][0] == 0
+
+
+def test_token_budget_sample_maximal_prefix(spark, docs):
+    """Per stratum: kept token sum <= budget AND the FIRST dropped doc in
+    md5 order would have exceeded it (the prefix is maximal)."""
+    from whoosh_spark.pipeline import token_budget_sample
+    from whoosh_spark.pipeline.sampling import _hash_u32
+
+    budgets = {"en": 700, "de": 400}
+    kept = token_budget_sample(docs, budgets).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r)
+    toks = F.size(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).cast("long")
+    ordered = docs.select(
+        "doc_id", "lang", toks.alias("t"),
+        _hash_u32("doc_id", "ws1").alias("h")).collect()
+    for lang, budget in budgets.items():
+        got = sum(r._tokens for r in by_lang.get(lang, []))
+        assert got <= budget
+        kept_ids = {r.doc_id for r in by_lang.get(lang, [])}
+        rest = sorted((r for r in ordered
+                       if r.lang == lang and r.doc_id not in kept_ids),
+                      key=lambda r: (r.h, r.doc_id))
+        if rest:  # adding the next-in-order doc must bust the budget
+            assert got + rest[0].t > budget

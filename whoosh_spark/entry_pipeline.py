@@ -1272,6 +1272,57 @@ SELECT conv_id, count(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies,
 FROM asm""",
     )
 
+    def _conv_neardup(spark, sf):
+        # conversation-granularity NEAR-dup: plant mutated clones (every
+        # 25th conversation duplicated under a 'd' id MINUS its final
+        # turn) so the planted pairs have high-but-<1 Jaccard; exact
+        # 5-shingle all-pairs Jaccard over the role-less assemblies
+        t = transcript_corpus(spark, sf)
+        mx = t.groupBy("conv_id").agg(F.max("turn_idx").alias("_mx"))
+        clones = (
+            t.join(mx, "conv_id")
+            .where(F.substring("conv_id", 2, 8).cast("int") % 25 == 0)
+            .where(F.col("turn_idx") < F.col("_mx"))
+            .withColumn("conv_id",
+                        F.concat(F.lit("d"), F.substring("conv_id", 2, 8)))
+            .select(*t.columns)
+        )
+        asm = assemble_conversations(t.unionByName(clones),
+                                     sep=" ", with_roles=False)
+        return shingle_jaccard_pairs(
+            asm.select(F.col("conv_id").alias("doc_id"), "text"),
+            threshold=0.7, id_col="doc_id",
+        ).select("i", "j", F.round("jaccard", 4).alias("jaccard"))
+
+    add(
+        "conv_neardup_pairs",
+        _conv_neardup,
+        _TURNS_CTE
+        + """, mx AS (SELECT conv_id, max(turn_idx) AS mxi FROM turns GROUP BY conv_id),
+allt2 AS (
+  SELECT conv_id, turn_idx, text FROM turns
+  UNION ALL
+  SELECT 'd' || substr(t.conv_id, 2, 8) AS conv_id, t.turn_idx, t.text
+  FROM turns t JOIN mx USING (conv_id)
+  WHERE substr(t.conv_id, 2, 8)::INT % 25 = 0 AND t.turn_idx < mx.mxi),
+asm2 AS (
+  SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+  FROM allt2 GROUP BY conv_id),
+sh AS (
+  SELECT conv_id AS doc_id,
+         unnest(list_distinct([text[i:i+4] FOR i IN generate_series(1, greatest(length(text)-4, 1))])) AS s
+  FROM asm2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+jpairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jacc AS (
+  SELECT i, j, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+  FROM jpairs p JOIN sizes sa ON p.i = sa.doc_id JOIN sizes sb ON p.j = sb.doc_id)
+SELECT i, j, round(jaccard, 4) AS jaccard FROM jacc WHERE jaccard >= 0.7""",
+    )
+
     # ---------------- unigram LM score (CCNet-style tier) ----------------
     from whoosh_spark.pipeline.textstats import unigram_logprob
 
