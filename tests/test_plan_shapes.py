@@ -135,9 +135,12 @@ def test_pack_sequences_windows_partition_by_pid(spark):
     assert "BroadcastHashJoin" in p
 
 
-def test_substring_dedup_gram_count_has_partial_agg(spark):
-    """The duplicated-gram groupBy must partial-aggregate map-side: the
-    shuffle carries (md5, partial count), never raw gram rows."""
+def test_substring_dedup_single_gram_shuffle(spark):
+    """The duplicated-gram detection is ONE count window keyed by the
+    16-byte gram hash (count + keep positions in the same pass — the
+    groupBy + join-back shape recomputed the explode+md5 and was
+    A/B-benched 4x slower); plus the doc-keyed island window. No third
+    corpus exchange, no cartesian."""
     from whoosh_spark.pipeline import duplicate_substring_spans
     from pyspark.sql import functions as F
 
@@ -145,7 +148,8 @@ def test_substring_dedup_gram_count_has_partial_agg(spark):
         F.col("id").alias("doc_id"),
         F.repeat(F.lit("abcdefghij"), 5).alias("text"))
     p = _plan(duplicate_substring_spans(docs))
-    assert "partial_count" in p or re.search(r"HashAggregate.*partial", p)
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
 
 
 def test_paragraph_dedup_plan_shape(spark):

@@ -545,22 +545,28 @@ def duplicate_substring_spans(docs: DataFrame, text_col: str = "text",
 
     Plan shape (all JVM, no Python): explode each doc into its
     ``minlen``-gram start positions (sequence+explode), key each gram by
-    md5 of the actual substring — a fixed 32-char key, so the shuffle
-    carries 32B/gram instead of the raw minlen chars; one groupBy(gram)
-    with map-side partial counts finds duplicated grams; one equi-join
-    back to positions (no broadcast assumption — the duplicated-gram set
-    is corpus-sized in the worst case); then per-doc gaps-and-islands over
-    a (doc_id, pos) window merges overlapping grams (two grams at p < q
-    overlap-or-touch iff q - p <= minlen) into maximal spans. The window
-    partitions by doc_id, so span assembly is embarrassingly parallel.
+    md5 of the actual substring, unhex'd to a fixed 16-BYTE binary key so
+    the shuffle carries 16B/gram instead of the raw minlen chars; ONE
+    count window partitioned by the gram key finds duplicated grams and
+    keeps their positions in the same pass (a groupBy + join-back shape
+    was A/B-benched 4x slower at sf0.1 — it recomputes the explode+md5
+    for the probe side and pays a second exchange or a broadcast build);
+    then per-doc gaps-and-islands over a (doc_id, pos) window merges
+    overlapping grams (two grams at p < q overlap-or-touch iff
+    q - p <= minlen) into maximal spans. Both windows partition by their
+    natural key (gram / doc_id), so the whole op is two parallel
+    exchanges end to end.
 
-    At 100 TB the gram explode is a ~(32B x chars) shuffle — that is the
-    inherent cost of EXACT substring dedup (suffix-array approaches pay
-    the same order); :func:`whoosh_spark.pipeline.textstats.
-    winnow_fingerprints` is the sampled tier when that is too much.
+    At 100 TB the gram shuffle is ~(28B x chars) — that is the inherent
+    cost of EXACT substring dedup (suffix-array approaches pay the same
+    order); :func:`whoosh_spark.pipeline.textstats.winnow_fingerprints`
+    is the sampled tier when that is too much. A pathologically
+    mega-duplicated gram (one 20-gram occurring 10^9 times) hot-spots its
+    window partition — every exact approach must co-locate that gram's
+    occurrences; cut such boilerplate with paragraph_dedup first.
     Hash collisions: md5 over >= minlen chars; corpus-scale collision
-    probability ~n^2/2^128, negligible, and identical in the DuckDB
-    oracle (same md5, same substring).
+    probability ~n^2/2^128, negligible, and the DuckDB oracle reproduces
+    the same spans from the same md5'd substrings.
     """
     from pyspark.sql import Window
 
@@ -572,10 +578,17 @@ def duplicate_substring_spans(docs: DataFrame, text_col: str = "text",
             t.alias("_t"),
             F.explode(F.sequence(F.lit(1), F.length(t) - minlen + 1)).alias("pos"),
         )
-        .select("doc_id", "pos", F.md5(F.substring(F.col("_t"), F.col("pos"), minlen)).alias("g"))
+        .select(
+            "doc_id", "pos",
+            F.unhex(F.md5(F.substring(F.col("_t"), F.col("pos"), minlen))).alias("g"),
+        )
     )
-    dup = grams.groupBy("g").agg(F.count("*").alias("n")).where(F.col("n") >= min_count)
-    pos = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+    wg = Window.partitionBy("g")
+    pos = (
+        grams.withColumn("_n", F.count("*").over(wg))
+        .where(F.col("_n") >= min_count)
+        .select("doc_id", "pos")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = (
         pos.withColumn("_prev", F.lag("pos").over(w))
