@@ -153,9 +153,9 @@ def test_substring_dedup_single_gram_shuffle(spark):
 
 
 def test_paragraph_dedup_plan_shape(spark):
-    """The per-paragraph stats groupBy partial-aggregates map-side, and the
-    plan reuses the _h exchange for the join back (no second corpus-wide
-    shuffle on the same key)."""
+    """Group labeling is the single-shuffle window shape (count+min over
+    the paragraph key — no groupBy + join-back recompute); the doc_id
+    reassembly groupBy partial-aggregates map-side; no cartesian."""
     from pyspark.sql import functions as F
     from whoosh_spark.pipeline import paragraph_dedup
 

@@ -669,37 +669,42 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     Returns (doc_id, text_clean, n_paras, n_dropped) with text_clean the
     kept paragraphs rejoined by ``delim`` in original order.
 
-    Plan shape: posexplode -> md5 key -> ONE groupBy(_h) for (count,
-    lexicographic-min first occurrence) -> equi-join back on _h (same key
-    as the groupBy, so the exchange is reused) -> groupBy(doc_id)
-    reassemble via array_sort(collect_list(struct)) — no ordering
-    assumption on collect_list. Paragraph keys shard the shuffle; no
-    driver collect, no Python on the corpus.
+    Plan shape: posexplode -> md5 key -> ONE count+min window partitioned
+    by the key (the same single-shuffle group-labeler shape as
+    exact_duplicates and duplicate_substring_spans — a groupBy +
+    join-back recomputes the explode for the probe side) -> groupBy
+    (doc_id) reassemble via array_sort(collect_list(struct)) — no
+    ordering assumption on collect_list. Paragraph keys shard the
+    shuffle; empty paragraphs get a per-occurrence unique key so md5('')
+    can never hot-spot one window partition; no driver collect, no
+    Python on the corpus.
     """
     paras = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), delim, -1)).alias("para_idx", "para"),
     )
-    keyed = paras.withColumn("_h", F.md5("para"))
-    stats = (
-        keyed.where(F.length("para") > 0)
-        .groupBy("_h")
-        .agg(
-            F.count("*").alias("_n"),
-            F.min(F.struct("doc_id", "para_idx")).alias("_first"),
-        )
+    keyed = paras.withColumn(
+        "_h",
+        F.when(F.length("para") > 0, F.md5("para")).otherwise(
+            F.md5(F.concat_ws("-", F.lit("e"), "doc_id", "para_idx"))
+        ),
     )
+    wh = Window.partitionBy("_h")
     kept_occurrence = (
         (F.col("_first.doc_id") == F.col("doc_id"))
         & (F.col("_first.para_idx") == F.col("para_idx"))
         if keep_first
         else F.lit(False)
     )
-    flagged = keyed.join(stats, "_h", "left").withColumn(
-        "_keep",
-        F.when(F.length("para") == 0, F.lit(True))
-        .when(F.col("_n") < min_count, F.lit(True))
-        .otherwise(kept_occurrence),
+    flagged = (
+        keyed.withColumn("_n", F.count("*").over(wh))
+        .withColumn("_first", F.min(F.struct("doc_id", "para_idx")).over(wh))
+        .withColumn(
+            "_keep",
+            F.when(F.length("para") == 0, F.lit(True))
+            .when(F.col("_n") < min_count, F.lit(True))
+            .otherwise(kept_occurrence),
+        )
     )
     return flagged.groupBy("doc_id").agg(
         F.array_join(
