@@ -443,13 +443,16 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     negative) = rare-token-heavy docs (gibberish, encoding damage); high =
     function-word soup. Empty docs score 0.0 by convention.
 
-    Plan shape: explode tokens -> groupBy(term) count (one shuffle,
-    map-side partial) -> equi-join tokens to counts on term (no broadcast
-    assumption — a 100 TB vocabulary outgrows one) -> groupBy(doc) mean
-    (second shuffle). Token counts could be reused from an index lexicon
-    when one exists; this op stays standalone so curation does not require
-    building an index first.
+    Plan shape: explode tokens -> ONE count window partitioned by term
+    (the single-shuffle group-labeler shape; a groupBy + join-back
+    re-shuffles the token stream a second time) -> groupBy(doc) mean.
+    The corpus total still derives from a tiny distinct-term aggregate.
+    Token counts could be reused from an index lexicon when one exists;
+    this op stays standalone so curation does not require building an
+    index first.
     """
+    from pyspark.sql import Window
+
     toks = (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -461,7 +464,7 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     counts = toks.groupBy("term").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("t"))
     scored = (
-        toks.join(counts, "term")
+        toks.withColumn("c", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
