@@ -915,3 +915,20 @@ def test_token_budget_sample_maximal_prefix(spark, docs):
                       key=lambda r: (r.h, r.doc_id))
         if rest:  # adding the next-in-order doc must bust the budget
             assert got + rest[0].t > budget
+
+
+def test_select_canonical_picks_best_quality(spark):
+    from whoosh_spark.pipeline import select_canonical
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)],
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.1)],
+        "doc_id long, quality double")
+    rows = {r.doc_id: r for r in select_canonical(labels, scores).collect()}
+    # max quality wins; tie (2 vs 3 at 0.9) breaks to min doc_id
+    assert [rows[i].is_canonical for i in (1, 2, 3)] == [False, True, False]
+    # singleton cluster is its own canonical
+    assert rows[9].is_canonical
+    assert sum(1 for r in rows.values() if r.is_canonical) == 2

@@ -521,6 +521,69 @@ FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
         _CC_SWEEP_ORACLE,
     )
 
+    def _best_canonical(spark, sf):
+        # quality-aware canonical selection (the FineWeb/Dolma rule: keep
+        # the highest-quality cluster member, not the min id) — composes
+        # the CC sweep's labels with quality_scores through
+        # dedup.select_canonical's single-shuffle argmax window
+        from whoosh_spark.pipeline.dedup import select_canonical
+
+        docs = _docs(spark, sf)
+        labels = dedup_sweep(
+            docs, shingle_jaccard_pairs(docs, threshold=0.5)
+        ).select("doc_id", "cluster_id")
+        q = quality_scores(docs).select("doc_id", "quality")
+        return select_canonical(labels, q).select(
+            "doc_id", "cluster_id", "quality",
+            F.col("is_canonical").cast("int").alias("is_canonical"))
+
+    add(
+        "dedup_best_canonical",
+        _best_canonical,
+        "WITH RECURSIVE " + _SHINGLES_SQL.strip().rstrip(",") + f""",
+edges AS (SELECT i AS u, j AS v FROM jacc WHERE jaccard >= 0.5),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lab AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id
+        FROM reach GROUP BY u),
+qbase AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS words,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+  FROM documents),
+qfeat AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> x IN ({_STOP_SQL}))) * 1.0 / len(words)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0 THEN n_alpha * 1.0 / length(text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(words) > 0
+              THEN list_reduce(list_prepend(0, [length(w) FOR w IN words]), (a, b) -> a + b) * 1.0 / len(words)
+              ELSE 0.0 END AS mean_wl
+  FROM qbase),
+qual AS (
+  SELECT doc_id,
+         round((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.2 END)
+             * (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+             * (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+             * alpha_ratio, 4) AS quality
+  FROM qfeat),
+lbl AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, q.quality
+  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id)
+SELECT doc_id, cluster_id, quality,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY quality DESC, doc_id ASC) = 1)::INT
+         AS is_canonical
+FROM lbl""",
+    )
+
     def _cc_incremental(spark, sf):
         # INCREMENTAL sweep: docs >= 400 arrive as a new batch — old labels
         # come from a sweep over old-only pairs, then merge_cluster_labels

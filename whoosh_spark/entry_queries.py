@@ -907,7 +907,7 @@ _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
     "text_paragraph_dedup", "text_bigram_logprob", "text_dsir_logweights",
     "text_dsir_gumbel_topk", "sample_token_budget", "conv_loss_spans",
-    "conv_neardup_pairs",
+    "conv_neardup_pairs", "dedup_best_canonical",
     "results_setops_topk",
     "text_dup_substring_spans", "text_substring_dedup_clean",
     "pipeline_pack_sequences", "text_exact_ngram_decontam",

@@ -14,6 +14,7 @@ from whoosh_spark.pipeline.dedup import (  # noqa: F401
     normalized_duplicates,
     pairs_jaccard,
     paragraph_dedup,
+    select_canonical,
     shingle_jaccard_pairs,
     simhash,
     simhash_pairs,

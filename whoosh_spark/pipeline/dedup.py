@@ -719,3 +719,35 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
         F.count("*").cast("long").alias("n_paras"),
         F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
     )
+
+
+def select_canonical(labels: DataFrame, scores: DataFrame,
+                     score_col: str = "quality") -> DataFrame:
+    """Quality-aware canonical selection: re-pick each cluster's keeper as
+    the member with the HIGHEST score (ties -> min doc_id) instead of
+    :func:`dedup_sweep`'s min-id rule — what production pipelines do
+    (keep the longest / highest-quality copy, drop the rest).
+
+    ``labels``: (doc_id, cluster_id) from dedup_sweep / merge_cluster_labels.
+    ``scores``: (doc_id, <score_col>). Returns (doc_id, cluster_id,
+    <score_col>, is_canonical) with exactly one canonical per cluster.
+
+    Plan shape: one doc_id equi-join, then the single-shuffle window
+    labeler (max score + argmin tie doc_id over the cluster key) — same
+    shape as the dedup group labelers, parallel across clusters.
+    """
+    joined = labels.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "cluster_id"
+    ).join(
+        scores.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col(score_col)),
+        "doc_id",
+    )
+    wc = Window.partitionBy("cluster_id")
+    best = F.min(
+        F.struct((-F.col(score_col)).alias("_neg"), F.col("doc_id"))
+    ).over(wc)
+    return joined.withColumn(
+        "is_canonical",
+        (best["_neg"] == -F.col(score_col)) & (best["doc_id"] == F.col("doc_id")),
+    )
