@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--capacity", type=int, default=2048)
     ap.add_argument("--sample", type=float, default=1.0)
     ap.add_argument("--paragraph-dedup", action="store_true")
+    ap.add_argument("--keep-best", action="store_true",
+                    help="pick near-dup cluster canonicals by highest "
+                         "quality instead of min doc_id")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("whoosh-spark-curate").getOrCreate()
@@ -61,7 +64,8 @@ def main() -> None:
     docs = spark.read.parquet(args.docs).persist()
     n_in = docs.count()
 
-    labels = curation_labels(docs, quality_min=args.min_quality)
+    labels = curation_labels(docs, quality_min=args.min_quality,
+                             keep_best_quality=args.keep_best)
     kept_ids = labels.where("keep").select("doc_id")
     kept = docs.join(kept_ids, "doc_id", "left_semi").persist()
     n_kept = kept.count()

@@ -932,3 +932,23 @@ def test_select_canonical_picks_best_quality(spark):
     # singleton cluster is its own canonical
     assert rows[9].is_canonical
     assert sum(1 for r in rows.values() if r.is_canonical) == 2
+
+
+def test_curation_labels_keep_best_quality(spark, docs):
+    from whoosh_spark.pipeline import curation_labels
+
+    base = curation_labels(docs).orderBy("doc_id").collect()
+    best = curation_labels(docs, keep_best_quality=True).orderBy("doc_id").collect()
+    # same clusters, exactly one canonical per cluster in both modes
+    assert [r.cluster_id for r in base] == [r.cluster_id for r in best]
+    import collections
+    per = collections.Counter(r.cluster_id for r in best if r.cluster_canonical)
+    assert all(v == 1 for v in per.values())
+    n_clusters = len({r.cluster_id for r in best})
+    assert sum(per.values()) == n_clusters
+    # the chosen canonical always has the cluster-max quality
+    qmax = collections.defaultdict(float)
+    for r in best:
+        qmax[r.cluster_id] = max(qmax[r.cluster_id], r.quality)
+    assert all(r.quality == qmax[r.cluster_id]
+               for r in best if r.cluster_canonical)

@@ -20,13 +20,15 @@ from whoosh_spark.pipeline.dedup import (
     dedup_sweep,
     exact_duplicates,
     minhash_dedup_pairs,
+    select_canonical,
 )
 from whoosh_spark.pipeline.textstats import langid, quality_scores
 
 
 def curation_labels(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", quality_min: float = 0.05,
-                    jaccard_threshold: float = 0.8) -> DataFrame:
+                    jaccard_threshold: float = 0.8,
+                    keep_best_quality: bool = False) -> DataFrame:
     """(doc_id, lang_pred, quality, exact_canonical, cluster_id,
     cluster_canonical, keep) for every doc.
 
@@ -34,6 +36,12 @@ def curation_labels(docs: DataFrame, text_col: str = "text",
     quality_min — keep one representative per exact group and per
     near-dup cluster, drop low-quality text. Language is labeled, not
     filtered (mix decisions are downstream policy; filter on lang_pred).
+
+    ``keep_best_quality=True`` picks each near-dup cluster's canonical by
+    HIGHEST quality score (ties -> min doc_id, via
+    :func:`~whoosh_spark.pipeline.dedup.select_canonical`) instead of
+    min-id — the FineWeb/Dolma keep-the-best-copy rule; exact-group
+    canonicals stay min-id (identical texts have identical quality).
     """
     q = quality_scores(docs, text_col, id_col).select("doc_id", "quality")
     lid = langid(docs, text_col, id_col).select("doc_id", "lang_pred")
@@ -46,6 +54,11 @@ def curation_labels(docs: DataFrame, text_col: str = "text",
         id_col=id_col,
     ).select("doc_id", "cluster_id",
              F.col("is_canonical").alias("cluster_canonical"))
+    if keep_best_quality:
+        sweep = select_canonical(
+            sweep.select("doc_id", "cluster_id"), q, "quality"
+        ).select("doc_id", "cluster_id",
+                 F.col("is_canonical").alias("cluster_canonical"))
     return (q.join(lid, "doc_id").join(ex, "doc_id").join(sweep, "doc_id")
             .select(
                 "doc_id", "lang_pred", "quality", "exact_canonical",
