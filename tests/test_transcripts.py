@@ -47,3 +47,76 @@ def test_synth_deterministic_across_parallelism(spark):
     # multi-turn conversations with alternating roles
     assert set(a["role"]) == {"user", "assistant"}
     assert a["turn_idx"].max() == 19
+
+
+# ---------------- time-axis analytics (sessionize / latency / tools) -------
+
+
+@pytest.fixture(scope="module")
+def jittered(spark):
+    # synthetic corpus with irregular gaps: ts = 2025-01-01 + hash-jittered
+    # cumulative offsets (same shape the driver entries derive)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = synth_turns(spark, 3000, turns_per_conv=15)
+    gap = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(9)), F.lit(900))
+    run = (Window.partitionBy("conv_id").orderBy("turn_idx")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    return t.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+        + F.make_interval(secs=F.sum(gap).over(run)),
+    )
+
+
+def test_sessionize_invariants(jittered):
+    from whoosh_spark.pipeline.conversations import sessionize
+
+    s = sessionize(jittered, gap_seconds=600).orderBy("conv_id", "turn_idx").toPandas()
+    for _, g in s.groupby("conv_id"):
+        gaps = g["gap_s"].tolist()
+        sidx = g["session_idx"].tolist()
+        assert gaps[0] != gaps[0] or gaps[0] is None  # first gap is NaN/None
+        assert sidx[0] == 0
+        for k in range(1, len(sidx)):
+            expect_new = gaps[k] > 600
+            assert sidx[k] == sidx[k - 1] + (1 if expect_new else 0)
+    # non-vacuous: some conversation actually splits
+    assert s["session_idx"].max() >= 1
+
+
+def test_session_stats_tile_conversations(jittered):
+    from whoosh_spark.pipeline.conversations import session_stats
+
+    st = session_stats(jittered, gap_seconds=600).toPandas()
+    per_conv = st.groupby("conv_id").agg(
+        turns=("n_turns", "sum"), sessions=("session_idx", "max"))
+    assert (per_conv["turns"] == 15).all()  # sessions tile every conversation
+    assert (st["duration_s"] == st["end_s"] - st["start_s"]).all()
+    assert (st["duration_s"] >= 0).all()
+
+
+def test_response_latency_matches_gaps(jittered):
+    from whoosh_spark.pipeline.conversations import response_latency, sessionize
+
+    lat = response_latency(jittered).toPandas()
+    s = sessionize(jittered, 600).toPandas()
+    ref = s[(s["role"] == "assistant") & s["gap_s"].notna()]
+    merged = lat.merge(ref, on=["conv_id", "turn_idx"], how="outer")
+    assert len(merged) == len(lat) == len(ref)
+    assert (merged["latency_s"] == merged["gap_s"]).all()
+    assert (lat["latency_s"] >= 0).all()  # monotone ts => non-negative
+
+
+def test_tool_usage_stats_totals(jittered):
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline.conversations import tool_usage_stats
+
+    st = tool_usage_stats(jittered).toPandas()
+    n_tool_turns = jittered.where(
+        F.col("tool").isNotNull() & (F.col("tool") != "")).count()
+    assert st["n_calls"].sum() == n_tool_turns
+    assert set(st["tool"]) <= {"search", "code", "browse", "calc"}
+    assert (st["first_s"] <= st["last_s"]).all()
+    assert (st["mean_words"] > 0).all()

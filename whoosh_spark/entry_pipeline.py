@@ -1386,6 +1386,151 @@ jacc AS (
 SELECT i, j, round(jaccard, 4) AS jaccard FROM jacc WHERE jaccard >= 0.7""",
     )
 
+    # ------------- time-axis transcript analytics (ts/tool) --------------
+    # The derived turns have constant 1s spacing and a single tool value,
+    # so the time-axis ops would be vacuous on them. Derive a jittered
+    # corpus IDENTICALLY in both engines (the simhash md5 trick): turn
+    # gaps = md5(conv_id:turn_idx) % 900 seconds accumulated per
+    # conversation, tool spread over 4 values by a second md5. Every
+    # output below is a time DIFFERENCE or base-relative offset, so the
+    # check is timezone-independent (Spark cast(long) is session-tz,
+    # DuckDB epoch() is UTC).
+    from pyspark.sql import Window as _W
+    from whoosh_spark.pipeline.conversations import (
+        response_latency,
+        session_stats,
+        sessionize,
+        tool_usage_stats,
+    )
+
+    def _ts_base():
+        # built lazily — registry construction precedes the SparkSession
+        return F.to_timestamp(F.lit("2025-01-01 00:00:00")).cast("long")
+
+    def _jittered_turns(spark, sf):
+        t = transcript_corpus(spark, sf)
+        gap = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))), 1, 4
+                ),
+                16, 10,
+            ).cast("long") % 900
+        )
+        toolpick = F.array(
+            F.lit("search"), F.lit("code"), F.lit("browse"), F.lit("calc")
+        )[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))), 1, 4
+                ),
+                16, 10,
+            ).cast("int") % 4
+        ]
+        run = _W.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+            _W.unboundedPreceding, 0
+        )
+        return (
+            t.withColumn(
+                "ts",
+                F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+                + F.make_interval(secs=F.sum(gap).over(run)),
+            )
+            .withColumn("tool", F.when(F.col("turn_idx") % 4 == 3, toolpick))
+        )
+
+    _JIT_CTE = _TURNS_CTE + """, jit AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN turn_idx % 4 = 3 THEN
+           ['search','code','browse','calc'][
+             (('0x' || substr(md5(conv_id || '#' || turn_idx), 1, 4))::BIGINT % 4) + 1]
+         END AS tool,
+         sum(('0x' || substr(md5(conv_id || ':' || turn_idx), 1, 4))::BIGINT % 900)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING) AS off_s,
+         doc_id
+  FROM turns)
+"""
+
+    add(
+        "conv_sessionize",
+        # inactivity-gap sessionization (gap > 600s starts a session):
+        # one conv-keyed Window exec (lag + running sum share the spec);
+        # gap_s coalesced to -1 on conversation-opening turns so the
+        # value hash never sees NULL
+        lambda spark, sf: sessionize(_jittered_turns(spark, sf), 600).select(
+            "conv_id", "turn_idx",
+            F.coalesce("gap_s", F.lit(-1)).alias("gap_s"), "session_idx",
+        ),
+        _JIT_CTE
+        + """SELECT conv_id, turn_idx, coalesce(gap_s, -1)::BIGINT AS gap_s,
+       (sum(CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) - 1)::INT AS session_idx
+FROM (
+  SELECT conv_id, turn_idx,
+         off_s - lag(off_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+  FROM jit)""",
+    )
+
+    add(
+        "conv_session_stats",
+        # per-session rollup; start/end reported base-relative (= the
+        # cumulative jitter offset) so session-tz vs UTC epoch cancels
+        lambda spark, sf: session_stats(_jittered_turns(spark, sf), 600).select(
+            "conv_id", "session_idx", "n_turns", "n_tool_calls",
+            (F.col("start_s") - _ts_base()).alias("start_s"),
+            (F.col("end_s") - _ts_base()).alias("end_s"),
+            "duration_s",
+        ),
+        _JIT_CTE
+        + """, sess AS (
+  SELECT conv_id, turn_idx, tool, off_s,
+         (sum(CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS UNBOUNDED PRECEDING) - 1)::INT AS session_idx
+  FROM (
+    SELECT conv_id, turn_idx, tool, off_s,
+           off_s - lag(off_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+    FROM jit))
+SELECT conv_id, session_idx, count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END)::BIGINT
+         AS n_tool_calls,
+       min(off_s)::BIGINT AS start_s, max(off_s)::BIGINT AS end_s,
+       (max(off_s) - min(off_s))::BIGINT AS duration_s
+FROM sess GROUP BY conv_id, session_idx""",
+    )
+
+    add(
+        "conv_response_latency",
+        # assistant response time = seconds since the previous turn; the
+        # role filter stays ABOVE the window (the lag must see all turns)
+        lambda spark, sf: response_latency(_jittered_turns(spark, sf)),
+        _JIT_CTE
+        + """SELECT conv_id, turn_idx, gap_s::BIGINT AS latency_s FROM (
+  SELECT conv_id, turn_idx, role,
+         off_s - lag(off_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+  FROM jit)
+WHERE role = 'assistant' AND gap_s IS NOT NULL""",
+    )
+
+    add(
+        "conv_tool_stats",
+        # tool-mix report: one filter + one groupBy(tool) (4 groups after
+        # map-side combine); first/last use base-relative
+        lambda spark, sf: tool_usage_stats(_jittered_turns(spark, sf)).select(
+            "tool", "n_calls", "n_convs", "mean_words",
+            (F.col("first_s") - _ts_base()).alias("first_s"),
+            (F.col("last_s") - _ts_base()).alias("last_s"),
+        ),
+        _JIT_CTE
+        + """SELECT tool, count(*)::BIGINT AS n_calls,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 4) AS mean_words,
+       min(off_s)::BIGINT AS first_s, max(off_s)::BIGINT AS last_s
+FROM jit WHERE tool IS NOT NULL AND tool <> '' GROUP BY tool""",
+    )
+
     # ---------------- unigram LM score (CCNet-style tier) ----------------
     from whoosh_spark.pipeline.textstats import unigram_logprob
 

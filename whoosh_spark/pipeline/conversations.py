@@ -129,6 +129,94 @@ def sliding_turn_windows(turns: DataFrame, k: int = 3,
     )
 
 
+def sessionize(turns: DataFrame, gap_seconds: int = 1800,
+               ts_col: str = "ts") -> DataFrame:
+    """Split each conversation into activity sessions: a new session
+    starts at turn 0 and whenever the time since the previous turn
+    exceeds ``gap_seconds`` (the classic inactivity-gap sessionization a
+    transcript corpus needs before per-session stats / context windows).
+    Returns the turns with ``gap_s`` (seconds since previous turn, NULL
+    on first turns) and a 0-based ``session_idx``.
+
+    The lag and the running sum share the conv-keyed partition/order, so
+    the physical plan has exactly ONE Exchange + ONE Sort (verified:
+    ``[Window, Window, Window, Sort, Exchange]``) — the window nodes
+    pipeline over the same sorted partition without re-shuffling. No
+    joins, parallel across conversations. Session count per
+    conversation is bounded by turn count, so no skew beyond the
+    corpus's own conversation-length distribution.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    run = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return turns.withColumn("gap_s", gap).withColumn(
+        "session_idx", (F.sum(is_new).over(run) - 1).cast("int")
+    )
+
+
+def session_stats(turns: DataFrame, gap_seconds: int = 1800,
+                  ts_col: str = "ts") -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: (conv_id, session_idx,
+    n_turns, n_tool_calls, start_s, end_s, duration_s) with start/end as
+    epoch seconds (engine-portable — no timestamp round-tripping).
+    One window + one map-side-combined groupBy on (conv_id, session_idx).
+    """
+    s = sessionize(turns, gap_seconds, ts_col)
+    epoch = F.col(ts_col).cast("long")
+    return s.groupBy("conv_id", "session_idx").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("tool").isNotNull() & (F.col("tool") != ""), 1)
+              .otherwise(0)).alias("n_tool_calls"),
+        F.min(epoch).alias("start_s"),
+        F.max(epoch).alias("end_s"),
+        (F.max(epoch) - F.min(epoch)).alias("duration_s"),
+    )
+
+
+def response_latency(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Assistant response time: for each assistant turn, seconds elapsed
+    since the conversation's previous turn (the user-perceived latency an
+    agent-quality dashboard tracks). Returns (conv_id, turn_idx,
+    latency_s); conversation-opening turns and non-assistant turns are
+    excluded. One conv-keyed window, filter after — the lag must see ALL
+    turns, so the role filter cannot be pushed below the window.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    return (
+        turns.withColumn("latency_s", lat)
+        .where((F.col("role") == "assistant") & F.col("latency_s").isNotNull())
+        .select("conv_id", "turn_idx", "latency_s")
+    )
+
+
+def tool_usage_stats(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-tool usage rollup over tool-carrying turns: (tool, n_calls,
+    n_convs, mean_words, first_s, last_s). The tool-mix report an agent
+    corpus is curated by (which tools dominate, how verbose their
+    outputs run, when they were active). One filter + one groupBy(tool)
+    — tool cardinality is tiny, so the final agg is a handful of groups
+    after map-side partial aggregation; countDistinct(conv_id) expands
+    to the standard two-phase distinct agg, still one logical shuffle.
+    """
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), 0))
+    epoch = F.col(ts_col).cast("long")
+    return (
+        turns.where(F.col("tool").isNotNull() & (F.col("tool") != ""))
+        .groupBy("tool")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.round(F.avg(words), 4).alias("mean_words"),
+            F.min(epoch).alias("first_s"),
+            F.max(epoch).alias("last_s"),
+        )
+    )
+
+
 def loss_mask_spans(turns: DataFrame, sep: str = "\n",
                     train_roles: tuple = ("assistant",)) -> DataFrame:
     """SFT loss masking: for each turn, the character span it occupies in
