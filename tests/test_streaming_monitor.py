@@ -87,3 +87,48 @@ def test_first_seen_stateful_across_restarts(spark, tmp_path):
     run_once()
     # alpha/beta recur with NEW ids -> suppressed by the RESTORED state
     assert set(emitted) == {1, 2, 11, 13}
+
+
+def test_session_window_hand_case(spark):
+    from whoosh_spark.streaming.monitor import session_window_stats
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        ("a", base),                                  # s1
+        ("a", base + dt.timedelta(minutes=29)),       # merges (< 30m gap)
+        ("a", base + dt.timedelta(minutes=59)),       # exactly 30m: still merges
+        ("a", base + dt.timedelta(minutes=95)),       # 36m silence: NEW session
+        ("b", base),                                  # separate key
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    out = sorted(
+        (r.conv_id, r.sess_start, r.sess_end, r.n_turns)
+        for r in session_window_stats(turns, "30 minutes").collect()
+    )
+    m = dt.timedelta(minutes=1)
+    assert out == [
+        ("a", base, base + 89 * m, 3),               # end = last event + gap
+        ("a", base + 95 * m, base + 125 * m, 1),
+        ("b", base, base + 30 * m, 1),
+    ]
+
+
+def test_session_window_streaming_equals_batch(spark, tmp_path):
+    from whoosh_spark.streaming.monitor import session_window_stats
+
+    src = str(tmp_path / "swsrc")
+    turns = spark.range(300).select(
+        F.concat(F.lit("c"), (F.col("id") % 7).cast("string")).alias("conv_id"),
+        (F.lit(dt.datetime(2024, 3, 1))
+         + F.make_interval(mins=F.pmod(F.xxhash64("id"), F.lit(50)) * F.col("id"))
+         ).alias("ts"),
+    )
+    turns.write.parquet(src)
+    stream = spark.readStream.schema("conv_id string, ts timestamp").parquet(src)
+    q = (session_window_stats(stream, "45 minutes", watermark="1 minute")
+         .writeStream.format("memory").queryName("swstats")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("swstats").collect()))
+    want = sorted(map(tuple, session_window_stats(turns, "45 minutes").collect()))
+    assert got == want and len(got) > 10

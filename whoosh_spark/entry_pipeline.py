@@ -1577,6 +1577,37 @@ FROM events GROUP BY 1, 2, 3
 """,
     )
 
+    from whoosh_spark.streaming.monitor import session_window_stats
+
+    add(
+        "stream_session_windows",
+        # native F.session_window over the md5-jittered corpus, batch
+        # mode (the identical tree runs watermarked on a stream —
+        # streaming ≡ batch pinned in test_streaming_monitor). Merge
+        # convention pinned: events <= gap apart merge, sess_end = last
+        # event + gap; outputs base-relative so session-tz cancels
+        lambda spark, sf: session_window_stats(
+            _jittered_turns(spark, sf), "10 minutes", watermark=None
+        ).select(
+            "conv_id",
+            (F.col("sess_start").cast("long") - _ts_base()).alias("start_s"),
+            (F.col("sess_end").cast("long") - _ts_base()).alias("end_s"),
+            "n_turns",
+        ),
+        _JIT_CTE
+        + """, sw AS (
+  SELECT conv_id, off_s,
+         sum(CASE WHEN prev IS NULL OR off_s - prev > 600 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY off_s
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (SELECT conv_id, off_s,
+               lag(off_s) OVER (PARTITION BY conv_id ORDER BY off_s) AS prev
+        FROM jit))
+SELECT conv_id, min(off_s)::BIGINT AS start_s,
+       (max(off_s) + 600)::BIGINT AS end_s, count(*)::BIGINT AS n_turns
+FROM sw GROUP BY conv_id, sid""",
+    )
+
     # ----------- exact 13-gram decontamination (GPT-3 style) -------------
     from whoosh_spark.pipeline.textstats import exact_ngram_contamination
 

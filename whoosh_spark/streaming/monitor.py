@@ -56,6 +56,39 @@ def windowed_turn_counts(turns: DataFrame, window_dur: str = "6 hours",
     )
 
 
+def session_window_stats(turns: DataFrame, gap: str = "30 minutes",
+                         key: str = "conv_id", ts_col: str = "ts",
+                         watermark: str | None = "10 minutes") -> DataFrame:
+    """Event-time session windows per ``key`` via Spark's NATIVE
+    ``session_window``: (<key>, sess_start, sess_end, n_turns) — the
+    streaming twin of ``conversations.sessionize`` (which orders by
+    turn_idx and labels turns; this one orders by event time and emits
+    closed sessions, the shape a live-traffic dashboard consumes).
+
+    Semantics (pinned in tests): each event extends its session to
+    ``event + gap``; consecutive events merge iff their distance is
+    <= ``gap`` (a new session needs a STRICTLY larger silence — the same
+    convention as ``conversations.sessionize``), and
+    ``sess_end = last event + gap``. On a
+    streaming frame the watermark finalizes a session once event time
+    passes its end, bounding state to open sessions per key; on a batch
+    frame the identical expression tree runs as one shuffle + merge.
+    """
+    df = turns
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("_sw"), F.col(key))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            key,
+            F.col("_sw.start").alias("sess_start"),
+            F.col("_sw.end").alias("sess_end"),
+            "n_turns",
+        )
+    )
+
+
 FIRST_SEEN_SCHEMA = "h string, doc_id long"
 _STATE_SCHEMA = "seen byte"
 
