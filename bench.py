@@ -242,6 +242,36 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
         lambda: bigram_logprob(raw_docs).agg(F.sum("mean_logprob")).collect(),
     )
 
+    # time-axis transcript analytics (sixth wave): the (ts, tool) suite
+    # over 500k jittered-timestamp synth turns — session_stats (lag +
+    # cumsum + groupBy), response_latency, tool rollup, and the native
+    # F.session_window twin; all pure-JVM plans, one conv-keyed shuffle
+    # each (see BENCH.md "Time-axis transcript analytics")
+    from pyspark.sql import Window as _W
+    from whoosh_spark.pipeline.conversations import (
+        response_latency, session_stats, tool_usage_stats)
+    from whoosh_spark.streaming.monitor import session_window_stats
+
+    _jt = synth_turns(spark, 500_000, turns_per_conv=20)
+    _jrun = (_W.partitionBy("conv_id").orderBy("turn_idx")
+             .rowsBetween(_W.unboundedPreceding, 0))
+    _jt = _jt.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")) + F.make_interval(
+            secs=F.sum(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(900)))
+            .over(_jrun)),
+    ).persist()
+    _jt.count()
+
+    def _session_wave():
+        session_stats(_jt, 600).count()
+        response_latency(_jt).count()
+        tool_usage_stats(_jt).count()
+        session_window_stats(_jt, "10 minutes").count()
+
+    timed("p_session_analytics", _session_wave)
+    _jt.unpersist()
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "bench_total_wall",

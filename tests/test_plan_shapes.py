@@ -205,3 +205,36 @@ def test_dsir_gumbel_topk_is_take_ordered(spark):
         F.lit("spark sql shuffle join").alias("text"))
     p = _plan(dsir_gumbel_topk(docs, docs.where(F.col("doc_id") < 50), n=10))
     assert "TakeOrderedAndProject" in p
+
+
+def test_sessionize_single_shuffle_no_python(spark):
+    """The time-axis wave stays pure-JVM with ONE conv-keyed shuffle: the
+    lag and the running sum share the partition/order, so the Window
+    nodes pipeline over one Exchange + one Sort; nothing drops to Python."""
+    import re
+
+    from whoosh_spark.pipeline.conversations import sessionize
+    from whoosh_spark.transcripts import synth_turns
+
+    t = synth_turns(spark, 2000)
+    p = _plan(sessionize(t, 600))
+    assert len(re.findall(r"\bExchange\b", p)) == 1
+    assert len(re.findall(r"\bSort\b", p)) == 1
+    assert "PythonUDF" not in p and "ArrowEval" not in p and "mapInArrow" not in p
+
+
+def test_session_stats_partial_agg_over_one_shuffle(spark):
+    """session_stats adds only a map-side-combined groupBy on top of the
+    sessionize shuffle — (conv_id, session_idx) is a refinement of the
+    window's conv_id partitioning, so no SECOND exchange is required
+    before the final aggregate."""
+    import re
+
+    from whoosh_spark.pipeline.conversations import session_stats
+    from whoosh_spark.transcripts import synth_turns
+
+    t = synth_turns(spark, 2000)
+    p = _plan(session_stats(t, 600))
+    assert "HashAggregate" in p
+    # one window shuffle; the agg must reuse the conv_id partitioning
+    assert len(re.findall(r"\bExchange\b", p)) == 1
