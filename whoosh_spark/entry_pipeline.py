@@ -1577,6 +1577,60 @@ FROM events GROUP BY 1, 2, 3
 """,
     )
 
+    from whoosh_spark.pipeline.temporal import asof_join
+
+    def _asof_turns_events(spark, sf):
+        # every turn matched to the user's most recent event at-or-before
+        # the turn's moment: uid derived from conv_id (% 150 covers the
+        # events table's full user range), turn time spread over the
+        # events table's 30-day window by a deterministic stride. ALL
+        # time arithmetic stays in TIMESTAMP_NTZ (the events parquet
+        # type) — no session-tz parse or epoch conversion anywhere — and
+        # outputs report base-relative SECONDS (NTZ diff cast, floors
+        # like DuckDB date_diff). Oracle = DuckDB's NATIVE ASOF LEFT
+        # JOIN, i.e. the tagged-union window trick is checked against an
+        # independent first-class implementation of the operator.
+        base = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("user_id").alias("uid"), F.col("ts").alias("t"),
+            "event_id", "event_type",
+        )
+        turns = transcript_corpus(spark, sf).select(
+            "doc_id",
+            (F.substring("conv_id", 2, 8).cast("long") % 150).alias("uid"),
+            (base + F.make_interval(secs=(F.col("doc_id") * 7919) % 2592000)
+             ).alias("t"),
+        )
+        j = asof_join(turns, ev, key="uid", ts_col="t",
+                      right_cols=["event_id", "event_type"])
+        return j.select(
+            "doc_id", "uid",
+            (F.col("t") - base).cast("long").alias("t_s"),
+            F.coalesce((F.col("t_r") - base).cast("long"), F.lit(-1)
+                       ).alias("event_t_s"),
+            F.coalesce("event_id", F.lit(-1)).alias("event_id"),
+            F.coalesce("event_type", F.lit("")).alias("event_type"),
+        )
+
+    add(
+        "turns_asof_events",
+        _asof_turns_events,
+        _TURNS_CTE
+        + """, tl AS (
+  SELECT doc_id, (substr(conv_id, 2, 8)::BIGINT % 150) AS uid,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds((doc_id * 7919) % 2592000) AS t
+  FROM turns),
+ev AS (SELECT user_id AS uid, ts AS t, event_id, event_type FROM events)
+SELECT tl.doc_id, tl.uid,
+       date_diff('second', TIMESTAMP '2024-01-01 00:00:00', tl.t)::BIGINT AS t_s,
+       coalesce(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ev.t),
+                -1)::BIGINT AS event_t_s,
+       coalesce(ev.event_id, -1)::BIGINT AS event_id,
+       coalesce(ev.event_type, '') AS event_type
+FROM tl ASOF LEFT JOIN ev ON tl.uid = ev.uid AND tl.t >= ev.t""",
+    )
+
     from whoosh_spark.streaming.monitor import session_window_stats
 
     add(
