@@ -1631,6 +1631,54 @@ SELECT tl.doc_id, tl.uid,
 FROM tl ASOF LEFT JOIN ev ON tl.uid = ev.uid AND tl.t >= ev.t""",
     )
 
+    from whoosh_spark.pipeline.temporal import lookback_join
+
+    def _lookback_turns_events(spark, sf):
+        # range-join form: per turn, ALL the user's events in the
+        # trailing 24h window, aggregated (count + min/max value — order-
+        # independent aggregates, so cross-engine float summation order
+        # cannot flip the hash). Same NTZ-diff second offsets as the
+        # as-of entry; bucketized equi-join, never an inequality join.
+        base = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("user_id").alias("uid"),
+            (F.col("ts") - base).cast("long").alias("t"),
+            "value",
+        )
+        turns = transcript_corpus(spark, sf).select(
+            "doc_id",
+            (F.substring("conv_id", 2, 8).cast("long") % 150).alias("uid"),
+            ((F.col("doc_id") * 7919) % 2592000).alias("t"),
+        )
+        pairs = lookback_join(turns, ev, "uid", "t", 86400,
+                              right_cols=["value"])
+        return (
+            pairs.groupBy("doc_id", "uid", "t")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.min("value"), 4).alias("min_value"),
+                 F.round(F.max("value"), 4).alias("max_value"))
+            .withColumnRenamed("t", "t_s")
+        )
+
+    add(
+        "turns_lookback_events",
+        _lookback_turns_events,
+        _TURNS_CTE
+        + """, tl AS (
+  SELECT doc_id, (substr(conv_id, 2, 8)::BIGINT % 150) AS uid,
+         (doc_id * 7919) % 2592000 AS t
+  FROM turns),
+ev AS (
+  SELECT user_id AS uid,
+         date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS t,
+         value
+  FROM events)
+SELECT tl.doc_id, tl.uid, tl.t::BIGINT AS t_s, count(*)::BIGINT AS n_events,
+       round(min(ev.value), 4) AS min_value, round(max(ev.value), 4) AS max_value
+FROM tl JOIN ev ON tl.uid = ev.uid AND ev.t BETWEEN tl.t - 86400 AND tl.t
+GROUP BY 1, 2, 3""",
+    )
+
     from whoosh_spark.streaming.monitor import session_window_stats
 
     add(

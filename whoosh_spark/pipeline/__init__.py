@@ -51,7 +51,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     unigram_logprob,
     winnow_fingerprints,
 )
-from whoosh_spark.pipeline.temporal import asof_join  # noqa: F401
+from whoosh_spark.pipeline.temporal import asof_join, lookback_join  # noqa: F401
 from whoosh_spark.pipeline.sampling import (  # noqa: F401
     hash_sample,
     proportional_sample,

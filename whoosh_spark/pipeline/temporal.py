@@ -29,6 +29,71 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def lookback_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    lookback: int,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Range join, lookback form: every (left, right) pair with the same
+    ``key`` and ``left.ts - lookback <= right.ts <= left.ts`` (both ends
+    inclusive — SQL ``BETWEEN``). ``ts_col`` must be NUMERIC (epoch
+    seconds/micros as longs); ``lookback`` is in the same units.
+
+    A plain inequality join plans as broadcast-nested-loop (quadratic
+    per key). The scalable shape is BUCKETIZED: with bucket width =
+    ``lookback``, a right row at time r can only pair with left rows in
+    bucket floor(r/W) or floor(r/W)+1, so the right side replicates into
+    exactly those two slots and the join becomes a pure equi-join on
+    (key, bucket) plus a residual range filter. Cost: one 2x-replicated
+    shuffle join, output-bound — the standard interval-join strategy of
+    streaming engines (Flink's interval join partitions the same way).
+
+    Output: all left columns, right's ``ts_col`` as ``<ts_col>_r``, then
+    ``right_cols`` (default: all non-key/ts). INNER semantics — left
+    rows with no right row in range drop (aggregate-then-left-join
+    upstream if you need left-complete counts).
+    """
+    if lookback <= 0:
+        raise ValueError(f"lookback must be positive, got {lookback}")
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in (key, ts_col)
+    ]
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    l2 = left.withColumn("_b", F.floor(F.col(ts_col) / lookback).cast("long"))
+    r2 = (
+        right.select(
+            F.col(key).alias("_rk"), F.col(ts_col).alias("_rt"),
+            *[F.col(c) for c in rcols],
+        )
+        .withColumn(
+            "_slot",
+            F.explode(
+                F.array(
+                    F.floor(F.col("_rt") / lookback).cast("long"),
+                    F.floor(F.col("_rt") / lookback).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    joined = l2.join(
+        r2,
+        (l2["_b"] == r2["_slot"]) & (l2[key] == r2["_rk"]),
+        "inner",
+    ).where(
+        (F.col("_rt") >= F.col(ts_col) - lookback)
+        & (F.col("_rt") <= F.col(ts_col))
+    )
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col("_rt").alias(f"{ts_col}_r"))
+    sel.extend(F.col(c) for c in rcols)
+    return joined.select(*sel)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
