@@ -1710,6 +1710,86 @@ SELECT conv_id, min(off_s)::BIGINT AS start_s,
 FROM sw GROUP BY conv_id, sid""",
     )
 
+    from whoosh_spark.pipeline.rollup import hypertable_rollup
+
+    add(
+        "events_hypertable_rollup",
+        # continuous-aggregate shape: raw scanned ONCE at 6h grain, the
+        # 1-day level re-aggregated from the 6h partials — while the
+        # oracle computes BOTH levels directly from raw, so a green hash
+        # proves re-aggregation is lossless; epoch-second window bounds
+        # (time_bucket alignment precedent of stream_window_counts)
+        lambda spark, sf: hypertable_rollup(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            grains=("6 hours", "1 day"), by="event_type", value="value",
+        ).select(
+            "grain",
+            F.unix_timestamp("win_start").alias("win_start_epoch"),
+            F.unix_timestamp("win_end").alias("win_end_epoch"),
+            "event_type", F.col("n").cast("long").alias("n"),
+            "sum_floor_value",
+            F.round("min_value", 4).alias("min_value"),
+            F.round("max_value", 4).alias("max_value"),
+        ),
+        """
+SELECT '6 hours' AS grain,
+       epoch(time_bucket(INTERVAL '6 hours', ts))::BIGINT AS win_start_epoch,
+       epoch(time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours')::BIGINT
+         AS win_end_epoch,
+       event_type, count(*)::BIGINT AS n,
+       sum(floor(value))::BIGINT AS sum_floor_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY 2, 3, 4
+UNION ALL
+SELECT '1 day',
+       epoch(time_bucket(INTERVAL '1 day', ts))::BIGINT,
+       epoch(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day')::BIGINT,
+       event_type, count(*)::BIGINT, sum(floor(value))::BIGINT,
+       round(min(value), 4), round(max(value), 4)
+FROM events GROUP BY 2, 3, 4
+""",
+    )
+
+    from whoosh_spark.pipeline.sketch import kmv_distinct
+
+    def _sketch_users(spark, sf):
+        # KMV bottom-k sketch of distinct users per event_type, k=64 —
+        # BELOW the table's ~150-user cardinality so the genuine
+        # (k-1)/U_(k) estimation path runs (not the exact fallback); the
+        # md5-derived hash makes the ESTIMATE itself deterministic, so
+        # the oracle recomputes it bit-for-bit; exact distinct joined on
+        # for the accuracy-visible comparison
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        sk = kmv_distinct(ev, "user_id", k=64, by="event_type")
+        ex = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct"))
+        return sk.join(ex, "event_type")
+
+    add(
+        "sketch_distinct_users",
+        _sketch_users,
+        """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM events),
+r AS (SELECT event_type, hh,
+             row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+      FROM h),
+kept AS (SELECT event_type, count(*) AS n_kept,
+                max(CASE WHEN rn = 64 THEN hh END) AS hk
+         FROM r WHERE rn <= 64 GROUP BY event_type),
+ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT k.event_type, k.n_kept::BIGINT AS n_kept,
+       round(CASE WHEN k.n_kept < 64 THEN k.n_kept::DOUBLE
+                  ELSE 63 * 1152921504606846976.0 / k.hk END, 4)
+         AS kmv_estimate,
+       ex.exact_distinct
+FROM kept k JOIN ex USING (event_type)
+""",
+    )
+
     # ----------- exact 13-gram decontamination (GPT-3 style) -------------
     from whoosh_spark.pipeline.textstats import exact_ngram_contamination
 

@@ -51,6 +51,8 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     unigram_logprob,
     winnow_fingerprints,
 )
+from whoosh_spark.pipeline.rollup import hypertable_rollup  # noqa: F401
+from whoosh_spark.pipeline.sketch import kmv_distinct  # noqa: F401
 from whoosh_spark.pipeline.temporal import asof_join, lookback_join  # noqa: F401
 from whoosh_spark.pipeline.sampling import (  # noqa: F401
     hash_sample,
