@@ -39,3 +39,37 @@ def test_kmv_validation(spark):
     df = spark.range(5).select(F.col("id").alias("v"))
     with pytest.raises(ValueError, match=">= 2"):
         kmv_distinct(df, "v", k=1)
+
+
+def test_kmv_merge_equals_whole(spark):
+    """Sketch algebra: sketch(A) merged with sketch(B) must equal
+    sketch(A ∪ B) — and so must the estimates — without revisiting raw."""
+    from whoosh_spark.pipeline.sketch import (
+        kmv_distinct, kmv_estimate_from, kmv_merge, kmv_sketch)
+
+    whole = spark.range(40_000).select(
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(9000)).alias("v"),
+        (F.col("id") % 3).alias("g"))
+    a = whole.where("id % 2 = 0")
+    b = whole.where("id % 2 = 1")
+    merged = kmv_merge(kmv_sketch(a, "v", k=128, by="g"),
+                       kmv_sketch(b, "v", k=128, by="g"), k=128, by="g")
+    got = sorted((r.g, r.n_kept, r.kmv_estimate)
+                 for r in kmv_estimate_from(merged, k=128, by="g").collect())
+    want = sorted((r.g, r.n_kept, r.kmv_estimate)
+                  for r in kmv_distinct(whole, "v", k=128, by="g").collect())
+    assert got == want
+
+
+def test_kmv_merge_disjoint_groups(spark):
+    """full_outer merge: a group present in only one shard survives."""
+    from whoosh_spark.pipeline.sketch import (
+        kmv_estimate_from, kmv_merge, kmv_sketch)
+
+    a = spark.createDataFrame([(0, 1), (0, 2)], "g long, v long")
+    b = spark.createDataFrame([(1, 7)], "g long, v long")
+    merged = kmv_merge(kmv_sketch(a, "v", k=8, by="g"),
+                       kmv_sketch(b, "v", k=8, by="g"), k=8, by="g")
+    out = {r.g: (r.n_kept, r.kmv_estimate)
+           for r in kmv_estimate_from(merged, k=8, by="g").collect()}
+    assert out == {0: (2, 2.0), 1: (1, 1.0)}

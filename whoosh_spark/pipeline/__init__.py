@@ -52,7 +52,12 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     winnow_fingerprints,
 )
 from whoosh_spark.pipeline.rollup import hypertable_rollup  # noqa: F401
-from whoosh_spark.pipeline.sketch import kmv_distinct  # noqa: F401
+from whoosh_spark.pipeline.sketch import (  # noqa: F401
+    kmv_distinct,
+    kmv_estimate_from,
+    kmv_merge,
+    kmv_sketch,
+)
 from whoosh_spark.pipeline.temporal import asof_join, lookback_join  # noqa: F401
 from whoosh_spark.pipeline.sampling import (  # noqa: F401
     hash_sample,

@@ -35,6 +35,70 @@ def kmv_hash(col) -> "F.Column":
                   16, 10).cast("long")
 
 
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    by: str | None = None,
+) -> DataFrame:
+    """The raw mergeable sketch: (<by>, sketch) where ``sketch`` is the
+    sorted array of the group's k smallest distinct hashes. Ship this
+    across shards/batches and combine with :func:`kmv_merge`."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    dims = [by] if by else []
+    hashes = df.select(*dims, kmv_hash(col).alias("_h")).distinct()
+    return (
+        hashes.groupBy(*dims)
+        .agg(F.slice(F.sort_array(F.collect_list("_h")), 1, k).alias("sketch"))
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int,
+              by: str | None = None) -> DataFrame:
+    """Merge two sketch frames (full outer on the group key): union the
+    hash sets, drop duplicates, re-take the k smallest — the sketch
+    algebra that makes KMV work across shards, days, or index segments
+    without ever revisiting raw data."""
+    dims = [by] if by else []
+    if by:
+        j = a.withColumnRenamed("sketch", "_sa").join(
+            b.withColumnRenamed("sketch", "_sb"), on=by, how="full_outer")
+    else:
+        j = a.select(F.col("sketch").alias("_sa")).crossJoin(
+            b.select(F.col("sketch").alias("_sb")))
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce("_sa", F.array().cast("array<long>")),
+                    F.coalesce("_sb", F.array().cast("array<long>")),
+                )
+            )
+        ),
+        1, k,
+    )
+    return j.select(*dims, merged.alias("sketch"))
+
+
+def kmv_estimate_from(sketch_df: DataFrame, k: int,
+                      by: str | None = None) -> DataFrame:
+    """(<by>, n_kept, kmv_estimate) from a sketch frame — same estimator
+    as :func:`kmv_distinct`."""
+    dims = [by] if by else []
+    n = F.size("sketch")
+    hk = F.element_at("sketch", k)
+    return sketch_df.select(
+        *dims,
+        n.cast("long").alias("n_kept"),
+        F.round(
+            F.when(n < k, n.cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / hk),
+            4,
+        ).alias("kmv_estimate"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str,
