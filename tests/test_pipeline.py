@@ -952,3 +952,54 @@ def test_curation_labels_keep_best_quality(spark, docs):
         qmax[r.cluster_id] = max(qmax[r.cluster_id], r.quality)
     assert all(r.quality == qmax[r.cluster_id]
                for r in best if r.cluster_canonical)
+
+
+# ---------------------- FFD boundary-preserving packing ---------------------
+
+
+def test_pack_bins_ffd_invariants(spark):
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline.packing import pack_bins_ffd
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(900)) + 1).alias("n_tokens"))
+    out = pack_bins_ffd(docs, 1024, num_shards=16).toPandas()
+    # every doc exactly once
+    assert sorted(out["doc_id"]) == list(range(2000))
+    # no bin over capacity; bin_fill is the true bin sum
+    g = out.groupby("bin_id").agg(fill=("n_tokens", "sum"),
+                                  rep=("bin_fill", "first"),
+                                  shard=("shard", "nunique"))
+    assert (g["fill"] <= 1024).all()
+    assert (g["fill"] == g["rep"]).all()
+    assert (g["shard"] == 1).all()          # bins never cross shards
+    # FFD fill efficiency well above the ~50% next-fit floor
+    eff = out["n_tokens"].sum() / (out["bin_id"].nunique() * 1024)
+    assert eff > 0.85
+
+
+def test_pack_bins_ffd_deterministic_across_partitioning(spark):
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline.packing import pack_bins_ffd
+
+    docs = spark.range(1500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(500)) + 1).alias("n_tokens"))
+    a = pack_bins_ffd(docs, 700, num_shards=8).orderBy("doc_id").toPandas()
+    b = (pack_bins_ffd(docs.repartition(13), 700, num_shards=8)
+         .orderBy("doc_id").toPandas())
+    assert a["bin_id"].tolist() == b["bin_id"].tolist()
+    assert a["bin_fill"].tolist() == b["bin_fill"].tolist()
+
+
+def test_pack_bins_ffd_oversized_doc_flagged(spark):
+    from whoosh_spark.pipeline.packing import pack_bins_ffd
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 3000), (3, 60)], "doc_id long, n_tokens long")
+    out = pack_bins_ffd(docs, 1024, num_shards=1).toPandas()
+    big = out[out.doc_id == 2].iloc[0]
+    # singleton overflow bin, visible via bin_fill > capacity
+    assert big.bin_fill == 3000
+    assert (out[out.bin_id == big.bin_id]["doc_id"] == 2).all()

@@ -1839,6 +1839,24 @@ FROM cg JOIN bg ON cg.g = bg.g GROUP BY 1, 2
     # -------------------- sequence packing (concat-and-chunk) ------------
     from whoosh_spark.pipeline.packing import pack_sequences
 
+    from whoosh_spark.pipeline.packing import pack_bins_ffd
+
+    add(
+        "pipeline_pack_bins",
+        # boundary-preserving FFD bin packing (docs never split — the
+        # SFT-packing complement of concat-and-chunk). NO ORACLE by
+        # nature: greedy bin assignment is a sequential recurrence DuckDB
+        # cannot mirror; every invariant (each doc once, no bin over
+        # capacity, determinism across partitioning, fill >= 0.85) is
+        # pinned in tests/test_pipeline.py instead — rows-only check.
+        lambda spark, sf: pack_bins_ffd(
+            token_counts(_docs(spark, sf)).select(
+                "doc_id", F.col("bpe_tokens").alias("n_tokens")),
+            capacity=2048, num_shards=16,
+        ).orderBy("doc_id"),
+        None,
+    )
+
     add(
         "pipeline_pack_sequences",
         # token_counts -> two-phase distributed prefix sum -> window

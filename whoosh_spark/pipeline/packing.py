@@ -91,3 +91,83 @@ def pack_sequences(docs: DataFrame, capacity: int,
         )
     )
     return out
+
+
+PACK_BINS_SCHEMA = ("doc_id long, n_tokens long, shard int, bin_id long, "
+                    "bin_fill long")
+
+
+def pack_bins_ffd(docs: DataFrame, capacity: int,
+                  token_col: str = "n_tokens", id_col: str = "doc_id",
+                  salt: str = "ffd", num_shards: int | None = None) -> DataFrame:
+    """Boundary-preserving sequence packing: first-fit-decreasing bin
+    packing, docs NEVER split across windows (the SFT-style packing that
+    keeps every example intact and masks cross-example attention, vs
+    :func:`pack_sequences`' concat-and-chunk which splits at exact
+    boundaries). Returns (doc_id, n_tokens, shard, bin_id, bin_fill)
+    with globally-unique ``bin_id`` and ``bin_fill`` = the bin's total
+    tokens (<= capacity always; docs longer than capacity get a
+    singleton overflow bin, flagged by bin_fill > capacity — filter or
+    truncate upstream).
+
+    Scale shape: docs hash-shard by md5 (deterministic, any
+    parallelism), each shard packs INDEPENDENTLY with an in-memory FFD
+    over its own docs (descending tokens, md5 tiebreak) inside one
+    ``applyInPandas`` group — bins never cross shards, so the algorithm
+    parallelizes perfectly and a 100 TB corpus just raises
+    ``num_shards``. FFD within a shard wastes at most ~11/9 of optimal
+    (Johnson's bound); cross-shard waste is one partial bin per shard,
+    amortized away by shard sizes in the thousands of docs.
+
+    Greedy bin assignment is an inherently sequential recurrence, so
+    this op has NO DuckDB oracle — its invariants (every doc exactly
+    once, no bin over capacity, determinism across partitioning,
+    fill-efficiency floor) are pinned in tests/test_pipeline.py instead.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    shards = num_shards or spark.sparkContext.defaultParallelism * 4
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "_k"],
+                              ascending=[False, True], kind="mergesort")
+        toks = pdf["n_tokens"].to_numpy()
+        fills: list[int] = []          # current fill per open bin
+        assign = np.empty(len(pdf), dtype=np.int64)
+        for i, t in enumerate(toks):
+            # first-fit over open bins; linear scan is fine because bins
+            # per shard are bounded (shard_tokens / capacity)
+            for b, f in enumerate(fills):
+                if f + t <= capacity:
+                    fills[b] = f + t
+                    assign[i] = b
+                    break
+            else:
+                assign[i] = len(fills)
+                fills.append(int(t))
+        shard = int(pdf["_shard"].iloc[0])
+        fill_arr = np.asarray(fills, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "n_tokens": toks,
+            "shard": shard,
+            # globally unique: shard-local index striped by shard count
+            "bin_id": assign * shards + shard,
+            "bin_fill": fill_arr[assign],
+        })
+
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        key.alias("_k"),
+    ).withColumn(
+        "_shard",
+        F.pmod(F.conv(F.substring("_k", 1, 8), 16, 10).cast("long"),
+               F.lit(shards)).cast("int"),
+    )
+    return base.groupBy("_shard").applyInPandas(_pack, PACK_BINS_SCHEMA)
