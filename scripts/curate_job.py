@@ -18,7 +18,8 @@ Stages (each a bounded-shuffle pass, all joined on doc_id):
 3. paragraph pass   — optional (--paragraph-dedup) Dolma-tier
                       paragraph-granularity exact dedup of the cleaned
                       text (corpus-first occurrence kept)
-4. pack             — token counts + concat-and-chunk sequence packing
+4. pack             — token counts + sequence packing (--pack-mode:
+                      concat-and-chunk, or boundary-preserving FFD bins)
                       of the cleaned survivors into --capacity windows
 5. sample           — optional deterministic md5 Bernoulli downsample
 
@@ -49,6 +50,10 @@ def main() -> None:
     ap.add_argument("--keep-best", action="store_true",
                     help="pick near-dup cluster canonicals by highest "
                          "quality instead of min doc_id")
+    ap.add_argument("--pack-mode", choices=("chunk", "ffd"), default="chunk",
+                    help="chunk = concat-and-chunk (docs split at window "
+                         "boundaries); ffd = boundary-preserving FFD bins "
+                         "(docs never split)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("whoosh-spark-curate").getOrCreate()
@@ -85,12 +90,23 @@ def main() -> None:
         from whoosh_spark.pipeline import hash_sample
 
         base = hash_sample(base, args.sample)
-    packed = pack_sequences(
-        token_counts(base), args.capacity, token_col="bpe_tokens"
-    )
+    if args.pack_mode == "ffd":
+        from whoosh_spark.pipeline import pack_bins_ffd
+
+        packed = pack_bins_ffd(
+            token_counts(base).select(
+                "doc_id", F.col("bpe_tokens").alias("n_tokens")),
+            args.capacity,
+        ).withColumnRenamed("bin_id", "end_seq_id")
+    else:
+        packed = pack_sequences(
+            token_counts(base), args.capacity, token_col="bpe_tokens"
+        )
     out = base.join(packed, "doc_id").persist()
     n_out = out.count()
-    n_seqs = out.agg(F.max("end_seq_id")).collect()[0][0]
+    n_seqs = (out.select(F.countDistinct("end_seq_id")).collect()[0][0] - 1
+              if args.pack_mode == "ffd"
+              else out.agg(F.max("end_seq_id")).collect()[0][0])
     out.write.mode("overwrite").parquet(args.out)
 
     print(json.dumps({

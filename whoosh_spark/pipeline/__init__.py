@@ -70,6 +70,7 @@ from whoosh_spark.pipeline.curate import (  # noqa: F401
     curation_labels,
 )
 from whoosh_spark.pipeline.packing import (  # noqa: F401
+    pack_bins_ffd,
     pack_sequences,
 )
 from whoosh_spark.pipeline.conversations import (  # noqa: F401
