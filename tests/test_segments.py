@@ -483,3 +483,36 @@ def test_wand_field_b_override_matches_searcher(spark, corpus, seg_path):
     assert [r.doc_id for r in got] == [r.doc_id for r in exp]
     for a, b in zip(got, exp):
         assert a.score == pytest.approx(b.score, rel=1e-9)
+
+
+def test_wand_doc_range_exact(spark, six):
+    """doc_range slice: pruned + sharded WAND over [lo, hi) must equal the
+    UNPRUNED full computation restricted to the same slice — candidates
+    filtered, stats global (FilterMatcher semantics)."""
+    from whoosh_spark.search.wand import wand_topk
+
+    lo, hi = 200, 1400
+    got = [(r.doc_id, round(r.score, 6)) for r in wand_topk(
+        six, "text", ["merge", "join", "window"], k=10,
+        doc_range=(lo, hi), shard_docs=500).collect()]
+    full = wand_topk(six, "text", ["merge", "join", "window"],
+                     k=5000, prune=False, shard_docs=None)
+    want = [(r.doc_id, round(r.score, 6))
+            for r in full.where(f"doc_id >= {lo} AND doc_id < {hi}")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()]
+    assert got == want and len(got) == 10
+    assert all(lo <= d < hi for d, _ in got)
+
+
+def test_wand_doc_range_and_mode_and_validation(spark, six):
+    from whoosh_spark.search.wand import wand_topk
+
+    out = wand_topk(six, "text", ["hash", "join"], mode="and",
+                    doc_range=(0, 800)).collect()
+    assert all(r.doc_id < 800 for r in out)
+    full = {r.doc_id for r in wand_topk(six, "text", ["hash", "join"],
+                                        mode="and", k=5000).collect()
+            if r.doc_id < 800}
+    assert {r.doc_id for r in out} <= full
+    with pytest.raises(ValueError, match="empty doc_range"):
+        wand_topk(six, "text", ["hash"], doc_range=(10, 10))

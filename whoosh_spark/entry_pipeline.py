@@ -89,11 +89,11 @@ def _turns_index(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
-def _wand(spark, sf_dir, terms, mode="or", k=K) -> DataFrame:
+def _wand(spark, sf_dir, terms, mode="or", k=K, doc_range=None) -> DataFrame:
     """WAND top-k re-ranked by ROUNDED score (oracle tie discipline): fetch
     3k by exact score, round, reorder, cut to k."""
     six = _turns_index(spark, sf_dir)
-    raw = wand_topk(six, "text", terms, k=3 * k, mode=mode)
+    raw = wand_topk(six, "text", terms, k=3 * k, mode=mode, doc_range=doc_range)
     return _rounded(raw).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -209,6 +209,22 @@ def _pipeline_registry() -> dict:
         return (rounded.withColumn("rn", rn).where(F.col("rn") <= K)
                 .drop("rn")
                 .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+    add(
+        "turns_wand_range_topk",
+        # doc-subset WAND (time-slice / conversation-range search over the
+        # docnum order): blocks outside [500, 20000) prune on min/max
+        # metadata pre-scan, straddlers range-filter after decode; df/idf/
+        # avgdl stay corpus-GLOBAL (FilterMatcher semantics), which the
+        # oracle mirrors by filtering scored, not re-deriving stats
+        lambda spark, sf: _wand(spark, sf, ["merge", "join", "window"],
+                                doc_range=(500, 20000)),
+        _turns_sql_topk(
+            "SELECT doc_id, sum(score) AS score FROM scored "
+            "WHERE term IN ('merge','join','window') "
+            "AND doc_id >= 500 AND doc_id < 20000 GROUP BY doc_id"
+        ),
+    )
 
     add(
         "turns_wand_batch_topk",

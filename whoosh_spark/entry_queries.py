@@ -908,7 +908,7 @@ _WINDOW_FIRST = [
     "conv_sessionize", "conv_session_stats", "conv_response_latency",
     "conv_tool_stats", "stream_session_windows", "turns_asof_events",
     "turns_lookback_events", "events_hypertable_rollup", "sketch_distinct_users",
-    "pipeline_pack_bins",
+    "pipeline_pack_bins", "turns_wand_range_topk",
     "text_paragraph_dedup", "text_bigram_logprob", "text_dsir_logweights",
     "text_dsir_gumbel_topk", "sample_token_budget", "conv_loss_spans",
     "conv_neardup_pairs", "dedup_best_canonical",

@@ -102,7 +102,8 @@ def _topk_partial_max(doc: np.ndarray, contrib: np.ndarray, tc: np.ndarray):
 def make_segment_wand(terms: list[str], n_docs: int, avgdl: float, B: float,
                       K1: float, k: int, mode: str, prune: bool, seed_blocks: int,
                       deleted: np.ndarray | None = None,
-                      shard_docs: int | None = None):
+                      shard_docs: int | None = None,
+                      doc_range: tuple | None = None):
     """Build the per-segment applyInPandas function. Each block row arrives
     with its term's exact integer ``df`` attached (broadcast-joined from
     the terms table by wand_topk), and the kernel computes idf with the
@@ -164,6 +165,13 @@ def make_segment_wand(terms: list[str], n_docs: int, avgdl: float, B: float,
             if shard_lo is not None:
                 inside = (doc >= shard_lo) & (doc < shard_hi)
                 doc, tf, dl, tc = doc[inside], tf[inside], dl[inside], tc[inside]
+            if doc_range is not None:
+                # doc-subset search ([lo, hi) slice): candidates restricted
+                # AFTER decode, stats/idf stay GLOBAL (FilterMatcher
+                # semantics); block bounds only overestimate, so the
+                # θ-prune stays exact
+                inr = (doc >= doc_range[0]) & (doc < doc_range[1])
+                doc, tf, dl, tc = doc[inr], tf[inr], dl[inr], tc[inr]
             if deleted_np is not None and deleted_np.size:
                 live = ~np.isin(doc, deleted_np)
                 doc, tf, dl, tc = doc[live], tf[live], dl[live], tc[live]
@@ -290,6 +298,7 @@ def wand_topk(
     seed_blocks: int = 16,
     weighting: BM25F | None = None,
     shard_docs: int | str | None = "auto",
+    doc_range: tuple | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for an Or/And/DisMax of terms via per-segment
     WAND. ``mode``: "or" sums matching-term scores (UnionMatcher), "and"
@@ -358,6 +367,17 @@ def wand_topk(
         .where((F.col("field") == fieldname) & F.col("term").isin(terms))
         .join(F.broadcast(stats), "term")
     )  # WAND never reads positions; dropping pre-scan prunes the columns
+    if doc_range is not None:
+        # doc-subset search (time-slice / conversation-range over the
+        # docnum order): whole blocks outside [lo, hi) prune on their
+        # min/max metadata BEFORE the scan (row-group min/max seek), the
+        # kernel range-filters straddling blocks after decode; df/idf/
+        # avgdl stay corpus-global (Whoosh FilterMatcher semantics — a
+        # filter restricts candidates, never re-weights)
+        lo, hi = doc_range
+        if lo >= hi:
+            raise ValueError(f"empty doc_range {doc_range}")
+        blocks = blocks.where((F.col("max_doc") >= lo) & (F.col("min_doc") < hi))
     if shard_docs == "auto":
         par = max(ix.spark.sparkContext.defaultParallelism, 1)
         # below the floor every doc lands in shard 0 anyway — skip the
@@ -394,7 +414,7 @@ def wand_topk(
     else:
         data = blocks
     fn = make_segment_wand(terms, n, avgdl, B, K1, k, mode, prune, seed_blocks,
-                           shard_docs=shard_docs)
+                           shard_docs=shard_docs, doc_range=doc_range)
     local = data.groupBy(*group_cols).applyInPandas(fn, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
