@@ -516,3 +516,20 @@ def test_wand_doc_range_and_mode_and_validation(spark, six):
     assert {r.doc_id for r in out} <= full
     with pytest.raises(ValueError, match="empty doc_range"):
         wand_topk(six, "text", ["hash"], doc_range=(10, 10))
+
+
+def test_doc_range_for_time_slice(spark, six, corpus):
+    """End-to-end time-slice search: ts predicate -> covering docnum range
+    -> doc_range WAND; docnum order == ts order by construction here, so
+    the covering range is exactly the ts slice."""
+    from whoosh_spark.search.wand import wand_topk
+
+    cutoff = corpus.selectExpr(
+        "timestamp_seconds(percentile(unix_timestamp(ts), 0.5))").first()[0]
+    rng = six.doc_range_for(F.col("ts") < cutoff)
+    assert rng is not None and rng[0] == 0
+    expected_hi = corpus.where(F.col("ts") < cutoff).count()
+    assert rng[1] == expected_hi  # monotone ts => tight covering range
+    out = wand_topk(six, "text", ["merge", "join"], doc_range=rng).collect()
+    assert out and all(r.doc_id < expected_hi for r in out)
+    assert six.doc_range_for(F.col("ts") < F.lit("1970-01-01")) is None

@@ -930,6 +930,29 @@ class SegmentedIndex(InvertedIndex):
         out = blocks.mapInArrow(_unpack_partition, POSTINGS_SCHEMA)
         return self._mask_deleted(out)
 
+    def doc_range_for(self, predicate) -> tuple[int, int] | None:
+        """Smallest ``[lo, hi)`` docnum range covering every doc matching
+        ``predicate`` (a Column over the external docs table) — the
+        translation step for doc-subset WAND: e.g.
+        ``wand_topk(ix, ..., doc_range=ix.doc_range_for(F.col("ts") <
+        cutoff))``. One min/max agg over the column-pruned docs scan;
+        None when nothing matches. The range is COVERING, not exact —
+        tight when docnum order correlates with the predicate column
+        (ts, conv_id: true by construction for the (conv_id, turn_idx)
+        add order), merely loose-but-correct otherwise (WAND still
+        scores only real matches of the query; the range is a prune
+        hint, docs inside it that fail ``predicate`` are NOT excluded —
+        compose with a FilterCollector for exact predicate semantics).
+        """
+        row = (
+            self.docs.where(predicate)
+            .agg(F.min(self.doc_id_col), F.max(self.doc_id_col))
+            .first()
+        )
+        if row is None or row[0] is None:
+            return None
+        return int(row[0]), int(row[1]) + 1
+
     @property
     def field_totals(self) -> dict[str, float]:
         """Exact totals from BLOCK metadata (weight_sum), NOT the masked
