@@ -533,3 +533,20 @@ def test_doc_range_for_time_slice(spark, six, corpus):
     out = wand_topk(six, "text", ["merge", "join"], doc_range=rng).collect()
     assert out and all(r.doc_id < expected_hi for r in out)
     assert six.doc_range_for(F.col("ts") < F.lit("1970-01-01")) is None
+
+
+def test_wand_many_doc_range_matches_serial(spark, six):
+    """Batched doc-subset evaluation == per-query wand_topk with the same
+    doc_range, bit-identical."""
+    from whoosh_spark.search.wand import wand_topk, wand_topk_many
+
+    qs = {0: ["merge", "join"], 1: ["spark"], 2: ["window", "batch"]}
+    rng = (300, 1800)
+    batch = wand_topk_many(six, "text", qs, k=5, doc_range=rng).collect()
+    got = {(r.query_id, r.doc_id, r.score) for r in batch}
+    want = set()
+    for q, ts in qs.items():
+        for r in wand_topk(six, "text", ts, k=5, doc_range=rng).collect():
+            want.add((q, r.doc_id, r.score))
+    assert got == want and len(got) == 15
+    assert all(rng[0] <= d < rng[1] for _, d, _ in got)

@@ -732,6 +732,7 @@ def wand_topk_many(
     seed_blocks: int = 16,
     weighting: BM25F | None = None,
     shard_docs: int | str | None = "auto",
+    doc_range: tuple | None = None,
 ) -> DataFrame:
     """Batched WAND: an entire query SET as ONE Spark action, returning
     (query_id, doc_id, score) with per-query top-k.
@@ -794,6 +795,13 @@ def wand_topk_many(
         .join(F.broadcast(stats), "term")
         .join(F.broadcast(qmap), "term")
     )
+    if doc_range is not None:
+        # whole-set doc-subset evaluation (same semantics as wand_topk's
+        # doc_range: pre-scan block prune + in-kernel filter, global stats)
+        lo, hi = doc_range
+        if lo >= hi:
+            raise ValueError(f"empty doc_range {doc_range}")
+        blocks = blocks.where((F.col("max_doc") >= lo) & (F.col("min_doc") < hi))
     if shard_docs == "auto":
         par = max(ix.spark.sparkContext.defaultParallelism, 1)
         shard_docs = max(-(-n // (4 * par)), 65536) if n > 65536 else None
@@ -830,7 +838,8 @@ def wand_topk_many(
 
     kernels = {
         q: make_segment_wand(ts, n, avgdl, B, K1, k, modes[q], prune,
-                             seed_blocks, shard_docs=shard_docs)
+                             seed_blocks, shard_docs=shard_docs,
+                             doc_range=doc_range)
         for q, ts in queries.items()
     }
 
