@@ -329,6 +329,14 @@ def wand_topk(
     segment grouping alone had collapsed the kernel onto one task
     (BENCH.md round-3 addendum). ``None`` = exactly one group per
     segment; an int pins the shard size (set ~10^7 at 10^9-doc segments).
+
+    ``doc_range=(lo, hi)`` restricts candidates to a docnum slice (time
+    window / conversation range via ``SegmentedIndex.doc_range_for``):
+    whole blocks outside the slice prune on min/max metadata before the
+    scan, straddling blocks filter after decode; df/idf/avgdl stay
+    corpus-global (FilterMatcher semantics) and block bounds only
+    overestimate, so θ-pruning stays exact (pinned vs the unpruned slice
+    in tests/test_segments.py).
     """
     w = weighting or BM25F()
     if getattr(w, "use_final", False):
