@@ -872,6 +872,110 @@ SELECT query_id, vec_id, round(raw, 4) AS cosine FROM (
         None,  # approximate (centroid blocking); subset + recall pinned in tests
     )
 
+    # ------------------------- hybrid retrieval --------------------------
+    # RRF fusion of the BM25 shortlist with the embedding-cosine shortlist
+    # (search/hybrid.py, Cormack et al. 2009). The oracle mirrors BOTH
+    # shortlists exactly: lexical = OR-summed BM25 ranked by the rounded
+    # score (the registry discipline); semantic = cosine_topk semantics —
+    # membership by RAW cosine (like the cosine_topk entry), rank inside
+    # the fuse by the rounded value; fused = sum 1/(60+rank).
+
+    def _hybrid_rrf(spark, sf):
+        from whoosh_spark import query as Q
+        from whoosh_spark.entry_queries import _docs_searcher
+        from whoosh_spark.search.hybrid import hybrid_topk
+
+        return hybrid_topk(
+            _docs_searcher(spark, sf),
+            Q.Or([Q.Term("text", "spark"), Q.Term("text", "hash")]),
+            _emb(spark, sf),
+            _emb(spark, sf).where("vec_id = 0"),
+            k=K,
+            n_shortlist=20,
+        ).select("doc_id", F.round("rrf", 6).alias("rrf"))
+
+    add(
+        "hybrid_rrf_topk",
+        _hybrid_rrf,
+        "\nWITH "
+        + prelude_body("documents")
+        + """,
+lexall AS (
+  SELECT doc_id, round(sum(score), 4) AS s FROM scored
+  WHERE term IN ('spark', 'hash') GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+  FROM lexall QUALIFY rank <= 20
+),
+semall AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS raw,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                    e.vec_id) AS rn
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(raw, 4) DESC, doc_id) AS rank
+  FROM semall WHERE rn <= 20
+),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) GROUP BY doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+    )
+
+    # MMR re-rank (search/hybrid.py, Carbonell & Goldstein 1998). lam=1.0
+    # degenerates the greedy to pure relevance order == cosine_topk (the
+    # full-probe trick, diversity flavor): the whole machinery — shortlist,
+    # vector join, per-query applyInPandas greedy kernel — runs and is
+    # hash-checked against the exact cosine oracle. The diversified config
+    # keeps an honest rows-only row: the greedy recurrence over the
+    # already-selected set is not expressible in one SQL query (each pick
+    # changes every remaining candidate's penalty); parity vs a numpy
+    # reference + partitioning invariance are pinned in tests/test_hybrid.py.
+
+    def _mmr(lam):
+        def fn(spark, sf):
+            from whoosh_spark.search.hybrid import mmr_rerank
+
+            return mmr_rerank(
+                _emb(spark, sf), _emb(spark, sf).where("vec_id < 3"),
+                k=K, lam=lam, n_shortlist=20,
+            ).select(
+                "query_id", "vec_id", "mmr_rank",
+                F.round("cosine", 4).alias("cosine"),
+            )
+
+        return fn
+
+    add(
+        "ann_mmr_lambda1",
+        _mmr(1.0),
+        """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS raw
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, rn::INT AS mmr_rank, round(raw, 4) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+""",
+    )
+    add(
+        "ann_mmr_diverse_topk",
+        _mmr(0.6),
+        None,  # greedy recurrence not SQL-expressible; numpy parity in tests
+    )
+
     # ------------------------------ text stats ---------------------------
 
     add(

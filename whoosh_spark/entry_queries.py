@@ -579,6 +579,25 @@ SELECT bucket, count(*)::BIGINT AS count FROM (
         ") WHERE rn = 1",
     )
 
+    def _group_topn(spark, sf):
+        # top-3 per facet value (executor.py::Searcher.group_topn — the
+        # grouped generalization of the Best maptype); ranks over the
+        # rounded score per the registry discipline
+        s = _docs_searcher(spark, sf)
+        scored = _rounded(s.compile(Q.Term("text", "spark")))
+        return s.group_topn(scored, "lang", n=3)
+
+    add(
+        "facet_top3_by_lang",
+        _group_topn,
+        PRELUDE
+        + "SELECT lang, doc_id, score, rank::INT AS rank FROM ("
+        "  SELECT d.lang, s.doc_id, round(s.score, 4) AS score,"
+        "         row_number() OVER (PARTITION BY d.lang ORDER BY round(s.score, 4) DESC, s.doc_id) AS rank"
+        "  FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'spark'"
+        ") WHERE rank <= 3",
+    )
+
     def _collapse(spark, sf):
         s = _docs_searcher(spark, sf)
         scored = _rounded(s.compile(Q.Term("text", "spark")))
@@ -905,6 +924,8 @@ _REGISTRY_CACHE: dict | None = None
 # retrieval) — see BENCH.md "Correctness gate" for the rehearsal evidence.
 _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
+    "hybrid_rrf_topk", "ann_mmr_lambda1", "ann_mmr_diverse_topk",
+    "facet_top3_by_lang",
     "conv_sessionize", "conv_session_stats", "conv_response_latency",
     "conv_tool_stats", "stream_session_windows", "turns_asof_events",
     "turns_lookback_events", "events_hypertable_rollup", "sketch_distinct_users",

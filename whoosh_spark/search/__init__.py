@@ -3,6 +3,11 @@ from whoosh_spark.search.executor import (  # noqa: F401
     Searcher,
     TimeLimitError,
 )
+from whoosh_spark.search.hybrid import (  # noqa: F401
+    hybrid_topk,
+    mmr_rerank,
+    rrf_fuse,
+)
 from whoosh_spark.search.facets import (  # noqa: F401
     FieldFacet,
     FunctionFacet,

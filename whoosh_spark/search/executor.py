@@ -916,6 +916,25 @@ class Searcher:
             .select(groupedby, "doc_id", "score")
         )
 
+    def group_topn(self, q: "Q.Query | DataFrame", groupedby: str,
+                   n: int = 3) -> DataFrame:
+        """Top-n docs per group value -> (groupedby, doc_id, score, rank):
+        the grouped-search generalization of the Best maptype (Best keeps
+        1 per group, this keeps n — what a faceted results page shows
+        under each facet value). Same shape as group_best: one stored-
+        field join + one window partitioned by the group key; no second
+        corpus pass and no per-group collect. ``q`` may be a pre-scored
+        (doc_id, score) frame (e.g. already rounded/filter-applied)."""
+        scored = q if isinstance(q, DataFrame) else self.compile(q)
+        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), groupedby)
+        j = scored.join(docs, "doc_id")
+        w = Window.partitionBy(groupedby).orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(n))
+            .select(groupedby, "doc_id", "score", "rank")
+        )
+
     def group_ordered(self, q: "Q.Query | DataFrame", groupedby: str) -> DataFrame:
         """OrderedList maptype: doc_ids per group in results order
         (score desc, doc_id asc). ``q`` may be a pre-scored frame."""
