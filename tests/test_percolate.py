@@ -1,0 +1,110 @@
+"""Query percolation: standing queries vs incoming documents, batch kernel
+and the foreachBatch streaming twin."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from whoosh_spark import query as Q
+from whoosh_spark.fields import ID, NUMERIC, Schema, TEXT
+from whoosh_spark.streaming import percolate, percolate_stream
+
+_SCHEMA = Schema(TEXT("text"), ID("lang"), NUMERIC("n_chars"))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+
+
+QUERIES = {
+    "has_spark": Q.Term("text", "spark"),
+    "spark_and_join": Q.And([Q.Term("text", "spark"), Q.Term("text", "join")]),
+    "hash_phrase": Q.Phrase("text", ["hash", "join"]),
+}
+
+
+def test_percolate_hand_case(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spark shuffles data"),
+            (2, "spark join strategies and the hash join"),
+            (3, "join the hash club"),  # 'hash join' not adjacent in order
+            (4, "nothing relevant here"),
+        ],
+    )
+    out = percolate(spark, docs, QUERIES, schema=_SCHEMA)
+    got = {(r.query_name, r.doc_id) for r in out.collect()}
+    assert got == {
+        ("has_spark", 1),
+        ("has_spark", 2),
+        ("spark_and_join", 2),
+        ("hash_phrase", 2),
+    }
+    # scores are batch-local BM25: positive finite doubles
+    assert all(
+        r.score > 0 and math.isfinite(r.score) for r in out.collect()
+    )
+
+
+def test_percolate_empty_rules_and_membership_mode(spark):
+    docs = _docs(spark, [(1, "spark")])
+    assert percolate(spark, docs, {}, schema=_SCHEMA).count() == 0
+    cols = percolate(
+        spark, docs, {"q": Q.Term("text", "spark")}, schema=_SCHEMA,
+        with_scores=False,
+    ).columns
+    assert cols == ["query_name", "doc_id"]
+
+
+def test_percolate_full_query_surface(spark):
+    # range + fuzzy + boolean-not rules through the same kernel
+    docs = _docs(
+        spark,
+        [
+            (1, "sparc processors"),          # fuzzy 'spark'~1
+            (2, "short"),
+            (3, "a much longer document body with many words inside"),
+        ],
+    )
+    rules = {
+        "fuzzy_spark": Q.FuzzyTerm("text", "spark", maxdist=1),
+        "long_docs": Q.NumericRange("n_chars", 20, 10_000),
+        "not_short": Q.Not(Q.Term("text", "short")),
+    }
+    got = {(r.query_name, r.doc_id) for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert ("fuzzy_spark", 1) in got
+    assert {d for (q, d) in got if q == "long_docs"} == {3}
+    assert {d for (q, d) in got if q == "not_short"} == {1, 3}
+
+
+def test_percolate_stream_equals_batch(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("turn "),
+            F.when(F.col("id") % 3 == 0, "spark join").otherwise("filler text"),
+            F.when(F.col("id") % 5 == 0, F.lit(" hash join plan")).otherwise(F.lit("")),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit(42).alias("n_chars"),
+    )
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, n_chars long"
+    ).parquet(src)
+    q = percolate_stream(stream, QUERIES, out, ckpt, schema=_SCHEMA)
+    q.awaitTermination(120)
+    got = {
+        (r.query_name, r.doc_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_name, r.doc_id)
+        for r in percolate(spark, spark.read.parquet(src), QUERIES, schema=_SCHEMA).collect()
+    }
+    assert got == want and len(got) > 40

@@ -1830,6 +1830,49 @@ SELECT conv_id, min(off_s)::BIGINT AS start_s,
 FROM sw GROUP BY conv_id, sid""",
     )
 
+    def _percolate_docs(spark, sf):
+        # standing queries vs the documents corpus through the batch
+        # percolation kernel (streaming/percolate.py — identical kernel
+        # runs per micro-batch via foreachBatch; streaming == batch
+        # pinned in tests/test_percolate.py). No limit: the full match
+        # set per rule, scores batch-local BM25 per the kernel contract.
+        from whoosh_spark import query as Q
+        from whoosh_spark.fields import documents_schema
+        from whoosh_spark.streaming.percolate import percolate
+
+        rules = {
+            "has_spark": Q.Term("text", "spark"),
+            "spark_and_join": Q.And([Q.Term("text", "spark"), Q.Term("text", "join")]),
+            "hash_phrase": Q.Phrase("text", ["hash", "join"]),
+            "merge_or_window": Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")]),
+        }
+        out = percolate(spark, _docs(spark, sf), rules, documents_schema())
+        return out.select("query_name", "doc_id", F.round("score", 4).alias("score"))
+
+    add(
+        "percolate_matches",
+        _percolate_docs,
+        "\nWITH "
+        + prelude_body("documents")
+        + """
+SELECT 'has_spark' AS query_name, doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'spark'
+UNION ALL
+SELECT 'spark_and_join', doc_id, round(sum(score), 4)
+FROM scored WHERE term IN ('spark', 'join')
+GROUP BY doc_id HAVING count(*) = 2
+UNION ALL
+SELECT 'hash_phrase', s.doc_id, round(sum(s.score), 4)
+FROM scored s WHERE s.term IN ('hash', 'join')
+AND s.doc_id IN (SELECT a.doc_id FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id
+                 AND b.pos = a.pos + 1 WHERE a.term = 'hash' AND b.term = 'join')
+GROUP BY s.doc_id HAVING count(*) = 2
+UNION ALL
+SELECT 'merge_or_window', doc_id, round(sum(score), 4)
+FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
+""",
+    )
+
     from whoosh_spark.pipeline.rollup import hypertable_rollup
 
     add(

@@ -362,6 +362,13 @@ class InvertedIndex:
             self.terms = self.terms.persist()
         return self
 
+    def unpersist(self) -> "InvertedIndex":
+        """Release cached frames (e.g. after a per-micro-batch percolation
+        index has been fully consumed)."""
+        self.postings = self.postings.unpersist()
+        self.terms = self.terms.unpersist()
+        return self
+
 
 def build_index(
     spark: SparkSession,
