@@ -990,6 +990,47 @@ SELECT doc_id,
 FROM documents
 """,
     )
+    # BPE subword tokenizer (pipeline/bpe.py, Sennrich et al. 2016). The
+    # corpus-scale stage — the single-shuffle word count — gets an exact
+    # oracle (top-50 under the deterministic (count DESC, word ASC) cap
+    # order, the same cap the trainer collects). The trainer + encoder are
+    # an iterative merge recurrence (each rule rewrites the symbol
+    # sequences the next rule counts), not expressible in one SQL query —
+    # rows-only, with canonical-merge vectors, pure-python encode parity,
+    # roundtrip, and partitioning invariance pinned in tests/test_bpe.py.
+
+    def _bpe_wc(spark, sf):
+        from whoosh_spark.pipeline.bpe import bpe_word_counts
+
+        return (
+            bpe_word_counts(_docs(spark, sf))
+            .orderBy(F.desc("count"), F.asc("word"))
+            .limit(50)
+        )
+
+    add(
+        "text_bpe_word_counts",
+        _bpe_wc,
+        """
+SELECT word, count(*)::BIGINT AS count FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+) GROUP BY word ORDER BY count DESC, word ASC LIMIT 50
+""",
+    )
+
+    def _bpe_encode(spark, sf):
+        from whoosh_spark.pipeline.bpe import bpe_encode, bpe_train
+
+        merges = bpe_train(_docs(spark, sf), num_merges=50)
+        return bpe_encode(_docs(spark, sf), merges)
+
+    add(
+        "text_bpe_encode",
+        _bpe_encode,
+        None,  # iterative merge recurrence; parity + roundtrip in tests
+    )
+
     add(
         "text_quality_scores",
         lambda spark, sf: quality_scores(_docs(spark, sf)),

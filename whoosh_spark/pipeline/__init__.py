@@ -51,6 +51,12 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     unigram_logprob,
     winnow_fingerprints,
 )
+from whoosh_spark.pipeline.bpe import (  # noqa: F401
+    bpe_encode,
+    bpe_train,
+    bpe_vocab,
+    bpe_word_counts,
+)
 from whoosh_spark.pipeline.rollup import hypertable_rollup  # noqa: F401
 from whoosh_spark.pipeline.sketch import (  # noqa: F401
     kmv_distinct,
