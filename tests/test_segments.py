@@ -291,15 +291,21 @@ def test_parallelism_invariance(spark, corpus, tmp_path_factory, six):
 # NOTE: runs LAST — it rewrites segment files under seg_path, which would
 # invalidate the module-scoped `six` fixture's cached file listing for any
 # test that follows it.
-def test_resume_completes_missing_segment(spark, corpus, seg_path, six):
-    before = Searcher(six).search(Q.Term("text", "spark"), optimize=False).collect()
-    os.remove(os.path.join(seg_path, "_manifest", "seg_1.json"))
-    shutil.rmtree(os.path.join(seg_path, "blocks", "segment_id=1"))
-    man = build_segments(spark, corpus, transcript_schema(), seg_path, n_segments=3)
+def test_resume_completes_missing_segment(spark, corpus, tmp_path_factory):
+    # own index dir: deleting + rebuilding segment 1 rewrites parquet part
+    # files, which would invalidate the module-scoped `six` handle's file
+    # listing for every later test (stale-scan FILE_NOT_EXIST)
+    path = str(tmp_path_factory.mktemp("resumeix") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
+    ix0 = open_segments(spark, path, corpus, transcript_schema())
+    before = Searcher(ix0).search(Q.Term("text", "spark"), optimize=False).collect()
+    os.remove(os.path.join(path, "_manifest", "seg_1.json"))
+    shutil.rmtree(os.path.join(path, "blocks", "segment_id=1"))
+    man = build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
     assert sorted(man) == [0, 1, 2]
     assert all(m["status"] == "committed" for m in man.values())
     assert {"n_docs", "n_postings", "n_blocks", "n_terms", "lineage"} <= set(man[1])
-    six2 = open_segments(spark, seg_path, corpus, transcript_schema())
+    six2 = open_segments(spark, path, corpus, transcript_schema())
     assert (Searcher(six2).search(Q.Term("text", "spark"), optimize=False)
             .collect() == before)
 
