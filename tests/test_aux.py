@@ -214,3 +214,42 @@ def test_format_fragment_rejects_unknown_fmt():
 
     with _pytest.raises(ValueError):
         highlights("some text here", {"text"}, fmt="uppercase")
+
+
+def test_doc_key_terms_hand_case(spark):
+    from whoosh_spark.search.aux import doc_key_terms
+    import math
+
+    docs = (
+        spark.createDataFrame(
+            [(0, "apple apple banana cherry"), (1, "banana banana banana date"),
+             (2, "apple date date")],
+            "doc_id long, text string",
+        )
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    ix2 = build_index(spark, docs, documents_schema())
+    out = {(r.doc_id, r.rank): (r.term, r.score)
+           for r in doc_key_terms(ix2, "text", per_doc=2).collect()}
+    n = 3.0
+    idf = lambda df: math.log(n / (df + 1)) + 1
+    # doc 0: apple w=2 idf(df=2), banana w=1 idf(2), cherry w=1 idf(1)
+    assert out[(0, 1)] == ("apple", round(2 * idf(2), 4))
+    assert out[(0, 2)] == ("cherry", round(1 * idf(1), 4))
+    # doc 1: banana w=3 dominates; date w=1
+    assert out[(1, 1)][0] == "banana"
+    # doc 2: date w=2 idf(2) > apple w=1 idf(2)
+    assert out[(2, 1)] == ("date", round(2 * idf(2), 4))
+    # per_doc cap respected
+    assert all(rank <= 2 for (_, rank) in out)
+
+
+def test_doc_key_terms_covers_corpus(spark, ix):
+    from whoosh_spark.search.aux import doc_key_terms
+
+    out = doc_key_terms(ix, "text", per_doc=3)
+    counts = out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert counts <= 3
+    assert out.where("rank = 1").count() == ix.doc_count

@@ -2491,6 +2491,31 @@ SELECT term, round(score, 4) AS score FROM (
 """,
     )
 
+    def _doc_keywords(spark, sf):
+        # per-document tf-idf keyword tagging (aux.py::doc_key_terms):
+        # the corpus-wide batch complement of key_terms — one stats join
+        # + one doc-partitioned window, full corpus output (3 per doc)
+        from whoosh_spark.search.aux import doc_key_terms
+
+        return doc_key_terms(_docs_ix(spark, sf), "text", per_doc=3)
+
+    add(
+        "doc_keywords_top3",
+        _doc_keywords,
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, term, score, rank::INT AS rank FROM (
+  SELECT p.doc_id, p.term,
+         round(p.w * (ln(g.n / (t.df + 1)) + 1), 4) AS score,
+         row_number() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY round(p.w * (ln(g.n / (t.df + 1)) + 1), 4) DESC, p.term
+         ) AS rank
+  FROM post p JOIN tstat t USING (term) CROSS JOIN gstat g
+) WHERE rank <= 3
+""",
+    )
+
     def _mlt(spark, sf):
         from whoosh_spark.entry_queries import _docs_searcher, _rounded
 

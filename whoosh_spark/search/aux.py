@@ -26,7 +26,7 @@ Spark's native levenshtein — no automaton needed (SURVEY §2.5 FuzzyTerm).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from whoosh_spark.indexing.build import InvertedIndex
@@ -149,6 +149,39 @@ def key_terms(
         j.select("term", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(numterms)
+    )
+
+
+def doc_key_terms(
+    ix: InvertedIndex,
+    fieldname: str = "text",
+    per_doc: int = 3,
+) -> DataFrame:
+    """Top ``per_doc`` tf-idf keywords for EVERY document ->
+    (doc_id, term, score, rank): the corpus-wide batch complement of
+    ``key_terms`` (which scores one doc set) — the document-tagging
+    pass a curation pipeline runs over the whole corpus.
+
+    score = weight * idf with the engine's BM25 idf convention
+    (ln(N / (df + 1)) + 1, scoring.py::BM25F). One (field, term) stats
+    join + one doc-partitioned window — scales as a single shuffle of
+    the postings, no per-doc work on the driver. Ranks use the rounded
+    score (4 decimals, ties term-ascending) per the registry
+    discipline, so rank membership is engine-stable.
+    """
+    post = ix.postings.where(F.col("field") == fieldname).select(
+        "doc_id", "term", "weight"
+    )
+    stats = ix.terms.where(F.col("field") == fieldname).select("term", "df")
+    n = float(ix.doc_count)
+    idf = F.log(F.lit(n) / (F.col("df") + 1)) + 1
+    scored = post.join(stats, "term").select(
+        "doc_id", "term", F.round(F.col("weight") * idf, 4).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(per_doc))
     )
 
 
