@@ -272,6 +272,53 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     timed("p_session_analytics", _session_wave)
     _jt.unpersist()
 
+    # -- 7. hybrid retrieval / percolation / BPE (round-3 wave) -------------
+    # documents-corpus index (vec_id-aligned with embeddings) built outside
+    # the timed windows like the other fixture persists; the build cost
+    # itself is covered by the build_synth/build_corpus lines
+    from whoosh_spark.fields import documents_schema
+    from whoosh_spark.pipeline.bpe import bpe_encode, bpe_train
+    from whoosh_spark.search.hybrid import hybrid_topk
+    from whoosh_spark.streaming.percolate import percolate
+
+    dix = build_index(spark, raw_docs, documents_schema()).persist()
+    _force_index(dix)
+    dsearch = Searcher(dix)
+    timed(
+        "q_hybrid_rrf",
+        # BM25 shortlist + cosine shortlist -> RRF fuse (one tiny window +
+        # one groupBy over <= 100 shortlist rows; corpus work is the two
+        # verified shortlist kernels)
+        lambda: hybrid_topk(
+            dsearch,
+            Q.Or([Q.Term("text", "spark"), Q.Term("text", "hash")]),
+            emb, emb.where("vec_id = 0"), k=10, n_shortlist=50,
+        ).collect(),
+    )
+    _rules = {
+        "has_spark": Q.Term("text", "spark"),
+        "spark_and_join": Q.And([Q.Term("text", "spark"), Q.Term("text", "join")]),
+        "hash_phrase": Q.Phrase("text", ["hash", "join"]),
+        "merge_or_window": Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")]),
+    }
+    timed(
+        "q_percolate4",
+        # full per-batch percolation cost: analyze + index the batch, run
+        # all 4 rules over the shared postings, count the match set
+        lambda: percolate(spark, raw_docs, _rules, documents_schema()).count(),
+    )
+    _bpe_state: dict = {}
+    timed(
+        "p_bpe_train",
+        # corpus word-count shuffle + bounded driver merge loop (100 rules)
+        lambda: _bpe_state.update(m=bpe_train(raw_docs, num_merges=100)),
+    )
+    timed(
+        "p_bpe_encode",
+        lambda: bpe_encode(raw_docs, _bpe_state["m"])
+        .agg(F.sum("n_tokens")).collect(),
+    )
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "bench_total_wall",
