@@ -238,3 +238,55 @@ def test_session_stats_partial_agg_over_one_shuffle(spark):
     assert "HashAggregate" in p
     # one window shuffle; the agg must reuse the conv_id partitioning
     assert len(re.findall(r"\bExchange\b", p)) == 1
+
+
+def test_rrf_fuse_take_ordered_two_exchanges(spark):
+    """RRF fusion over shortlists: the per-list rank window pays one
+    exchange on the list index, the fuse groupBy one on the doc id, and
+    the final top-k is TakeOrderedAndProject — never a global Sort of
+    the fused set."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.search.hybrid import rrf_fuse
+
+    a = spark.range(50).select(F.col("id").alias("doc_id"),
+                               (F.col("id") * 1.5).alias("score"))
+    b = spark.range(30).select(F.col("id").alias("doc_id"),
+                               (F.col("id") * 0.5).alias("score"))
+    p = _plan(rrf_fuse([a, b], k=10))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in p
+
+
+def test_bpe_word_counts_single_partial_agg_shuffle(spark):
+    """The BPE corpus-scale stage is ONE map-side-combined groupBy over
+    the exploded word stream — no second corpus exchange."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline.bpe import bpe_word_counts
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("spark sql shuffle join scan").alias("text"))
+    p = _plan(bpe_word_counts(docs))
+    assert re.search(r"HashAggregate.*partial", p) or "partial_count" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_doc_key_terms_no_cartesian_window_on_doc(spark):
+    """Per-doc keyword tagging: stats equi-join + one doc-partitioned
+    window; no cartesian/nested-loop anywhere."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.fields import documents_schema
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.search.aux import doc_key_terms
+
+    docs = (spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("spark sql shuffle join scan").alias("text"))
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text")))
+    ix = build_index(spark, docs, documents_schema())
+    p = _plan(doc_key_terms(ix, "text", 3))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert re.search(r"Window.*doc_id", p) or "row_number" in p
