@@ -108,3 +108,104 @@ def test_percolate_stream_equals_batch(spark, tmp_path):
         for r in percolate(spark, spark.read.parquet(src), QUERIES, schema=_SCHEMA).collect()
     }
     assert got == want and len(got) > 40
+
+
+# ---------------------------------------------------------------- indexed
+
+
+def _corpus(spark, n=200):
+    words = ["spark", "join", "hash", "merge", "window", "scan", "filter",
+             "batch", "stream", "table"]
+    return spark.createDataFrame(
+        [(i, " ".join(words[(i + k) % len(words)] for k in range(1 + i % 5)),
+          "en", 20) for i in range(n)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+
+
+def test_percolate_indexed_bit_identical_to_plan_branches(spark):
+    from whoosh_spark.streaming import percolate_indexed
+
+    docs = _corpus(spark)
+    rules = {
+        "t": Q.Term("text", "spark"),
+        "t_boost": Q.Term("text", "hash", boost=2.0),
+        "a": Q.And([Q.Term("text", "spark"), Q.Term("text", "join")]),
+        "o": Q.Or([Q.Term("text", "merge"), Q.Term("text", "window", boost=0.5)]),
+        "o_min": Q.Or([Q.Term("text", "scan"), Q.Term("text", "filter"),
+                       Q.Term("text", "batch")], minmatch=2),
+        "a_boost": Q.And([Q.Term("text", "table"), Q.Term("text", "stream")],
+                         boost=3.0),
+    }
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert a == b  # full-precision bit equality, same ordered fold
+    assert len(a) > 100
+    assert any(q == "o_min" for q, _ in a)
+
+
+def test_percolate_indexed_zero_df_terms(spark):
+    from whoosh_spark.streaming import percolate_indexed
+
+    docs = _corpus(spark, 30)
+    rules = {
+        "and_dead": Q.And([Q.Term("text", "spark"), Q.Term("text", "zzznope")]),
+        "or_alive": Q.Or([Q.Term("text", "spark"), Q.Term("text", "zzznope")]),
+        "all_dead": Q.Term("text", "zzznope"),
+    }
+    got = {r.query_name for r in
+           percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert got == {"or_alive"}  # AND with an absent term can never match
+
+
+def test_percolate_indexed_validation(spark):
+    import pytest
+    from whoosh_spark.streaming import percolate_indexed
+
+    docs = _corpus(spark, 10)
+    for bad in (
+        {"p": Q.Phrase("text", ["hash", "join"])},
+        {"scaled": Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")],
+                        scale=0.5)},
+        {"wrongfield": Q.Term("lang", "en")},
+    ):
+        with pytest.raises(ValueError):
+            percolate_indexed(spark, docs, bad, schema=_SCHEMA)
+    assert percolate_indexed(spark, docs, {}, schema=_SCHEMA).count() == 0
+    # duplicate children dedupe in normalize() BEFORE the flattener, so
+    # Or([spark, spark]) runs as a plain Term rule
+    dup = percolate_indexed(
+        spark, docs,
+        {"dup": Q.Or([Q.Term("text", "spark"), Q.Term("text", "spark")])},
+        schema=_SCHEMA)
+    term = percolate_indexed(
+        spark, docs, {"dup": Q.Term("text", "spark")}, schema=_SCHEMA)
+    assert sorted(map(tuple, dup.collect())) == sorted(map(tuple, term.collect()))
+
+
+def test_percolate_indexed_large_rule_set(spark):
+    """500 generated rules in ONE O(1)-size plan; a sampled subset must
+    agree with the plan-branch tier exactly."""
+    from whoosh_spark.streaming import percolate, percolate_indexed
+
+    docs = _corpus(spark)
+    words = ["spark", "join", "hash", "merge", "window", "scan", "filter",
+             "batch", "stream", "table"]
+    rules = {}
+    for i in range(500):
+        w1, w2 = words[i % 10], words[(i // 10) % 10]
+        if w1 == w2:
+            rules[f"r{i}"] = Q.Term("text", w1, boost=1.0 + (i % 3))
+        elif i % 2:
+            rules[f"r{i}"] = Q.And([Q.Term("text", w1), Q.Term("text", w2)])
+        else:
+            rules[f"r{i}"] = Q.Or([Q.Term("text", w1), Q.Term("text", w2)])
+    out = percolate_indexed(spark, docs, rules, schema=_SCHEMA)
+    got = {(r.query_name, r.doc_id): r.score for r in out.collect()}
+    assert len({q for q, _ in got}) > 400
+    sample = {k: rules[k] for k in ("r0", "r7", "r123", "r499")}
+    want = {(r.query_name, r.doc_id): r.score
+            for r in percolate(spark, docs, sample, schema=_SCHEMA).collect()}
+    assert {kv for kv in got.items() if kv[0][0] in sample} == set(want.items())

@@ -1914,6 +1914,50 @@ FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
 """,
     )
 
+    def _percolate_indexed_docs(spark, sf):
+        # the LARGE-rule-set tier: rules as broadcast DATA joined onto one
+        # scored postings scan — O(1) plan size in the rule count
+        # (percolate.py::percolate_indexed; bit-identical to the
+        # plan-branch tier for these rule shapes, pinned in
+        # tests/test_percolate.py); term / AND / OR / OR-minmatch rules
+        from whoosh_spark import query as Q
+        from whoosh_spark.fields import documents_schema
+        from whoosh_spark.streaming.percolate import percolate_indexed
+
+        rules = {
+            "has_spark": Q.Term("text", "spark"),
+            "spark_and_join": Q.And([Q.Term("text", "spark"), Q.Term("text", "join")]),
+            "merge_or_window": Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")]),
+            "two_of_three": Q.Or(
+                [Q.Term("text", "scan"), Q.Term("text", "filter"), Q.Term("text", "batch")],
+                minmatch=2,
+            ),
+        }
+        out = percolate_indexed(spark, _docs(spark, sf), rules, documents_schema())
+        return out.select("query_name", "doc_id", F.round("score", 4).alias("score"))
+
+    add(
+        "percolate_indexed_matches",
+        _percolate_indexed_docs,
+        "\nWITH "
+        + prelude_body("documents")
+        + """
+SELECT 'has_spark' AS query_name, doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'spark'
+UNION ALL
+SELECT 'spark_and_join', doc_id, round(sum(score), 4)
+FROM scored WHERE term IN ('spark', 'join')
+GROUP BY doc_id HAVING count(*) = 2
+UNION ALL
+SELECT 'merge_or_window', doc_id, round(sum(score), 4)
+FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
+UNION ALL
+SELECT 'two_of_three', doc_id, round(sum(score), 4)
+FROM scored WHERE term IN ('scan', 'filter', 'batch')
+GROUP BY doc_id HAVING count(*) >= 2
+""",
+    )
+
     from whoosh_spark.pipeline.rollup import hypertable_rollup
 
     add(

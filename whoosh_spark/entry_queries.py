@@ -925,7 +925,7 @@ _REGISTRY_CACHE: dict | None = None
 _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
     "hybrid_rrf_topk", "ann_mmr_lambda1", "ann_mmr_diverse_topk",
-    "facet_top3_by_lang", "percolate_matches",
+    "facet_top3_by_lang", "percolate_matches", "percolate_indexed_matches",
     "text_bpe_word_counts", "text_bpe_encode", "doc_keywords_top3",
     "conv_sessionize", "conv_session_stats", "conv_response_latency",
     "conv_tool_stats", "stream_session_windows", "turns_asof_events",

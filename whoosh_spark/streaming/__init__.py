@@ -4,5 +4,6 @@ from whoosh_spark.streaming.incremental import (  # noqa: F401
 )
 from whoosh_spark.streaming.percolate import (  # noqa: F401
     percolate,
+    percolate_indexed,
     percolate_stream,
 )

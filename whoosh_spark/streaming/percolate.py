@@ -12,11 +12,11 @@ Spark action. Each compiled query is a column-expression plan over the
 SHARED postings frame, so the scan is multiplexed across queries by
 Catalyst instead of re-run per query. Per-micro-batch cost scales with
 batch size; the rule set is the bounded side (tens to thousands of
-standing queries — broadcast-sized by nature). At very large rule
-counts the classical refinement is a term->query inverted index over
-the RULES to prefilter candidates; the union plan here already skips
-non-matching docs per query via the postings semi-joins, which is the
-same effect for conjunctive rules.
+standing queries — broadcast-sized by nature). For LARGE rule sets
+(thousands+), ``percolate_indexed`` is the classical term->query
+inverted index over the RULES: the rule set becomes broadcast DATA
+joined onto one scored postings scan, so plan size is O(1) in the rule
+count — bit-identical to ``percolate`` for flat Term/And/Or rules.
 
 Streaming twin: ``percolate_stream`` runs the identical batch kernel
 per micro-batch via ``foreachBatch`` and appends matches to a parquet
@@ -36,7 +36,7 @@ from whoosh_spark.fields import Schema, documents_schema
 from whoosh_spark.indexing import build_index
 from whoosh_spark.search import Searcher
 
-__all__ = ["percolate", "percolate_stream"]
+__all__ = ["percolate", "percolate_indexed", "percolate_stream"]
 
 
 def percolate(
@@ -114,3 +114,127 @@ def percolate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _flat_rule(name: str, q: Q.Query, fieldname: str):
+    """Flatten one standing rule into (rows, n_required, rule_boost) where
+    rows = [(term, pos_in_query, leaf_boost)]. Raises ValueError for
+    anything beyond flat Term / And-of-Terms / Or-of-Terms on
+    ``fieldname`` — complex trees belong on the plan-branch tier
+    (``percolate``)."""
+    def leaf(t: Q.Term, pos: int):
+        if t.fieldname != fieldname:
+            raise ValueError(
+                f"rule {name!r}: field {t.fieldname!r} != {fieldname!r}")
+        return (t.text, pos, float(t.boost))
+
+    if isinstance(q, Q.Term):
+        return [leaf(q, 0)], 1, 1.0
+    if isinstance(q, (Q.And, Q.Or)):
+        kids = q.subqueries
+        if not kids or not all(isinstance(k, Q.Term) for k in kids):
+            raise ValueError(
+                f"rule {name!r}: percolate_indexed supports flat "
+                "Term/And/Or-of-Terms rules; use percolate() for this tree")
+        texts = [k.text for k in kids]
+        if len(set(texts)) != len(texts):
+            raise ValueError(f"rule {name!r}: duplicate terms in one rule")
+        if isinstance(q, Q.Or):
+            if getattr(q, "scale", None):
+                raise ValueError(f"rule {name!r}: Or(scale=) unsupported here")
+            n_req = max(int(getattr(q, "minmatch", 1) or 1), 1)
+        else:
+            n_req = len(kids)
+        return [leaf(k, i) for i, k in enumerate(kids)], n_req, float(q.boost)
+    raise ValueError(
+        f"rule {name!r}: {type(q).__name__} not supported by "
+        "percolate_indexed; use percolate()")
+
+
+def percolate_indexed(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: dict[str, Q.Query],
+    schema: Schema | None = None,
+    fieldname: str = "text",
+    weighting=None,
+) -> DataFrame:
+    """Large-rule-set percolation: the rule set as DATA, not plan branches.
+
+    ``percolate`` compiles one plan branch per rule — right for tens of
+    rules, but a 10,000-rule monitoring set would build a 10,000-branch
+    union and choke the optimizer. This tier is the classic term->query
+    inverted index over the RULES: flatten every (flat Term / And / Or)
+    rule into (query_name, term, pos, leaf_boost, n_required) rows, score
+    every distinct rule term over the batch postings in ONE scan (the
+    executor's expanded-Or shape: literal term->idf map, per-posting
+    score expression), broadcast-join the rule-term rows onto the scored
+    postings, and close each (rule, doc) group with the SAME
+    query-ordered left-associative score fold the executor uses — so the
+    output is BIT-IDENTICAL to percolate()/Searcher.compile for these
+    rule shapes (pinned in tests/test_percolate.py). Plan size is O(1)
+    in the rule count; rule rows ride a broadcast.
+
+    AND rules require all terms (a zero-df term correctly makes the rule
+    unmatchable); OR rules honor ``minmatch``. Rules beyond flat
+    Term/And/Or raise — route those through ``percolate``.
+    """
+    from whoosh_spark.search.scoring import BM25F
+
+    w = weighting or BM25F()
+    if getattr(w, "use_final", False):
+        raise ValueError("final()-hook weightings are per-result-set; "
+                         "use percolate()")
+    rows = []
+    for name, q in queries.items():
+        terms, n_req, rboost = _flat_rule(name, q.normalize(), fieldname)
+        for t, pos, lboost in terms:
+            rows.append((name, t, pos, lboost, n_req, rboost))
+    if not rows:
+        return spark.createDataFrame([], "query_name string, doc_id long, score double")
+
+    ix = build_index(spark, docs, schema or documents_schema()).persist()
+    fs = ix.schema[fieldname]
+    avgdl = ix.avg_field_length(fieldname)
+    all_terms = sorted({r[1] for r in rows})
+    ix.prefetch_stats([(fieldname, t) for t in all_terms])
+    idf = {}
+    for t in all_terms:
+        dfreq = ix.doc_frequency(fieldname, t)
+        if dfreq:
+            idf[t] = float(w.term_scalar(
+                fs, ix.doc_count, dfreq, ix.frequency(fieldname, t)))
+    if not idf:
+        return spark.createDataFrame([], "query_name string, doc_id long, score double")
+
+    # per-term idf rides INSIDE the broadcast rule rows (no literal-map
+    # size ceiling: a 100k-rule set is still one small broadcast)
+    p = ix.terms_postings(fieldname, sorted(idf)).select(
+        "doc_id", "term", "weight", "dl"
+    )
+    rules_df = spark.createDataFrame(
+        [(n, t, q_, lb, nr, rb, idf[t])
+         for (n, t, q_, lb, nr, rb) in rows if t in idf],
+        "query_name string, term string, _q int, _lboost double, "
+        "_n_required int, _rboost double, _idf double",
+    )
+    base = w.score_expr(fs, F.col("_idf"), avgdl, F.col("weight"), F.col("dl"))
+    j = p.join(F.broadcast(rules_df), "term").select(
+        "query_name", "doc_id", "_q", "_n_required", "_rboost",
+        (base * F.col("_lboost")).alias("score"),
+    )
+    # the executor's _ordered_sum: left-assoc fold in query order, so a
+    # 2-term AND scores bit-identically to Searcher.compile(And([...]))
+    items = F.array_sort(
+        F.collect_list(F.struct(F.col("_q").alias("q"), F.col("score").alias("s")))
+    )
+    fold = F.aggregate(items, F.lit(0.0), lambda acc, x: acc + x["s"])
+    out = (
+        j.groupBy("query_name", "doc_id")
+        .agg(fold.alias("_score"), F.count("*").alias("_n"),
+             F.first("_n_required").alias("_req"), F.first("_rboost").alias("_rb"))
+        .where(F.col("_n") >= F.col("_req"))
+        .select("query_name", "doc_id",
+                (F.col("_score") * F.col("_rb")).alias("score"))
+    )
+    return out
