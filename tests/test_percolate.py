@@ -209,3 +209,39 @@ def test_percolate_indexed_large_rule_set(spark):
     want = {(r.query_name, r.doc_id): r.score
             for r in percolate(spark, docs, sample, schema=_SCHEMA).collect()}
     assert {kv for kv in got.items() if kv[0][0] in sample} == set(want.items())
+
+
+def test_percolate_indexed_andnot_require_parity(spark):
+    """AndNot/Require rules through the indexed tier: bit-identical to the
+    plan-branch tier (executor left_anti / left_semi semantics)."""
+    from whoosh_spark.streaming import percolate, percolate_indexed
+
+    docs = _corpus(spark)
+    rules = {
+        "n1": Q.AndNot(Q.Term("text", "spark"), Q.Term("text", "join")),
+        "n2": Q.AndNot(
+            Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")]),
+            Q.And([Q.Term("text", "scan"), Q.Term("text", "filter")])),
+        "n3": Q.AndNot(Q.Term("text", "hash"), Q.Term("text", "zzznope")),
+        "r1": Q.Require(Q.Term("text", "spark"), Q.Term("text", "join")),
+        "r2": Q.Require(
+            Q.And([Q.Term("text", "merge"), Q.Term("text", "window")]),
+            Q.Or([Q.Term("text", "batch"), Q.Term("text", "stream")])),
+        "r3": Q.Require(Q.Term("text", "hash"), Q.Term("text", "zzznope")),
+        "b": Q.AndNot(Q.Term("text", "spark", boost=2.0),
+                      Q.Term("text", "join")),
+    }
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert a == b
+    # sanity on semantics: n3 (exclude an absent term) == plain term set;
+    # r3 (require an absent term) is empty
+    names = {q for q, _ in a}
+    assert "n3" in names and "r3" not in names
+    # AndNot really excludes: some spark docs contain join
+    spark_only = {d for q, d in a if q == "n1"}
+    plain = {r.doc_id for r in percolate(
+        spark, docs, {"t": Q.Term("text", "spark")}, schema=_SCHEMA).collect()}
+    assert spark_only < plain

@@ -151,6 +151,27 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
         "percolate_indexed; use percolate()")
 
 
+def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
+    """Full per-rule flattening -> (pos_rows, n_required, rule_boost,
+    neg_terms, neg_required, req_terms, req_required). AndNot(a, b):
+    a scored, doc excluded when it matches b (executor's left_anti);
+    Require(a, b): doc kept only when it matches b (left_semi). b must
+    itself be flat Term/And/Or; AND-shaped b excludes/requires only when
+    ALL its terms hit, OR-shaped when minmatch of them hit — exactly the
+    compiled semantics of b as a match set."""
+    if isinstance(q, (Q.AndNot, Q.Require)):
+        pos_rows, n_req, a_boost = _flat_rule(name, q.a.normalize(), fieldname)
+        b_rows, b_req, b_boost = _flat_rule(name, q.b.normalize(), fieldname)
+        del b_boost  # b is a pure match set; its scores/boosts are unused
+        b_terms = [t for t, _pos, _lb in b_rows]
+        rboost = a_boost * float(q.boost)
+        if isinstance(q, Q.AndNot):
+            return pos_rows, n_req, rboost, b_terms, b_req, [], None
+        return pos_rows, n_req, rboost, [], None, b_terms, b_req
+    pos_rows, n_req, rboost = _flat_rule(name, q, fieldname)
+    return pos_rows, n_req, rboost, [], None, [], None
+
+
 def percolate_indexed(
     spark: SparkSession,
     docs: DataFrame,
@@ -176,8 +197,12 @@ def percolate_indexed(
     in the rule count; rule rows ride a broadcast.
 
     AND rules require all terms (a zero-df term correctly makes the rule
-    unmatchable); OR rules honor ``minmatch``. Rules beyond flat
-    Term/And/Or raise — route those through ``percolate``.
+    unmatchable); OR rules honor ``minmatch``. ``AndNot(a, b)`` and
+    ``Require(a, b)`` work when both sides are flat: b's terms ride the
+    same broadcast as non-scoring NEGATIVE / REQUIRE rows, and the group
+    filter excludes docs with >= b_required negative hits (the left_anti
+    semantics) or demands >= b_required require hits (left_semi). Rules
+    beyond these shapes raise — route those through ``percolate``.
     """
     from whoosh_spark.search.scoring import BM25F
 
@@ -185,11 +210,18 @@ def percolate_indexed(
     if getattr(w, "use_final", False):
         raise ValueError("final()-hook weightings are per-result-set; "
                          "use percolate()")
+    # roles: 0 = scoring positive row, 1 = negative (AndNot.b),
+    # 2 = require (Require.b); neg/req rows never contribute score
     rows = []
     for name, q in queries.items():
-        terms, n_req, rboost = _flat_rule(name, q.normalize(), fieldname)
-        for t, pos, lboost in terms:
-            rows.append((name, t, pos, lboost, n_req, rboost))
+        (pos, n_req, rboost, neg_terms, neg_req,
+         req_terms, req_req) = _flat_rule_full(name, q.normalize(), fieldname)
+        for t, pos_i, lboost in pos:
+            rows.append((name, t, pos_i, lboost, 0, n_req, neg_req, req_req, rboost))
+        for t in neg_terms:
+            rows.append((name, t, -1, 0.0, 1, n_req, neg_req, req_req, rboost))
+        for t in req_terms:
+            rows.append((name, t, -1, 0.0, 2, n_req, neg_req, req_req, rboost))
     if not rows:
         return spark.createDataFrame([], "query_name string, doc_id long, score double")
 
@@ -213,27 +245,44 @@ def percolate_indexed(
         "doc_id", "term", "weight", "dl"
     )
     rules_df = spark.createDataFrame(
-        [(n, t, q_, lb, nr, rb, idf[t])
-         for (n, t, q_, lb, nr, rb) in rows if t in idf],
-        "query_name string, term string, _q int, _lboost double, "
-        "_n_required int, _rboost double, _idf double",
+        [(n, t, q_, lb, role, nr, ngr, rqr, rb, idf[t])
+         for (n, t, q_, lb, role, nr, ngr, rqr, rb) in rows if t in idf],
+        "query_name string, term string, _q int, _lboost double, _role int, "
+        "_n_required int, _neg_required int, _req_required int, "
+        "_rboost double, _idf double",
     )
     base = w.score_expr(fs, F.col("_idf"), avgdl, F.col("weight"), F.col("dl"))
     j = p.join(F.broadcast(rules_df), "term").select(
-        "query_name", "doc_id", "_q", "_n_required", "_rboost",
+        "query_name", "doc_id", "_q", "_role",
+        "_n_required", "_neg_required", "_req_required", "_rboost",
         (base * F.col("_lboost")).alias("score"),
     )
     # the executor's _ordered_sum: left-assoc fold in query order, so a
-    # 2-term AND scores bit-identically to Searcher.compile(And([...]))
+    # 2-term AND scores bit-identically to Searcher.compile(And([...]));
+    # neg/req rows are nulled out of the fold (collect_list skips nulls)
     items = F.array_sort(
-        F.collect_list(F.struct(F.col("_q").alias("q"), F.col("score").alias("s")))
+        F.collect_list(
+            F.when(
+                F.col("_role") == 0,
+                F.struct(F.col("_q").alias("q"), F.col("score").alias("s")),
+            )
+        )
     )
     fold = F.aggregate(items, F.lit(0.0), lambda acc, x: acc + x["s"])
+    n_role = lambda r: F.sum(F.when(F.col("_role") == r, 1).otherwise(0))  # noqa: E731
     out = (
         j.groupBy("query_name", "doc_id")
-        .agg(fold.alias("_score"), F.count("*").alias("_n"),
-             F.first("_n_required").alias("_req"), F.first("_rboost").alias("_rb"))
-        .where(F.col("_n") >= F.col("_req"))
+        .agg(fold.alias("_score"),
+             n_role(0).alias("_n"), n_role(1).alias("_neg"), n_role(2).alias("_hasreq"),
+             F.first("_n_required").alias("_req"),
+             F.first("_neg_required").alias("_negr"),
+             F.first("_req_required").alias("_reqr"),
+             F.first("_rboost").alias("_rb"))
+        .where(
+            (F.col("_n") >= F.col("_req"))
+            & (F.col("_negr").isNull() | (F.col("_neg") < F.col("_negr")))
+            & (F.col("_reqr").isNull() | (F.col("_hasreq") >= F.col("_reqr")))
+        )
         .select("query_name", "doc_id",
                 (F.col("_score") * F.col("_rb")).alias("score"))
     )
