@@ -1932,6 +1932,8 @@ FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
                 [Q.Term("text", "scan"), Q.Term("text", "filter"), Q.Term("text", "batch")],
                 minmatch=2,
             ),
+            "spark_not_join": Q.AndNot(Q.Term("text", "spark"), Q.Term("text", "join")),
+            "merge_req_batch": Q.Require(Q.Term("text", "merge"), Q.Term("text", "batch")),
         }
         out = percolate_indexed(spark, _docs(spark, sf), rules, documents_schema())
         return out.select("query_name", "doc_id", F.round("score", 4).alias("score"))
@@ -1955,6 +1957,14 @@ UNION ALL
 SELECT 'two_of_three', doc_id, round(sum(score), 4)
 FROM scored WHERE term IN ('scan', 'filter', 'batch')
 GROUP BY doc_id HAVING count(*) >= 2
+UNION ALL
+SELECT 'spark_not_join', doc_id, round(score, 4)
+FROM scored WHERE term = 'spark'
+AND doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'join')
+UNION ALL
+SELECT 'merge_req_batch', doc_id, round(score, 4)
+FROM scored WHERE term = 'merge'
+AND doc_id IN (SELECT doc_id FROM post WHERE term = 'batch')
 """,
     )
 
