@@ -902,6 +902,36 @@ SELECT b.doc_id, b.score, 2 AS grp
 FROM b WHERE b.doc_id NOT IN (SELECT doc_id FROM a)""",
     )
 
+    def _search_after_page2(spark, sf):
+        # Keyset deep pagination (Searcher.search_after): page 2 of 5 via
+        # the (score, doc_id) cursor of page 1's last hit — the predicate
+        # runs on the rounded frame so the cursor comparison is the same
+        # float64 in both engines. At corpus scale this replaces OFFSET
+        # paging: every page is one filtered TakeOrderedAndProject, page N
+        # never re-carries pages 1..N-1.
+        s = _docs_searcher(spark, sf)
+        scored = _rounded(
+            s.compile(Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")]))
+        )
+        page1 = s.search_after(scored, limit=5).collect()
+        cur = (page1[-1]["score"], page1[-1]["doc_id"])
+        return s.search_after(scored, cursor=cur, limit=5)
+
+    _AGG_SV = (
+        "SELECT doc_id, round(sum(score), 4) AS score FROM scored "
+        "WHERE term IN ('spark','vector') GROUP BY doc_id"
+    )
+    add(
+        "search_after_page2",
+        _search_after_page2,
+        PRELUDE
+        + f"""SELECT a.doc_id, a.score
+FROM ({_AGG_SV}) a,
+     ({_AGG_SV} ORDER BY score DESC, doc_id ASC LIMIT 1 OFFSET 4) c
+WHERE a.score < c.score OR (a.score = c.score AND a.doc_id > c.doc_id)
+ORDER BY a.score DESC, a.doc_id ASC LIMIT 5""",
+    )
+
     return reg
 
 
@@ -924,6 +954,7 @@ _REGISTRY_CACHE: dict | None = None
 # retrieval) — see BENCH.md "Correctness gate" for the rehearsal evidence.
 _WINDOW_FIRST = [
     # -- (1) new / newly-oracled this round --
+    "search_after_page2",
     "hybrid_rrf_topk", "ann_mmr_lambda1", "ann_mmr_diverse_topk",
     "facet_top3_by_lang", "percolate_matches", "percolate_indexed_matches",
     "text_bpe_word_counts", "text_bpe_encode", "doc_keywords_top3",

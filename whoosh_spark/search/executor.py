@@ -593,6 +593,61 @@ class Searcher:
             .select("doc_id", "score")
         )
 
+    def search_after(
+        self,
+        q: "Q.Query | DataFrame",
+        cursor: "tuple | None" = None,
+        limit: int | None = 10,
+        filter: "Q.Query | DataFrame | None" = None,
+        mask: "Q.Query | DataFrame | None" = None,
+        collapse: str | None = None,
+        collapse_limit: int = 1,
+    ) -> DataFrame:
+        """Keyset ("search-after") deep pagination: the next ``limit`` hits
+        strictly after ``cursor`` in the canonical order (score desc,
+        doc_id asc). ``cursor`` is the ``(score, doc_id)`` pair of the last
+        hit on the previous page; ``None`` means page one (== plain top-k).
+
+        Beyond-reference operator (the Elasticsearch ``search_after``
+        shape; the reference only pages by slicing Results, our
+        ``search_page`` analogue). It exists for corpus scale: OFFSET
+        paging makes page N carry all N*k earlier rows through the
+        ordering operator before discarding them, while the keyset
+        predicate keeps EVERY page one filtered TakeOrderedAndProject over
+        the scored frame — page 1000 costs the same single pass over the
+        query's postings as page 1, and because scoring is deterministic
+        the cursor stays valid across sessions with no server-side scroll
+        state. The predicate composes with the canonical tie-break: equal
+        scores continue after the cursor's doc_id, so concatenated pages
+        reproduce ``search(limit=n*k)`` exactly (pinned in
+        tests/test_search_after.py).
+
+        Accepts a pre-compiled scored DataFrame (like
+        :meth:`search_with_time_limit`) so callers that round or otherwise
+        post-process scores can page over their own frame with the same
+        predicate discipline.
+        """
+        if isinstance(q, DataFrame):
+            scored = q
+        else:
+            scored = self.compile(q)
+            if getattr(self.weighting, "use_final", False):
+                scored = scored.withColumn(
+                    "score", self.weighting.final_expr(F.col("score"))
+                )
+        scored = self._apply_filter_mask(scored, filter, mask)
+        if collapse is not None:
+            scored = self._collapse(scored, collapse, collapse_limit)
+        if cursor is not None:
+            s0, d0 = cursor
+            s0 = float(s0)
+            scored = scored.where(
+                (F.col("score") < F.lit(s0))
+                | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
+            )
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(limit) if limit is not None else out
+
     def search_with_time_limit(self, q: "Q.Query | DataFrame",
                                timelimit: float, limit: int | None = 10,
                                use_partials: bool = False, **kw) -> list:
