@@ -3065,6 +3065,99 @@ FROM scored ORDER BY gumbel_score DESC, doc_id LIMIT 50
 """,
     )
 
+    # ---- degenerate-config EXACT oracles for the two rows-only ops ----
+    # (the full-probe-IVF / mmr-lambda1 trick, applied to BPE encode and
+    # FFD bin packing: pick a configuration where the sequential
+    # recurrence collapses to arithmetic DuckDB can mirror, so the WHOLE
+    # distributed machinery — hashing, sharding, mapInArrow/applyInPandas
+    # kernels, output assembly — gets hash-checked; the general configs
+    # keep their honest rows-only rows.)
+
+    def _bpe_encode_fixed(spark, sf):
+        # bpe_encode with a FIXED 2-rule merge table th, th+e. Why this
+        # is exactly SQL-mirrorable: the greedy walk merges the best-rank
+        # pair everywhere, re-scans, repeats — with rule 1's output ('th')
+        # being the only source of rule 2's input symbol, the walk equals
+        # two sequential global left-to-right replaces over the
+        # spaced-symbol string; and over single-char base symbols neither
+        # pattern ('t h', 'th e') can false-match across symbol
+        # boundaries ('th' only arises as the rule-1 output, '</w>'
+        # contains neither). Exercises the real mapInArrow kernel, word
+        # regex, EOW convention, and per-word memoization end-to-end.
+        from whoosh_spark.pipeline.bpe import bpe_encode
+
+        enc = bpe_encode(_docs(spark, sf), [("t", "h"), ("th", "e")])
+        return enc.select(
+            "doc_id",
+            F.array_join("tokens", " ").alias("tokens_csv"),
+            "n_tokens",
+        )
+
+    add(
+        "text_bpe_encode_fixed",
+        _bpe_encode_fixed,
+        """
+WITH per AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+),
+enc AS (
+  SELECT doc_id,
+         [regexp_replace(regexp_replace(
+            rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>',
+            't h', 'th', 'g'), 'th e', 'the', 'g')
+          FOR w IN words] AS encs
+  FROM per
+),
+joined AS (
+  SELECT doc_id, array_to_string(encs, ' ') AS tokens_csv FROM enc
+)
+SELECT doc_id, tokens_csv,
+       (CASE WHEN tokens_csv = '' THEN 0
+             ELSE len(string_split(tokens_csv, ' ')) END)::INT AS n_tokens
+FROM joined
+""",
+    )
+
+    def _pack_bins_uniform(spark, sf):
+        # pack_bins_ffd with UNIFORM doc sizes (8 tokens, capacity 24,
+        # 7 shards): descending-size order degenerates to pure md5 order
+        # and first-fit fills each bin with exactly capacity/size docs, so
+        # bin assignment is rank arithmetic DuckDB mirrors — while the
+        # real md5 hash-sharding, stable sort, applyInPandas FFD kernel,
+        # striped global bin ids, and bin_fill bookkeeping all run for
+        # real. num_shards pinned (the default follows session
+        # parallelism).
+        from whoosh_spark.pipeline.packing import pack_bins_ffd
+
+        docs = _docs(spark, sf).select("doc_id").withColumn(
+            "n_tokens", F.lit(8)
+        )
+        return pack_bins_ffd(docs, capacity=24, num_shards=7)
+
+    add(
+        "pipeline_pack_bins_uniform",
+        _pack_bins_uniform,
+        """
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         md5('ffd:' || doc_id::VARCHAR) AS k,
+         (('0x' || substr(md5('ffd:' || doc_id::VARCHAR), 1, 8))::BIGINT % 7)::INT AS shard
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY k ASC) - 1 AS r,
+         count(*) OVER (PARTITION BY shard) AS sc
+  FROM base
+)
+SELECT doc_id, 8::BIGINT AS n_tokens, shard,
+       ((r // 3) * 7 + shard)::BIGINT AS bin_id,
+       (8 * LEAST(3, sc - (r // 3) * 3))::BIGINT AS bin_fill
+FROM ranked
+""",
+    )
+
     return reg
 
 
