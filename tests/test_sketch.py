@@ -73,3 +73,143 @@ def test_kmv_merge_disjoint_groups(spark):
     out = {r.g: (r.n_kept, r.kmv_estimate)
            for r in kmv_estimate_from(merged, k=8, by="g").collect()}
     assert out == {0: (2, 2.0), 1: (1, 1.0)}
+
+
+# ------------------------------------------------------------------- HLL
+
+
+def test_hll_accuracy(spark):
+    from whoosh_spark.pipeline.sketch import hll_distinct
+
+    df = spark.range(2000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    est = hll_distinct(df, "v", b=10).collect()[0]
+    assert abs(est.hll_estimate - 2000) / 2000 < 0.05  # ~1.04/sqrt(1024)
+
+
+def test_hll_linear_counting_small_range(spark):
+    from whoosh_spark.pipeline.sketch import hll_distinct
+
+    df = spark.range(20).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    est = hll_distinct(df, "v", b=6).collect()[0]
+    # small-range path: m*ln(m/zeros) with most registers empty
+    assert est.n_buckets < 64
+    assert abs(est.hll_estimate - 20) / 20 < 0.2
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    from whoosh_spark.pipeline.sketch import hll_distinct
+
+    base = spark.range(500).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    dup = base.unionAll(base).unionAll(base)
+    a = hll_distinct(base, "v", b=8).collect()[0]
+    b = hll_distinct(dup, "v", b=8).collect()[0]
+    assert (a.n_buckets, a.hll_estimate) == (b.n_buckets, b.hll_estimate)
+
+
+def test_hll_partitioning_invariance(spark):
+    from whoosh_spark.pipeline.sketch import hll_distinct
+
+    df = spark.range(3000).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    a = hll_distinct(df.repartition(1), "v", b=7).collect()[0]
+    b = hll_distinct(df.repartition(13), "v", b=7).collect()[0]
+    assert (a.n_buckets, a.hll_estimate) == (b.n_buckets, b.hll_estimate)
+
+
+def test_hll_merge_equals_whole(spark):
+    from whoosh_spark.pipeline.sketch import (hll_estimate_from, hll_merge,
+                                              hll_registers)
+
+    df = spark.range(2000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    lo, hi = df.where("substr(v, 2) < '1'"), df.where("substr(v, 2) >= '1'")
+    whole = hll_estimate_from(hll_registers(df, "v", b=6), b=6).collect()[0]
+    merged = hll_estimate_from(
+        hll_merge(hll_registers(lo, "v", b=6), hll_registers(hi, "v", b=6)),
+        b=6).collect()[0]
+    assert (whole.n_buckets, whole.hll_estimate) == (
+        merged.n_buckets, merged.hll_estimate)
+
+
+def test_hll_grouped(spark):
+    from whoosh_spark.pipeline.sketch import hll_distinct
+
+    df = spark.range(400).select(
+        (F.col("id") % 2).alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 40)).alias("v"))
+    out = {r.g: r for r in hll_distinct(df, "v", b=10, by="g").collect()}
+    # each parity group sees exactly 20 distinct values; with 1024
+    # registers and 20 values the linear-counting path is near-exact
+    for g in (0, 1):
+        assert abs(out[g].hll_estimate - 20) < 1.0
+
+
+def test_hll_validation(spark):
+    from whoosh_spark.pipeline.sketch import hll_registers
+
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="b must be"):
+        hll_registers(df, "v", b=1)
+
+
+# -------------------------------------------------------------- Count-min
+
+
+def _words(spark):
+    rows = ([("spark",)] * 70 + [("join",)] * 30 + [("hash",)] * 11
+            + [("vector",)] * 3 + [("rare",)] * 1)
+    return spark.createDataFrame(rows, "w string")
+
+
+def test_cm_never_undercounts_and_exact_when_wide(spark):
+    from whoosh_spark.pipeline.sketch import cm_estimate_from, cm_sketch
+
+    words = _words(spark)
+    truth = {r.w: r.cnt for r in
+             words.groupBy("w").agg(F.count("*").alias("cnt")).collect()}
+    # wide sketch: no collisions possible to matter at 5 keys x 4096 cols
+    cells = cm_sketch(words, "w", depth=3, width=4096)
+    est = {r.key: r.cm_estimate for r in
+           cm_estimate_from(cells, list(truth) + ["absent"], 3, 4096).collect()}
+    for k, t in truth.items():
+        assert est[k] == t
+    assert est["absent"] == 0
+    # narrow sketch: collisions over-count but NEVER under-count
+    cells2 = cm_sketch(words, "w", depth=2, width=4)
+    est2 = {r.key: r.cm_estimate for r in
+            cm_estimate_from(cells2, list(truth), 2, 4).collect()}
+    for k, t in truth.items():
+        assert est2[k] >= t
+
+
+def test_cm_merge_equals_whole(spark):
+    from whoosh_spark.pipeline.sketch import (cm_estimate_from, cm_merge,
+                                              cm_sketch)
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("t"), F.pmod(F.xxhash64("id"), F.lit(700))).alias("w"))
+    lo, hi = df.where("substr(w, 2)::INT < 350"), df.where("substr(w, 2)::INT >= 350")
+    whole = cm_sketch(df, "w", depth=3, width=256)
+    merged = cm_merge(cm_sketch(lo, "w", depth=3, width=256),
+                      cm_sketch(hi, "w", depth=3, width=256))
+    probe = [f"t{i}" for i in range(0, 700, 37)]
+    a = sorted(cm_estimate_from(whole, probe, 3, 256).collect())
+    b = sorted(cm_estimate_from(merged, probe, 3, 256).collect())
+    assert a == b
+
+
+def test_cm_weight_column(spark):
+    from whoosh_spark.pipeline.sketch import cm_estimate_from, cm_sketch
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 2)], "w string, n int")
+    cells = cm_sketch(df, "w", depth=3, width=1024, weight="n")
+    est = {r.key: r.cm_estimate for r in
+           cm_estimate_from(cells, ["a", "b"], 3, 1024).collect()}
+    assert est == {"a": 12, "b": 2}
+
+
+def test_cm_validation(spark):
+    from whoosh_spark.pipeline.sketch import cm_sketch
+
+    df = spark.range(5).select(F.col("id").cast("string").alias("w"))
+    with pytest.raises(ValueError, match="bad sketch shape"):
+        cm_sketch(df, "w", depth=0, width=8)

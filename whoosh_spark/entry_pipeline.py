@@ -3158,6 +3158,117 @@ FROM ranked
 """,
     )
 
+    # -------------------- HLL + Count-Min sketch entries ------------------
+    from whoosh_spark.pipeline.sketch import (
+        cm_estimate_from,
+        cm_sketch,
+        hll_distinct,
+    )
+
+    def _sketch_hll(spark, sf):
+        # HyperLogLog distinct users per event_type, b=4 (m=16 registers)
+        # — small enough that register collisions are real and the raw
+        # alpha*m^2/sum(2^-rho) path runs for the ~150-user groups. The
+        # harmonic denominator is EXACT integer arithmetic (sum of
+        # 2^(57-rho) as BIGINT), so the estimate is order-independent and
+        # the oracle recomputes it bit-for-bit; exact distinct joined on
+        # for the accuracy-visible comparison.
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        sk = hll_distinct(ev, "user_id", b=4, by="event_type")
+        ex = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct"))
+        return sk.join(ex, "event_type")
+
+    add(
+        "sketch_distinct_hll",
+        _sketch_hll,
+        """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM events),
+reg AS (
+  SELECT event_type, hh >> 56 AS bucket,
+         max(CASE WHEN hh % 72057594037927936 = 0 THEN 57
+                  ELSE 57 - length(bin(hh % 72057594037927936)) END) AS rho
+  FROM h GROUP BY event_type, bucket),
+agg AS (
+  SELECT event_type, count(*) AS nb,
+         sum(1::BIGINT << (57 - rho)) AS s_obs
+  FROM reg GROUP BY event_type),
+est AS (
+  SELECT event_type, nb, (16 - nb) AS zeros,
+         0.673 * 256 * 144115188075855872.0
+           / (s_obs + (16 - nb) * 144115188075855872)::DOUBLE AS e_raw
+  FROM agg),
+ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT e.event_type, e.nb::BIGINT AS n_buckets,
+       round(CASE WHEN e.e_raw <= 40.0 AND e.zeros > 0
+                  THEN 16.0 * ln(16.0 / e.zeros) ELSE e.e_raw END, 4)
+         AS hll_estimate,
+       ex.exact_distinct
+FROM est e JOIN ex USING (event_type)
+""",
+    )
+
+    def _sketch_cm(spark, sf):
+        # Count-min sketch of word frequencies (depth 3 x width 512 —
+        # well under the corpus vocabulary so collisions genuinely
+        # over-count), probed for 7 common/rare words + 1 absent one;
+        # true counts joined on so the one-sided error is visible. All
+        # integer arithmetic over md5-derived cells => exact oracle.
+        docs = _docs(spark, sf)
+        words = docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")),
+                                     F.lit("[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        cells = cm_sketch(words, "w", depth=3, width=512)
+        probes = ["the", "spark", "join", "data", "query", "hash",
+                  "vector", "zzzmissingzzz"]
+        est = cm_estimate_from(cells, probes, depth=3, width=512)
+        truth = words.groupBy("w").agg(F.count("*").alias("true_count")) \
+            .withColumnRenamed("w", "key")
+        return est.join(truth, "key", "left").select(
+            "key", "cm_estimate",
+            F.coalesce("true_count", F.lit(0).cast("long")).alias("true_count"),
+        )
+
+    add(
+        "sketch_term_counts_cm",
+        _sketch_cm,
+        """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+rows3 AS (SELECT unnest([0, 1, 2]) AS i),
+cells AS (
+  SELECT i,
+         (('0x' || substr(md5('cm' || i::VARCHAR || ':' || w), 1, 15))::BIGINT
+            % 512)::INT AS col_idx,
+         count(*)::BIGINT AS cell
+  FROM w CROSS JOIN rows3
+  GROUP BY i, col_idx),
+probes AS (
+  SELECT unnest(['the','spark','join','data','query','hash','vector',
+                 'zzzmissingzzz']) AS key),
+pc AS (
+  SELECT p.key, r.i,
+         (('0x' || substr(md5('cm' || r.i::VARCHAR || ':' || p.key), 1, 15))::BIGINT
+            % 512)::INT AS col_idx
+  FROM probes p CROSS JOIN rows3 r),
+est AS (
+  SELECT key, min(coalesce(c.cell, 0))::BIGINT AS cm_estimate
+  FROM pc LEFT JOIN cells c ON pc.i = c.i AND pc.col_idx = c.col_idx
+  GROUP BY key),
+truth AS (SELECT w AS key, count(*)::BIGINT AS true_count FROM w GROUP BY w)
+SELECT e.key, e.cm_estimate, coalesce(t.true_count, 0)::BIGINT AS true_count
+FROM est e LEFT JOIN truth t USING (key)
+""",
+    )
+
     return reg
 
 

@@ -147,3 +147,191 @@ def kmv_distinct(
         .drop("_hk")
     )
     return est
+
+
+# --------------------------------------------------------------------- HLL
+# HyperLogLog (Flajolet et al. 2007) with the same determinism discipline
+# as KMV: the register layout is md5-derived and the harmonic denominator
+# is computed in EXACT integer arithmetic (sum of dyadic terms as a
+# BIGINT), so the estimate is order-independent, partitioning-invariant,
+# and bit-reproducible in DuckDB — the driver can oracle-check the
+# ESTIMATE itself. Where KMV ships k longs per group, HLL ships <= 2^b
+# (bucket, rho) rows whose merge is a plain register-wise MAX — the
+# cheapest possible cross-shard / cross-day / cross-segment algebra, and
+# the whole build is ONE map-side-combined groupBy (no windows, no
+# distinct shuffle: duplicate values land in the same register with the
+# same rho, so max() absorbs them).
+
+
+def _hll_alpha(m: int) -> float:
+    # Flajolet's bias-correction constants
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, b: int = 10,
+                  by: str | None = None) -> DataFrame:
+    """The raw mergeable sketch: (<by>, bucket, rho) for OBSERVED buckets
+    (unobserved registers are implicitly 0). bucket = top ``b`` hash bits;
+    rho = 1 + leading zeros of the remaining ``60-b`` bits (computed via
+    the exact integer identity rho = wbits - bit_length(w) + 1 — no
+    floating log2, so no cross-engine rounding edge)."""
+    if not 2 <= b <= 16:
+        raise ValueError(f"b must be in [2, 16], got {b}")
+    wbits = _HASH_BITS - b
+    dims = [by] if by else []
+    h = kmv_hash(col)
+    bucket = F.shiftrightunsigned(h, wbits).cast("int")
+    w = F.pmod(h, F.lit(1 << wbits))
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(*dims, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*dims, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b_df: DataFrame) -> DataFrame:
+    """Register-wise max over the union — the HLL sketch algebra.
+    Frames must share the same (dims..., bucket, rho) shape."""
+    dims = [c for c in a.columns if c not in ("bucket", "rho")]
+    return (
+        a.unionByName(b_df)
+        .groupBy(*dims, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_from(reg_df: DataFrame, b: int,
+                      by: str | None = None) -> DataFrame:
+    """(<by>, n_buckets, hll_estimate) from a register frame.
+
+    The harmonic mean runs in exact integers: with K = wbits+1 the
+    per-register term 2^(-rho) scales to the BIGINT 2^(K-rho), empty
+    registers contribute 2^K each, and the total stays < 2^61 for every
+    legal ``b`` — so the denominator is identical under ANY summation
+    order or engine. Small-range (linear counting) correction applies
+    when E <= 2.5m and empty registers exist, as published."""
+    m = 1 << b
+    wbits = _HASH_BITS - b
+    kk = wbits + 1
+    dims = [by] if by else []
+    alpha = _hll_alpha(m)
+    agg = reg_df.groupBy(*dims).agg(
+        F.count("*").alias("n_buckets"),
+        # shiftleft with a COLUMN bit count needs the SQL form (the
+        # python wrapper only takes an int literal)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {kk} - rho)"))
+        .alias("_s_obs"),
+    )
+    s_int = F.col("_s_obs") + (F.lit(m) - F.col("n_buckets")) * F.lit(1 << kk)
+    e_raw = F.lit(alpha * m * m * float(1 << kk)) / s_int.cast("double")
+    zeros = (F.lit(m) - F.col("n_buckets")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return agg.select(
+        *dims,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, b: int = 10,
+                 by: str | None = None) -> DataFrame:
+    """HLL distinct-count per ``by`` group (or globally): (<by>,
+    n_buckets, hll_estimate). One groupBy end-to-end; ~1.04/sqrt(2^b)
+    relative error on the raw path."""
+    return hll_estimate_from(hll_registers(df, col, b=b, by=by), b=b, by=by)
+
+
+# ---------------------------------------------------------------- Count-Min
+# Count-min sketch (Cormode & Muthukrishnan 2005): fixed depth x width
+# cell grid of summed weights; point estimate = min over depth rows.
+# One-sided error (never under-counts), cell-wise ADDITIVE merge algebra
+# (combine shards/days by summing cells), and — with md5-derived row
+# hashes and integer weights — bit-exact reproducibility, so the driver
+# oracle recomputes cells AND estimates identically in DuckDB. The build
+# is one explode(x depth) + one map-side-combined groupBy; the sketch is
+# <= depth*width rows no matter the corpus size.
+
+
+def cm_hash(col, row_i: int, width: int) -> "F.Column":
+    """Row ``row_i``'s column index for a value: md5-derived 60-bit hash
+    of 'cm<i>:<value>' mod width."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cm{row_i}:"), F.col(col).cast("string")
+                           if isinstance(col, str) else col.cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cm_sketch(df: DataFrame, col: str, depth: int = 3, width: int = 1024,
+              weight: str | None = None) -> DataFrame:
+    """Build the sparse cell frame (row, col_idx, cell) — absent cells are
+    zero. ``weight`` sums a column instead of counting occurrences."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"bad sketch shape depth={depth} width={width}")
+    wexpr = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    coords = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     cm_hash(col, i, width).alias("col_idx"))
+            for i in range(depth)
+        ])
+    ).alias("_c")
+    return (
+        df.select(coords, wexpr.alias("_w"))
+        .select("_c.row", "_c.col_idx", "_w")
+        .groupBy("row", "col_idx")
+        .agg(F.sum("_w").alias("cell"))
+    )
+
+
+def cm_merge(a: DataFrame, b_df: DataFrame) -> DataFrame:
+    """Cell-wise sum over the union — the CM sketch algebra (both frames
+    must share depth/width)."""
+    return (
+        a.unionByName(b_df)
+        .groupBy("row", "col_idx")
+        .agg(F.sum("cell").alias("cell"))
+    )
+
+
+def cm_estimate_from(cells: DataFrame, keys: list, depth: int, width: int) -> DataFrame:
+    """(key, cm_estimate) for a bounded probe list: min over the depth
+    rows of each key's cells (missing cell = 0). The probe frame is a
+    literal explode — no driver round-trip, and the cells side stays a
+    broadcastable <= depth*width rows."""
+    spark = cells.sparkSession
+    probes = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(str(k)) for k in keys])).alias("key"))
+        .select(
+            "key",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("row"),
+                         cm_hash(F.col("key"), i, width).alias("col_idx"))
+                for i in range(depth)
+            ])).alias("_c"),
+        )
+        .select("key", "_c.row", "_c.col_idx")
+    )
+    joined = probes.join(F.broadcast(cells), ["row", "col_idx"], "left")
+    return (
+        joined.groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cm_estimate"))
+    )
