@@ -213,3 +213,117 @@ def test_cm_validation(spark):
     df = spark.range(5).select(F.col("id").cast("string").alias("w"))
     with pytest.raises(ValueError, match="bad sketch shape"):
         cm_sketch(df, "w", depth=0, width=8)
+
+
+# ------------------------------------------------- histogram quantiles
+
+
+def test_hist_quantile_error_bound(spark):
+    from whoosh_spark.pipeline.sketch import hist_quantiles
+
+    df = spark.range(10_000).select((F.col("id") % 10_000 / 100.0).alias("v"))
+    out = {r.q: r.est for r in
+           hist_quantiles(df, "v", [0.5, 0.9, 0.99], subbits=5).collect()}
+    for q, true in ((0.5, 50.0), (0.9, 90.0), (0.99, 99.0)):
+        # lower-edge estimate: never above truth (+bucket granularity),
+        # never more than 2^-subbits relative below it
+        assert true * (1 - 2 ** -5) - 0.2 <= out[q] <= true + 0.1
+
+
+def test_hist_merge_equals_whole(spark):
+    from whoosh_spark.pipeline.sketch import (hist_merge, hist_quantiles_from,
+                                              hist_sketch)
+
+    df = spark.range(8_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(5000)) / 7.0).alias("v"))
+    lo, hi = df.where("v < 300"), df.where("v >= 300")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    whole = hist_quantiles_from(hist_sketch(df, "v", subbits=4), qs,
+                                subbits=4).collect()
+    merged = hist_quantiles_from(
+        hist_merge(hist_sketch(lo, "v", subbits=4),
+                   hist_sketch(hi, "v", subbits=4)),
+        qs, subbits=4).collect()
+    assert sorted(whole) == sorted(merged)
+
+
+def test_hist_partitioning_invariance_and_negatives(spark):
+    from whoosh_spark.pipeline.sketch import hist_quantiles
+
+    df = spark.range(3_000).select((F.col("id") - 500.0).alias("v"))
+    a = sorted(hist_quantiles(df.repartition(1), "v", [0.1, 0.5]).collect())
+    b = sorted(hist_quantiles(df.repartition(11), "v", [0.1, 0.5]).collect())
+    assert a == b
+    # negatives clamp into bucket 0 => the 0.1 quantile (rank 300 of
+    # 3000, inside the 500 negatives) reports the 0 lower edge
+    assert a[0].est == 0.0
+
+
+def test_hist_grouped(spark):
+    from whoosh_spark.pipeline.sketch import hist_quantiles
+
+    df = spark.range(2_000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 100)
+        .otherwise((F.col("id") % 100) * 10.0).alias("v"))
+    out = {(r.g, r.q): r.est for r in
+           hist_quantiles(df, "v", [0.5], by="g", subbits=5).collect()}
+    # medians an order of magnitude apart survive grouping
+    assert out[(1, 0.5)] > 5 * out[(0, 0.5)]
+
+
+def test_hist_validation(spark):
+    from whoosh_spark.pipeline.sketch import hist_sketch
+
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="subbits"):
+        hist_sketch(df, "v", subbits=0)
+
+
+# ----------------------------------------------------------- bloom filter
+
+
+def test_bloom_no_false_negatives_even_tiny(spark):
+    from whoosh_spark.pipeline.sketch import bloom_bits, bloom_contains
+
+    keys = spark.range(400).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    # deliberately saturated filter: false positives abound, negatives never
+    bits = bloom_bits(keys, "key", m_bits=256, k=3)
+    probe = spark.range(800).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    res = {r.key: r.maybe_present for r in
+           bloom_contains(bits, probe, "key", m_bits=256, k=3).collect()}
+    assert all(res[f"k{i}"] for i in range(400))
+
+
+def test_bloom_rejects_most_absent_keys_when_sized(spark):
+    from whoosh_spark.pipeline.sketch import bloom_bits, bloom_contains
+
+    keys = spark.range(500).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    bits = bloom_bits(keys, "key", m_bits=1 << 14, k=5)
+    absent = spark.range(500, 1500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    res = bloom_contains(bits, absent, "key", m_bits=1 << 14, k=5)
+    n_fp = res.where("maybe_present").count()
+    assert n_fp <= 5  # (1-e^{-kn/m})^k ~ 5e-5 at this sizing
+
+
+def test_bloom_merge_equals_whole(spark):
+    from whoosh_spark.pipeline.sketch import (bloom_bits, bloom_contains,
+                                              bloom_merge)
+
+    keys = spark.range(600).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    lo, hi = keys.where("substr(key, 2)::INT < 300"), \
+        keys.where("substr(key, 2)::INT >= 300")
+    whole = bloom_bits(keys, "key", m_bits=2048, k=4)
+    merged = bloom_merge(bloom_bits(lo, "key", m_bits=2048, k=4),
+                         bloom_bits(hi, "key", m_bits=2048, k=4))
+    assert sorted(r.bit for r in whole.collect()) == \
+        sorted(r.bit for r in merged.collect())
+
+
+def test_bloom_validation(spark):
+    from whoosh_spark.pipeline.sketch import bloom_bits
+
+    df = spark.range(5).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError, match="bad filter shape"):
+        bloom_bits(df, "key", m_bits=1, k=0)

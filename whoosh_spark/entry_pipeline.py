@@ -3269,6 +3269,154 @@ FROM est e LEFT JOIN truth t USING (key)
 """,
     )
 
+    from whoosh_spark.pipeline.sketch import (
+        bloom_bits,
+        bloom_contains,
+        hist_quantiles,
+    )
+
+    def _sketch_quantiles(spark, sf):
+        # Log-bucketed histogram quantile sketch (subbits=5, ~3% lower-
+        # bound error) of event values per event_type — bucket assignment
+        # is pure integer arithmetic (IEEE-exact float scale + bin()
+        # bit_length), so the sketch AND the quantile walk reproduce
+        # bit-for-bit in DuckDB; the exact lower quantile (value at rank
+        # ceil(q*n)) is joined on under the same definition in both
+        # engines for accuracy visibility.
+        from pyspark.sql import Window as W
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        qs = [0.5, 0.9, 0.99]
+        sk = hist_quantiles(ev, "value", qs, by="event_type",
+                            scale=1000.0, subbits=5)
+        ranked = ev.select("event_type", "value").withColumn(
+            "rn", F.row_number().over(
+                W.partitionBy("event_type").orderBy("value"))
+        ).withColumn("n", F.count("*").over(W.partitionBy("event_type")))
+        exact = ranked.select(
+            "event_type", "value", "rn", "n",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        ).where(F.col("rn") == F.ceil(F.col("q") * F.col("n"))).select(
+            "event_type", "q", F.round("value", 4).alias("exact_lower"))
+        return sk.withColumn("est", F.round("est", 4)) \
+            .join(exact, ["event_type", "q"])
+
+    add(
+        "sketch_quantiles_value",
+        _sketch_quantiles,
+        """
+WITH mm AS (
+  SELECT event_type,
+         greatest(CAST(floor(value * 1000.0) AS BIGINT), 0) AS m
+  FROM events),
+bk AS (
+  SELECT event_type,
+         CASE WHEN m < 64 THEN m
+              ELSE 64 + (length(bin(m)) - 6)::BIGINT * 32
+                   + (m >> (length(bin(m)) - 6)) - 32 END AS bucket
+  FROM mm),
+sk AS (SELECT event_type, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+cum AS (SELECT event_type, bucket,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS c,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM sk),
+qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT event_type, q, min(bucket) AS bucket
+  FROM cum CROSS JOIN qq WHERE c >= ceil(q * n)
+  GROUP BY 1, 2),
+est AS (
+  SELECT event_type, q,
+         round(CASE WHEN bucket < 64 THEN bucket
+               ELSE (bucket - 64 - ((bucket - 64) // 32) * 32 + 32)
+                    * (1::BIGINT << ((bucket - 64) // 32)) END / 1000.0, 4)
+           AS est
+  FROM hit),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+exq AS (
+  SELECT event_type, q, round(value, 4) AS exact_lower
+  FROM ranked CROSS JOIN qq WHERE rn = ceil(q * n))
+SELECT e.event_type, e.q, e.est, x.exact_lower
+FROM est e JOIN exq x USING (event_type, q)
+""",
+    )
+
+    def _sketch_bloom(spark, sf):
+        # Bloom pre-filter, decontamination-shaped: filter built over the
+        # distinct words of the src1 slice ("the benchmark"), broadcast,
+        # and probed by the WHOLE corpus vocabulary; m_bits=4096 is far
+        # under the vocab so false positives are real and visible, while
+        # n_false_negative == 0 is the filter's hard guarantee (also
+        # pinned in tests). Aggregate counts keep the entry small and
+        # make the fp-rate auditable.
+        docs = _docs(spark, sf)
+        words = docs.select(
+            F.explode(F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("w"))
+        vocab = words.distinct()
+        bench = (
+            docs.where(F.col("source") == "src1")
+            .select(F.explode(F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("w"))
+            .distinct()
+        )
+        bits = bloom_bits(bench, "w", m_bits=4096, k=3)
+        probed = bloom_contains(bits, vocab, "w", m_bits=4096, k=3)
+        lab = probed.join(
+            bench.withColumn("is_member", F.lit(True)), "w", "left"
+        ).withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+        return lab.agg(
+            F.count("*").cast("long").alias("n_probed"),
+            F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+            .cast("long").alias("n_maybe"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("long").alias("n_member"),
+            F.sum(F.when(F.col("maybe_present") & ~F.col("is_member"), 1)
+                  .otherwise(0)).cast("long").alias("n_false_positive"),
+            F.sum(F.when(F.col("is_member") & ~F.col("maybe_present"), 1)
+                  .otherwise(0)).cast("long").alias("n_false_negative"),
+        )
+
+    add(
+        "sketch_bloom_prefilter",
+        _sketch_bloom,
+        """
+WITH w AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+bw AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents WHERE source = 'src1'),
+rows3 AS (SELECT unnest([0, 1, 2]) AS i),
+bits AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5('bf' || i::VARCHAR || ':' || w), 1, 15))::BIGINT
+       % 4096) AS bit
+  FROM bw CROSS JOIN rows3),
+probe AS (
+  SELECT w.w,
+         bool_and((('0x' || substr(md5('bf' || i::VARCHAR || ':' || w.w), 1, 15))::BIGINT
+                   % 4096) IN (SELECT bit FROM bits)) AS maybe_present
+  FROM w CROSS JOIN rows3
+  GROUP BY w.w),
+lab AS (
+  SELECT p.w, p.maybe_present, (b.w IS NOT NULL) AS is_member
+  FROM probe p LEFT JOIN bw b USING (w))
+SELECT count(*)::BIGINT AS n_probed,
+       sum(CASE WHEN maybe_present THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+       sum(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS n_member,
+       sum(CASE WHEN maybe_present AND NOT is_member THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_positive,
+       sum(CASE WHEN is_member AND NOT maybe_present THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_negative
+FROM lab
+""",
+    )
+
     return reg
 
 

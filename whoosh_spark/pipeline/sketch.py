@@ -335,3 +335,166 @@ def cm_estimate_from(cells: DataFrame, keys: list, depth: int, width: int) -> Da
         joined.groupBy("key")
         .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+# ------------------------------------------------------- quantile histogram
+# HdrHistogram-style log-bucketed quantile sketch: scale the value to an
+# integer, bucket by (exponent, top ``subbits`` mantissa bits). Bucket
+# assignment is PURE INTEGER arithmetic (float multiply + floor are
+# IEEE-exact and identical across engines; the exponent comes from
+# bit_length via bin(), not log()), so the sketch — unlike t-digest/GK,
+# whose state depends on arrival order — is deterministic,
+# partitioning-invariant, and exactly reproducible in DuckDB. Merge is
+# bucket-wise ADD; quantile lookup walks the cumulative counts and
+# reports the bucket's LOWER edge, which under-estimates by at most
+# 2^-subbits relative (12.5% at subbits=3, ~3% at subbits=5). Values are
+# clamped at 0 (bucket 0 holds everything <= 0).
+
+
+def hist_sketch(df: DataFrame, col: str, by: str | None = None,
+                scale: float = 1000.0, subbits: int = 3) -> DataFrame:
+    """The raw mergeable sketch: (<by>, bucket, cnt)."""
+    if not 1 <= subbits <= 8:
+        raise ValueError(f"subbits must be in [1, 8], got {subbits}")
+    sb = subbits
+    dims = [by] if by else []
+    m = F.greatest(F.floor(F.col(col).cast("double") * F.lit(float(scale)))
+                   .cast("long"), F.lit(0).cast("long"))
+    base = df.select(*dims, m.alias("_m"))
+    blen = F.length(F.bin(F.col("_m"))).cast("int")
+    e = blen - F.lit(sb + 1)
+    bucket = (
+        F.when(F.col("_m") < F.lit(1 << (sb + 1)), F.col("_m"))
+        .otherwise(
+            F.lit(1 << (sb + 1))
+            + e.cast("long") * F.lit(1 << sb)
+            + F.expr(f"shiftright(_m, length(bin(_m)) - {sb + 1})")
+            - F.lit(1 << sb)
+        )
+        .cast("long")
+    )
+    return (
+        base.select(*dims, bucket.alias("bucket"))
+        .groupBy(*dims, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(a: DataFrame, b_df: DataFrame) -> DataFrame:
+    """Bucket-wise sum over the union — the histogram sketch algebra."""
+    dims = [c for c in a.columns if c not in ("bucket", "cnt")]
+    return (
+        a.unionByName(b_df)
+        .groupBy(*dims, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_quantiles_from(sketch: DataFrame, qs: list[float],
+                        by: str | None = None, scale: float = 1000.0,
+                        subbits: int = 3) -> DataFrame:
+    """(<by>, q, est) — for each q the LOWER edge of the first bucket
+    whose cumulative count reaches ceil(q * n) (the lower-quantile
+    definition), scaled back to value units."""
+    sb = subbits
+    dims = [by] if by else []
+    w_cum = (
+        Window.partitionBy(*dims).orderBy("bucket")
+        if by else Window.partitionBy(F.lit(0)).orderBy("bucket")
+    )
+    w_all = Window.partitionBy(*dims) if by else Window.partitionBy(F.lit(0))
+    cum = sketch.withColumn("_cum", F.sum("cnt").over(w_cum)) \
+                .withColumn("_n", F.sum("cnt").over(w_all))
+    probes = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    crossed = cum.select(*dims, "bucket", "_cum", "_n", probes)
+    hit = crossed.where(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))
+    w_first = Window.partitionBy(*dims, "q").orderBy("bucket")
+    first = (
+        hit.withColumn("_rn", F.row_number().over(w_first))
+        .where(F.col("_rn") == 1)
+    )
+    b = F.col("bucket")
+    e = F.floor((b - F.lit(1 << (sb + 1))) / F.lit(1 << sb)).cast("int")
+    top = (b - F.lit(1 << (sb + 1)) - e.cast("long") * F.lit(1 << sb)
+           + F.lit(1 << sb))
+    m_lo = F.when(b < F.lit(1 << (sb + 1)), b).otherwise(
+        top * F.pow(F.lit(2.0), e.cast("double")).cast("long")
+    )
+    return first.select(
+        *dims, "q",
+        (m_lo.cast("double") / F.lit(float(scale))).alias("est"),
+    )
+
+
+def hist_quantiles(df: DataFrame, col: str, qs: list[float],
+                   by: str | None = None, scale: float = 1000.0,
+                   subbits: int = 3) -> DataFrame:
+    """One-shot grouped quantile estimates: (<by>, q, est)."""
+    return hist_quantiles_from(
+        hist_sketch(df, col, by=by, scale=scale, subbits=subbits),
+        qs, by=by, scale=scale, subbits=subbits,
+    )
+
+
+# ------------------------------------------------------------ Bloom filter
+# Classic Bloom membership filter as a SPARSE bit-position table:
+# md5-derived k hashes per key, build = explode + distinct (one
+# map-side-combined shuffle, <= m_bits rows no matter the corpus), merge
+# = union-distinct (bitwise OR), probe = "all k positions present". No
+# false negatives ever (pinned in tests); false-positive rate is the
+# standard (1 - e^{-kn/m})^k. The 100 TB use: build the filter over the
+# SMALL side (benchmark keys, yesterday's doc hashes), broadcast the
+# <= m_bits rows, and pre-filter the huge side before an exact join —
+# the decontamination / incremental-dedup pre-pass.
+
+
+def bloom_bits(df: DataFrame, col: str, m_bits: int = 1 << 20,
+               k: int = 5) -> DataFrame:
+    """Build the sparse bit table: (bit,) distinct positions set."""
+    if k < 1 or m_bits < 2:
+        raise ValueError(f"bad filter shape m_bits={m_bits} k={k}")
+    coords = F.explode(F.array(*[
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{i}:"),
+                                              F.col(col).cast("string"))),
+                               1, 15), 16, 10).cast("long"),
+            F.lit(m_bits),
+        ).cast("long")
+        for i in range(k)
+    ])).alias("bit")
+    return df.select(coords).distinct()
+
+
+def bloom_merge(a: DataFrame, b_df: DataFrame) -> DataFrame:
+    """Bitwise OR == union-distinct of the sparse bit tables."""
+    return a.unionByName(b_df).distinct()
+
+
+def bloom_contains(bits: DataFrame, df: DataFrame, col: str,
+                   m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Probe a frame: adds ``maybe_present`` (true iff ALL k bit
+    positions are set). The bits side broadcasts — this is the pre-join
+    filter: ``df.where(...)`` on the result prunes the huge side before
+    an exact verification join."""
+    marked = bits.withColumn("_set", F.lit(1))
+    out = df
+    for i in range(k):
+        pos = F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{i}:"),
+                                              F.col(col).cast("string"))),
+                               1, 15), 16, 10).cast("long"),
+            F.lit(m_bits),
+        )
+        out = (
+            out.withColumn("_bit", pos)
+            .join(F.broadcast(marked).withColumnRenamed("bit", "_bit")
+                  .withColumnRenamed("_set", f"_s{i}"),
+                  "_bit", "left")
+            .drop("_bit")
+        )
+    cond = None
+    for i in range(k):
+        c = F.col(f"_s{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    return out.withColumn("maybe_present", cond).drop(
+        *[f"_s{i}" for i in range(k)])
