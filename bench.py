@@ -272,6 +272,37 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     timed("p_session_analytics", _session_wave)
     _jt.unpersist()
 
+    # mergeable-sketch family over 2M synthetic events: HLL distinct
+    # (500k true cardinality), CM heavy-hitter probes, histogram
+    # quantiles, bloom build + whole-set probe — every build a single
+    # partial-agg shuffle, probes broadcast-joined (plan-pinned in
+    # tests/test_plan_shapes.py)
+    from whoosh_spark.pipeline.sketch import (
+        bloom_bits, bloom_contains, cm_estimate_from, cm_sketch,
+        hist_quantiles, hll_distinct)
+
+    _ev = spark.range(2_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(500_000)).cast("string").alias("user"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(97)).cast("string").alias("term"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100_000)) / 37.0).alias("v"),
+    ).persist()
+    _ev.count()
+
+    def _sketch_wave():
+        hll_distinct(_ev, "user", b=12).collect()
+        cm_estimate_from(
+            cm_sketch(_ev, "term", depth=3, width=256),
+            [str(i) for i in range(0, 97, 11)], depth=3, width=256,
+        ).collect()
+        hist_quantiles(_ev, "v", [0.5, 0.9, 0.99], subbits=5).collect()
+        bits = bloom_bits(_ev.where("v < 100").select("user").distinct(),
+                          "user", m_bits=1 << 20, k=5)
+        bloom_contains(bits, _ev.select("user").distinct(), "user",
+                       m_bits=1 << 20, k=5).where("maybe_present").count()
+
+    timed("p_sketches", _sketch_wave)
+    _ev.unpersist()
+
     # -- 7. hybrid retrieval / percolation / BPE (round-3 wave) -------------
     # documents-corpus index (vec_id-aligned with embeddings) built outside
     # the timed windows like the other fixture persists; the build cost

@@ -1003,3 +1003,71 @@ def test_pack_bins_ffd_oversized_doc_flagged(spark):
     # singleton overflow bin, visible via bin_fill > capacity
     assert big.bin_fill == 3000
     assert (out[out.bin_id == big.bin_id]["doc_id"] == 2).all()
+
+
+# ------------------------------------------------ strip_html / chunk_text
+
+
+def test_strip_html_all_stages(spark):
+    from whoosh_spark.pipeline.textstats import strip_html
+
+    df = spark.createDataFrame(
+        [(1, '<html><head><script>var a = "<b>x</b>";</script>'
+             '<style>p { color: red }</style></head>'
+             '<body class="c">Hello &amp; <b>world</b><!-- note -->'
+             ' &lt;tag&gt;&nbsp;&quot;q&quot; &#39;s</body></html>'),
+         (2, 'no markup at all'),
+         (3, '')],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_html(df).collect()}
+    assert out[1].text_clean == 'Hello & world <tag> "q" \'s'
+    assert out[1].n_clean_chars == len(out[1].text_clean)
+    assert out[2].text_clean == "no markup at all"
+    assert out[3].text_clean == "" and out[3].n_clean_chars == 0
+
+
+def test_strip_html_multiline_script(spark):
+    from whoosh_spark.pipeline.textstats import strip_html
+
+    df = spark.createDataFrame(
+        [(1, "a<script>\nline1\nline2\n</script>b<SCRIPT>x</SCRIPT>c")],
+        "doc_id long, text string")
+    # (?is): dotall across newlines AND case-insensitive tag names
+    assert strip_html(df).collect()[0].text_clean == "a b c"
+
+
+def test_chunk_text_coverage_and_overlap(spark):
+    from whoosh_spark.pipeline.textstats import chunk_text
+
+    text = "abcdefghijklmnopqrstuvwxyz0123456789"  # 36 chars
+    df = spark.createDataFrame([(7, text), (8, "")], "doc_id long, text string")
+    rows = sorted(chunk_text(df, size=10, overlap=3).collect(),
+                  key=lambda r: r.chunk_idx)
+    assert all(r.doc_id == 7 for r in rows)  # empty doc emits nothing
+    # stride 7: begins 0,7,14,21,28 — ceil((36-3)/7) = 5 chunks
+    assert [r.begin for r in rows] == [0, 7, 14, 21, 28]
+    for r in rows:
+        assert r.chunk_text == text[r.begin:r.begin + 10]
+    # consecutive chunks share exactly `overlap` chars
+    for a, b in zip(rows, rows[1:]):
+        assert a.chunk_text[-3:] == b.chunk_text[:3]
+    # whole text covered
+    assert "".join(r.chunk_text[:7] for r in rows[:-1]) + rows[-1].chunk_text == text
+
+
+def test_chunk_text_short_doc_single_chunk(spark):
+    from whoosh_spark.pipeline.textstats import chunk_text
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    rows = chunk_text(df, size=10, overlap=3).collect()
+    assert len(rows) == 1 and rows[0].chunk_text == "ab"
+
+
+def test_chunk_text_validation(spark):
+    import pytest
+
+    from whoosh_spark.pipeline.textstats import chunk_text
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="size > overlap"):
+        chunk_text(df, size=5, overlap=5)

@@ -290,3 +290,89 @@ def test_doc_key_terms_no_cartesian_window_on_doc(spark):
     p = _plan(doc_key_terms(ix, "text", 3))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert re.search(r"Window.*doc_id", p) or "row_number" in p
+
+
+def test_hll_single_partial_agg_shuffle_no_python(spark):
+    """The HLL register build is ONE map-side-combined groupBy over pure
+    JVM expressions (md5/conv/shift/bin) — partial HashAggregates on both
+    sides of a single Exchange, no Python anywhere, no distinct
+    pre-shuffle (duplicates collapse into max(rho) map-side)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.pipeline.sketch import hll_registers
+
+    df = spark.range(5000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    p = _plan(hll_registers(df, "v", b=8))
+    assert len(re.findall(r"\bExchange\b", p)) == 1
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+
+
+def test_cm_sketch_single_partial_agg_shuffle(spark):
+    """CM cells: explode(x depth) then ONE map-side-combined groupBy —
+    the sketch never shuffles the corpus, only (row, col_idx) partials."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.pipeline.sketch import cm_sketch
+
+    df = spark.range(5000).select(F.col("id").cast("string").alias("w"))
+    p = _plan(cm_sketch(df, "w", depth=3, width=128))
+    assert len(re.findall(r"\bExchange\b", p)) == 1
+    assert p.count("HashAggregate") >= 2
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+
+
+def test_hist_sketch_single_shuffle_and_bounded_quantile_walk(spark):
+    """hist_sketch = one partial-agg shuffle of integer bucket ids; the
+    quantile walk's windows run over the <= n_buckets sketch rows, never
+    the corpus."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.pipeline.sketch import hist_sketch
+
+    df = spark.range(5000).select((F.col("id") / 7.0).alias("v"))
+    p = _plan(hist_sketch(df, "v", subbits=5))
+    assert len(re.findall(r"\bExchange\b", p)) == 1
+    assert p.count("HashAggregate") >= 2
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+
+
+def test_bloom_probe_broadcasts_bits(spark):
+    """bloom_contains must bring the bit table to the probe side by
+    BROADCAST joins only — a shuffle join here would move the 100 TB
+    probe corpus instead of the <= m_bits filter."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.pipeline.sketch import bloom_bits, bloom_contains
+
+    keys = spark.range(300).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    bits = bloom_bits(keys, "key", m_bits=2048, k=3)
+    p = _plan(bloom_contains(bits, keys, "key", m_bits=2048, k=3))
+    assert len(re.findall(r"BroadcastHashJoin", p)) == 3  # one per hash row
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_strip_html_and_chunk_are_narrow_jvm_maps(spark):
+    """strip_html is a whole-stage-codegen regexp chain and chunk_text a
+    doc-local explode: NO exchange, NO Python — both run at scan speed
+    on the 100 TB side."""
+    import re
+
+    from whoosh_spark.pipeline.textstats import chunk_text, strip_html
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("<b>t"), F.col("id").cast("string")).alias("text"))
+    for frame in (strip_html(df), chunk_text(df, 8, 2)):
+        p = _plan(frame)
+        assert len(re.findall(r"\bExchange\b", p)) == 0
+        assert "PythonUDF" not in p and "ArrowEval" not in p

@@ -3417,6 +3417,73 @@ FROM lab
 """,
     )
 
+    from whoosh_spark.pipeline.textstats import chunk_text, strip_html
+
+    _HTML_DECOR_PRE = '<div class="d"><b>'
+    _HTML_DECOR_POST = (
+        '</b></div><script type="text/javascript">var x = "<p>hi</p>";'
+        "</script><style>.a{color:red}</style><!-- note --> A &amp; B "
+        "&lt;tag&gt;&nbsp;&quot;q&quot; &#39;s"
+    )
+
+    def _strip_html(spark, sf):
+        # derived-corpus trick: wrap every doc in deterministic HTML
+        # boilerplate (script + style + comment + tags + all six
+        # entities) in BOTH engines, then strip — pins the whole regex
+        # chain, entity decoding, whitespace collapse, and length
+        # accounting end-to-end. Patterns are backreference-free ASCII so
+        # Java and RE2 agree (module note, textstats.py).
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit(_HTML_DECOR_PRE), F.col("text"),
+                     F.lit(_HTML_DECOR_POST)).alias("text"),
+        )
+        return strip_html(docs)
+
+    add(
+        "text_strip_html",
+        _strip_html,
+        f"""
+WITH wrapped AS (
+  SELECT doc_id,
+         '{_HTML_DECOR_PRE}' || text || '{_HTML_DECOR_POST.replace("'", "''")}'
+           AS t
+  FROM documents),
+stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               t,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''),
+           '\\s+', ' ', 'g')) AS text_clean
+  FROM wrapped)
+SELECT doc_id, text_clean, length(text_clean)::INT AS n_clean_chars
+FROM stripped
+""",
+    )
+
+    add(
+        "text_chunk_overlap",
+        # RAG char-window chunking: size 120, overlap 20 — a narrow
+        # doc-local explode (NO shuffle, plan-pinned), ragged tail,
+        # empty docs emit nothing
+        lambda spark, sf: chunk_text(_docs(spark, sf), size=120, overlap=20),
+        """
+SELECT doc_id, i::INT AS chunk_idx, (i * 100)::BIGINT AS begin,
+       substring(text, (i * 100 + 1)::INT, 120) AS chunk_text
+FROM documents,
+     LATERAL unnest(range(CAST(ceil(greatest(length(text) - 20, 1) / 100.0)
+                           AS BIGINT))) AS t(i)
+WHERE length(text) > 0
+""",
+    )
+
     return reg
 
 

@@ -471,12 +471,24 @@ def bloom_merge(a: DataFrame, b_df: DataFrame) -> DataFrame:
 
 
 def bloom_contains(bits: DataFrame, df: DataFrame, col: str,
-                   m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+                   m_bits: int = 1 << 20, k: int = 5,
+                   eager: bool = True) -> DataFrame:
     """Probe a frame: adds ``maybe_present`` (true iff ALL k bit
     positions are set). The bits side broadcasts — this is the pre-join
     filter: ``df.where(...)`` on the result prunes the huge side before
-    an exact verification join."""
+    an exact verification join.
+
+    Shape notes for scale: the k broadcast joins keep the PROBE side
+    shuffle-free (the explode-then-groupBy alternative moves k x probe
+    rows through an exchange — wrong side to multiply at 100 TB), and
+    the bit table is pinned via ``localCheckpoint`` first so the k
+    broadcasts serialize one materialized <= m_bits-row table instead of
+    re-running the build lineage k times (A/B in BENCH.md; 4x on the
+    bench config). ``eager=False`` skips the pin when the caller already
+    persisted/checkpointed ``bits``."""
     marked = bits.withColumn("_set", F.lit(1))
+    if eager:
+        marked = marked.localCheckpoint(eager=True)
     out = df
     for i in range(k):
         pos = F.pmod(

@@ -670,3 +670,71 @@ def dsir_gumbel_topk(docs: DataFrame, target: DataFrame, n: int,
         F.round(F.col("log_weight") / F.lit(float(beta)) + g, 4).alias("gumbel_score"),
     )
     return scored.orderBy(F.desc("gumbel_score"), F.asc("doc_id")).limit(n)
+
+
+# HTML boilerplate removal: the CommonCrawl-style extraction pre-pass.
+# Patterns deliberately avoid backreferences (RE2 has none) and stay
+# ASCII, so the Java and RE2 engines agree and the driver entry can
+# mirror the exact chain in DuckDB.
+_HTML_STRIP_PATTERNS = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]+>",
+)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+)
+
+
+def strip_html(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """HTML/boilerplate removal: (doc_id, text_clean, n_clean_chars) —
+    script/style blocks and comments dropped whole, remaining tags
+    replaced by spaces (so ``a<br>b`` keeps a word boundary), the six
+    common entities decoded, whitespace collapsed and trimmed. Pure JVM
+    ``regexp_replace``/``replace`` chain in whole-stage codegen: no
+    Python, no shuffle — the narrow map every crawl-extraction pipeline
+    runs before tokenization."""
+    t = F.col(text_col)
+    for pat in _HTML_STRIP_PATTERNS:
+        t = F.regexp_replace(t, pat, " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("text_clean"),
+        F.length(t).cast("int").alias("n_clean_chars"),
+    )
+
+
+def chunk_text(docs: DataFrame, size: int, overlap: int = 0,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-window chunking for RAG / embedding pipelines:
+    (doc_id, chunk_idx, begin, chunk_text) — windows of ``size`` chars
+    starting every ``size - overlap`` chars, last window ragged, empty
+    docs emit no rows. A doc-local explode: NO shuffle at all (narrow
+    1->N map), chunk count = ceil(max(len - overlap, 1) / stride), so a
+    100 TB corpus chunks at scan speed and downstream ops key on
+    (doc_id, chunk_idx)."""
+    if size <= 0 or not 0 <= overlap < size:
+        raise ValueError(f"need size > overlap >= 0, got {size}/{overlap}")
+    stride = size - overlap
+    ln = F.length(F.col(text_col))
+    n_chunks = F.ceil(
+        F.greatest(ln - F.lit(overlap), F.lit(1)) / F.lit(stride)
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = docs.where(ln > 0).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"), idx
+    )
+    begin = F.col("chunk_idx").cast("long") * F.lit(stride)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        begin.alias("begin"),
+        F.substring(F.col("_t"), (begin + 1).cast("int"), size)
+        .alias("chunk_text"),
+    )
