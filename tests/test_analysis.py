@@ -250,3 +250,29 @@ def test_compound_word_filter():
     drop = AnalyzerSpec(stoplist=None, minsize=1, compound_words=words,
                         keep_compound=False)
     assert [t for t, _ in analyze_text("database", drop)] == ["data", "base"]
+
+
+def test_fancy_preset_splits_intraword():
+    from whoosh_spark.analysis import FANCY, analyze_text
+
+    toks = [t for t, _ in analyze_text("getUserName with under_score v2", FANCY)]
+    # camelCase + underscore splits, lowercased, stop/minsize applied
+    assert "get" in toks and "user" in toks and "name" in toks
+    assert "under" in toks and "score" in toks
+    assert "with" not in toks  # stoplist still active
+
+
+def test_language_preset_english_is_stemming():
+    from whoosh_spark.analysis import LANGUAGE, STEMMING, analyze_text
+
+    assert analyze_text("running runners ran", LANGUAGE("en")) == \
+        analyze_text("running runners ran", STEMMING)
+
+
+def test_language_preset_unsupported_raises():
+    import pytest
+
+    from whoosh_spark.analysis import LANGUAGE
+
+    with pytest.raises(NotImplementedError, match="snowball"):
+        LANGUAGE("de")

@@ -167,6 +167,28 @@ def SHINGLES(size: int, sep: str = " ") -> AnalyzerSpec:
     return AnalyzerSpec(stoplist=None, minsize=1, shingle_size=size, shingle_sep=sep)
 
 
+# FancyAnalyzer: RegexTokenizer | IntraWordFilter | LowercaseFilter |
+# StopFilter (reference: analysis/analyzers.py::FancyAnalyzer ~L200 —
+# the camelCase/underscore-splitting chain)
+FANCY = AnalyzerSpec(intraword=True)
+
+
+def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
+    """LanguageAnalyzer analogue (reference: analysis/analyzers.py::
+    LanguageAnalyzer ~L220: tokenize | lowercase | language stoplist |
+    snowball stem). English is fully supported (Porter + the reference
+    STOP_WORDS). Other languages would need their snowball stemmer and
+    stoplist ported (reference: lang/snowball/, lang/stopwords.py) —
+    out of scope here, so they raise instead of silently degrading
+    (COVERAGE.md notes the gap)."""
+    if lang not in ("en", "en_US", "english"):
+        raise NotImplementedError(
+            f"LanguageAnalyzer({lang!r}): only English snowball/stoplist "
+            "data is bundled; port the reference lang tables to add more"
+        )
+    return AnalyzerSpec(stem=True)
+
+
 @dataclass(frozen=True)
 class AnalyzedBatch:
     """Flat (row, term, pos) view of an analyzed batch of texts.
