@@ -1071,3 +1071,15 @@ def test_chunk_text_validation(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError, match="size > overlap"):
         chunk_text(df, size=5, overlap=5)
+
+
+def test_strip_html_escaped_markup_stays_escaped(spark):
+    from whoosh_spark.pipeline.textstats import strip_html
+
+    # '&amp;lt;' is the ESCAPED text '&lt;' — decoding &amp; last keeps
+    # it as text instead of double-unescaping into live markup chars
+    df = spark.createDataFrame(
+        [(1, "use &amp;lt;script&amp;gt; tags &amp; enjoy")],
+        "doc_id long, text string")
+    out = strip_html(df).collect()[0]
+    assert out.text_clean == "use &lt;script&gt; tags & enjoy"

@@ -327,3 +327,34 @@ def test_bloom_validation(spark):
     df = spark.range(5).select(F.col("id").alias("key"))
     with pytest.raises(ValueError, match="bad filter shape"):
         bloom_bits(df, "key", m_bits=1, k=0)
+
+
+def test_hll_ignores_nulls_like_count_distinct(spark):
+    from whoosh_spark.pipeline.sketch import hll_distinct
+
+    base = spark.range(300).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    with_nulls = base.unionByName(
+        spark.range(50).select(F.lit(None).cast("string").alias("v")))
+    a = hll_distinct(base, "v", b=8).collect()[0]
+    b = hll_distinct(with_nulls, "v", b=8).collect()[0]
+    assert (a.n_buckets, a.hll_estimate) == (b.n_buckets, b.hll_estimate)
+
+
+def test_hll_b_below_published_constants_rejected(spark):
+    from whoosh_spark.pipeline.sketch import hll_registers
+
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match=r"\[4, 16\]"):
+        hll_registers(df, "v", b=3)
+
+
+def test_hist_ignores_nulls(spark):
+    from whoosh_spark.pipeline.sketch import hist_quantiles
+
+    base = spark.range(500).select((F.lit(100.0)).alias("v"))
+    with_nulls = base.unionByName(
+        spark.range(500).select(F.lit(None).cast("double").alias("v")))
+    a = hist_quantiles(base, "v", [0.5], subbits=5).collect()[0]
+    b = hist_quantiles(with_nulls, "v", [0.5], subbits=5).collect()[0]
+    # NULLs must not drag the median toward bucket 0
+    assert a.est == b.est and b.est > 90.0

@@ -3186,7 +3186,7 @@ FROM ranked
 WITH h AS (
   SELECT event_type,
          ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hh
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 reg AS (
   SELECT event_type, hh >> 56 AS bucket,
          max(CASE WHEN hh % 72057594037927936 = 0 THEN 57
@@ -3308,7 +3308,7 @@ FROM est e LEFT JOIN truth t USING (key)
 WITH mm AS (
   SELECT event_type,
          greatest(CAST(floor(value * 1000.0) AS BIGINT), 0) AS m
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 bk AS (
   SELECT event_type,
          CASE WHEN m < 64 THEN m
@@ -3459,8 +3459,8 @@ stripped AS (
                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                '(?s)<!--.*?-->', ' ', 'g'),
                '<[^>]+>', ' ', 'g'),
-             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
            '\\s+', ' ', 'g')) AS text_clean
   FROM wrapped)
 SELECT doc_id, text_clean, length(text_clean)::INT AS n_clean_chars

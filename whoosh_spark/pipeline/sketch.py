@@ -181,10 +181,16 @@ def hll_registers(df: DataFrame, col: str, b: int = 10,
     rho = 1 + leading zeros of the remaining ``60-b`` bits (computed via
     the exact integer identity rho = wbits - bit_length(w) + 1 — no
     floating log2, so no cross-engine rounding edge)."""
-    if not 2 <= b <= 16:
-        raise ValueError(f"b must be in [2, 16], got {b}")
+    if not 4 <= b <= 16:
+        # no published bias constant below m=16 (Flajolet 2007 tables
+        # start there); estimates at m=4/8 would be uncontrolled
+        raise ValueError(f"b must be in [4, 16], got {b}")
     wbits = _HASH_BITS - b
     dims = [by] if by else []
+    # NULLs hash to NULL and would corrupt the register frame (a
+    # NULL-bucket row inflates n_buckets while contributing nothing to
+    # the denominator); countDistinct ignores NULLs, so does the sketch
+    df = df.where(F.col(col).isNotNull())
     h = kmv_hash(col)
     bucket = F.shiftrightunsigned(h, wbits).cast("int")
     w = F.pmod(h, F.lit(1 << wbits))
@@ -360,7 +366,10 @@ def hist_sketch(df: DataFrame, col: str, by: str | None = None,
     dims = [by] if by else []
     m = F.greatest(F.floor(F.col(col).cast("double") * F.lit(float(scale)))
                    .cast("long"), F.lit(0).cast("long"))
-    base = df.select(*dims, m.alias("_m"))
+    # NULL values must be IGNORED like every quantile aggregate does —
+    # without the filter, greatest(NULL, 0) = 0 would silently pile
+    # NULLs into bucket 0 and drag the quantiles down
+    base = df.where(F.col(col).isNotNull()).select(*dims, m.alias("_m"))
     blen = F.length(F.bin(F.col("_m"))).cast("int")
     e = blen - F.lit(sb + 1)
     bucket = (
@@ -448,19 +457,26 @@ def hist_quantiles(df: DataFrame, col: str, qs: list[float],
 # the decontamination / incremental-dedup pre-pass.
 
 
+def bloom_hash(col, i: int, m_bits: int) -> "F.Column":
+    """Hash row ``i``'s bit position for a value — ONE definition shared
+    by build and probe (a lone edit to either side would silently break
+    the no-false-negatives guarantee)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{i}:"),
+                                          c.cast("string"))),
+                           1, 15), 16, 10).cast("long"),
+        F.lit(m_bits),
+    ).cast("long")
+
+
 def bloom_bits(df: DataFrame, col: str, m_bits: int = 1 << 20,
                k: int = 5) -> DataFrame:
     """Build the sparse bit table: (bit,) distinct positions set."""
     if k < 1 or m_bits < 2:
         raise ValueError(f"bad filter shape m_bits={m_bits} k={k}")
     coords = F.explode(F.array(*[
-        F.pmod(
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{i}:"),
-                                              F.col(col).cast("string"))),
-                               1, 15), 16, 10).cast("long"),
-            F.lit(m_bits),
-        ).cast("long")
-        for i in range(k)
+        bloom_hash(col, i, m_bits) for i in range(k)
     ])).alias("bit")
     return df.select(coords).distinct()
 
@@ -491,14 +507,8 @@ def bloom_contains(bits: DataFrame, df: DataFrame, col: str,
         marked = marked.localCheckpoint(eager=True)
     out = df
     for i in range(k):
-        pos = F.pmod(
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{i}:"),
-                                              F.col(col).cast("string"))),
-                               1, 15), 16, 10).cast("long"),
-            F.lit(m_bits),
-        )
         out = (
-            out.withColumn("_bit", pos)
+            out.withColumn("_bit", bloom_hash(col, i, m_bits))
             .join(F.broadcast(marked).withColumnRenamed("bit", "_bit")
                   .withColumnRenamed("_set", f"_s{i}"),
                   "_bit", "left")

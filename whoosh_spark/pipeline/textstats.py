@@ -683,8 +683,10 @@ _HTML_STRIP_PATTERNS = (
     r"<[^>]+>",
 )
 _HTML_ENTITIES = (
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "'"),
+    # &amp; must decode LAST: escaped markup like '&amp;lt;' means the
+    # literal text '&lt;' and must NOT double-unescape into '<'
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
 )
 
 
