@@ -262,11 +262,83 @@ def test_fancy_preset_splits_intraword():
     assert "with" not in toks  # stoplist still active
 
 
-def test_language_preset_english_is_stemming():
+def test_language_preset_english_is_snowball_not_classic_porter():
     from whoosh_spark.analysis import LANGUAGE, STEMMING, analyze_text
 
-    assert analyze_text("running runners ran", LANGUAGE("en")) == \
-        analyze_text("running runners ran", STEMMING)
+    # the reference's LanguageAnalyzer("en") resolves the SNOWBALL
+    # stemmer + snowball stoplist; "en_porter" is the classic escape hatch
+    assert analyze_text("fairly skies", LANGUAGE("en")) == \
+        [("fair", 0), ("sky", 1)]
+    assert analyze_text("fairly skies", LANGUAGE("en_porter")) == \
+        [("fairli", 0), ("ski", 1)]
+    assert analyze_text("x", LANGUAGE("en_porter")) == \
+        analyze_text("x", STEMMING)
+    # snowball stoplist is wider than the default: 'our'/'has' stop here
+    # (positions renumber after stopping, the engine's StopFilter default)
+    assert analyze_text("our spark has vectors", LANGUAGE("en")) == \
+        [("spark", 0), ("vector", 1)]
+
+
+def test_porter2_attested_vectors():
+    from whoosh_spark.lang import stem2
+
+    vectors = {
+        # exceptional forms + invariants
+        "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+        "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+        "early": "earli", "only": "onli", "singly": "singl",
+        "sky": "sky", "news": "news", "bias": "bias",
+        "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+        "inning": "inning", "herring": "herring",
+        # step 1a/1b
+        "caresses": "caress", "ponies": "poni", "ties": "tie",
+        "cries": "cri", "gas": "gas", "this": "this", "agreed": "agre",
+        "feed": "feed", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "hoping": "hope",
+        # step 1c
+        "happy": "happi", "cry": "cri", "by": "by", "say": "say",
+        # step 2
+        "relational": "relat", "conditional": "condit",
+        "rational": "ration", "valenci": "valenc", "hesitanci": "hesit",
+        "digitizer": "digit", "conformabli": "conform",
+        "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "fairly": "fair",
+        "generously": "generous", "knightly": "knight",
+        # step 3 (note: 'ative' needs R2, so formative -> format via
+        # step 4's 'ive', unlike classic Porter's 'form')
+        "triplicate": "triplic", "formative": "format",
+        "formalize": "formal", "electriciti": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        # step 4
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "communism",
+        "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler",
+        # step 5
+        "probate": "probat", "rate": "rate", "controll": "control",
+        "roll": "roll", "generate": "generat",
+        # end-to-end attested
+        "consign": "consign", "consigned": "consign",
+        "consigning": "consign", "consignment": "consign",
+        "abilities": "abil", "running": "run",
+    }
+    bad = {w: (stem2(w), want) for w, want in vectors.items()
+           if stem2(w) != want}
+    assert not bad, bad
 
 
 def test_language_preset_unsupported_raises():

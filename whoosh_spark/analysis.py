@@ -67,7 +67,11 @@ class AnalyzerSpec:
     minsize: int = 2
     maxsize: int | None = None
     ngram: tuple[int, int] | None = None
-    stem: bool = False  # StemFilter (Porter) after the stop filter
+    # StemFilter after the stop filter: True/"porter" = classic Porter
+    # (StemmingAnalyzer), "porter2" = English Snowball (what the
+    # reference's LanguageAnalyzer("en") selects via
+    # lang.stemmer_for_language)
+    stem: "bool | str" = False
     # CharsetFilter analogue (src/whoosh/analysis/filters.py::CharsetFilter
     # with the accent map): NFKD-decompose + strip combining marks, applied
     # right after lowercasing so stop/minsize filters see folded terms
@@ -175,18 +179,26 @@ FANCY = AnalyzerSpec(intraword=True)
 
 def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     """LanguageAnalyzer analogue (reference: analysis/analyzers.py::
-    LanguageAnalyzer ~L220: tokenize | lowercase | language stoplist |
-    snowball stem). English is fully supported (Porter + the reference
-    STOP_WORDS). Other languages would need their snowball stemmer and
-    stoplist ported (reference: lang/snowball/, lang/stopwords.py) —
-    out of scope here, so they raise instead of silently degrading
-    (COVERAGE.md notes the gap)."""
+    LanguageAnalyzer ~L220: tokenize | lowercase | StopFilter(lang) |
+    StemFilter(lang)). For English the reference resolves the SNOWBALL
+    (Porter2) stemmer and the Snowball English stoplist via
+    lang.stemmer_for_language — NOT the classic Porter/default-stoplist
+    chain StemmingAnalyzer uses — so that is what this preset selects
+    (lang.py::stem2 + SNOWBALL_STOP_EN). ``"en_porter"`` mirrors the
+    reference's classic-Porter escape hatch. Other languages would need
+    their snowball stemmer and stoplist ported (reference:
+    lang/snowball/, lang/stopwords.py) — out of scope here, so they
+    raise instead of silently degrading (COVERAGE.md notes the gap)."""
+    from whoosh_spark.lang import SNOWBALL_STOP_EN
+
+    if lang == "en_porter":
+        return AnalyzerSpec(stem=True)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
             f"LanguageAnalyzer({lang!r}): only English snowball/stoplist "
             "data is bundled; port the reference lang tables to add more"
         )
-    return AnalyzerSpec(stem=True)
+    return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
 
 @dataclass(frozen=True)
@@ -286,7 +298,10 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
     if spec.stem:
         # stem per UNIQUE term (zipfian batches -> tiny vocabulary), the
         # reference's StemFilter lru_cache trick vectorized via Series.map
-        from whoosh_spark.lang import stem as _stem
+        if spec.stem == "porter2":
+            from whoosh_spark.lang import stem2 as _stem
+        else:
+            from whoosh_spark.lang import stem as _stem
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}
         kept = kept.map(mapping)

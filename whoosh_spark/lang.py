@@ -173,3 +173,239 @@ def stem_many(terms, memo: dict | None = None):
             memo[t] = s
         out.append(s)
     return out
+
+
+# ------------------------------------------------------------------ Porter2
+# The English (Porter2) Snowball stemmer — an independent implementation
+# of the published algorithm (snowballstem.org "The English (Porter2)
+# stemming algorithm", M.F. Porter 2002). Reference surface:
+# src/whoosh/lang/porter2.py::stem, selected by
+# lang.stemmer_for_language("en") and therefore by
+# analysis/analyzers.py::LanguageAnalyzer("en") — where the classic
+# Porter (above) backs StemmingAnalyzer / "en_porter". The two differ on
+# real forms (fairly -> fair vs fairli, skies -> sky vs ski), so
+# LanguageAnalyzer parity needs this one. Validated on attested
+# input/output pairs (tests/test_analysis.py) — the official sample
+# vocabulary is not available offline, so vectors are the widely-quoted
+# subset, stated as such.
+
+_V2 = set("aeiouy")
+_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_VALID_LI = set("cdeghkmnrt")
+
+_P2_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_P2_EXCEPTIONS_1A = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed"))
+
+
+def _p2_regions(word: str) -> tuple[int, int]:
+    """(r1, r2) start offsets per the spec, with the gener-/commun-/
+    arsen- R1 exception."""
+    n = len(word)
+    for pre in ("gener", "commun", "arsen"):
+        if word.startswith(pre):
+            r1 = len(pre)
+            break
+    else:
+        r1 = n
+        for i in range(1, n):
+            if word[i] not in _V2 and word[i - 1] in _V2:
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if word[i] not in _V2 and word[i - 1] in _V2:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _p2_is_short_syllable(word: str, i: int) -> bool:
+    """Short syllable at index i (a vowel): either a non-initial vowel
+    followed by a non-vowel other than w/x/Y and preceded by a
+    non-vowel, or an initial vowel followed by a non-vowel."""
+    c = word[i]
+    if c not in _V2 or c == "Y":
+        return False
+    if i == 0:
+        return len(word) >= 2 and word[1] not in _V2
+    return (
+        i + 1 < len(word)
+        and word[i + 1] not in _V2
+        and word[i + 1] not in "wxY"
+        and word[i - 1] not in _V2
+    )
+
+
+def _p2_is_short(word: str, r1: int) -> bool:
+    return r1 >= len(word) and len(word) >= 2 and \
+        _p2_is_short_syllable(word, len(word) - 2)
+
+
+def _p2_has_vowel(s: str) -> bool:
+    return any(c in _V2 for c in s)
+
+
+def stem2(word: str) -> str:
+    """English (Porter2) Snowball stem of an already-lowercased word."""
+    if len(word) <= 2:
+        return word
+    # step 0: apostrophe trimming (defensive — the default tokenizer
+    # never emits apostrophes)
+    if word.startswith("'"):
+        word = word[1:]
+    if word.endswith("'s'"):
+        word = word[:-3]
+    elif word.endswith("'s"):
+        word = word[:-2]
+    elif word.endswith("'"):
+        word = word[:-1]
+    if len(word) <= 2:
+        return word
+    exc = _P2_EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+    # mark consonant-y as Y
+    chars = list(word)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _V2:
+            chars[i] = "Y"
+    word = "".join(chars)
+    r1, r2 = _p2_regions(word)
+
+    # ---- step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith("ied") or word.endswith("ies"):
+        word = word[:-2] if len(word) > 4 else word[:-1]
+    elif word.endswith("ss") or word.endswith("us"):
+        pass
+    elif word.endswith("s"):
+        # delete if the preceding part has a vowel NOT immediately
+        # before the s
+        if _p2_has_vowel(word[:-2]):
+            word = word[:-1]
+    if word in _P2_EXCEPTIONS_1A:
+        return word.lower()
+
+    # ---- step 1b
+    if word.endswith("eedly"):
+        if len(word) - 5 >= r1:
+            word = word[:-3]
+    elif word.endswith("eed"):
+        if len(word) - 3 >= r1:
+            word = word[:-1]
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if word.endswith(suf):
+                stem_part = word[: -len(suf)]
+                if _p2_has_vowel(stem_part):
+                    word = stem_part
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(_DOUBLES):
+                        word = word[:-1]
+                    elif _p2_is_short(word, r1):
+                        word += "e"
+                break
+
+    # ---- step 1c: y/Y -> i after a non-vowel that is not word-initial
+    if (
+        len(word) > 2
+        and word[-1] in "yY"
+        and word[-2] not in _V2
+    ):
+        word = word[:-1] + "i"
+
+    # ---- step 2 (longest suffix, condition: in R1)
+    _STEP2 = (
+        ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+        ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+        ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+        ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+        ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("bli", "ble"),
+    )
+    for suf, repl in _STEP2:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + repl
+            break
+    else:
+        if word.endswith("ogi"):
+            if len(word) - 3 >= r1 and len(word) >= 4 and word[-4] == "l":
+                word = word[:-1]
+        elif word.endswith("li"):
+            if len(word) - 2 >= r1 and word[-3] in _VALID_LI:
+                word = word[:-2]
+
+    # ---- step 3 (in R1; ative additionally needs R2)
+    _STEP3 = (
+        ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+        ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+        ("ful", ""), ("ness", ""),
+    )
+    if word.endswith("ative"):
+        if len(word) - 5 >= r1 and len(word) - 5 >= r2:
+            word = word[:-5]
+    else:
+        for suf, repl in _STEP3:
+            if word.endswith(suf):
+                if len(word) - len(suf) >= r1:
+                    word = word[: -len(suf)] + repl
+                break
+
+    # ---- step 4 (in R2)
+    _STEP4 = ("ement", "ance", "ence", "able", "ible", "ment",
+              "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+              "al", "er", "ic")
+    for suf in _STEP4:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r2:
+                word = word[: -len(suf)]
+            break
+    else:
+        if word.endswith("ion"):
+            if len(word) - 3 >= r2 and len(word) >= 4 and word[-4] in "st":
+                word = word[:-3]
+
+    # ---- step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2:
+            word = word[:-1]
+        elif len(word) - 1 >= r1 and not (
+            len(word) >= 3 and _p2_is_short_syllable(word, len(word) - 3)
+        ):
+            word = word[:-1]
+    elif word.endswith("l"):
+        if len(word) - 1 >= r2 and len(word) >= 2 and word[-2] == "l":
+            word = word[:-1]
+
+    return word.lower()
+
+
+# The published Snowball English stopword list (snowballstem.org
+# english/stop.txt) — the data LanguageAnalyzer("en")'s StopFilter uses,
+# a superset of the default STOP_WORDS above.
+SNOWBALL_STOP_EN = frozenset("""
+i me my myself we our ours ourselves you your yours yourself yourselves
+he him his himself she her hers herself it its itself they them their
+theirs themselves what which who whom this that these those am is are
+was were be been being have has had having do does did doing a an the
+and but if or because as until while of at by for with about against
+between into through during before after above below to from up down in
+out on off over under again further then once here there when where why
+how all any both each few more most other some such no nor not only own
+same so than too very s t can will just don should now
+""".split())
