@@ -114,6 +114,118 @@ def _text_postings_generator(field_spec: FieldSpec, doc_id_col: str):
     return gen
 
 
+def _jvm_analyzer_eligible(spec) -> bool:
+    """True when the analyzer chain is the plain tokenize → lowercase →
+    stop/minsize → renumber shape with every advanced stage off — the
+    shape the JVM fast path reproduces exactly (for ASCII text)."""
+    from whoosh_spark.analysis import AnalyzerSpec
+
+    plain = AnalyzerSpec(
+        pattern=spec.pattern, lowercase=spec.lowercase,
+        stoplist=spec.stoplist, minsize=spec.minsize, maxsize=spec.maxsize,
+    )
+    return spec == plain and spec.lowercase
+
+
+def _text_postings_jvm(field_spec: FieldSpec, doc_id_col: str, docs: DataFrame) -> DataFrame:
+    """Pure-JVM postings for a plain-chain TEXT field
+    (``build_index(analyzer_engine="jvm")``).
+
+    Same output contract as :func:`_text_postings_generator` and pinned
+    EXACTLY equal to it on ASCII corpora (tests/test_jvm_analyzer.py):
+    per-(doc, term) rows, renumbered positions, byte-quantized dl
+    (``F.bround`` = numpy rint's HALF_EVEN; equality exhaustive over the
+    full 0..68000 length domain).
+
+    Shape: tokenize/filter in whole-stage codegen, posexplode, then ONE
+    (doc_id, term) hash aggregate (count + sort_array(collect_list(pos))
+    — ObjectHashAggregate combines map-side, so the exchange carries
+    posting rows, not raw tokens). Measured A/B at 2M turns local[32],
+    warm: the tokenize+combine stage alone runs 2.1 s vs 4.5 s Arrow,
+    but END-TO-END build incl. the shared terms-stats aggregate lands at
+    PARITY (4.2–4.8 s vs 4.5–4.6 s — within host variance; BENCH.md).
+    Two candidate JVM shapes were measured and the all-HOF zero-shuffle
+    variant LOST by 4× (20 s: per-element lambda evaluation beats
+    codegen out of the plan), so this one ships. What the engine buys is
+    therefore not single-box speed: (a) executors need NO Python
+    workers (a pyspark-less serving/ingest tier can build), and (b) a
+    fully independent reimplementation of the analyzer that is pinned
+    BIT-EXACT against the Python chain — a standing cross-validation of
+    the tokenizer/stoplist/renumber/quantize semantics. Trade-off: the
+    Arrow build has NO wide stage at all, while this path shuffles the
+    postings once — on a network-bound cluster that exchange is the
+    bottleneck the default avoids, so Arrow stays the default.
+
+    ASCII caveat (the other reason it's opt-in): JVM ``lower()`` and
+    Java regex ``\\w`` differ from Python ``str.lower()``/``re`` on
+    unicode edges (dotted İ, ß, non-Latin word chars). The default
+    engine keeps the Python chain per SURVEY's unicode-parity note.
+    """
+    import math as _math
+
+    from whoosh_spark.util import BYTE_TO_LENGTH
+
+    name = field_spec.name
+    spec = field_spec.analyzer
+    boost = float(field_spec.field_boost)
+    ln_base = _math.log(1.0325)
+
+    toks = F.regexp_extract_all(F.lower(F.col(name)), F.lit(spec.pattern), 0)
+    stop = sorted(spec.stoplist) if spec.stoplist else []
+
+    def _keep(t):
+        cond = F.length(t) >= F.lit(int(spec.minsize))
+        if spec.maxsize is not None:
+            cond = cond & (F.length(t) <= F.lit(int(spec.maxsize)))
+        if stop:
+            cond = cond & ~t.isin(*stop)
+        return cond
+
+    kept = F.filter(toks, _keep)
+    raw_len = F.size(kept)
+    # length_to_byte: bround(ln(len/8+1)/ln(1.0325)) clamped [0, 255],
+    # 0 for empty, 255 from 68000 — then decode through the exact table
+    byte = F.when(raw_len <= 0, F.lit(0)).when(
+        raw_len >= 68000, F.lit(255)
+    ).otherwise(
+        F.least(
+            F.lit(255),
+            F.bround(
+                F.log(raw_len.cast("double") / F.lit(8.0) + F.lit(1.0))
+                / F.lit(ln_base)
+            ).cast("int"),
+        )
+    )
+    dl = F.element_at(
+        F.array(*[F.lit(int(v)) for v in BYTE_TO_LENGTH]), byte + 1
+    ).cast("long")
+
+    ex = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        dl.alias("_dl"),
+        F.posexplode(kept).alias("_p", "_term"),
+    )
+    weight = F.count("*").cast("double")
+    if boost != 1.0:
+        weight = weight * F.lit(boost)
+    return (
+        ex.groupBy("doc_id", "_term")
+        .agg(
+            weight.alias("weight"),
+            F.sort_array(F.collect_list("_p")).alias("positions"),
+            F.first("_dl").alias("dl"),
+        )
+        .select(
+            F.lit(name).alias("field"),
+            F.col("_term").alias("term"),
+            "doc_id",
+            "weight",
+            "positions",
+            "dl",
+        )
+    )
+
+
 @dataclass
 class InvertedIndex:
     """Logical index handle: the reference's Index+IndexReader surface
@@ -376,6 +488,7 @@ def build_index(
     schema: Schema,
     doc_id_col: str = "doc_id",
     materialize: bool = True,
+    analyzer_engine: str = "arrow",
 ) -> InvertedIndex:
     """Build the logical inverted index from a docs DataFrame.
 
@@ -390,9 +503,19 @@ def build_index(
     use the block cache.) Pass ``materialize=False`` to keep the build fully
     lazy, e.g. when immediately handing postings to a streaming sink.
     """
+    if analyzer_engine not in ("arrow", "jvm"):
+        raise ValueError(f"analyzer_engine must be 'arrow' or 'jvm', got {analyzer_engine!r}")
     parts: list[DataFrame] = []
     for fs in schema.text_fields():
         src = docs.select(doc_id_col, fs.name)
+        if analyzer_engine == "jvm":
+            # opt-in whole-stage-codegen path (ASCII parity; see
+            # _text_postings_jvm docstring). Fields whose chain the JVM
+            # path can't express keep the Arrow engine — mixing engines
+            # per field is fine, the output contract is identical.
+            if _jvm_analyzer_eligible(fs.analyzer):
+                parts.append(_text_postings_jvm(fs, doc_id_col, docs))
+                continue
         parts.append(src.mapInArrow(_text_postings_generator(fs, doc_id_col), POSTINGS_SCHEMA))
 
     # All ID/BOOLEAN fields in ONE scan: per row, an array of (field, term)

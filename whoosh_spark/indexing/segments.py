@@ -331,6 +331,7 @@ def build_segments(
     resume: bool = True,
     max_concurrent: int = 4,
     doc_chunk: int = BUILD_DOC_CHUNK,
+    analyzer_engine: str = "arrow",
 ) -> dict:
     """Build (or resume) the physical segmented index at ``path``.
 
@@ -359,7 +360,8 @@ def build_segments(
         lo, hi = seg_id * per_seg, min((seg_id + 1) * per_seg, doc_count)
         t0 = time.perf_counter()
         seg_docs = docs.where((F.col(doc_id_col) >= lo) & (F.col(doc_id_col) < hi))
-        ix = build_index(spark, seg_docs, schema, doc_id_col=doc_id_col, materialize=False)
+        ix = build_index(spark, seg_docs, schema, doc_id_col=doc_id_col,
+                         materialize=False, analyzer_engine=analyzer_engine)
         packed = (
             ix.postings.withColumn(
                 "_chunk", (F.col("doc_id") / F.lit(doc_chunk)).cast("long")
