@@ -1083,3 +1083,28 @@ def test_strip_html_escaped_markup_stays_escaped(spark):
         "doc_id long, text string")
     out = strip_html(df).collect()[0]
     assert out.text_clean == "use &lt;script&gt; tags & enjoy"
+
+
+def test_upsample_repeat_invariants(spark):
+    from whoosh_spark.pipeline.sampling import upsample_repeat
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.lit(2.3).alias("w"))
+    out = upsample_repeat(df, "w")
+    n = out.count()
+    assert abs(n - 11500) < 250  # E[copies] == w exactly
+    # copy_idx dense 0..k-1 per doc
+    per = out.groupBy("doc_id").agg(
+        F.count("*").alias("k"), F.max("copy_idx").alias("mx"),
+        F.min("copy_idx").alias("mn")).collect()
+    assert all(r.mn == 0 and r.mx == r.k - 1 and r.k in (2, 3) for r in per)
+    # deterministic under partitioning
+    a = sorted((r.doc_id, r.copy_idx) for r in
+               upsample_repeat(df.repartition(1), "w").collect())
+    b = sorted((r.doc_id, r.copy_idx) for r in
+               upsample_repeat(df.repartition(13), "w").collect())
+    assert a == b
+    # w < 1 downsamples, w <= 0 drops
+    assert abs(upsample_repeat(
+        df.withColumn("w", F.lit(0.25)), "w").count() - 1250) < 120
+    assert upsample_repeat(df.withColumn("w", F.lit(0.0)), "w").count() == 0

@@ -3540,6 +3540,36 @@ WHERE length(text) > 0
 """,
     )
 
+    def _upsample(spark, sf):
+        # epoch up-sampling: mixture weight w = 0.5 + n_chars/400 (spans
+        # both the down-sample and multi-copy regimes with varied
+        # fractional parts); floor(w) copies + one more on the md5 coin —
+        # deterministic, so the oracle materializes the identical epoch
+        # stream row for row
+        from whoosh_spark.pipeline.sampling import upsample_repeat
+
+        docs = _docs(spark, sf).withColumn(
+            "w", F.lit(0.5) + F.length("text") / F.lit(400.0))
+        return upsample_repeat(docs, "w").select("doc_id", "copy_idx")
+
+    add(
+        "sample_upsample_repeat",
+        _upsample,
+        """
+WITH w AS (
+  SELECT doc_id, 0.5 + length(text) / 400.0 AS w FROM documents),
+n AS (
+  SELECT doc_id,
+         (floor(w) + CASE WHEN ('0x' || substr(md5('rep:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                            / 4294967296.0 < w - floor(w)
+                     THEN 1 ELSE 0 END)::BIGINT AS n
+  FROM w)
+SELECT doc_id, t.copy_idx::INT AS copy_idx
+FROM n, LATERAL unnest(range(n.n)) AS t(copy_idx)
+WHERE n.n > 0
+""",
+    )
+
     return reg
 
 

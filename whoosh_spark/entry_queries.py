@@ -958,6 +958,7 @@ _WINDOW_FIRST = [
     "sketch_distinct_hll", "sketch_term_counts_cm",
     "sketch_quantiles_value", "sketch_bloom_prefilter",
     "text_strip_html", "text_chunk_overlap", "snowball_search_topk",
+    "sample_upsample_repeat",
     "hybrid_rrf_topk", "ann_mmr_lambda1", "ann_mmr_diverse_topk",
     "facet_top3_by_lang", "percolate_matches", "percolate_indexed_matches",
     "text_bpe_word_counts", "text_bpe_encode", "doc_keywords_top3",

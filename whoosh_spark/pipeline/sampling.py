@@ -160,3 +160,29 @@ def token_budget_sample(docs: DataFrame, budgets: dict, by: str = "lang",
         .where(F.col("_cum_tokens")
                <= F.coalesce(budget_map[F.col(by)], F.lit(0)))
     )
+
+
+def upsample_repeat(docs: DataFrame, weight_col: str,
+                    key_col: str = "doc_id",
+                    salt: str = "rep") -> DataFrame:
+    """Materialize a training-mix up-sampling plan: each row repeats
+    ``floor(w)`` times plus one more with probability ``frac(w)``, the
+    fractional part decided by the deterministic md5 coin (so expected
+    copies == w exactly, reproducible under any partitioning/cluster
+    size). Adds ``copy_idx`` (0-based) — the epoch-repetition step that
+    turns mixture weights > 1 (e.g. from ``mixture_report`` planning)
+    into an actual materialized epoch stream; w <= 0 drops the row.
+    A doc-local 1->N explode: NO shuffle, scan-speed at 100 TB."""
+    w = F.col(weight_col).cast("double")
+    frac = w - F.floor(w)
+    extra = (_hash_u32(key_col, salt).cast("double") / F.lit(float(1 << 32))
+             < frac).cast("long")
+    n_copies = (F.floor(w).cast("long") + extra).alias("_n")
+    out = docs.withColumn("_n", n_copies).where(F.col("_n") > 0)
+    return (
+        out.withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0),
+                                             (F.col("_n") - 1).cast("int")))
+        )
+        .drop("_n")
+    )
