@@ -3,6 +3,8 @@ and the foreachBatch streaming twin."""
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from whoosh_spark import query as Q
@@ -166,7 +168,10 @@ def test_percolate_indexed_validation(spark):
 
     docs = _corpus(spark, 10)
     for bad in (
-        {"p": Q.Phrase("text", ["hash", "join"])},
+        # phrases are supported since round-3 session 4; what still
+        # rejects is a phrase on an AndNot/Require b-side or dup words
+        {"badb": Q.AndNot(Q.Term("text", "spark"),
+                          Q.Phrase("text", ["hash", "join"]))},
         {"scaled": Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")],
                         scale=0.5)},
         {"wrongfield": Q.Term("lang", "en")},
@@ -245,3 +250,51 @@ def test_percolate_indexed_andnot_require_parity(spark):
     plain = {r.doc_id for r in percolate(
         spark, docs, {"t": Q.Term("text", "spark")}, schema=_SCHEMA).collect()}
     assert spark_only < plain
+
+
+def test_percolate_indexed_phrase_parity(spark):
+    """Phrase rules through the indexed tier: the positional chain closes
+    inside the (rule, doc) group — bit-identical to the plan-branch tier
+    incl. slop, boost, and an AndNot with a phrase a-side."""
+    from whoosh_spark.streaming import percolate, percolate_indexed
+
+    docs = _corpus(spark)
+    rules = {
+        "p1": Q.Phrase("text", ["join", "hash"]),
+        "p_slop": Q.Phrase("text", ["merge", "scan"], slop=2),
+        "p_boost": Q.Phrase("text", ["join", "hash"], boost=2.5),
+        "p3": Q.Phrase("text", ["scan", "filter", "batch"]),
+        "p_missing": Q.Phrase("text", ["hash", "zzznope"]),
+        "mix_flat": Q.Or([Q.Term("text", "spark"), Q.Term("text", "batch")]),
+        "andnot_pa": Q.AndNot(Q.Phrase("text", ["join", "hash"]),
+                              Q.Term("text", "table")),
+    }
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert a == b
+    names = {q for q, _ in a}
+    assert "p1" in names and "p_missing" not in names
+    # a phrase is stricter than its AND: every phrase doc contains both
+    # words but not vice versa (corpus has non-adjacent co-occurrences)
+    p1 = {d for q, d in a if q == "p1"}
+    both = {r.doc_id for r in percolate(
+        spark, docs,
+        {"t": Q.And([Q.Term("text", "join"), Q.Term("text", "hash")])},
+        schema=_SCHEMA).collect()}
+    assert p1 <= both
+
+
+def test_percolate_indexed_phrase_validation(spark):
+    from whoosh_spark.streaming import percolate_indexed
+
+    docs = _corpus(spark)
+    with pytest.raises(ValueError, match="excluded/required side"):
+        percolate_indexed(spark, docs, {
+            "bad": Q.AndNot(Q.Term("text", "spark"),
+                            Q.Phrase("text", ["hash", "join"]))},
+            schema=_SCHEMA)
+    with pytest.raises(ValueError, match="duplicate words"):
+        percolate_indexed(spark, docs, {
+            "dup": Q.Phrase("text", ["hash", "hash"])}, schema=_SCHEMA)

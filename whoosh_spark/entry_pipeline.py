@@ -1934,6 +1934,9 @@ FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
             ),
             "spark_not_join": Q.AndNot(Q.Term("text", "spark"), Q.Term("text", "join")),
             "merge_req_batch": Q.Require(Q.Term("text", "merge"), Q.Term("text", "batch")),
+            # phrase rules close their positional chain INSIDE the same
+            # (rule, doc) group — same broadcast, still O(1) plan size
+            "hash_phrase": Q.Phrase("text", ["hash", "join"]),
         }
         out = percolate_indexed(spark, _docs(spark, sf), rules, documents_schema())
         return out.select("query_name", "doc_id", F.round("score", 4).alias("score"))
@@ -1965,6 +1968,12 @@ UNION ALL
 SELECT 'merge_req_batch', doc_id, round(score, 4)
 FROM scored WHERE term = 'merge'
 AND doc_id IN (SELECT doc_id FROM post WHERE term = 'batch')
+UNION ALL
+SELECT 'hash_phrase', s.doc_id, round(sum(s.score), 4)
+FROM scored s WHERE s.term IN ('hash', 'join')
+AND s.doc_id IN (SELECT a.doc_id FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id
+                 AND b.pos = a.pos + 1 WHERE a.term = 'hash' AND b.term = 'join')
+GROUP BY s.doc_id HAVING count(*) = 2
 """,
     )
 

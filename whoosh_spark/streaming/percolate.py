@@ -117,11 +117,12 @@ def percolate_stream(
 
 
 def _flat_rule(name: str, q: Q.Query, fieldname: str):
-    """Flatten one standing rule into (rows, n_required, rule_boost) where
-    rows = [(term, pos_in_query, leaf_boost)]. Raises ValueError for
-    anything beyond flat Term / And-of-Terms / Or-of-Terms on
-    ``fieldname`` — complex trees belong on the plan-branch tier
-    (``percolate``)."""
+    """Flatten one standing rule into (rows, n_required, rule_boost,
+    slop) where rows = [(term, pos_in_query, leaf_boost)] and ``slop``
+    is None for boolean rules or the phrase slop for Phrase rules.
+    Raises ValueError for anything beyond flat Term / And-of-Terms /
+    Or-of-Terms / Phrase on ``fieldname`` — complex trees belong on the
+    plan-branch tier (``percolate``)."""
     def leaf(t: Q.Term, pos: int):
         if t.fieldname != fieldname:
             raise ValueError(
@@ -129,7 +130,19 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
         return (t.text, pos, float(t.boost))
 
     if isinstance(q, Q.Term):
-        return [leaf(q, 0)], 1, 1.0
+        return [leaf(q, 0)], 1, 1.0, None
+    if isinstance(q, Q.Phrase):
+        if q.fieldname != fieldname:
+            raise ValueError(
+                f"rule {name!r}: field {q.fieldname!r} != {fieldname!r}")
+        if len(set(q.words)) != len(q.words):
+            # duplicate words are legal in a phrase but the term-join
+            # would conflate their word slots; route through percolate()
+            raise ValueError(
+                f"rule {name!r}: duplicate words in a phrase rule are "
+                "plan-branch-tier only; use percolate()")
+        rows = [(w, i, 1.0) for i, w in enumerate(q.words)]
+        return rows, len(q.words), float(q.boost), int(q.slop)
     if isinstance(q, (Q.And, Q.Or)):
         kids = q.subqueries
         if not kids or not all(isinstance(k, Q.Term) for k in kids):
@@ -145,7 +158,7 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
             n_req = max(int(getattr(q, "minmatch", 1) or 1), 1)
         else:
             n_req = len(kids)
-        return [leaf(k, i) for i, k in enumerate(kids)], n_req, float(q.boost)
+        return [leaf(k, i) for i, k in enumerate(kids)], n_req, float(q.boost), None
     raise ValueError(
         f"rule {name!r}: {type(q).__name__} not supported by "
         "percolate_indexed; use percolate()")
@@ -153,23 +166,29 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
 
 def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
     """Full per-rule flattening -> (pos_rows, n_required, rule_boost,
-    neg_terms, neg_required, req_terms, req_required). AndNot(a, b):
-    a scored, doc excluded when it matches b (executor's left_anti);
+    slop, neg_terms, neg_required, req_terms, req_required). AndNot(a,
+    b): a scored, doc excluded when it matches b (executor's left_anti);
     Require(a, b): doc kept only when it matches b (left_semi). b must
-    itself be flat Term/And/Or; AND-shaped b excludes/requires only when
-    ALL its terms hit, OR-shaped when minmatch of them hit — exactly the
-    compiled semantics of b as a match set."""
+    itself be flat Term/And/Or (NOT a phrase — a positional b-side needs
+    the plan-branch tier); AND-shaped b excludes/requires only when ALL
+    its terms hit, OR-shaped when minmatch of them hit — exactly the
+    compiled semantics of b as a match set. The a side may be a Phrase
+    (slop carried through)."""
     if isinstance(q, (Q.AndNot, Q.Require)):
-        pos_rows, n_req, a_boost = _flat_rule(name, q.a.normalize(), fieldname)
-        b_rows, b_req, b_boost = _flat_rule(name, q.b.normalize(), fieldname)
+        pos_rows, n_req, a_boost, slop = _flat_rule(name, q.a.normalize(), fieldname)
+        b_rows, b_req, b_boost, b_slop = _flat_rule(name, q.b.normalize(), fieldname)
         del b_boost  # b is a pure match set; its scores/boosts are unused
+        if b_slop is not None:
+            raise ValueError(
+                f"rule {name!r}: a Phrase on the excluded/required side "
+                "needs positional evaluation; use percolate()")
         b_terms = [t for t, _pos, _lb in b_rows]
         rboost = a_boost * float(q.boost)
         if isinstance(q, Q.AndNot):
-            return pos_rows, n_req, rboost, b_terms, b_req, [], None
-        return pos_rows, n_req, rboost, [], None, b_terms, b_req
-    pos_rows, n_req, rboost = _flat_rule(name, q, fieldname)
-    return pos_rows, n_req, rboost, [], None, [], None
+            return pos_rows, n_req, rboost, slop, b_terms, b_req, [], None
+        return pos_rows, n_req, rboost, slop, [], None, b_terms, b_req
+    pos_rows, n_req, rboost, slop = _flat_rule(name, q, fieldname)
+    return pos_rows, n_req, rboost, slop, [], None, [], None
 
 
 def percolate_indexed(
@@ -211,17 +230,21 @@ def percolate_indexed(
         raise ValueError("final()-hook weightings are per-result-set; "
                          "use percolate()")
     # roles: 0 = scoring positive row, 1 = negative (AndNot.b),
-    # 2 = require (Require.b); neg/req rows never contribute score
+    # 2 = require (Require.b); neg/req rows never contribute score.
+    # Phrase rules ride the same rows with ``_slop`` set — their
+    # positional chain closes inside the same (rule, doc) group.
     rows = []
+    any_phrase = False
     for name, q in queries.items():
-        (pos, n_req, rboost, neg_terms, neg_req,
+        (pos, n_req, rboost, slop, neg_terms, neg_req,
          req_terms, req_req) = _flat_rule_full(name, q.normalize(), fieldname)
+        any_phrase = any_phrase or slop is not None
         for t, pos_i, lboost in pos:
-            rows.append((name, t, pos_i, lboost, 0, n_req, neg_req, req_req, rboost))
+            rows.append((name, t, pos_i, lboost, 0, n_req, neg_req, req_req, rboost, slop))
         for t in neg_terms:
-            rows.append((name, t, -1, 0.0, 1, n_req, neg_req, req_req, rboost))
+            rows.append((name, t, -1, 0.0, 1, n_req, neg_req, req_req, rboost, slop))
         for t in req_terms:
-            rows.append((name, t, -1, 0.0, 2, n_req, neg_req, req_req, rboost))
+            rows.append((name, t, -1, 0.0, 2, n_req, neg_req, req_req, rboost, slop))
     if not rows:
         return spark.createDataFrame([], "query_name string, doc_id long, score double")
 
@@ -240,23 +263,30 @@ def percolate_indexed(
         return spark.createDataFrame([], "query_name string, doc_id long, score double")
 
     # per-term idf rides INSIDE the broadcast rule rows (no literal-map
-    # size ceiling: a 100k-rule set is still one small broadcast)
-    p = ix.terms_postings(fieldname, sorted(idf)).select(
-        "doc_id", "term", "weight", "dl"
+    # size ceiling: a 100k-rule set is still one small broadcast).
+    # Positions decode only when some rule is a phrase.
+    pcols = ["doc_id", "term", "weight", "dl"] + (
+        ["positions"] if any_phrase else []
     )
+    p = ix.terms_postings(fieldname, sorted(idf),
+                          positions=any_phrase).select(*pcols)
     rules_df = spark.createDataFrame(
-        [(n, t, q_, lb, role, nr, ngr, rqr, rb, idf[t])
-         for (n, t, q_, lb, role, nr, ngr, rqr, rb) in rows if t in idf],
+        [(n, t, q_, lb, role, nr, ngr, rqr, rb, sl, idf[t])
+         for (n, t, q_, lb, role, nr, ngr, rqr, rb, sl) in rows if t in idf],
         "query_name string, term string, _q int, _lboost double, _role int, "
         "_n_required int, _neg_required int, _req_required int, "
-        "_rboost double, _idf double",
+        "_rboost double, _slop int, _idf double",
     )
     base = w.score_expr(fs, F.col("_idf"), avgdl, F.col("weight"), F.col("dl"))
-    j = p.join(F.broadcast(rules_df), "term").select(
-        "query_name", "doc_id", "_q", "_role",
-        "_n_required", "_neg_required", "_req_required", "_rboost",
+    jcols = [
+        "query_name", "doc_id", F.col("_q"), F.col("_role"),
+        F.col("_n_required"), F.col("_neg_required"), F.col("_req_required"),
+        F.col("_rboost"), F.col("_slop"),
         (base * F.col("_lboost")).alias("score"),
-    )
+        (F.col("positions") if any_phrase
+         else F.lit(None).cast("array<int>")).alias("_pos"),
+    ]
+    j = p.join(F.broadcast(rules_df), "term").select(*jcols)
     # the executor's _ordered_sum: left-assoc fold in query order, so a
     # 2-term AND scores bit-identically to Searcher.compile(And([...]));
     # neg/req rows are nulled out of the fold (collect_list skips nulls)
@@ -264,26 +294,53 @@ def percolate_indexed(
         F.collect_list(
             F.when(
                 F.col("_role") == 0,
-                F.struct(F.col("_q").alias("q"), F.col("score").alias("s")),
+                F.struct(F.col("_q").alias("q"), F.col("score").alias("s"),
+                         F.col("_pos").alias("p")),
             )
         )
     )
-    fold = F.aggregate(items, F.lit(0.0), lambda acc, x: acc + x["s"])
     n_role = lambda r: F.sum(F.when(F.col("_role") == r, 1).otherwise(0))  # noqa: E731
-    out = (
+    grouped = (
         j.groupBy("query_name", "doc_id")
-        .agg(fold.alias("_score"),
+        .agg(items.alias("_items"),
              n_role(0).alias("_n"), n_role(1).alias("_neg"), n_role(2).alias("_hasreq"),
              F.first("_n_required").alias("_req"),
              F.first("_neg_required").alias("_negr"),
              F.first("_req_required").alias("_reqr"),
-             F.first("_rboost").alias("_rb"))
-        .where(
+             F.first("_rboost").alias("_rb"),
+             F.first("_slop").alias("_sl"))
+    )
+    fold = F.aggregate(F.col("_items"), F.lit(0.0), lambda acc, x: acc + x["s"])
+    # phrase rules: close the positional chain over the word-ordered
+    # items — EXACTLY the executor's _phrase_step fold (keep x in next
+    # where some c in current has c < x <= c + slop), then demand a
+    # surviving chain. Only evaluated when _sl is set AND all words are
+    # present (the _n >= _req leg), so element_at(1) is safe.
+    slop_c = F.col("_sl")
+    # guarded: only computed for phrase groups with >= 1 positive item
+    # (element_at(…, 1) would raise under ANSI on an empty array — a
+    # neg-rows-only group of a phrase composite hits that)
+    chain = F.when(
+        slop_c.isNotNull() & (F.size("_items") >= 1),
+        F.aggregate(
+            F.slice(F.col("_items"), 2,
+                    F.greatest(F.size("_items") - 1, F.lit(0))),
+            F.element_at(F.col("_items"), 1)["p"],
+            lambda acc, x: F.filter(
+                x["p"],
+                lambda v: F.exists(acc, lambda c: (v > c) & (v <= c + slop_c)),
+            ),
+        ),
+    ).otherwise(F.lit(None).cast("array<int>"))
+    phrase_ok = slop_c.isNull() | (F.size(chain) > 0)
+    out = (
+        grouped.where(
             (F.col("_n") >= F.col("_req"))
             & (F.col("_negr").isNull() | (F.col("_neg") < F.col("_negr")))
             & (F.col("_reqr").isNull() | (F.col("_hasreq") >= F.col("_reqr")))
         )
+        .where(phrase_ok)
         .select("query_name", "doc_id",
-                (F.col("_score") * F.col("_rb")).alias("score"))
+                (fold * F.col("_rb")).alias("score"))
     )
     return out
