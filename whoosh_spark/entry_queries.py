@@ -869,6 +869,21 @@ SELECT doc_id, round(score, 4) AS score FROM (
         "ORDER BY total_weight DESC, term ASC LIMIT 10",
     )
 
+    add(
+        "complete_prefix_topk",
+        # ranked prefix completion (search-as-you-type): top terms by
+        # collection weight under a prefix — one row-group-pruned pass
+        # over the sorted terms table + TakeOrderedAndProject
+        # (InvertedIndex.most_frequent_terms(prefix=); reference:
+        # reading.py::IndexReader.most_frequent_terms + expand_prefix)
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .index.most_frequent_terms("text", number=10, prefix="s"),
+        PRELUDE
+        + "SELECT term, sum(w)::DOUBLE AS freq FROM post "
+        "WHERE term LIKE 's%' GROUP BY term "
+        "ORDER BY freq DESC, term ASC LIMIT 10",
+    )
+
     def _setops(spark, sf):
         # Results.upgrade_and_extend over two executed result sets
         # (reference: searching.py::Results.upgrade_and_extend ~L1290):
@@ -958,7 +973,7 @@ _WINDOW_FIRST = [
     "sketch_distinct_hll", "sketch_term_counts_cm",
     "sketch_quantiles_value", "sketch_bloom_prefilter",
     "text_strip_html", "text_chunk_overlap", "snowball_search_topk",
-    "sample_upsample_repeat",
+    "sample_upsample_repeat", "complete_prefix_topk",
     "hybrid_rrf_topk", "ann_mmr_lambda1", "ann_mmr_diverse_topk",
     "facet_top3_by_lang", "percolate_matches", "percolate_indexed_matches",
     "text_bpe_word_counts", "text_bpe_encode", "doc_keywords_top3",
