@@ -348,3 +348,21 @@ def test_language_preset_unsupported_raises():
 
     with pytest.raises(NotImplementedError, match="snowball"):
         LANGUAGE("de")
+
+
+def test_unknown_stem_variant_raises():
+    import pytest
+
+    from whoosh_spark.analysis import AnalyzerSpec, analyze_text
+
+    with pytest.raises(ValueError, match="unknown stem variant"):
+        analyze_text("running", AnalyzerSpec(stem="snowball"))
+
+
+def test_snowball_stoplist_is_published_data():
+    from whoosh_spark.lang import SNOWBALL_STOP_EN
+
+    # snowball stop.txt members NLTK lacks
+    assert {"would", "could", "should", "cannot", "ought"} <= SNOWBALL_STOP_EN
+    # NLTK-only additions must NOT be present
+    assert not {"just", "don", "now", "s", "t", "will"} & SNOWBALL_STOP_EN

@@ -300,8 +300,15 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
         # reference's StemFilter lru_cache trick vectorized via Series.map
         if spec.stem == "porter2":
             from whoosh_spark.lang import stem2 as _stem
-        else:
+        elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
+        else:
+            # an unknown stemmer name must NOT silently fall back to
+            # classic Porter — the index would quietly diverge
+            raise ValueError(
+                f"unknown stem variant {spec.stem!r}: use True/'porter' "
+                "or 'porter2'"
+            )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}
         kept = kept.map(mapping)

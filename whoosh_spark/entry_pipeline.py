@@ -2677,14 +2677,19 @@ FROM documents ORDER BY doc_id
         "(CASE WHEN doc_id % 13 = 0 THEN ' zorgles' ELSE '' END)"
     )
 
-    def _stem_topk(spark, sf):
+    def _derived_stem_topk(spark, sf, cache_key, field_spec, stem_fn):
+        """Shared derived-corpus stemmed search: append the zorgl* forms
+        (whose stem collides with no natural token under BOTH Porter and
+        Porter2), index with the given stemmed field, search the stemmed
+        query term — one helper so the twin entries (classic Porter /
+        Snowball) can never drift apart."""
         from whoosh_spark import query as Qn
         from whoosh_spark.entry_queries import _topk
-        from whoosh_spark.fields import STEMTEXT, Schema
+        from whoosh_spark.fields import Schema
         from whoosh_spark.indexing import build_index
         from whoosh_spark.search import Searcher
 
-        key = ("stem_ix", sf)
+        key = (cache_key, sf)
         if key not in _CACHE:
             d = _docs(spark, sf).withColumn(
                 "text",
@@ -2695,19 +2700,23 @@ FROM documents ORDER BY doc_id
                     F.when(F.col("doc_id") % 13 == 0, F.lit(" zorgles")).otherwise(F.lit("")),
                 ),
             )
-            ix = build_index(spark, d, Schema(STEMTEXT("text"))).persist()
+            ix = build_index(spark, d, Schema(field_spec)).persist()
             _CACHE[key] = Searcher(ix)
         s = _CACHE[key]
+        return _topk(s.compile(Qn.Term("text", stem_fn("zorgling"))))
+
+    def _stem_topk(spark, sf):
+        from whoosh_spark.fields import STEMTEXT
         from whoosh_spark.lang import stem as _st
 
-        return _topk(s.compile(Qn.Term("text", _st("zorgling"))))
+        return _derived_stem_topk(spark, sf, "stem_ix", STEMTEXT("text"), _st)
 
     from whoosh_spark.entry_queries import prelude_body as _prelude_body
 
     _STEM_FORMS_SQL = ", ".join(f"'{w}'" for w in _STEM_FORMS)
-    add(
-        "stemmed_search_topk",
-        _stem_topk,
+    # ONE oracle body shared by the porter/porter2 twin entries — the
+    # zorgl* group merges identically under both stemmers
+    _STEM_ORACLE_SQL = (
         "WITH ds AS (SELECT doc_id, text || " + _STEM_SUFFIX + " AS text FROM documents),\n"
         + _prelude_body("ds")
         + f""",
@@ -2721,64 +2730,29 @@ SELECT doc_id, round(score, 4) AS score FROM (
            / (p.w + 1.2 * (0.25 + 0.75 * l.dl / g.avgdl)) AS score
   FROM mpost p CROSS JOIN mstat s JOIN dl l USING (doc_id) CROSS JOIN gstat g
 )
-ORDER BY score DESC, doc_id ASC LIMIT 10""",
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
     )
+
+    add("stemmed_search_topk", _stem_topk, _STEM_ORACLE_SQL)
 
     def _snowball_topk(spark, sf):
         # Same derived-corpus trick for the SNOWBALL (Porter2) stemmer —
         # the one LanguageAnalyzer("en") selects (lang.py::stem2):
-        # zorgling/zorgled/zorgles share the porter2 stem 'zorgl' as
-        # well, so the merged-group BM25 oracle carries over verbatim.
-        # The index uses stem="porter2" with the DEFAULT stoplist so the
-        # shared tokenization prelude stays a faithful mirror (the full
+        # zorgling/zorgled/zorgles share the porter2 stem 'zorgl' too, so
+        # the merged-group BM25 oracle is the SAME SQL. The index uses
+        # stem="porter2" with the DEFAULT stoplist so the shared
+        # tokenization prelude stays a faithful mirror (the full
         # LANGUAGE("en") preset also widens the stoplist — pinned in
         # tests/test_analysis.py instead).
-        from whoosh_spark import query as Qn
         from whoosh_spark.analysis import AnalyzerSpec
-        from whoosh_spark.entry_queries import _topk
-        from whoosh_spark.fields import Schema, TEXT
-        from whoosh_spark.indexing import build_index
-        from whoosh_spark.search import Searcher
-
-        key = ("stem2_ix", sf)
-        if key not in _CACHE:
-            d = _docs(spark, sf).withColumn(
-                "text",
-                F.concat(
-                    F.col("text"),
-                    F.when(F.col("doc_id") % 7 == 0, F.lit(" zorgling")).otherwise(F.lit("")),
-                    F.when(F.col("doc_id") % 11 == 0, F.lit(" zorgled")).otherwise(F.lit("")),
-                    F.when(F.col("doc_id") % 13 == 0, F.lit(" zorgles")).otherwise(F.lit("")),
-                ),
-            )
-            ix = build_index(
-                spark, d,
-                Schema(TEXT("text", analyzer=AnalyzerSpec(stem="porter2"))),
-            ).persist()
-            _CACHE[key] = Searcher(ix)
-        s = _CACHE[key]
+        from whoosh_spark.fields import TEXT
         from whoosh_spark.lang import stem2 as _st2
 
-        return _topk(s.compile(Qn.Term("text", _st2("zorgling"))))
+        return _derived_stem_topk(
+            spark, sf, "stem2_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="porter2")), _st2)
 
-    add(
-        "snowball_search_topk",
-        _snowball_topk,
-        "WITH ds AS (SELECT doc_id, text || " + _STEM_SUFFIX + " AS text FROM documents),\n"
-        + _prelude_body("ds")
-        + f""",
-mpost AS (
-  SELECT doc_id, sum(w) AS w FROM post WHERE term IN ({_STEM_FORMS_SQL}) GROUP BY doc_id
-),
-mstat AS (SELECT count(*)::DOUBLE AS df FROM mpost)
-SELECT doc_id, round(score, 4) AS score FROM (
-  SELECT p.doc_id,
-         (ln(g.n / (s.df + 1)) + 1) * (p.w * 2.2)
-           / (p.w + 1.2 * (0.25 + 0.75 * l.dl / g.avgdl)) AS score
-  FROM mpost p CROSS JOIN mstat s JOIN dl l USING (doc_id) CROSS JOIN gstat g
-)
-ORDER BY score DESC, doc_id ASC LIMIT 10""",
-    )
+    add("snowball_search_topk", _snowball_topk, _STEM_ORACLE_SQL)
 
     # ------------------------------ multimodal ---------------------------
 

@@ -189,7 +189,11 @@ def hll_registers(df: DataFrame, col: str, b: int = 10,
     dims = [by] if by else []
     # NULLs hash to NULL and would corrupt the register frame (a
     # NULL-bucket row inflates n_buckets while contributing nothing to
-    # the denominator); countDistinct ignores NULLs, so does the sketch
+    # the denominator); countDistinct ignores NULLs, so does the sketch.
+    # Consequence in grouped mode: a group whose column is ENTIRELY null
+    # emits NO row (groupBy().agg(countDistinct) would emit 0) — join
+    # the estimate frame back against your group universe if zero rows
+    # matter.
     df = df.where(F.col(col).isNotNull())
     h = kmv_hash(col)
     bucket = F.shiftrightunsigned(h, wbits).cast("int")
@@ -368,7 +372,10 @@ def hist_sketch(df: DataFrame, col: str, by: str | None = None,
                    .cast("long"), F.lit(0).cast("long"))
     # NULL values must be IGNORED like every quantile aggregate does —
     # without the filter, greatest(NULL, 0) = 0 would silently pile
-    # NULLs into bucket 0 and drag the quantiles down
+    # NULLs into bucket 0 and drag the quantiles down. Grouped-mode
+    # consequence: an all-NULL group emits no sketch rows and hence no
+    # quantile rows (percentile_approx would emit a NULL estimate) —
+    # join back against your group universe if those rows matter.
     base = df.where(F.col(col).isNotNull()).select(*dims, m.alias("_m"))
     blen = F.length(F.bin(F.col("_m"))).cast("int")
     e = blen - F.lit(sb + 1)

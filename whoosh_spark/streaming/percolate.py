@@ -216,12 +216,19 @@ def percolate_indexed(
     in the rule count; rule rows ride a broadcast.
 
     AND rules require all terms (a zero-df term correctly makes the rule
-    unmatchable); OR rules honor ``minmatch``. ``AndNot(a, b)`` and
-    ``Require(a, b)`` work when both sides are flat: b's terms ride the
-    same broadcast as non-scoring NEGATIVE / REQUIRE rows, and the group
+    unmatchable); OR rules honor ``minmatch``. ``Phrase`` rules (any
+    slop/boost) ride the same broadcast with word-indexed rows: their
+    positions decode only when a phrase rule exists and only ON the
+    phrase rows, and the positional chain closes inside the same
+    (rule, doc) group with the executor's exact ``_phrase_step`` fold —
+    still O(1) plan size. ``AndNot(a, b)`` and ``Require(a, b)`` work
+    when b is flat (a may be a phrase): b's terms ride the same
+    broadcast as non-scoring NEGATIVE / REQUIRE rows, and the group
     filter excludes docs with >= b_required negative hits (the left_anti
     semantics) or demands >= b_required require hits (left_semi). Rules
-    beyond these shapes raise — route those through ``percolate``.
+    beyond these shapes (a phrase b-side, duplicate-word phrases,
+    Or(scale=), non-flat trees) raise — route those through
+    ``percolate``.
     """
     from whoosh_spark.search.scoring import BM25F
 
@@ -283,8 +290,11 @@ def percolate_indexed(
         F.col("_n_required"), F.col("_neg_required"), F.col("_req_required"),
         F.col("_rboost"), F.col("_slop"),
         (base * F.col("_lboost")).alias("score"),
-        (F.col("positions") if any_phrase
-         else F.lit(None).cast("array<int>")).alias("_pos"),
+        # only PHRASE-rule rows carry positions into the group exchange —
+        # with one phrase rule among 100k boolean rules, the boolean
+        # rows' payload must not multiply by the positions size
+        (F.when(F.col("_slop").isNotNull(), F.col("positions"))
+         if any_phrase else F.lit(None).cast("array<int>")).alias("_pos"),
     ]
     j = p.join(F.broadcast(rules_df), "term").select(*jcols)
     # the executor's _ordered_sum: left-assoc fold in query order, so a
