@@ -218,3 +218,37 @@ def test_final_weighting_hook(spark):
     six = open_segments(spark, path, docs, Schema(TEXT("text")))
     with _pt.raises(ValueError):
         wand_topk(six, "text", ["spark"], weighting=FinalWeighting(BM25F(), lambda s: -s))
+
+
+def test_group_stats(spark):
+    from pyspark.sql import functions as F
+
+    from whoosh_spark import query as Q
+    from whoosh_spark.fields import ID, NUMERIC, Schema, TEXT
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.search import Searcher
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast", "en", 10), (1, "spark slow", "en", 30),
+         (2, "spark mid", "de", 20), (3, "other", "en", 99),
+         (4, "spark none", "fr", None)],
+        "doc_id long, text string, lang string, n long")
+    s = Searcher(build_index(spark, docs, Schema(TEXT("text"), ID("lang"),
+                                                 NUMERIC("n"))))
+    out = {r.lang: r for r in
+           s.group_stats(Q.Term("text", "spark"), "lang", "n").collect()}
+    assert set(out) == {"en", "de", "fr"}
+    en = out["en"]
+    assert (en.n, en.min_value, en.max_value, en.sum_value, en.avg_value) == \
+        (2, 10.0, 30.0, 40.0, 20.0)
+    # NULL value rows count toward n but not the numeric aggs
+    fr = out["fr"]
+    assert fr.n == 1 and fr.sum_value is None
+    # bucket totals agree with group_counts
+    counts = {r.lang: r["count"] for r in
+              s.group_counts(Q.Term("text", "spark"), "lang").collect()}
+    assert {k: v.n for k, v in out.items()} == counts
+    # max_score is the bucket's best BM25 score
+    best = {r.lang: r.score for r in
+            s.group_best(Q.Term("text", "spark"), "lang").collect()}
+    assert all(abs(out[k].max_score - best[k]) < 1e-12 for k in out)

@@ -884,6 +884,37 @@ SELECT doc_id, round(score, 4) AS score FROM (
         "ORDER BY freq DESC, term ASC LIMIT 10",
     )
 
+    def _facet_stats(spark, sf):
+        # per-bucket numeric stats over the match set (the stats-agg
+        # search-analytics shape): rounded scored frame in, one
+        # stored-field join + one map-side-combined groupBy
+        s = _docs_searcher(spark, sf)
+        scored = _rounded(s.compile(Q.Term("text", "spark")))
+        out = s.group_stats(scored, "lang", "n_chars")
+        return out.select(
+            "lang", "n",
+            F.round("min_value", 4).alias("min_value"),
+            F.round("max_value", 4).alias("max_value"),
+            F.round("sum_value", 4).alias("sum_value"),
+            F.round("avg_value", 4).alias("avg_value"),
+            F.round("max_score", 4).alias("max_score"),
+        )
+
+    add(
+        "facet_stats_by_lang",
+        _facet_stats,
+        PRELUDE
+        + """SELECT d.lang, count(*)::BIGINT AS n,
+       round(min(d.n_chars::DOUBLE), 4) AS min_value,
+       round(max(d.n_chars::DOUBLE), 4) AS max_value,
+       round(sum(d.n_chars::DOUBLE), 4) AS sum_value,
+       round(avg(d.n_chars::DOUBLE), 4) AS avg_value,
+       round(max(s.score), 4) AS max_score
+FROM (SELECT doc_id, round(score, 4) AS score FROM scored WHERE term = 'spark') s
+JOIN documents d USING (doc_id)
+GROUP BY d.lang""",
+    )
+
     def _setops(spark, sf):
         # Results.upgrade_and_extend over two executed result sets
         # (reference: searching.py::Results.upgrade_and_extend ~L1290):
@@ -973,7 +1004,7 @@ _WINDOW_FIRST = [
     "sketch_distinct_hll", "sketch_term_counts_cm",
     "sketch_quantiles_value", "sketch_bloom_prefilter",
     "text_strip_html", "text_chunk_overlap", "snowball_search_topk",
-    "sample_upsample_repeat", "complete_prefix_topk",
+    "sample_upsample_repeat", "complete_prefix_topk", "facet_stats_by_lang",
     "hybrid_rrf_topk", "ann_mmr_lambda1", "ann_mmr_diverse_topk",
     "facet_top3_by_lang", "percolate_matches", "percolate_indexed_matches",
     "text_bpe_word_counts", "text_bpe_encode", "doc_keywords_top3",

@@ -990,6 +990,36 @@ class Searcher:
             .select(groupedby, "doc_id", "score", "rank")
         )
 
+    def group_stats(self, q: "Q.Query | DataFrame", groupedby: str,
+                    value: str, filter=None, mask=None) -> DataFrame:
+        """Per-bucket numeric statistics over the MATCH SET — the
+        search-analytics aggregation (the Elasticsearch stats-agg shape;
+        beyond-reference: Whoosh facets only count/collect): for each
+        value of ``groupedby`` among docs matching ``q``, report
+        (key, n, min/max/sum/avg of the stored ``value`` column, plus
+        max_score). One stored-field join + one map-side-combined
+        groupBy — same plan shape as :meth:`group_counts`, so a 100 TB
+        match set aggregates without a second exchange. NULL ``value``
+        rows count toward ``n`` but are ignored by the numeric aggs
+        (standard SQL agg semantics in both engines)."""
+        scored = q if isinstance(q, DataFrame) else self.compile(q)
+        scored = self._apply_filter_mask(scored, filter, mask)
+        docs = self.index.docs.select(
+            F.col(self.index.doc_id_col).alias("doc_id"), groupedby, value)
+        v = F.col(value).cast("double")
+        return (
+            scored.join(docs, "doc_id")
+            .groupBy(groupedby)
+            .agg(
+                F.count("*").alias("n"),
+                F.min(v).alias("min_value"),
+                F.max(v).alias("max_value"),
+                F.sum(v).alias("sum_value"),
+                F.avg(v).alias("avg_value"),
+                F.max("score").alias("max_score"),
+            )
+        )
+
     def group_ordered(self, q: "Q.Query | DataFrame", groupedby: str) -> DataFrame:
         """OrderedList maptype: doc_ids per group in results order
         (score desc, doc_id asc). ``q`` may be a pre-scored frame."""
