@@ -253,3 +253,36 @@ def test_doc_key_terms_covers_corpus(spark, ix):
     counts = out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
     assert counts <= 3
     assert out.where("rank = 1").count() == ix.doc_count
+
+
+def test_significant_terms_matches_key_terms_single_bucket(spark, ix):
+    """One bucket == key_terms exactly (same Bo1, same tie-break)."""
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.search.aux import key_terms, significant_terms
+
+    ids = spark.range(3).select(F.col("id").alias("doc_id"))
+    kt = [(r.term, r.score) for r in key_terms(ix, ids, "text", 4).collect()]
+    st = significant_terms(
+        ix, ids.withColumn("bucket", F.lit("all")), "text", 4).collect()
+    assert [(r.term, r.score) for r in
+            sorted(st, key=lambda r: r.rank)] == kt
+    assert [r.rank for r in sorted(st, key=lambda r: r.rank)] == [1, 2, 3, 4]
+
+
+def test_significant_terms_buckets_differ(spark, ix):
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.search.aux import significant_terms
+
+    # bucket docs by parity: distinctive vocabulary differs per bucket
+    db = spark.range(ix.doc_count).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("bucket"))
+    out = significant_terms(ix, db, "text", 3)
+    rows = out.collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.term)
+    assert set(by_bucket) == {"0", "1"}
+    assert all(len(v) <= 3 for v in by_bucket.values())

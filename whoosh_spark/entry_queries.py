@@ -915,6 +915,45 @@ JOIN documents d USING (doc_id)
 GROUP BY d.lang""",
     )
 
+    def _sig_terms(spark, sf):
+        # significant-terms facet: per-bucket Bo1 distinctive terms of
+        # the match set (search/aux.py::significant_terms — key_terms
+        # generalized to every facet bucket in one plan)
+        from whoosh_spark.search.aux import significant_terms
+
+        s = _docs_searcher(spark, sf)
+        scored = s.compile(Q.Term("text", "spark"))
+        docs = s.index.docs.select("doc_id", F.col("lang").alias("bucket"))
+        db = scored.join(docs, "doc_id").select("doc_id", "bucket")
+        out = significant_terms(s.index, db, "text", numterms=3)
+        return out.select("bucket", "term",
+                          F.round("score", 4).alias("score"), "rank")
+
+    add(
+        "facet_significant_terms",
+        _sig_terms,
+        PRELUDE
+        + """SELECT bucket, term, round(score, 4) AS score, rank FROM (
+  SELECT bucket, term, score,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM (
+    SELECT fg.bucket, fg.term,
+           (fg.wt * ln((1 + c.cf / g.n) / (c.cf / g.n))
+            + ln(1 + c.cf / g.n)) / ln(2) AS score
+    FROM (
+      SELECT d.lang AS bucket, p.term, sum(p.w) AS wt
+      FROM post p
+      JOIN (SELECT DISTINCT doc_id FROM post WHERE term = 'spark') m USING (doc_id)
+      JOIN documents d USING (doc_id)
+      GROUP BY d.lang, p.term
+    ) fg
+    JOIN (SELECT term, sum(w) AS cf FROM post GROUP BY term) c USING (term)
+    CROSS JOIN (SELECT count(*)::DOUBLE AS n FROM documents) g
+  )
+) WHERE rank <= 3""",
+    )
+
     def _setops(spark, sf):
         # Results.upgrade_and_extend over two executed result sets
         # (reference: searching.py::Results.upgrade_and_extend ~L1290):
@@ -1005,6 +1044,7 @@ _WINDOW_FIRST = [
     "sketch_quantiles_value", "sketch_bloom_prefilter",
     "text_strip_html", "text_chunk_overlap", "snowball_search_topk",
     "sample_upsample_repeat", "complete_prefix_topk", "facet_stats_by_lang",
+    "facet_significant_terms",
     "hybrid_rrf_topk", "ann_mmr_lambda1", "ann_mmr_diverse_topk",
     "facet_top3_by_lang", "percolate_matches", "percolate_indexed_matches",
     "text_bpe_word_counts", "text_bpe_encode", "doc_keywords_top3",

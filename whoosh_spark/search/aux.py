@@ -264,3 +264,48 @@ def correct_query(ix: InvertedIndex, q: Q.Query, fieldname: str,
         return dataclasses.replace(node, **changes) if changes else node
 
     return fix(q)
+
+
+def significant_terms(
+    ix: InvertedIndex,
+    doc_buckets: DataFrame,
+    fieldname: str,
+    numterms: int = 5,
+) -> DataFrame:
+    """Per-BUCKET distinctive terms — the significant-terms facet (the
+    Elasticsearch significant-terms agg shape; beyond-reference: Whoosh's
+    ``key_terms`` scores one doc set, this scores every facet bucket of a
+    match set in one plan). ``doc_buckets`` = (doc_id, bucket) rows, e.g.
+    a scored frame joined to a stored field; returns
+    (bucket, term, score, rank) with ``numterms`` rows per bucket under
+    the SAME Bo1 scoring and (score desc, term asc) tie-break as
+    :func:`key_terms` — a single-bucket call reproduces key_terms
+    exactly (pinned in tests).
+
+    Plan: one postings semi-join keyed on doc_id (the match set is the
+    small side), one map-side-combined (bucket, term) aggregate, one
+    join against the terms table's collection frequencies, and one
+    window over the per-bucket candidate vocabulary — bounded by the
+    match set's token volume, never the corpus.
+    """
+    p = ix.postings.where(F.col("field") == fieldname)
+    fg = (
+        p.join(F.broadcast(doc_buckets.select("doc_id", "bucket")), "doc_id")
+        .groupBy("bucket", "term")
+        .agg(F.sum("weight").alias("wt"))
+    )
+    coll = ix.terms.where(F.col("field") == fieldname).select(
+        "term", F.col("total_weight").alias("cf")
+    )
+    n = float(ix.doc_count)
+    f = F.col("cf") / F.lit(n)
+    score = (F.col("wt") * F.log((1 + f) / f) + F.log(1 + f)) / F.lit(LOG2)
+    scored = fg.join(coll, "term").select(
+        "bucket", "term", score.alias("score")
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(numterms))
+        .select("bucket", "term", "score", "rank")
+    )
