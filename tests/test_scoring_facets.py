@@ -252,3 +252,41 @@ def test_group_stats(spark):
     best = {r.lang: r.score for r in
             s.group_best(Q.Term("text", "spark"), "lang").collect()}
     assert all(abs(out[k].max_score - best[k]) < 1e-12 for k in out)
+
+
+def test_group_cardinality_and_quantiles(spark):
+    from pyspark.sql import functions as F
+
+    from whoosh_spark import query as Q
+    from whoosh_spark.fields import ID, NUMERIC, Schema, TEXT
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.search import Searcher
+
+    rows = [(i, "spark " + ("x" if i % 2 else "y"), f"src{i % 3}",
+             "en" if i % 2 else "de", float(10 * (i % 7) + 5))
+            for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, v double")
+    s = Searcher(build_index(spark, docs, Schema(
+        TEXT("text"), ID("source"), ID("lang"), NUMERIC("v"))))
+    q = Q.Term("text", "spark")
+    # exact cardinality == ground truth
+    card = {r.lang: r.distinct_count
+            for r in s.group_cardinality(q, "lang", "source").collect()}
+    truth = {r.lang: r.c for r in docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("c")).collect()}
+    assert card == truth
+    # hll tier agrees at tiny cardinality (exact-ish small-range path)
+    hll = {r.lang: r.hll_estimate for r in
+           s.group_cardinality(q, "lang", "source", exact=False).collect()}
+    assert all(abs(hll[k] - truth[k]) < 0.5 for k in truth)
+    # quantile estimates within the bucket-granularity bound of the
+    # exact lower quantile per group
+    est = {(r.lang, r.q): r.est for r in
+           s.group_quantiles(q, "lang", "v", [0.5], scale=1.0,
+                             subbits=5).collect()}
+    import math
+    for lang in ("en", "de"):
+        vals = sorted(r[4] for r in rows if r[3] == lang)
+        exact = vals[math.ceil(0.5 * len(vals)) - 1]
+        assert exact * (1 - 2 ** -5) - 1.0 <= est[(lang, 0.5)] <= exact

@@ -954,6 +954,53 @@ GROUP BY d.lang""",
 ) WHERE rank <= 3""",
     )
 
+    add(
+        "facet_cardinality_source",
+        # cardinality agg: per-lang distinct sources among matched docs
+        lambda spark, sf: _docs_searcher(spark, sf).group_cardinality(
+            Q.Term("text", "spark"), "lang", "source"),
+        PRELUDE
+        + "SELECT d.lang, count(DISTINCT d.source)::BIGINT AS distinct_count "
+        "FROM (SELECT DISTINCT doc_id FROM scored WHERE term = 'spark') s "
+        "JOIN documents d USING (doc_id) GROUP BY d.lang",
+    )
+
+    add(
+        "facet_quantiles_nchars",
+        # percentiles agg via the log-bucketed histogram sketch
+        # (subbits=5, scale=1 over integer n_chars — bucket ids and the
+        # lower-edge decode are exact integer arithmetic in both engines)
+        lambda spark, sf: _docs_searcher(spark, sf).group_quantiles(
+            Q.Term("text", "spark"), "lang", "n_chars", [0.5, 0.9],
+            scale=1.0, subbits=5),
+        PRELUDE
+        + """, mm AS (
+  SELECT d.lang, greatest(CAST(floor(d.n_chars * 1.0) AS BIGINT), 0) AS m
+  FROM (SELECT DISTINCT doc_id FROM scored WHERE term = 'spark') s
+  JOIN documents d USING (doc_id) WHERE d.n_chars IS NOT NULL),
+bk AS (
+  SELECT lang,
+         CASE WHEN m < 64 THEN m
+              ELSE 64 + (length(bin(m)) - 6)::BIGINT * 32
+                   + (m >> (length(bin(m)) - 6)) - 32 END AS bucket
+  FROM mm),
+sk AS (SELECT lang, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+cum AS (SELECT lang, bucket,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS c,
+               sum(cnt) OVER (PARTITION BY lang) AS n
+        FROM sk),
+qq AS (SELECT unnest([0.5, 0.9]) AS q),
+hit AS (
+  SELECT lang, q, min(bucket) AS bucket
+  FROM cum CROSS JOIN qq WHERE c >= ceil(q * n)
+  GROUP BY 1, 2)
+SELECT lang, q,
+       (CASE WHEN bucket < 64 THEN bucket
+             ELSE (bucket - 64 - ((bucket - 64) // 32) * 32 + 32)
+                  * (1::BIGINT << ((bucket - 64) // 32)) END / 1.0) AS est
+FROM hit""",
+    )
+
     def _setops(spark, sf):
         # Results.upgrade_and_extend over two executed result sets
         # (reference: searching.py::Results.upgrade_and_extend ~L1290):
@@ -1044,7 +1091,8 @@ _WINDOW_FIRST = [
     "sketch_quantiles_value", "sketch_bloom_prefilter",
     "text_strip_html", "text_chunk_overlap", "snowball_search_topk",
     "sample_upsample_repeat", "complete_prefix_topk", "facet_stats_by_lang",
-    "facet_significant_terms",
+    "facet_significant_terms", "facet_cardinality_source",
+    "facet_quantiles_nchars",
     "hybrid_rrf_topk", "ann_mmr_lambda1", "ann_mmr_diverse_topk",
     "facet_top3_by_lang", "percolate_matches", "percolate_indexed_matches",
     "text_bpe_word_counts", "text_bpe_encode", "doc_keywords_top3",

@@ -366,6 +366,10 @@ def hist_sketch(df: DataFrame, col: str, by: str | None = None,
     """The raw mergeable sketch: (<by>, bucket, cnt)."""
     if not 1 <= subbits <= 8:
         raise ValueError(f"subbits must be in [1, 8], got {subbits}")
+    if by in ("bucket", "cnt"):
+        raise ValueError(
+            f"by={by!r} collides with the sketch's own output columns — "
+            "rename the group column first")
     sb = subbits
     dims = [by] if by else []
     m = F.greatest(F.floor(F.col(col).cast("double") * F.lit(float(scale)))

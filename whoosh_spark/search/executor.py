@@ -1020,6 +1020,49 @@ class Searcher:
             )
         )
 
+    def group_cardinality(self, q: "Q.Query | DataFrame", groupedby: str,
+                          value: str, exact: bool = True,
+                          hll_b: int = 12) -> DataFrame:
+        """Per-bucket distinct count of a stored field over the match set
+        (the cardinality agg). ``exact=True`` -> (key, distinct_count)
+        via countDistinct (two-phase partial agg — fine while per-bucket
+        cardinalities fit the exchange); ``exact=False`` -> (key,
+        n_buckets, hll_estimate) through the mergeable HyperLogLog
+        sketch (pipeline/sketch.py) — the fixed-memory path for
+        billion-cardinality buckets, ~1.04/sqrt(2^b) relative error,
+        md5-deterministic so results are partitioning-invariant."""
+        scored = q if isinstance(q, DataFrame) else self.compile(q)
+        docs = self.index.docs.select(
+            F.col(self.index.doc_id_col).alias("doc_id"), groupedby, value)
+        j = scored.join(docs, "doc_id")
+        if exact:
+            return j.groupBy(groupedby).agg(
+                F.countDistinct(value).alias("distinct_count"))
+        from whoosh_spark.pipeline.sketch import hll_distinct
+
+        return hll_distinct(j, value, b=hll_b, by=groupedby)
+
+    def group_quantiles(self, q: "Q.Query | DataFrame", groupedby: str,
+                        value: str, qs: "list[float]",
+                        scale: float = 1000.0, subbits: int = 5) -> DataFrame:
+        """Per-bucket quantile estimates of a stored numeric over the
+        match set (the percentiles agg) -> (key, q, est), via the
+        log-bucketed histogram sketch (pipeline/sketch.py::hist_*):
+        deterministic, partitioning-invariant, ≤2^-subbits relative
+        lower-bound error, and the per-bucket state is ≤ n_buckets
+        sketch rows regardless of match-set size."""
+        from whoosh_spark.pipeline.sketch import hist_quantiles
+
+        scored = q if isinstance(q, DataFrame) else self.compile(q)
+        docs = self.index.docs.select(
+            F.col(self.index.doc_id_col).alias("doc_id"), groupedby, value)
+        # "_gq_key", not "bucket": the sketch's own internal column is
+        # named bucket, and a same-named group key would collide
+        j = scored.join(docs, "doc_id").withColumnRenamed(groupedby, "_gq_key")
+        out = hist_quantiles(j, value, qs, by="_gq_key",
+                             scale=scale, subbits=subbits)
+        return out.withColumnRenamed("_gq_key", groupedby)
+
     def group_ordered(self, q: "Q.Query | DataFrame", groupedby: str) -> DataFrame:
         """OrderedList maptype: doc_ids per group in results order
         (score desc, doc_id asc). ``q`` may be a pre-scored frame."""
