@@ -376,3 +376,37 @@ def test_strip_html_and_chunk_are_narrow_jvm_maps(spark):
         p = _plan(frame)
         assert len(re.findall(r"\bExchange\b", p)) == 0
         assert "PythonUDF" not in p and "ArrowEval" not in p
+
+
+def test_aggregation_suite_plan_shapes(spark):
+    """The search-analytics aggs stay scale-shaped: group_stats is one
+    stored-field join + one partial-agg exchange (no window, no Python);
+    significant_terms' window runs over the per-bucket candidate vocab
+    AFTER the (bucket, term) partial aggregate, with the match set
+    broadcast — never a shuffle join of the postings against it."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from whoosh_spark import query as Q
+    from whoosh_spark.fields import ID, NUMERIC, Schema, TEXT
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.search import Searcher
+    from whoosh_spark.search.aux import significant_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"spark term{i % 7}", f"l{i % 3}", float(i)) for i in range(50)],
+        "doc_id long, text string, lang string, v double")
+    s = Searcher(build_index(spark, docs, Schema(TEXT("text"), ID("lang"),
+                                                 NUMERIC("v"))))
+    p = _plan(s.group_stats(Q.Term("text", "spark"), "lang", "v"))
+    assert "HashAggregate" in p and "Window" not in p
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+
+    db = s.compile(Q.Term("text", "spark")).join(
+        s.index.docs.select("doc_id", F.col("lang").alias("bucket")),
+        "doc_id").select("doc_id", "bucket")
+    p2 = _plan(significant_terms(s.index, db, "text", 3))
+    assert "BroadcastHashJoin" in p2  # match set broadcasts onto postings
+    assert p2.count("Window [") == 1  # one bounded per-bucket window exec
+    assert "PythonUDF" not in p2 and "ArrowEval" not in p2
