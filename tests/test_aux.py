@@ -262,7 +262,10 @@ def test_significant_terms_matches_key_terms_single_bucket(spark, ix):
     from whoosh_spark.search.aux import key_terms, significant_terms
 
     ids = spark.range(3).select(F.col("id").alias("doc_id"))
-    kt = [(r.term, r.score) for r in key_terms(ix, ids, "text", 4).collect()]
+    # significant_terms ranks on the 4dp-ROUNDED score (registry
+    # discipline); key_terms returns full precision — compare rounded
+    kt = [(r.term, round(r.score, 4))
+          for r in key_terms(ix, ids, "text", 4).collect()]
     st = significant_terms(
         ix, ids.withColumn("bucket", F.lit("all")), "text", 4).collect()
     assert [(r.term, r.score) for r in

@@ -330,3 +330,21 @@ def test_percolate_stream_indexed_tier(spark, tmp_path):
              for r in percolate_indexed(spark, docs, rules,
                                         schema=_SCHEMA).collect()}
     assert got == whole and len(got) > 20
+
+
+def test_percolate_stream_indexed_validates_rules_eagerly(spark, tmp_path):
+    """Unsupported rule shapes must fail at start() time, not as a
+    mid-run StreamingQueryException from the first micro-batch."""
+    from whoosh_spark.streaming import percolate_stream
+
+    src = str(tmp_path / "in")
+    _corpus(spark, 5).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    with pytest.raises(ValueError, match="use percolate"):
+        percolate_stream(
+            stream,
+            {"nested": Q.And([Q.Or([Q.Term("text", "a"), Q.Term("text", "b")]),
+                              Q.Term("text", "c")])},
+            str(tmp_path / "out"), str(tmp_path / "ck"),
+            schema=_SCHEMA, indexed=True)

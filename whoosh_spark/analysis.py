@@ -118,6 +118,16 @@ class AnalyzerSpec:
     # prefixes of a '/'-separated value (replaces ``pattern``)
     path: bool = False
 
+    def __post_init__(self):
+        # fail at CONSTRUCTION, on the driver — an unknown stemmer name
+        # must never reach the executor-side analyzer (where it would
+        # surface as retried task failures), nor silently fall back
+        if self.stem not in (False, True, "porter", "porter2"):
+            raise ValueError(
+                f"unknown stem variant {self.stem!r}: use True/'porter' "
+                "or 'porter2'"
+            )
+
     def compiled(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
 

@@ -926,21 +926,20 @@ GROUP BY d.lang""",
         docs = s.index.docs.select("doc_id", F.col("lang").alias("bucket"))
         db = scored.join(docs, "doc_id").select("doc_id", "bucket")
         out = significant_terms(s.index, db, "text", numterms=3)
-        return out.select("bucket", "term",
-                          F.round("score", 4).alias("score"), "rank")
+        return out.select("bucket", "term", "score", "rank")
 
     add(
         "facet_significant_terms",
         _sig_terms,
         PRELUDE
-        + """SELECT bucket, term, round(score, 4) AS score, rank FROM (
+        + """SELECT bucket, term, score, rank FROM (
   SELECT bucket, term, score,
          row_number() OVER (PARTITION BY bucket
                             ORDER BY score DESC, term ASC) AS rank
   FROM (
     SELECT fg.bucket, fg.term,
-           (fg.wt * ln((1 + c.cf / g.n) / (c.cf / g.n))
-            + ln(1 + c.cf / g.n)) / ln(2) AS score
+           round((fg.wt * ln((1 + c.cf / g.n) / (c.cf / g.n))
+            + ln(1 + c.cf / g.n)) / ln(2), 4) AS score
     FROM (
       SELECT d.lang AS bucket, p.term, sum(p.w) AS wt
       FROM post p

@@ -185,6 +185,10 @@ def hll_registers(df: DataFrame, col: str, b: int = 10,
         # no published bias constant below m=16 (Flajolet 2007 tables
         # start there); estimates at m=4/8 would be uncontrolled
         raise ValueError(f"b must be in [4, 16], got {b}")
+    if by in ("bucket", "rho"):
+        raise ValueError(
+            f"by={by!r} collides with the sketch's own output columns — "
+            "rename the group column first")
     wbits = _HASH_BITS - b
     dims = [by] if by else []
     # NULLs hash to NULL and would corrupt the register frame (a

@@ -278,9 +278,11 @@ def significant_terms(
     match set in one plan). ``doc_buckets`` = (doc_id, bucket) rows, e.g.
     a scored frame joined to a stored field; returns
     (bucket, term, score, rank) with ``numterms`` rows per bucket under
-    the SAME Bo1 scoring and (score desc, term asc) tie-break as
-    :func:`key_terms` — a single-bucket call reproduces key_terms
-    exactly (pinned in tests).
+    the SAME Bo1 scoring as :func:`key_terms`, ranked on the
+    4-decimal-ROUNDED score (the doc_key_terms registry discipline —
+    rank membership stays engine-stable), ties then term-ascending; a
+    single-bucket call reproduces key_terms' selection up to that
+    rounding (pinned in tests).
 
     Plan: one postings semi-join keyed on doc_id (the match set is the
     small side), one map-side-combined (bucket, term) aggregate, one
@@ -290,7 +292,11 @@ def significant_terms(
     """
     p = ix.postings.where(F.col("field") == fieldname)
     fg = (
-        p.join(F.broadcast(doc_buckets.select("doc_id", "bucket")), "doc_id")
+        # no FORCED broadcast: a top-k-sized match set auto-broadcasts
+        # under the threshold anyway, while a broad query's match set
+        # degrades to a shuffle join instead of a driver OOM (the
+        # nested_children precedent)
+        p.join(doc_buckets.select("doc_id", "bucket"), "doc_id")
         .groupBy("bucket", "term")
         .agg(F.sum("weight").alias("wt"))
     )
@@ -299,7 +305,11 @@ def significant_terms(
     )
     n = float(ix.doc_count)
     f = F.col("cf") / F.lit(n)
-    score = (F.col("wt") * F.log((1 + f) / f) + F.log(1 + f)) / F.lit(LOG2)
+    # round BEFORE ranking (the doc_key_terms registry discipline), so
+    # rank membership is engine-stable for the exact oracle
+    score = F.round(
+        (F.col("wt") * F.log((1 + f) / f) + F.log(1 + f)) / F.lit(LOG2), 4
+    )
     scored = fg.join(coll, "term").select(
         "bucket", "term", score.alias("score")
     )

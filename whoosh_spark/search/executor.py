@@ -1022,7 +1022,8 @@ class Searcher:
 
     def group_cardinality(self, q: "Q.Query | DataFrame", groupedby: str,
                           value: str, exact: bool = True,
-                          hll_b: int = 12) -> DataFrame:
+                          hll_b: int = 12, filter=None,
+                          mask=None) -> DataFrame:
         """Per-bucket distinct count of a stored field over the match set
         (the cardinality agg). ``exact=True`` -> (key, distinct_count)
         via countDistinct (two-phase partial agg — fine while per-bucket
@@ -1030,8 +1031,11 @@ class Searcher:
         n_buckets, hll_estimate) through the mergeable HyperLogLog
         sketch (pipeline/sketch.py) — the fixed-memory path for
         billion-cardinality buckets, ~1.04/sqrt(2^b) relative error,
-        md5-deterministic so results are partitioning-invariant."""
+        md5-deterministic so results are partitioning-invariant. The
+        group key is rename-protected against the sketch's own column
+        names; filter/mask compose like every other grouped agg."""
         scored = q if isinstance(q, DataFrame) else self.compile(q)
+        scored = self._apply_filter_mask(scored, filter, mask)
         docs = self.index.docs.select(
             F.col(self.index.doc_id_col).alias("doc_id"), groupedby, value)
         j = scored.join(docs, "doc_id")
@@ -1040,11 +1044,14 @@ class Searcher:
                 F.countDistinct(value).alias("distinct_count"))
         from whoosh_spark.pipeline.sketch import hll_distinct
 
-        return hll_distinct(j, value, b=hll_b, by=groupedby)
+        out = hll_distinct(j.withColumnRenamed(groupedby, "_gc_key"),
+                           value, b=hll_b, by="_gc_key")
+        return out.withColumnRenamed("_gc_key", groupedby)
 
     def group_quantiles(self, q: "Q.Query | DataFrame", groupedby: str,
                         value: str, qs: "list[float]",
-                        scale: float = 1000.0, subbits: int = 5) -> DataFrame:
+                        scale: float = 1000.0, subbits: int = 5,
+                        filter=None, mask=None) -> DataFrame:
         """Per-bucket quantile estimates of a stored numeric over the
         match set (the percentiles agg) -> (key, q, est), via the
         log-bucketed histogram sketch (pipeline/sketch.py::hist_*):
@@ -1054,6 +1061,7 @@ class Searcher:
         from whoosh_spark.pipeline.sketch import hist_quantiles
 
         scored = q if isinstance(q, DataFrame) else self.compile(q)
+        scored = self._apply_filter_mask(scored, filter, mask)
         docs = self.index.docs.select(
             F.col(self.index.doc_id_col).alias("doc_id"), groupedby, value)
         # "_gq_key", not "bucket": the sketch's own internal column is

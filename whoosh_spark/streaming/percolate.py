@@ -88,6 +88,8 @@ def percolate_stream(
     with_scores: bool = True,
     available_now: bool = True,
     indexed: bool = False,
+    fieldname: str = "text",
+    weighting=None,
 ):
     """Percolate a document STREAM: each micro-batch runs the same batch
     kernel and appends (query_name, doc_id[, score], _batch_id) parquet
@@ -107,11 +109,19 @@ def percolate_stream(
     if indexed and not with_scores:
         raise ValueError("indexed=True always scores; drop the column "
                          "downstream or use the plan-branch tier")
+    if indexed:
+        # validate rule SHAPES eagerly, at start() time — the full rule
+        # dict is known now, so an unsupported tree must not surface
+        # later as a mid-run StreamingQueryException from the first
+        # micro-batch
+        for name, q in queries.items():
+            _flat_rule_full(name, q.normalize(), fieldname)
 
     def _one_batch(bdf: DataFrame, batch_id: int) -> None:
         if indexed:
             out, ix = _percolate_indexed_with_ix(
-                bdf.sparkSession, bdf, queries, schema
+                bdf.sparkSession, bdf, queries, schema,
+                fieldname=fieldname, weighting=weighting,
             )
         else:
             out, ix = _percolate_with_ix(
