@@ -1023,7 +1023,18 @@ SELECT word, count(*)::BIGINT AS count FROM (
         from whoosh_spark.pipeline.bpe import bpe_encode, bpe_train
 
         merges = bpe_train(_docs(spark, sf), num_merges=50)
-        return bpe_encode(_docs(spark, sf), merges)
+        # Entry-level projection: the kernel's `tokens` column is
+        # array<string> (pipeline/bpe.py::bpe_encode), which the driver's
+        # canonicalizer cannot hash (pandas sort_values over lists) — the
+        # r3 red row. Render the token sequence as ONE space-joined string
+        # (tokens never contain spaces: WORD_RE pieces + the </w> marker),
+        # lossless and order-preserving, so the rows-only check sees a
+        # flat (doc_id, tokens_str, n_tokens) frame.
+        return bpe_encode(_docs(spark, sf), merges).select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tokens")).alias("tokens_str"),
+            "n_tokens",
+        )
 
     add(
         "text_bpe_encode",
