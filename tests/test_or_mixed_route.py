@@ -1,0 +1,124 @@
+"""Threshold-algorithm routing for Or-of-WAND-eligible children
+(executor._or_mixed_route): the composite shapes the single-kernel route
+rejects — Or(Phrase, boosted Term) like the flagship parsed query, Or of
+flat booleans — must route through the per-child block-max kernels and
+stay BIT-IDENTICAL to the unrouted executor plan (the same discipline as
+tests/test_phrase_wand.py pruned-equals-unpruned). Mirrors the reference's
+optimize=True contract (searching.py::Searcher.search ~L780: pruning
+changes the plan, never the rows).
+"""
+
+import pytest
+
+from whoosh_spark import query as Q
+from whoosh_spark.fields import transcript_schema
+from whoosh_spark.indexing.segments import build_segments, open_segments
+from whoosh_spark.search import Searcher
+from whoosh_spark.transcripts import transcript_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def six(spark, tmp_path_factory):
+    corpus = transcript_corpus(spark, SF).persist()
+    corpus.count()
+    path = str(tmp_path_factory.mktemp("ormixix") / "ix")
+    build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
+    return open_segments(spark, path, corpus, transcript_schema())
+
+
+# each case must be MIXED-route eligible but single-kernel ineligible
+CASES = [
+    # the flagship parsed shape: "hash join" OR spark^2
+    Q.Or([Q.Phrase("text", ["hash", "join"]),
+          Q.Term("text", "spark", boost=2.0)]),
+    # unboosted phrase + term (still rejected by _wand_desc: mixed types)
+    Q.Or([Q.Phrase("text", ["data", "line"], slop=3),
+          Q.Term("text", "merge")]),
+    # boosted term forces the child-decomposed path for a plain term pair
+    Q.Or([Q.Term("text", "spark"), Q.Term("text", "join", boost=0.5)]),
+    # flat boolean children
+    Q.Or([Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
+          Q.Term("text", "spark", boost=2.0)]),
+    Q.Or([Q.DisjunctionMax([Q.Term("text", "hash"), Q.Term("text", "merge")]),
+          Q.Phrase("text", ["hash", "join"])]),
+    # three children, slopped phrase
+    Q.Or([Q.Phrase("text", ["hash", "join"], slop=2),
+          Q.Term("text", "window", boost=3.0),
+          Q.Or([Q.Term("text", "sort"), Q.Term("text", "scan")])]),
+]
+
+
+def _rows(df):
+    return [(r.doc_id, r.score) for r in df.collect()]
+
+
+def test_or_mixed_routed_equals_executor_bit_exact(six):
+    s = Searcher(six)
+    for q in CASES:
+        assert s._or_mixed_desc(q.normalize()) is not None, q
+        ref = _rows(s.search(q, limit=10, optimize=False))
+        got = _rows(s.search(q, limit=10))  # optimize=True default
+        assert got == ref, q
+
+
+def test_or_mixed_route_actually_fires(six):
+    s = Searcher(six)
+    q = CASES[0].normalize()
+    assert s._wand_desc(q) is None  # single-kernel route rejects it
+    assert s._or_mixed_route(q, 10) is not None
+
+
+def test_or_mixed_deepening_rounds_stay_exact(six):
+    # start_k=1 forces the threshold check to fail and the k' x4 deepening
+    # loop to run several rounds; rows must not change
+    s = Searcher(six)
+    for q in CASES[:3]:
+        qn = q.normalize()
+        ref = _rows(s.search(q, limit=10, optimize=False))
+        got = _rows(s._or_mixed_route(qn, 10, start_k=1))
+        assert got == ref, q
+
+
+def test_or_mixed_exhaustion_path(six):
+    # k' larger than any child's match count: every child exhausts on the
+    # first round and the candidate union IS the full match set
+    s = Searcher(six)
+    qn = CASES[0].normalize()
+    ref = _rows(s.search(CASES[0], limit=10, optimize=False))
+    got = _rows(s._or_mixed_route(qn, 10, start_k=10_000_000))
+    assert got == ref
+
+
+def test_or_mixed_ineligible_shapes_fall_back(six):
+    s = Searcher(six)
+    ineligible = [
+        Q.Or([Q.Phrase("text", ["hash", "join"]), Q.Term("text", "spark")],
+             scale=0.5),
+        Q.Or([Q.Term("text", "spark"), Q.Term("text", "join"),
+              Q.Phrase("text", ["hash", "join"])], minmatch=2),
+        Q.Or([Q.Not(Q.Term("text", "spark")), Q.Term("text", "join")]),
+        # negatively boosted child would invert the kernel ranking
+        Q.Or([Q.Phrase("text", ["hash", "join"]),
+              Q.Term("text", "spark", boost=-1.0)]),
+        # boosted COMPOUND child: no clean strip, executor path
+        Q.Or([Q.And([Q.Term("text", "hash"), Q.Term("text", "join")],
+                    boost=2.0),
+              Q.Term("text", "spark")]),
+    ]
+    for q in ineligible:
+        qn = q.normalize()
+        assert s._or_mixed_desc(qn) is None, q
+        # and search() still answers correctly through the executor
+        assert _rows(s.search(q, limit=5)) == _rows(
+            s.search(q, limit=5, optimize=False)), q
+
+
+def test_or_mixed_restriction_never_leaks(six):
+    s = Searcher(six)
+    s._or_mixed_route(CASES[0].normalize(), 10)
+    assert s._within is None
+    # a later unrestricted query sees the full index
+    full = s.search(Q.Term("text", "spark"), limit=5, optimize=False)
+    assert full.count() == 5

@@ -296,6 +296,44 @@ SELECT query_id, doc_id, score FROM (
         ),
     )
 
+    def _search_mixed(spark, sf):
+        # The FLAGSHIP parsed shape '"hash join" OR spark^2' through the
+        # default end-user path: Or(Phrase, boosted Term) is single-kernel
+        # ineligible, so Searcher.search(optimize=True) routes it through
+        # the threshold-algorithm decomposition (executor._or_mixed_route:
+        # per-child block-max kernels propose candidates, the executor's
+        # own restricted _c_or rescores them exactly) — closing the one
+        # r3 perf-weak spot (the shape paid the full scored-union plan at
+        # sf1). Same rounded re-rank tie discipline as the other entries.
+        from whoosh_spark import query as Qn
+        from whoosh_spark.search import Searcher
+
+        six = _turns_index(spark, sf)
+        q = Qn.Or([Qn.Phrase("text", ["hash", "join"]),
+                   Qn.Term("text", "spark", boost=2.0)])
+        raw = Searcher(six).search(q, limit=3 * K)
+        return _rounded(raw).orderBy(F.desc("score"), F.asc("doc_id")).limit(K)
+
+    add(
+        "turns_search_mixed_topk",
+        _search_mixed,
+        TURNS_PRELUDE
+        + """
+SELECT doc_id, score FROM (
+  SELECT doc_id, round(sum(score), 4) AS score FROM (
+    SELECT s.doc_id, sum(s.score) AS score FROM scored s
+      WHERE s.term IN ('hash','join') AND s.doc_id IN (
+        SELECT a.doc_id FROM ftok a JOIN ftok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'hash' AND b.term = 'join')
+      GROUP BY s.doc_id HAVING count(*) = 2
+    UNION ALL
+    SELECT doc_id, score * 2 FROM scored WHERE term = 'spark'
+  ) GROUP BY doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
     def _batch_default(spark, sf):
         # The END-USER default BATCH path: Searcher.search_many(optimize=
         # True) routes this heterogeneous Or/And/DisMax set through ONE

@@ -61,6 +61,12 @@ class Searcher:
     def __init__(self, index: InvertedIndex, weighting: WeightingModel | None = None):
         self.index = index
         self.weighting = weighting or BM25F()
+        # Candidate-set restriction used ONLY by the threshold-algorithm
+        # route (_or_mixed_route): when set, term/phrase leaves filter their
+        # postings to this doc_id list BEFORE scoring. Filtering commutes
+        # with the per-row score expressions, so restricted plans stay
+        # bit-identical to the unrestricted ones on the surviving docs.
+        self._within: list[int] | None = None
 
     # ------------------------------------------------------------------ utils
 
@@ -73,6 +79,13 @@ class Searcher:
 
     def _field_postings(self, fieldname: str):
         return self.index.postings.where(F.col("field") == fieldname)
+
+    def _restrict(self, postings: DataFrame) -> DataFrame:
+        """Apply the TA candidate restriction (see ``_within``), a no-op
+        outside _or_mixed_route's rescoring pass."""
+        if self._within is None:
+            return postings
+        return postings.where(F.col("doc_id").isin(self._within))
 
     def _score_ctx(self, fieldname: str):
         fs = self.index.schema[fieldname]
@@ -124,7 +137,7 @@ class Searcher:
         idf_v = self.weighting.term_scalar(
             fs, self.index.doc_count, dfreq, self.index.frequency(q.fieldname, q.text)
         )
-        p = self.index.term_postings(q.fieldname, q.text)
+        p = self._restrict(self.index.term_postings(q.fieldname, q.text))
         score = self.weighting.score_expr(fs, idf_v, avgdl, F.col("weight"), F.col("dl"))
         if q.boost != 1.0:
             score = score * q.boost
@@ -365,7 +378,9 @@ class Searcher:
             dfreq = self.index.doc_frequency(q.fieldname, w)
             if dfreq == 0:
                 return self._empty()
-            p = self.index.term_postings(q.fieldname, w, positions=True)
+            p = self._restrict(
+                self.index.term_postings(q.fieldname, w, positions=True)
+            )
             dfs.append(
                 (
                     p.select(
@@ -557,11 +572,15 @@ class Searcher:
         Term / flat same-field And / Or / DisMax(tiebreak=0) of unique
         terms / Phrase. Anything else returns None and compiles normally.
         """
-        from whoosh_spark.search.wand import wand_phrase_topk, wand_topk
-
         desc = self._wand_desc(q)
         if desc is None:
-            return None
+            return self._or_mixed_route(q.normalize(), k)
+        return self._kernel_frame(desc, k)
+
+    def _kernel_frame(self, desc, k: int) -> DataFrame:
+        """Run one WAND-eligibility descriptor through its block-max kernel."""
+        from whoosh_spark.search.wand import wand_phrase_topk, wand_topk
+
         if desc[0] == "phrase":
             _, field, words, slop = desc
             return wand_phrase_topk(
@@ -571,6 +590,106 @@ class Searcher:
         _, field, texts, mode = desc
         return wand_topk(self.index, field, texts, k=k, mode=mode,
                          weighting=self.weighting)
+
+    def _or_mixed_desc(self, qn: Q.Query):
+        """Eligibility for the threshold-algorithm route: a plain Or (no
+        coord scale / minmatch / boost) of ≥2 children that are EACH
+        individually WAND-eligible (:meth:`_wand_desc`). A positively
+        boosted Term/Phrase child qualifies via its stripped clone — the
+        kernel ranking is boost-invariant and the bound scales exactly.
+        Returns ``[(desc, boost), ...]`` in query (= fold/tag) order, or
+        None for the executor path."""
+        from dataclasses import replace
+
+        if type(qn) is not Q.Or or qn.boost != 1.0:
+            return None
+        if qn.scale is not None or qn.minmatch > 1:
+            return None
+        kids = list(qn.subqueries)
+        if len(kids) < 2:
+            return None
+        out = []
+        for c in kids:
+            b = float(c.boost)
+            if b != 1.0:
+                # only leaf children strip cleanly; non-positive boosts
+                # would invert the kernel's ranking order
+                if b <= 0.0 or not isinstance(c, (Q.Term, Q.Phrase)):
+                    return None
+                c = replace(c, boost=1.0)
+            d = self._wand_desc(c)
+            if d is None:
+                return None
+            out.append((d, b))
+        return out
+
+    def _or_mixed_route(self, qn: Q.Query, k: int,
+                        start_k: int | None = None) -> DataFrame | None:
+        """Threshold-algorithm route for Or-of-WAND-eligible-children.
+
+        The composite shapes the single-kernel route rejects — the flagship
+        parsed query ``Or(Phrase("hash join"), Term("spark")^2)``, cross-
+        field Or, Or of flat booleans — paid the full scored-union executor
+        plan (~2× WAND latency at sf1, BENCH.md). This is Fagin's threshold
+        algorithm (TA; Fagin/Lotem/Naor 2001) over the per-child block-max
+        kernels:
+
+        1. fetch each child's top-k' via its (pruned) WAND kernel;
+        2. rescore the CANDIDATE UNION exactly — the executor's own
+           :meth:`_c_or` with term/phrase leaves restricted to the
+           candidate doc_ids (``_within``), so scores and the ordered fold
+           are the executor's own expressions, bit-identical by
+           construction;
+        3. stop when the k-th candidate total strictly exceeds
+           τ = Σ_i max(child i's k'-th kernel score × boost_i, 0) — an
+           upper bound on any unseen doc's total, since a doc outside
+           child i's top-k' scores ≤ its k'-th entry there and a
+           non-matching child contributes 0 — or when every child
+           exhausted (< k' rows = its full match set is in the union);
+           otherwise deepen k' ×4 and repeat (geometric, so the loop
+           terminates at exhaustion in the worst case).
+
+        Driver state per round is ≤ n_children·k' (doc_id, score) rows —
+        the same order as the result itself — so the route stays
+        cluster-scale. Returns the lazy restricted-rescore frame, or None
+        when ineligible.
+        """
+        import math
+
+        descs = self._or_mixed_desc(qn)
+        if descs is None:
+            return None
+        self.index.prefetch_stats(_leaf_terms(qn))
+        kk = start_k if start_k is not None else max(4 * k, 64)
+        while True:
+            bounds: list[float] = []
+            cand: set[int] = set()
+            exhausted = True
+            for d, b in descs:
+                rows = self._kernel_frame(d, kk).collect()
+                cand.update(r["doc_id"] for r in rows)
+                if len(rows) >= kk:
+                    exhausted = False
+                    bounds.append(max(rows[-1]["score"] * b, 0.0))
+                else:
+                    bounds.append(0.0)
+            if not cand:
+                return self._empty().orderBy(F.desc("score"), F.asc("doc_id"))
+            self._within = sorted(cand)
+            try:
+                scored = self._c_or(qn)
+            finally:
+                self._within = None
+            out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            if exhausted:
+                return out
+            # one-ulp-paranoid threshold: fsum is exactly rounded, nextafter
+            # guards the ≤-chain against the fold's own rounding
+            tau = math.nextafter(math.fsum(bounds), math.inf)
+            head = out.collect()
+            if len(head) >= k and head[-1]["score"] > tau:
+                return out
+            kk *= 4
 
     def _apply_filter_mask(self, scored, filter, mask):
         if filter is not None:
