@@ -347,7 +347,7 @@ def test_language_preset_unsupported_raises():
     from whoosh_spark.analysis import LANGUAGE
 
     with pytest.raises(NotImplementedError, match="snowball"):
-        LANGUAGE("de")
+        LANGUAGE("fr")  # German shipped in r4 (lang.stem_de)
 
 
 def test_unknown_stem_variant_raises():

@@ -122,10 +122,10 @@ class AnalyzerSpec:
         # fail at CONSTRUCTION, on the driver — an unknown stemmer name
         # must never reach the executor-side analyzer (where it would
         # surface as retried task failures), nor silently fall back
-        if self.stem not in (False, True, "porter", "porter2"):
+        if self.stem not in (False, True, "porter", "porter2", "de"):
             raise ValueError(
-                f"unknown stem variant {self.stem!r}: use True/'porter' "
-                "or 'porter2'"
+                f"unknown stem variant {self.stem!r}: use True/'porter', "
+                "'porter2', or 'de'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -195,18 +195,23 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     lang.stemmer_for_language — NOT the classic Porter/default-stoplist
     chain StemmingAnalyzer uses — so that is what this preset selects
     (lang.py::stem2 + SNOWBALL_STOP_EN). ``"en_porter"`` mirrors the
-    reference's classic-Porter escape hatch. Other languages would need
-    their snowball stemmer and stoplist ported (reference:
-    lang/snowball/, lang/stopwords.py) — out of scope here, so they
-    raise instead of silently degrading (COVERAGE.md notes the gap)."""
-    from whoosh_spark.lang import SNOWBALL_STOP_EN
+    reference's classic-Porter escape hatch. German ships the same way
+    (lang.py::stem_de + SNOWBALL_STOP_DE — the published Snowball German
+    algorithm + stoplist, independently implemented). Other languages
+    would need their snowball stemmer and stoplist ported (reference:
+    lang/snowball/, lang/stopwords.py) — they raise instead of silently
+    degrading (COVERAGE.md notes the gap)."""
+    from whoosh_spark.lang import SNOWBALL_STOP_DE, SNOWBALL_STOP_EN
 
     if lang == "en_porter":
         return AnalyzerSpec(stem=True)
+    if lang in ("de", "de_DE", "german"):
+        return AnalyzerSpec(stem="de", stoplist=SNOWBALL_STOP_DE)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
-            f"LanguageAnalyzer({lang!r}): only English snowball/stoplist "
-            "data is bundled; port the reference lang tables to add more"
+            f"LanguageAnalyzer({lang!r}): only English and German "
+            "snowball/stoplist data is bundled; port the reference lang "
+            "tables to add more"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
@@ -310,14 +315,16 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
         # reference's StemFilter lru_cache trick vectorized via Series.map
         if spec.stem == "porter2":
             from whoosh_spark.lang import stem2 as _stem
+        elif spec.stem == "de":
+            from whoosh_spark.lang import stem_de as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:
             # an unknown stemmer name must NOT silently fall back to
             # classic Porter — the index would quietly diverge
             raise ValueError(
-                f"unknown stem variant {spec.stem!r}: use True/'porter' "
-                "or 'porter2'"
+                f"unknown stem variant {spec.stem!r}: use True/'porter', "
+                "'porter2', or 'de'"
             )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}

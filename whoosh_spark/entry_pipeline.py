@@ -2720,18 +2720,22 @@ FROM documents ORDER BY doc_id
     # form) rather than summing per-form scores — tf saturation and idf
     # are nonlinear, so the distinction matters.
     _STEM_FORMS = ("zorgling", "zorgled", "zorgles")
-    _STEM_SUFFIX = (
-        "(CASE WHEN doc_id % 7 = 0 THEN ' zorgling' ELSE '' END) || "
-        "(CASE WHEN doc_id % 11 = 0 THEN ' zorgled' ELSE '' END) || "
-        "(CASE WHEN doc_id % 13 = 0 THEN ' zorgles' ELSE '' END)"
-    )
 
-    def _derived_stem_topk(spark, sf, cache_key, field_spec, stem_fn):
-        """Shared derived-corpus stemmed search: append the zorgl* forms
-        (whose stem collides with no natural token under BOTH Porter and
-        Porter2), index with the given stemmed field, search the stemmed
-        query term — one helper so the twin entries (classic Porter /
-        Snowball) can never drift apart."""
+    def _stem_suffix_sql(forms) -> str:
+        return " || ".join(
+            f"(CASE WHEN doc_id % {m} = 0 THEN ' {w}' ELSE '' END)"
+            for m, w in zip((7, 11, 13), forms)
+        )
+
+    _STEM_SUFFIX = _stem_suffix_sql(_STEM_FORMS)
+
+    def _derived_stem_topk(spark, sf, cache_key, field_spec, stem_fn,
+                           forms=_STEM_FORMS):
+        """Shared derived-corpus stemmed search: append invented inflected
+        forms (whose shared stem collides with no natural token under the
+        field's stemmer), index with the given stemmed field, search the
+        stemmed query term — one helper so the stemmer entries (classic
+        Porter / Snowball en / Snowball de) can never drift apart."""
         from whoosh_spark import query as Qn
         from whoosh_spark.entry_queries import _topk
         from whoosh_spark.fields import Schema
@@ -2744,15 +2748,17 @@ FROM documents ORDER BY doc_id
                 "text",
                 F.concat(
                     F.col("text"),
-                    F.when(F.col("doc_id") % 7 == 0, F.lit(" zorgling")).otherwise(F.lit("")),
-                    F.when(F.col("doc_id") % 11 == 0, F.lit(" zorgled")).otherwise(F.lit("")),
-                    F.when(F.col("doc_id") % 13 == 0, F.lit(" zorgles")).otherwise(F.lit("")),
+                    *[
+                        F.when(F.col("doc_id") % m == 0,
+                               F.lit(" " + w)).otherwise(F.lit(""))
+                        for m, w in zip((7, 11, 13), forms)
+                    ],
                 ),
             )
             ix = build_index(spark, d, Schema(field_spec)).persist()
             _CACHE[key] = Searcher(ix)
         s = _CACHE[key]
-        return _topk(s.compile(Qn.Term("text", stem_fn("zorgling"))))
+        return _topk(s.compile(Qn.Term("text", stem_fn(forms[0]))))
 
     def _stem_topk(spark, sf):
         from whoosh_spark.fields import STEMTEXT
@@ -2762,15 +2768,20 @@ FROM documents ORDER BY doc_id
 
     from whoosh_spark.entry_queries import prelude_body as _prelude_body
 
-    _STEM_FORMS_SQL = ", ".join(f"'{w}'" for w in _STEM_FORMS)
-    # ONE oracle body shared by the porter/porter2 twin entries — the
-    # zorgl* group merges identically under both stemmers
-    _STEM_ORACLE_SQL = (
-        "WITH ds AS (SELECT doc_id, text || " + _STEM_SUFFIX + " AS text FROM documents),\n"
-        + _prelude_body("ds")
-        + f""",
+    def _stem_oracle_sql(forms) -> str:
+        """Merged-group BM25 oracle over the derived corpus: the stemmed
+        index collapses the invented forms into ONE posting, so tf = sum
+        of the forms' counts and df = docs with any form (nonlinear in
+        both, hence the explicit merge rather than summed per-form
+        scores)."""
+        forms_sql = ", ".join(f"'{w}'" for w in forms)
+        return (
+            "WITH ds AS (SELECT doc_id, text || " + _stem_suffix_sql(forms)
+            + " AS text FROM documents),\n"
+            + _prelude_body("ds")
+            + f""",
 mpost AS (
-  SELECT doc_id, sum(w) AS w FROM post WHERE term IN ({_STEM_FORMS_SQL}) GROUP BY doc_id
+  SELECT doc_id, sum(w) AS w FROM post WHERE term IN ({forms_sql}) GROUP BY doc_id
 ),
 mstat AS (SELECT count(*)::DOUBLE AS df FROM mpost)
 SELECT doc_id, round(score, 4) AS score FROM (
@@ -2780,7 +2791,11 @@ SELECT doc_id, round(score, 4) AS score FROM (
   FROM mpost p CROSS JOIN mstat s JOIN dl l USING (doc_id) CROSS JOIN gstat g
 )
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
-    )
+        )
+
+    # ONE oracle body shared by the porter/porter2 twin entries — the
+    # zorgl* group merges identically under both stemmers
+    _STEM_ORACLE_SQL = _stem_oracle_sql(_STEM_FORMS)
 
     add("stemmed_search_topk", _stem_topk, _STEM_ORACLE_SQL)
 
@@ -2802,6 +2817,29 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
             TEXT("text", analyzer=AnalyzerSpec(stem="porter2")), _st2)
 
     add("snowball_search_topk", _snowball_topk, _STEM_ORACLE_SQL)
+
+    _STEM_FORMS_DE = ("zorgelung", "zorgelungen", "zorgeles")
+
+    def _german_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball GERMAN stemmer — the
+        # one LanguageAnalyzer("de") selects (lang.py::stem_de, r4):
+        # zorgelung (step-3 ung in R2) / zorgelungen (step-1 en then ung) /
+        # zorgeles (step-1 es) all stem to 'zorgel', colliding with no
+        # natural token of the English-ish corpus under German stemming.
+        # The index uses stem="de" with the DEFAULT stoplist so the shared
+        # tokenization prelude stays a faithful mirror (the full
+        # LANGUAGE("de") preset, German stoplist included, is pinned in
+        # tests/test_lang_de.py instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_de as _stde
+
+        return _derived_stem_topk(
+            spark, sf, "stemde_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="de")), _stde,
+            forms=_STEM_FORMS_DE)
+
+    add("german_search_topk", _german_topk, _stem_oracle_sql(_STEM_FORMS_DE))
 
     # ------------------------------ multimodal ---------------------------
 

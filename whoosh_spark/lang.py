@@ -417,3 +417,157 @@ from up down in out on off over under again further then once here
 there when where why how all any both each few more most other some
 such no nor not only own same so than too very
 """.split())
+
+
+# ---------------------------------------------------------------- German
+# Snowball German stemmer (Porter/snowballstem.org "german" algorithm) —
+# the stemmer LanguageAnalyzer("de") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# german.py + lang/stopwords.py 'de'). Independent implementation from the
+# PUBLISHED algorithm description (the reference mount is empty — SURVEY
+# "Provenance"); parity is pinned by hand-executed vectors from the spec
+# in tests/test_lang_de.py.
+
+_DE_VOWELS = set("aeiouyäöü")
+_DE_S_ENDING = set("bdfghklmnrt")
+_DE_ST_ENDING = set("bdfghklmnt")
+
+
+def _de_prelude(word: str) -> str:
+    """ß -> ss; u/y between vowels marked upper-case (= consonant for the
+    region scan), left-to-right over the mutating string as in the
+    published prelude."""
+    word = word.replace("ß", "ss")
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if (
+            chars[i] in ("u", "y")
+            and chars[i - 1] in _DE_VOWELS
+            and chars[i + 1] in _DE_VOWELS
+        ):
+            chars[i] = chars[i].upper()
+    return "".join(chars)
+
+
+def _de_regions(word: str) -> tuple[int, int]:
+    """Standard R1/R2 over the marked string; R2 scans from the UNADJUSTED
+    R1, then R1 is floored at 3 (the published mark_regions order:
+    setmark p2 happens before the $p1 = x adjustment)."""
+
+    def scan(start: int) -> int:
+        for i in range(start, len(word) - 1):
+            if word[i] in _DE_VOWELS and word[i + 1] not in _DE_VOWELS:
+                return i + 2
+        return len(word)
+
+    r1 = scan(0)
+    r2 = scan(r1)
+    return max(r1, 3), r2
+
+
+def _de_longest(word: str, sufs: tuple[str, ...]) -> str | None:
+    """Snowball 'among' semantics: the LONGEST matching suffix wins; if
+    its side-condition then fails, NOTHING is removed (no backtracking to
+    a shorter suffix)."""
+    best = ""
+    for s in sufs:
+        if word.endswith(s) and len(s) > len(best):
+            best = s
+    return best or None
+
+
+def stem_de(word: str) -> str:
+    """Snowball-German-stem one lowercase word."""
+    word = _de_prelude(word.lower())
+    r1, r2 = _de_regions(word)
+
+    # ---- step 1: (a) em ern er  (b) e en es [+niss]  (c) s (s-ending)
+    suf = _de_longest(word, ("em", "ern", "er", "e", "en", "es", "s"))
+    if suf is not None and len(word) - len(suf) >= r1:
+        if suf == "s":
+            if len(word) >= 2 and word[-2] in _DE_S_ENDING:
+                word = word[:-1]
+        elif suf in ("e", "en", "es"):
+            word = word[: -len(suf)]
+            if word.endswith("niss"):
+                word = word[:-1]
+        else:
+            word = word[: -len(suf)]
+
+    # ---- step 2: (a) en er est  (b) st (valid st-ending, >=3 before it)
+    suf = _de_longest(word, ("en", "er", "est", "st"))
+    if suf is not None and len(word) - len(suf) >= r1:
+        if suf == "st":
+            if len(word) >= 6 and word[-3] in _DE_ST_ENDING:
+                word = word[:-2]
+        else:
+            word = word[: -len(suf)]
+
+    # ---- step 3: d-suffixes
+    suf = _de_longest(
+        word, ("end", "ung", "ig", "ik", "isch", "lich", "heit", "keit")
+    )
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if suf in ("end", "ung"):
+            if pos >= r2:
+                word = word[:pos]
+                if (
+                    word.endswith("ig")
+                    and len(word) - 2 >= r2
+                    and (len(word) < 3 or word[-3] != "e")
+                ):
+                    word = word[:-2]
+        elif suf in ("ig", "ik", "isch"):
+            if pos >= r2 and (pos == 0 or word[pos - 1] != "e"):
+                word = word[:pos]
+        elif suf in ("lich", "heit"):
+            if pos >= r2:
+                word = word[:pos]
+                for pre in ("er", "en"):
+                    if word.endswith(pre) and len(word) - 2 >= r1:
+                        word = word[:-2]
+                        break
+        else:  # keit
+            if pos >= r2:
+                word = word[:pos]
+                for pre in ("lich", "ig"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+
+    # ---- postlude: unmark U/Y, strip umlauts
+    return (
+        word.lower()
+        .replace("ä", "a")
+        .replace("ö", "o")
+        .replace("ü", "u")
+    )
+
+
+# The published Snowball German stopword list (snowballstem.org
+# german/stop.txt) — the data LanguageAnalyzer("de")'s StopFilter uses.
+# 'daß' is kept in the pre-reform spelling exactly as published (the
+# default \\w+ tokenizer lowercases but never rewrites ß).
+SNOWBALL_STOP_DE = frozenset("""
+aber alle allem allen aller alles als also am an ander andere anderem
+anderen anderer anderes anderm andern anderr anders auch auf aus bei bin
+bis bist da damit dann der den des dem die das daß derselbe derselben
+denselben desselben demselben dieselbe dieselben dasselbe dazu dein
+deine deinem deinen deiner deines denn deren derer dessen dich dir du
+dies diese diesem diesen dieser dieses doch dort durch ein eine einem
+einen einer eines einig einige einigem einigen einiger einiges einmal
+er ihn ihm es etwas euer eure eurem euren eurer eures für gegen gewesen
+hab habe haben hat hatte hatten hier hin hinter ich mich mir ihr ihre
+ihrem ihren ihrer ihres euch im in indem ins ist jede jedem jeden jeder
+jedes jene jenem jenen jener jenes jetzt kann kein keine keinem keinen
+keiner keines können könnte machen man manche manchem manchen mancher
+manches mein meine meinem meinen meiner meines mit muss musste nach
+nicht nichts noch nun nur ob oder ohne sehr sein seine seinem seinen
+seiner seines selbst sich sie ihnen sind so solche solchem solchen
+solcher solches soll sollte sondern sonst über um und uns unsere
+unserem unseren unser unseres unter viel vom von vor während war waren
+warst was weg weil weiter welche welchem welchen welcher welches wenn
+werde werden wie wieder will wir wird wirst wo wollen wollte würde
+würden zu zum zur zwar zwischen
+""".split())
