@@ -168,12 +168,12 @@ def test_percolate_indexed_validation(spark):
 
     docs = _corpus(spark, 10)
     for bad in (
-        # phrases are supported since round-3 session 4; what still
-        # rejects is a phrase on an AndNot/Require b-side or dup words
-        {"badb": Q.AndNot(Q.Term("text", "spark"),
-                          Q.Phrase("text", ["hash", "join"]))},
+        # phrases (incl. b-sides and duplicate words) are supported; what
+        # still rejects is coord scaling, non-flat trees, foreign fields
         {"scaled": Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")],
                         scale=0.5)},
+        {"nested": Q.And([Q.Or([Q.Term("text", "a"), Q.Term("text", "b")]),
+                          Q.Term("text", "c")])},
         {"wrongfield": Q.Term("lang", "en")},
     ):
         with pytest.raises(ValueError):
@@ -286,18 +286,68 @@ def test_percolate_indexed_phrase_parity(spark):
     assert p1 <= both
 
 
-def test_percolate_indexed_phrase_validation(spark):
-    from whoosh_spark.streaming import percolate_indexed
+def test_percolate_indexed_phrase_b_side_and_dup_words(spark):
+    """r4: the two shapes that used to raise toward the plan-branch tier
+    — a Phrase on the AndNot/Require b-side and duplicate-word phrases —
+    are now indexed-tier paths, bit-identical to percolate(). One
+    awkward rule among 100k standing queries must not force the
+    O(rules)-plan tier (VERDICT r3 #6)."""
+    from whoosh_spark.streaming import percolate, percolate_indexed
 
-    docs = _corpus(spark)
-    with pytest.raises(ValueError, match="excluded/required side"):
-        percolate_indexed(spark, docs, {
-            "bad": Q.AndNot(Q.Term("text", "spark"),
-                            Q.Phrase("text", ["hash", "join"]))},
-            schema=_SCHEMA)
-    with pytest.raises(ValueError, match="duplicate words"):
-        percolate_indexed(spark, docs, {
-            "dup": Q.Phrase("text", ["hash", "hash"])}, schema=_SCHEMA)
+    # _corpus rotates distinct words; add docs with REPEATED words so the
+    # duplicate-word rules have something to match
+    docs = _corpus(spark).unionByName(_docs(spark, [
+        (900, "join the big join table"),
+        (901, "hash stuff hash table hash"),
+        (902, "spark join join hash"),
+    ]))
+    rules = {
+        # phrase b-sides: excluded / required, slopped, absent-word
+        "np": Q.AndNot(Q.Term("text", "spark"),
+                       Q.Phrase("text", ["join", "hash"])),
+        "np_slop": Q.AndNot(Q.Or([Q.Term("text", "merge"),
+                                  Q.Term("text", "window")]),
+                            Q.Phrase("text", ["merge", "scan"], slop=2)),
+        "np_dead": Q.AndNot(Q.Term("text", "hash"),
+                            Q.Phrase("text", ["hash", "zzznope"])),
+        "rp": Q.Require(Q.Term("text", "spark"),
+                        Q.Phrase("text", ["join", "hash"])),
+        "rp_dead": Q.Require(Q.Term("text", "hash"),
+                             Q.Phrase("text", ["hash", "zzznope"])),
+        # phrase a-side AND phrase b-side in one rule
+        "pp": Q.AndNot(Q.Phrase("text", ["join", "hash"]),
+                       Q.Phrase("text", ["scan", "filter"])),
+        # duplicate-word phrases: two distinct occurrences required
+        "dup": Q.Phrase("text", ["join", "join"]),
+        "dup_slop": Q.Phrase("text", ["hash", "hash"], slop=3),
+        "dup_b": Q.Require(Q.Term("text", "spark"),
+                           Q.Phrase("text", ["join", "join"])),
+    }
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert a == b
+    names = {q for q, _ in a}
+    # an unmatchable b-phrase: AndNot == plain a; Require == empty
+    assert "np_dead" in names and "rp_dead" not in names
+    # the phrase b really excludes positionally: np keeps spark docs whose
+    # 'join hash' words co-occur NON-adjacently (the AND would drop them)
+    np_docs = {d for q, d in a if q == "np"}
+    and_b = {(r.query_name, r.doc_id)
+             for r in percolate(
+                 spark, docs,
+                 {"x": Q.AndNot(Q.Term("text", "spark"),
+                                Q.And([Q.Term("text", "join"),
+                                       Q.Term("text", "hash")]))},
+                 schema=_SCHEMA).collect()}
+    assert {d for _, d in and_b} <= np_docs
+    # duplicate-word semantics: 'join join' adjacent only in doc 902;
+    # two 'hash' within slop 3 only in doc 901; the dup b-side requires
+    # doc 902's double join
+    assert {d for q, d in a if q == "dup"} == {902}
+    assert {d for q, d in a if q == "dup_slop"} == {901}
+    assert {d for q, d in a if q == "dup_b"} == {902}
 
 
 def test_percolate_stream_indexed_tier(spark, tmp_path):

@@ -1986,6 +1986,12 @@ FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
             # phrase rules close their positional chain INSIDE the same
             # (rule, doc) group — same broadcast, still O(1) plan size
             "hash_phrase": Q.Phrase("text", ["hash", "join"]),
+            # r4: phrase B-SIDE (the excluded side runs its own chain in
+            # the same group) and duplicate-word phrase (one slot per
+            # occurrence, strictly increasing positions)
+            "spark_not_hashjoin": Q.AndNot(
+                Q.Term("text", "spark"), Q.Phrase("text", ["hash", "join"])),
+            "double_join": Q.Phrase("text", ["join", "join"], slop=3),
         }
         out = percolate_indexed(spark, _docs(spark, sf), rules, documents_schema())
         return out.select("query_name", "doc_id", F.round("score", 4).alias("score"))
@@ -2023,6 +2029,17 @@ FROM scored s WHERE s.term IN ('hash', 'join')
 AND s.doc_id IN (SELECT a.doc_id FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id
                  AND b.pos = a.pos + 1 WHERE a.term = 'hash' AND b.term = 'join')
 GROUP BY s.doc_id HAVING count(*) = 2
+UNION ALL
+SELECT 'spark_not_hashjoin', doc_id, round(score, 4)
+FROM scored WHERE term = 'spark'
+AND doc_id NOT IN (SELECT a.doc_id FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id
+                   AND b.pos = a.pos + 1 WHERE a.term = 'hash' AND b.term = 'join')
+UNION ALL
+SELECT 'double_join', doc_id, round(score * 2, 4)
+FROM scored WHERE term = 'join'
+AND doc_id IN (SELECT a.doc_id FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id
+               AND b.pos > a.pos AND b.pos <= a.pos + 3
+               WHERE a.term = 'join' AND b.term = 'join')
 """,
     )
 

@@ -102,7 +102,7 @@ def percolate_stream(
     :func:`percolate_indexed` instead — the large-rule-set tier (rules
     as broadcast data, O(1) plan size): the right choice when thousands
     of standing queries watch the stream. Rule-shape limits of that tier
-    apply (flat Term/And/Or/Phrase, AndNot/Require with flat b);
+    apply (flat Term/And/Or/Phrase, AndNot/Require with flat or Phrase b);
     ``with_scores=False`` is plan-branch-only (the indexed tier always
     scores; callers can drop the column downstream).
     """
@@ -162,12 +162,10 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
         if q.fieldname != fieldname:
             raise ValueError(
                 f"rule {name!r}: field {q.fieldname!r} != {fieldname!r}")
-        if len(set(q.words)) != len(q.words):
-            # duplicate words are legal in a phrase but the term-join
-            # would conflate their word slots; route through percolate()
-            raise ValueError(
-                f"rule {name!r}: duplicate words in a phrase rule are "
-                "plan-branch-tier only; use percolate()")
+        # duplicate words are fine: each word SLOT is its own broadcast
+        # row (distinct _q), so a duplicated term joins the same posting
+        # once per slot and the positional chain still demands strictly
+        # increasing positions — exactly the executor's _c_phrase joins
         rows = [(w, i, 1.0) for i, w in enumerate(q.words)]
         return rows, len(q.words), float(q.boost), int(q.slop)
     if isinstance(q, (Q.And, Q.Or)):
@@ -193,29 +191,28 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
 
 def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
     """Full per-rule flattening -> (pos_rows, n_required, rule_boost,
-    slop, neg_terms, neg_required, req_terms, req_required). AndNot(a,
-    b): a scored, doc excluded when it matches b (executor's left_anti);
-    Require(a, b): doc kept only when it matches b (left_semi). b must
-    itself be flat Term/And/Or (NOT a phrase — a positional b-side needs
-    the plan-branch tier); AND-shaped b excludes/requires only when ALL
-    its terms hit, OR-shaped when minmatch of them hit — exactly the
-    compiled semantics of b as a match set. The a side may be a Phrase
-    (slop carried through)."""
+    slop, neg_rows, neg_required, neg_slop, req_rows, req_required,
+    req_slop). AndNot(a, b): a scored, doc excluded when it matches b
+    (executor's left_anti); Require(a, b): doc kept only when it matches
+    b (left_semi). b may be flat Term/And/Or OR a Phrase: AND-shaped b
+    excludes/requires only when ALL its terms hit, OR-shaped when
+    minmatch of them hit, Phrase b when all word slots hit AND the
+    positional chain survives — exactly the compiled semantics of b as a
+    match set. The a side may be a Phrase (slop carried through). b's
+    rows are (term, slot) pairs so a positional b keeps word order."""
     if isinstance(q, (Q.AndNot, Q.Require)):
         pos_rows, n_req, a_boost, slop = _flat_rule(name, q.a.normalize(), fieldname)
         b_rows, b_req, b_boost, b_slop = _flat_rule(name, q.b.normalize(), fieldname)
         del b_boost  # b is a pure match set; its scores/boosts are unused
-        if b_slop is not None:
-            raise ValueError(
-                f"rule {name!r}: a Phrase on the excluded/required side "
-                "needs positional evaluation; use percolate()")
-        b_terms = [t for t, _pos, _lb in b_rows]
+        b = [(t, pos) for t, pos, _lb in b_rows]
         rboost = a_boost * float(q.boost)
         if isinstance(q, Q.AndNot):
-            return pos_rows, n_req, rboost, slop, b_terms, b_req, [], None
-        return pos_rows, n_req, rboost, slop, [], None, b_terms, b_req
+            return (pos_rows, n_req, rboost, slop,
+                    b, b_req, b_slop, [], None, None)
+        return (pos_rows, n_req, rboost, slop,
+                [], None, None, b, b_req, b_slop)
     pos_rows, n_req, rboost, slop = _flat_rule(name, q, fieldname)
-    return pos_rows, n_req, rboost, slop, [], None, [], None
+    return pos_rows, n_req, rboost, slop, [], None, None, [], None, None
 
 
 def percolate_indexed(
@@ -264,13 +261,15 @@ def _percolate_indexed_with_ix(
     positions decode only when a phrase rule exists and only ON the
     phrase rows, and the positional chain closes inside the same
     (rule, doc) group with the executor's exact ``_phrase_step`` fold —
-    still O(1) plan size. ``AndNot(a, b)`` and ``Require(a, b)`` work
-    when b is flat (a may be a phrase): b's terms ride the same
-    broadcast as non-scoring NEGATIVE / REQUIRE rows, and the group
-    filter excludes docs with >= b_required negative hits (the left_anti
-    semantics) or demands >= b_required require hits (left_semi). Rules
-    beyond these shapes (a phrase b-side, duplicate-word phrases,
-    Or(scale=), non-flat trees) raise — route those through
+    still O(1) plan size; duplicate words are distinct slots, so they
+    join the same posting once per slot like the executor's self-joins.
+    ``AndNot(a, b)`` and ``Require(a, b)`` take flat OR Phrase b-sides
+    (a may be a phrase): b's terms ride the same broadcast as
+    non-scoring NEGATIVE / REQUIRE rows with word slots, and the group
+    filter excludes docs where b matches (hit count >= b_required, plus
+    b's own positional chain when b is a phrase — the left_anti
+    semantics) or demands a b match (left_semi). Rules beyond these
+    shapes (Or(scale=), non-flat trees) raise — route those through
     ``percolate``.
     """
     from whoosh_spark.search.scoring import BM25F
@@ -282,19 +281,23 @@ def _percolate_indexed_with_ix(
     # roles: 0 = scoring positive row, 1 = negative (AndNot.b),
     # 2 = require (Require.b); neg/req rows never contribute score.
     # Phrase rules ride the same rows with ``_slop`` set — their
-    # positional chain closes inside the same (rule, doc) group.
+    # positional chain closes inside the same (rule, doc) group. A
+    # phrase B-SIDE rides its role's rows with ``_nsl``/``_rsl`` set and
+    # word slots in ``_q``, closing its own chain the same way.
     rows = []
     any_phrase = False
     for name, q in queries.items():
-        (pos, n_req, rboost, slop, neg_terms, neg_req,
-         req_terms, req_req) = _flat_rule_full(name, q.normalize(), fieldname)
-        any_phrase = any_phrase or slop is not None
+        (pos, n_req, rboost, slop, neg, neg_req, neg_slop,
+         req, req_req, req_slop) = _flat_rule_full(name, q.normalize(), fieldname)
+        any_phrase = any_phrase or any(
+            s is not None for s in (slop, neg_slop, req_slop))
+        base_cols = (n_req, neg_req, req_req, rboost, slop, neg_slop, req_slop)
         for t, pos_i, lboost in pos:
-            rows.append((name, t, pos_i, lboost, 0, n_req, neg_req, req_req, rboost, slop))
-        for t in neg_terms:
-            rows.append((name, t, -1, 0.0, 1, n_req, neg_req, req_req, rboost, slop))
-        for t in req_terms:
-            rows.append((name, t, -1, 0.0, 2, n_req, neg_req, req_req, rboost, slop))
+            rows.append((name, t, pos_i, lboost, 0) + base_cols)
+        for t, slot in neg:
+            rows.append((name, t, slot, 0.0, 1) + base_cols)
+        for t, slot in req:
+            rows.append((name, t, slot, 0.0, 2) + base_cols)
     if not rows:
         return (spark.createDataFrame(
             [], "query_name string, doc_id long, score double"), None)
@@ -323,76 +326,102 @@ def _percolate_indexed_with_ix(
     p = ix.terms_postings(fieldname, sorted(idf),
                           positions=any_phrase).select(*pcols)
     rules_df = spark.createDataFrame(
-        [(n, t, q_, lb, role, nr, ngr, rqr, rb, sl, idf[t])
-         for (n, t, q_, lb, role, nr, ngr, rqr, rb, sl) in rows if t in idf],
+        [(n, t, q_, lb, role, nr, ngr, rqr, rb, sl, nsl, rsl, idf[t])
+         for (n, t, q_, lb, role, nr, ngr, rqr, rb, sl, nsl, rsl) in rows
+         if t in idf],
         "query_name string, term string, _q int, _lboost double, _role int, "
         "_n_required int, _neg_required int, _req_required int, "
-        "_rboost double, _slop int, _idf double",
+        "_rboost double, _slop int, _neg_slop int, _req_slop int, "
+        "_idf double",
     )
     base = w.score_expr(fs, F.col("_idf"), avgdl, F.col("weight"), F.col("dl"))
+    # positions ride ONLY on rows whose role participates in a positional
+    # chain (phrase a-side on role 0, phrase b-side on its role) — with
+    # one phrase rule among 100k boolean rules, the boolean rows' payload
+    # must not multiply by the positions size
+    if any_phrase:
+        pos_needed = (
+            ((F.col("_role") == 0) & F.col("_slop").isNotNull())
+            | ((F.col("_role") == 1) & F.col("_neg_slop").isNotNull())
+            | ((F.col("_role") == 2) & F.col("_req_slop").isNotNull())
+        )
+        pos_col = F.when(pos_needed, F.col("positions"))
+    else:
+        pos_col = F.lit(None).cast("array<int>")
     jcols = [
         "query_name", "doc_id", F.col("_q"), F.col("_role"),
         F.col("_n_required"), F.col("_neg_required"), F.col("_req_required"),
-        F.col("_rboost"), F.col("_slop"),
+        F.col("_rboost"), F.col("_slop"), F.col("_neg_slop"),
+        F.col("_req_slop"),
         (base * F.col("_lboost")).alias("score"),
-        # only PHRASE-rule rows carry positions into the group exchange —
-        # with one phrase rule among 100k boolean rules, the boolean
-        # rows' payload must not multiply by the positions size
-        (F.when(F.col("_slop").isNotNull(), F.col("positions"))
-         if any_phrase else F.lit(None).cast("array<int>")).alias("_pos"),
+        pos_col.alias("_pos"),
     ]
     j = p.join(F.broadcast(rules_df), "term").select(*jcols)
     # the executor's _ordered_sum: left-assoc fold in query order, so a
     # 2-term AND scores bit-identically to Searcher.compile(And([...]));
-    # neg/req rows are nulled out of the fold (collect_list skips nulls)
-    items = F.array_sort(
-        F.collect_list(
-            F.when(
-                F.col("_role") == 0,
-                F.struct(F.col("_q").alias("q"), F.col("score").alias("s"),
-                         F.col("_pos").alias("p")),
+    # other roles are nulled out of each list (collect_list skips nulls)
+    def role_items(r):
+        return F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_role") == r,
+                    F.struct(F.col("_q").alias("q"),
+                             F.col("score").alias("s"),
+                             F.col("_pos").alias("p")),
+                )
             )
         )
-    )
+
     n_role = lambda r: F.sum(F.when(F.col("_role") == r, 1).otherwise(0))  # noqa: E731
     grouped = (
         j.groupBy("query_name", "doc_id")
-        .agg(items.alias("_items"),
+        .agg(role_items(0).alias("_items"),
+             role_items(1).alias("_nitems"), role_items(2).alias("_ritems"),
              n_role(0).alias("_n"), n_role(1).alias("_neg"), n_role(2).alias("_hasreq"),
              F.first("_n_required").alias("_req"),
              F.first("_neg_required").alias("_negr"),
              F.first("_req_required").alias("_reqr"),
              F.first("_rboost").alias("_rb"),
-             F.first("_slop").alias("_sl"))
+             F.first("_slop").alias("_sl"),
+             F.first("_neg_slop").alias("_nsl"),
+             F.first("_req_slop").alias("_rsl"))
     )
     fold = F.aggregate(F.col("_items"), F.lit(0.0), lambda acc, x: acc + x["s"])
-    # phrase rules: close the positional chain over the word-ordered
-    # items — EXACTLY the executor's _phrase_step fold (keep x in next
-    # where some c in current has c < x <= c + slop), then demand a
-    # surviving chain. Only evaluated when _sl is set AND all words are
-    # present (the _n >= _req leg), so element_at(1) is safe.
-    slop_c = F.col("_sl")
-    # guarded: only computed for phrase groups with >= 1 positive item
-    # (element_at(…, 1) would raise under ANSI on an empty array — a
-    # neg-rows-only group of a phrase composite hits that)
-    chain = F.when(
-        slop_c.isNotNull() & (F.size("_items") >= 1),
-        F.aggregate(
-            F.slice(F.col("_items"), 2,
-                    F.greatest(F.size("_items") - 1, F.lit(0))),
-            F.element_at(F.col("_items"), 1)["p"],
-            lambda acc, x: F.filter(
-                x["p"],
-                lambda v: F.exists(acc, lambda c: (v > c) & (v <= c + slop_c)),
+
+    # positional chain over word-slot-ordered items — EXACTLY the
+    # executor's _phrase_step fold (keep x in next where some c in
+    # current has c < x <= c + slop). Guarded: only computed for groups
+    # with >= 1 item of that role (element_at(…, 1) would raise under
+    # ANSI on an empty array — e.g. a neg-rows-only group).
+    def chain_ok(items_name: str, slop_col):
+        items = F.col(items_name)
+        chain = F.when(
+            slop_col.isNotNull() & (F.size(items) >= 1),
+            F.aggregate(
+                F.slice(items, 2, F.greatest(F.size(items) - 1, F.lit(0))),
+                F.element_at(items, 1)["p"],
+                lambda acc, x: F.filter(
+                    x["p"],
+                    lambda v: F.exists(acc, lambda c: (v > c) & (v <= c + slop_col)),
+                ),
             ),
-        ),
-    ).otherwise(F.lit(None).cast("array<int>"))
-    phrase_ok = slop_c.isNull() | (F.size(chain) > 0)
+        ).otherwise(F.lit(None).cast("array<int>"))
+        return slop_col.isNull() | (F.size(chain) > 0)
+
+    phrase_ok = chain_ok("_items", F.col("_sl"))
+    # b-side MATCH predicates: a flat b matches on its hit-count
+    # threshold alone; a phrase b additionally demands its own surviving
+    # chain. AndNot keeps docs where b does NOT match; Require keeps
+    # docs where it does.
+    neg_matches = (F.col("_neg") >= F.col("_negr")) & chain_ok(
+        "_nitems", F.col("_nsl"))
+    req_matches = (F.col("_hasreq") >= F.col("_reqr")) & chain_ok(
+        "_ritems", F.col("_rsl"))
     out = (
         grouped.where(
             (F.col("_n") >= F.col("_req"))
-            & (F.col("_negr").isNull() | (F.col("_neg") < F.col("_negr")))
-            & (F.col("_reqr").isNull() | (F.col("_hasreq") >= F.col("_reqr")))
+            & (F.col("_negr").isNull() | ~neg_matches)
+            & (F.col("_reqr").isNull() | req_matches)
         )
         .where(phrase_ok)
         .select("query_name", "doc_id",
