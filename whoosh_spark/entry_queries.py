@@ -1068,33 +1068,69 @@ ORDER BY a.score DESC, a.doc_id ASC LIMIT 5""",
 
 _REGISTRY_CACHE: dict | None = None
 
-# The driver checks the FIRST ~50 registry entries per round. Round-3
-# priority order (VERDICT r2 "Next round" #8):
-# (1) brand-new or newly-ORACLED entries with no hash-checked driver row
-#     yet (regex, copyfield, the derived-corpus stemmed oracle, full-probe
-#     IVF sharing the exact cosine oracle, the approximate-probe split),
-# (2) entries riding round-3-CHANGED code (nodes.py morph_en long tail,
-#     parser.py CopyField/plugins, incremental.py distributed upsert
-#     deletes, build.py expand_terms, segments.py live_docs,
-#     entry_pipeline.py oracle rewrites),
-# (3) the honest rows-only entries (re-recorded each round),
-# (4) one representative per core operator family (rotating in the
-#     compound/binary family that sat past the r2 window).
-# Everything past slot ~50 is r1/r2-green on code UNCHANGED this round
-# (pipeline text/dedup/cosine/multimodal ops, scoring variants, aux
-# retrieval) — see BENCH.md "Correctness gate" for the rehearsal evidence.
+# The driver checks the FIRST ~50 registry entries per round. Round-4
+# priority order (VERDICT r3 "Next round" #1-2: drain the never-checked
+# backlog — the list below IS the backlog, verified against
+# CORRECTNESS_r01-03.json at reorder time):
+# (1) slot 1: text_bpe_encode — r3's one red row, re-shaped to a flat
+#     schema (entry_pipeline.py projects tokens -> space-joined string);
+# (2) slots 2-5: brand-new r4 entries (TA-routed flagship shape, German
+#     stemmer) and the two entries whose only driver rows are stale r2
+#     `no_oracle` records from BEFORE their r3 oracle conversions
+#     (stemmed_search_topk's derived-corpus oracle, full-probe
+#     ann_ivf_topk);
+# (3) slots 6-42: the 37 registry entries that have NEVER had a driver
+#     row in any round (r1+r2+r3 union = 128 names; registry minus those
+#     = exactly this list);
+# (4) slots 43-50: entries riding round-4-CHANGED code — the rewritten
+#     indexed-percolation kernel, the refactored stem-oracle builder,
+#     and core-family representatives over the TA-touched executor
+#     (_c_term/_c_phrase restriction hooks).
+# Everything past slot 50 has a green r1/r2/r3 driver row on code
+# unchanged this round; the full registry is also pytest-verified vs
+# DuckDB on HEAD every round (tests/test_entry_oracle.py).
 _WINDOW_FIRST = [
-    # -- (1) new / newly-oracled this round --
+    # -- (1) the r3 red row, re-shaped --
+    "text_bpe_encode",
+    # -- (2) new r4 entries + stale-row oracle conversions --
+    "turns_search_mixed_topk", "german_search_topk",
+    "stemmed_search_topk", "ann_ivf_topk",
+    # -- (3) the 37 never-driver-checked entries --
+    "ann_ivf_probe_topk", "batch_query_topk",
+    "conv_assembled", "conv_exact_dedup", "conv_stats", "conv_truncate",
+    "conv_windows",
+    "copyfield_parse_topk",
+    "dedup_cc_incremental", "dedup_cc_sweep", "dedup_cluster_full_pairs",
+    "dedup_semantic_sweep",
+    "facet_query_buckets", "highlight_whole_upper", "or_minmatch_topk",
+    "pipeline_curation", "pipeline_mixture_report",
+    "regex_bm25_topk",
+    "sample_hash_frac", "sample_proportional_lang", "sample_stratified_lang",
+    "sample_weighted_nchars",
+    "span_before_topk", "span_contains_topk", "span_not_topk", "span_or_topk",
+    "text_contamination_pairs", "text_redact_pii", "text_repetition_stats",
+    "text_unigram_logprob",
+    "turns_batch_default_topk", "turns_batch_mixed_topk",
+    "turns_conv_children", "turns_search_default_topk",
+    "turns_wand_batch_topk", "turns_wand_dismax_topk",
+    "turns_wand_phrase_topk",
+    # -- (4) round-4-changed code paths --
+    "percolate_indexed_matches", "percolate_matches",
+    "snowball_search_topk",
+    "term_bm25_topk", "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk",
+    "every_count",
+    # ---- 50-slot boundary ----
+    # previously-green entries, most-recently-exercised families first
     "search_after_page2", "text_bpe_encode_fixed", "pipeline_pack_bins_uniform",
     "sketch_distinct_hll", "sketch_term_counts_cm",
     "sketch_quantiles_value", "sketch_bloom_prefilter",
-    "text_strip_html", "text_chunk_overlap", "snowball_search_topk",
+    "text_strip_html", "text_chunk_overlap",
     "sample_upsample_repeat", "complete_prefix_topk", "facet_stats_by_lang",
     "facet_significant_terms", "facet_cardinality_source",
     "facet_quantiles_nchars",
     "hybrid_rrf_topk", "ann_mmr_lambda1", "ann_mmr_diverse_topk",
-    "facet_top3_by_lang", "percolate_matches", "percolate_indexed_matches",
-    "text_bpe_word_counts", "text_bpe_encode", "doc_keywords_top3",
+    "facet_top3_by_lang",
+    "text_bpe_word_counts", "doc_keywords_top3",
     "conv_sessionize", "conv_session_stats", "conv_response_latency",
     "conv_tool_stats", "stream_session_windows", "turns_asof_events",
     "turns_lookback_events", "events_hypertable_rollup", "sketch_distinct_users",
@@ -1105,37 +1141,16 @@ _WINDOW_FIRST = [
     "results_setops_topk",
     "text_dup_substring_spans", "text_substring_dedup_clean",
     "pipeline_pack_sequences", "text_exact_ngram_decontam",
-    "stream_window_counts", "text_unigram_logprob",
-    "conv_stats", "conv_assembled", "conv_truncate",
-    "conv_windows", "conv_exact_dedup",
-    "or_minmatch_topk", "turns_search_default_topk", "turns_wand_dismax_topk",
-    "turns_batch_default_topk", "turns_batch_mixed_topk",
-    "span_not_topk", "span_contains_topk", "span_before_topk", "span_or_topk",
-    "dedup_cc_sweep", "text_repetition_stats",
-    "sample_hash_frac", "sample_stratified_lang", "sample_proportional_lang",
-    "sample_weighted_nchars",
-    "facet_query_buckets",
-    "dedup_cc_incremental", "dedup_semantic_sweep",
-    "text_contamination_pairs", "text_redact_pii",
-    "pipeline_curation", "pipeline_mixture_report",
-    "turns_conv_children",
-    "regex_bm25_topk", "copyfield_parse_topk",
-    "stemmed_search_topk", "ann_ivf_topk", "ann_ivf_probe_topk",
-    "dedup_cluster_full_pairs", "highlight_whole_upper",
-    "turns_wand_batch_topk", "batch_query_topk", "turns_wand_phrase_topk",
-    # -- (2) round-3-changed code paths --
+    "stream_window_counts",
     "variations_topk", "variations_irregular_topk",
     "daterange_nl", "multifield_or_topk",
     "streaming_build_lexicon",
     "prefix_bm25_topk", "wildcard_bm25_topk", "fuzzy_bm25_topk",
     "turns_wand_term_topk", "turns_wand_or_topk", "turns_wand_and_topk",
     "turns_lexicon_stats", "lexicon_stats", "turns_conv_best_topk",
-    # -- (3) rows-only by nature, re-recorded --
     "highlight_snippets", "ann_ivf_pq_topk", "dedup_cluster_cosine_pairs",
-    # -- (4) core operator families --
-    "term_bm25_topk", "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk",
     "phrase_slop2_topk", "otherwise_fallback_topk",
-    "not_complement_count", "every_count",
+    "not_complement_count",
     "andnot_bm25_topk", "andmaybe_bm25_topk", "require_bm25_topk",
     "dismax_bm25_topk", "or_scale_coord_topk", "termrange_bm25_topk",
     "idfield_and_text_topk", "boost_group_topk",
@@ -1145,11 +1160,10 @@ _WINDOW_FIRST = [
     "sorted_by_lang", "page2_or_query", "matched_terms",
     "span_near_ordered_topk", "span_first_topk", "ngram_substring_topk",
 ]
-# Window math: 50 head slots. The compound/binary family (andnot/andmaybe/
-# require/dismax/coord/termrange/boost) rotates IN after sitting past the
-# r2 window on its green r1 rows; the pipeline ops (text_*, dedup_*,
-# cosine_*, multimodal_*) rotate OUT — all r2-hash-green and their files
-# are untouched this round.
+# Window math: slots 1-50 = 1 red-row fix + 4 new/re-oracled + 37
+# never-checked + 8 r4-changed-code entries. After this round every
+# oracle-backed registry entry has at least one driver row across
+# rounds (the VERDICT r3 #2 definition of done).
 
 
 def registry() -> dict:
