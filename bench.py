@@ -156,6 +156,14 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     # score-ordered verify); executor q_phrase above is the unpruned plan
     timed("q_wand_phrase",
           lambda: wand_phrase_topk(six, "text", ["hash", "join"]).collect())
+    # r4: the flagship parsed shape '"hash join" OR spark^2' through the
+    # DEFAULT path — Or(Phrase, boosted Term) is single-kernel ineligible,
+    # so search(optimize=True) takes the threshold-algorithm decomposition
+    # (executor._or_mixed_route); closes the r3 perf-weak composite shape
+    _mixq = Q.Or([Q.Phrase("text", ["hash", "join"]),
+                  Q.Term("text", "spark", boost=2.0)])
+    timed("q_mixed_ta",
+          lambda: Searcher(six).search(_mixq, limit=10).collect())
 
     # -- 5. pipeline operators over the sf corpus ---------------------------
     from whoosh_spark.pipeline import (
@@ -536,6 +544,53 @@ def run_query_scaling(synth_n: int, low: int = 2, high: int = 8,
     }
 
 
+def run_sf1_queries(index_path: str, n_turns: int, cpus: int = 32) -> dict:
+    """Query-latency regression against a persisted LARGE index (VERDICT
+    r3 #8): the sf1 rehearsal index is expensive to rebuild, so this mode
+    reuses a stored one (scripts/build_index_job.py --turns N --out PATH)
+    and times the 3 headline shapes — term WAND, 3-term OR WAND, and the
+    parsed flagship ``"hash join" OR spark^2`` through the DEFAULT
+    search path (r4: the threshold-algorithm route). Cold wall includes
+    the per-query stats lookups, exactly like a fresh serving session;
+    a second warm pass isolates kernel time."""
+    from whoosh_spark.fields import transcript_schema
+    from whoosh_spark.indexing.segments import open_segments
+    from whoosh_spark.query.parser import QueryParser
+    from whoosh_spark.search import Searcher
+    from whoosh_spark.search.wand import wand_topk
+    from whoosh_spark.transcripts import synth_turns
+
+    spark = make_spark(cpus, app="whoosh-spark-sf1-queries")
+    try:
+        six = open_segments(spark, index_path, synth_turns(spark, n_turns),
+                            transcript_schema())
+        s = Searcher(six)
+        parser = QueryParser("text", transcript_schema())
+        queries = {
+            "term_spark": lambda: wand_topk(six, "text", ["spark"]).collect(),
+            "or3": lambda: wand_topk(
+                six, "text", ["shuffle", "partition", "broadcast"]).collect(),
+            "mixed_parsed": lambda: s.search(
+                parser.parse('"hash join" OR spark^2'), limit=10).collect(),
+        }
+        timings: dict[str, float] = {}
+        for phase in ("cold", "warm"):
+            for name, fn in queries.items():
+                t0 = time.perf_counter()
+                fn()
+                timings[f"{name}_{phase}"] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.stop()
+    return {
+        "metric": "sf1_query_latency",
+        "value": round(sum(v for k, v in timings.items() if k.endswith("_cold")), 3),
+        "unit": "sec",
+        "queries": timings,
+        "index": index_path,
+        "turns": n_turns,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -545,6 +600,11 @@ def main() -> None:
         sf = 0.1
     # ~2M synthetic turns per sf unit -> 200k at sf0.1 (cap for tiny runs).
     synth_n = int(os.environ.get("SPARK_GRAFT_SYNTH_TURNS", str(max(20_000, int(2_000_000 * sf)))))
+    if "--sf1-queries" in sys.argv:
+        ixp = os.environ["SPARK_GRAFT_SF1_INDEX"]
+        n = int(os.environ.get("SPARK_GRAFT_SF1_TURNS", "20000000"))
+        print(json.dumps(run_sf1_queries(ixp, n, cpus=cpus)))
+        return
     if "--query-scaling" in sys.argv:
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
         hi = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))

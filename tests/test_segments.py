@@ -155,10 +155,16 @@ def test_search_optimize_routes_to_wand(six, lix):
             s.search(q, limit=10).collect()
             == s.search(q, limit=10, optimize=False).collect()
         ), q  # bit-exact: pruned plan, identical rows
+    # r4: Or-of-kernel-eligible-children routes via the threshold
+    # algorithm (_or_mixed_route) instead of falling to the executor —
+    # still bit-exact (full coverage in tests/test_or_mixed_route.py)
+    q_mixed = Q.Or([Q.Term("text", "merge"), Q.Phrase("text", ["hash", "join"])])
+    assert s._wand_route(q_mixed, 10) is not None
+    assert (s.search(q_mixed, limit=10).collect()
+            == s.search(q_mixed, limit=10, optimize=False).collect())
     ineligible = [
         Q.Term("text", "spark", boost=2.0),  # boosted
-        Q.Or([Q.Term("text", "merge"), Q.Term("role", "user")]),  # 2 fields
-        Q.Or([Q.Term("text", "merge"), Q.Phrase("text", ["hash", "join"])]),
+        Q.Or([Q.Term("text", "merge"), Q.Term("role", "user")]),  # non-scorable member
         Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")], scale=0.5),
         Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")], minmatch=2),
         Q.DisjunctionMax(
