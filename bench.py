@@ -157,12 +157,14 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
     timed("q_wand_phrase",
           lambda: wand_phrase_topk(six, "text", ["hash", "join"]).collect())
     # r4: the flagship parsed shape '"hash join" OR spark^2' through the
-    # DEFAULT path — Or(Phrase, boosted Term) is single-kernel ineligible,
-    # so search(optimize=True) takes the threshold-algorithm decomposition
-    # (executor._or_mixed_route); closes the r3 perf-weak composite shape
+    # DEFAULT path. At bench scale the cost gate (executor.
+    # _TA_MIN_LEAF_POSTINGS) keeps it on the executor's single
+    # scored-union action; past the gate (sf1: ~8M leaf postings) the
+    # same call takes the threshold-algorithm kernel decomposition — see
+    # --sf1-queries and BENCH.md "TA route at sf1"
     _mixq = Q.Or([Q.Phrase("text", ["hash", "join"]),
                   Q.Term("text", "spark", boost=2.0)])
-    timed("q_mixed_ta",
+    timed("q_mixed_default",
           lambda: Searcher(six).search(_mixq, limit=10).collect())
 
     # -- 5. pipeline operators over the sf corpus ---------------------------

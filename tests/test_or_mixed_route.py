@@ -57,17 +57,35 @@ def _rows(df):
 def test_or_mixed_routed_equals_executor_bit_exact(six):
     s = Searcher(six)
     for q in CASES:
-        assert s._or_mixed_desc(q.normalize()) is not None, q
+        qn = q.normalize()
+        assert s._or_mixed_desc(qn) is not None, q
         ref = _rows(s.search(q, limit=10, optimize=False))
-        got = _rows(s.search(q, limit=10))  # optimize=True default
+        got = _rows(s._or_mixed_route(qn, 10))  # the TA route itself
         assert got == ref, q
+        # and the default end-user path (cost-gated) agrees too
+        assert _rows(s.search(q, limit=10)) == ref, q
 
 
-def test_or_mixed_route_actually_fires(six):
+def test_or_mixed_cost_gate(six, monkeypatch):
+    """search(optimize=True) routes through the TA only past the
+    leaf-postings cost gate: below it the executor's single action wins
+    (measured crossover — see _wand_route). Both gate sides return the
+    same rows."""
+    import whoosh_spark.search.executor as ex
+
     s = Searcher(six)
-    q = CASES[0].normalize()
-    assert s._wand_desc(q) is None  # single-kernel route rejects it
-    assert s._or_mixed_route(q, 10) is not None
+    q = CASES[0]
+    qn = q.normalize()
+    assert s._wand_desc(qn) is None  # single-kernel route rejects it
+    # tiny corpus: below the real gate -> executor path
+    assert s._wand_route(qn, 10) is None
+    ref = _rows(s.search(q, limit=10, optimize=False))
+    # force the gate open: search() must route AND stay bit-exact
+    monkeypatch.setattr(ex, "_TA_MIN_LEAF_POSTINGS", 0)
+    routed = s._wand_route(qn, 10)
+    assert routed is not None
+    assert _rows(routed) == ref
+    assert _rows(s.search(q, limit=10)) == ref
 
 
 def test_or_mixed_deepening_rounds_stay_exact(six):

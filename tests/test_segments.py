@@ -155,12 +155,15 @@ def test_search_optimize_routes_to_wand(six, lix):
             s.search(q, limit=10).collect()
             == s.search(q, limit=10, optimize=False).collect()
         ), q  # bit-exact: pruned plan, identical rows
-    # r4: Or-of-kernel-eligible-children routes via the threshold
-    # algorithm (_or_mixed_route) instead of falling to the executor —
-    # still bit-exact (full coverage in tests/test_or_mixed_route.py)
+    # r4: Or-of-kernel-eligible-children is TA-decomposable — at this
+    # corpus size the cost gate keeps search() on the executor, but the
+    # route itself must produce the identical rows (full coverage incl.
+    # the gate in tests/test_or_mixed_route.py)
     q_mixed = Q.Or([Q.Term("text", "merge"), Q.Phrase("text", ["hash", "join"])])
-    assert s._wand_route(q_mixed, 10) is not None
-    assert (s.search(q_mixed, limit=10).collect()
+    qn_mixed = q_mixed.normalize()
+    assert s._or_mixed_desc(qn_mixed) is not None
+    assert s._wand_route(q_mixed, 10) is None  # below the cost gate
+    assert (s._or_mixed_route(qn_mixed, 10).collect()
             == s.search(q_mixed, limit=10, optimize=False).collect())
     ineligible = [
         Q.Term("text", "spark", boost=2.0),  # boosted

@@ -298,13 +298,17 @@ SELECT query_id, doc_id, score FROM (
 
     def _search_mixed(spark, sf):
         # The FLAGSHIP parsed shape '"hash join" OR spark^2' through the
-        # default end-user path: Or(Phrase, boosted Term) is single-kernel
-        # ineligible, so Searcher.search(optimize=True) routes it through
-        # the threshold-algorithm decomposition (executor._or_mixed_route:
-        # per-child block-max kernels propose candidates, the executor's
-        # own restricted _c_or rescores them exactly) — closing the one
-        # r3 perf-weak spot (the shape paid the full scored-union plan at
-        # sf1). Same rounded re-rank tie discipline as the other entries.
+        # default end-user path. Or(Phrase, boosted Term) is single-kernel
+        # ineligible; past the leaf-postings cost gate Searcher.search
+        # (optimize=True) routes it through the threshold-algorithm
+        # decomposition (executor._or_mixed_route: per-child block-max
+        # kernels propose candidates, the executor's own restricted _c_or
+        # rescores them exactly) — closing the r3 perf-weak spot at sf1.
+        # At THIS sf the gate keeps the executor's single action (cheaper
+        # below ~2M leaf postings); route ≡ executor is pinned bit-exact
+        # in tests/test_or_mixed_route.py, so the oracle here pins the
+        # semantics both paths share. Same rounded re-rank tie discipline
+        # as the other entries.
         from whoosh_spark import query as Qn
         from whoosh_spark.search import Searcher
 

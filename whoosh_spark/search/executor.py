@@ -41,6 +41,14 @@ from whoosh_spark.search.facets import ScoreFacet, as_facet
 from whoosh_spark.search.scoring import BM25F, WeightingModel
 
 
+# Cost gate for the threshold-algorithm Or route (_or_mixed_route): below
+# this many estimated leaf postings the executor's single scored-union
+# action wins on per-action overhead alone; above it the multi-action TA
+# amortizes (measured crossover, see _wand_route). Module-level so tests
+# can exercise both sides.
+_TA_MIN_LEAF_POSTINGS = 2_000_000
+
+
 class TimeLimitError(Exception):
     """Raised when search_with_time_limit exceeds its budget (reference:
     src/whoosh/collectors.py::TimeLimit)."""
@@ -574,7 +582,27 @@ class Searcher:
         """
         desc = self._wand_desc(q)
         if desc is None:
-            return self._or_mixed_route(q.normalize(), k)
+            qn = q.normalize()
+            descs = self._or_mixed_desc(qn)
+            if descs is None:
+                return None
+            # cost-based gate: the TA route is several sequential Spark
+            # actions (per-child kernels + candidate rescore per round),
+            # so it only beats the executor's ONE scored-union action
+            # when that union is big enough to dominate per-action
+            # overhead. The executor scans every leaf term's postings in
+            # full, so Σ leaf df (driver-known, prefetched) is its work
+            # estimate; measured crossover sits in the low millions
+            # (sf0.1: 10k postings -> executor 1.2s vs TA 5s; sf1: ~8M
+            # postings -> executor 16.6s vs TA at WAND-class latency,
+            # BENCH.md "TA route at sf1").
+            self.index.prefetch_stats(_leaf_terms(qn))
+            est = sum(
+                self.index.doc_frequency(f, t) for f, t in _leaf_terms(qn)
+            )
+            if est < _TA_MIN_LEAF_POSTINGS:
+                return None
+            return self._or_mixed_route(qn, k, descs=descs)
         return self._kernel_frame(desc, k)
 
     def _kernel_frame(self, desc, k: int) -> DataFrame:
@@ -624,7 +652,8 @@ class Searcher:
         return out
 
     def _or_mixed_route(self, qn: Q.Query, k: int,
-                        start_k: int | None = None) -> DataFrame | None:
+                        start_k: int | None = None,
+                        descs=None) -> DataFrame | None:
         """Threshold-algorithm route for Or-of-WAND-eligible-children.
 
         The composite shapes the single-kernel route rejects — the flagship
@@ -651,12 +680,17 @@ class Searcher:
 
         Driver state per round is ≤ n_children·k' (doc_id, score) rows —
         the same order as the result itself — so the route stays
-        cluster-scale. Returns the lazy restricted-rescore frame, or None
-        when ineligible.
+        cluster-scale; per-round child kernels submit concurrently.
+        search() reaches here only past the _TA_MIN_LEAF_POSTINGS cost
+        gate (see _wand_route) — on small corpora the executor's single
+        action is cheaper than the TA's several. Returns the lazy
+        restricted-rescore frame, or None when ineligible.
         """
         import math
+        from concurrent.futures import ThreadPoolExecutor
 
-        descs = self._or_mixed_desc(qn)
+        if descs is None:
+            descs = self._or_mixed_desc(qn)
         if descs is None:
             return None
         self.index.prefetch_stats(_leaf_terms(qn))
@@ -665,8 +699,16 @@ class Searcher:
             bounds: list[float] = []
             cand: set[int] = set()
             exhausted = True
-            for d, b in descs:
-                rows = self._kernel_frame(d, kk).collect()
+            # the child kernels are independent jobs — submit them
+            # concurrently so a round costs one kernel wall, not the sum
+            # (the concurrent-submit precedent of build_segments)
+            def _run_child(db, _kk=kk):
+                d, b = db
+                return self._kernel_frame(d, _kk).collect(), b
+
+            with ThreadPoolExecutor(max_workers=len(descs)) as pool:
+                tops = list(pool.map(_run_child, descs))
+            for rows, b in tops:
                 cand.update(r["doc_id"] for r in rows)
                 if len(rows) >= kk:
                     exhausted = False
