@@ -122,10 +122,10 @@ class AnalyzerSpec:
         # fail at CONSTRUCTION, on the driver — an unknown stemmer name
         # must never reach the executor-side analyzer (where it would
         # surface as retried task failures), nor silently fall back
-        if self.stem not in (False, True, "porter", "porter2", "de"):
+        if self.stem not in (False, True, "porter", "porter2", "de", "es"):
             raise ValueError(
                 f"unknown stem variant {self.stem!r}: use True/'porter', "
-                "'porter2', or 'de'"
+                "'porter2', 'de', or 'es'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -195,23 +195,30 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     lang.stemmer_for_language — NOT the classic Porter/default-stoplist
     chain StemmingAnalyzer uses — so that is what this preset selects
     (lang.py::stem2 + SNOWBALL_STOP_EN). ``"en_porter"`` mirrors the
-    reference's classic-Porter escape hatch. German ships the same way
-    (lang.py::stem_de + SNOWBALL_STOP_DE — the published Snowball German
-    algorithm + stoplist, independently implemented). Other languages
-    would need their snowball stemmer and stoplist ported (reference:
-    lang/snowball/, lang/stopwords.py) — they raise instead of silently
-    degrading (COVERAGE.md notes the gap)."""
-    from whoosh_spark.lang import SNOWBALL_STOP_DE, SNOWBALL_STOP_EN
+    reference's classic-Porter escape hatch. German and Spanish ship the
+    same way (lang.py::stem_de + SNOWBALL_STOP_DE, lang.py::stem_es +
+    SNOWBALL_STOP_ES — the published Snowball algorithms + stoplists,
+    independently implemented). Other languages would need their snowball
+    stemmer and stoplist ported (reference: lang/snowball/,
+    lang/stopwords.py) — they raise instead of silently degrading
+    (COVERAGE.md notes the gap)."""
+    from whoosh_spark.lang import (
+        SNOWBALL_STOP_DE,
+        SNOWBALL_STOP_EN,
+        SNOWBALL_STOP_ES,
+    )
 
     if lang == "en_porter":
         return AnalyzerSpec(stem=True)
     if lang in ("de", "de_DE", "german"):
         return AnalyzerSpec(stem="de", stoplist=SNOWBALL_STOP_DE)
+    if lang in ("es", "es_ES", "spanish"):
+        return AnalyzerSpec(stem="es", stoplist=SNOWBALL_STOP_ES)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
-            f"LanguageAnalyzer({lang!r}): only English and German "
-            "snowball/stoplist data is bundled; port the reference lang "
-            "tables to add more"
+            f"LanguageAnalyzer({lang!r}): only English, German, and "
+            "Spanish snowball/stoplist data is bundled; port the "
+            "reference lang tables to add more"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
@@ -317,6 +324,8 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             from whoosh_spark.lang import stem2 as _stem
         elif spec.stem == "de":
             from whoosh_spark.lang import stem_de as _stem
+        elif spec.stem == "es":
+            from whoosh_spark.lang import stem_es as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:

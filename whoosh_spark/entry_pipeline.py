@@ -2862,6 +2862,32 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     add("german_search_topk", _german_topk, _stem_oracle_sql(_STEM_FORMS_DE))
 
+    # ASCII forms only: the DuckDB prelude tokenizes with RE2 whose \w is
+    # ASCII, so an accented form (zorgelación) would split there while the
+    # Python analyzer keeps it whole — the mirror demands ASCII.
+    _STEM_FORMS_ES = ("zorgelando", "zorgelamos", "zorgela")
+
+    def _spanish_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball SPANISH stemmer — the
+        # one LanguageAnalyzer("es") selects (lang.py::stem_es, r4):
+        # zorgelando (step-2b ando in RV) / zorgelamos (step-2b amos) /
+        # zorgela (step-3 residual a) all stem to 'zorgel', colliding with
+        # no natural token of the English-ish corpus under Spanish
+        # stemming. The index uses stem="es" with the DEFAULT stoplist so
+        # the shared tokenization prelude stays a faithful mirror (the
+        # full LANGUAGE("es") preset, Spanish stoplist included, is pinned
+        # in tests/test_lang_es.py instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_es as _stes
+
+        return _derived_stem_topk(
+            spark, sf, "stemes_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="es")), _stes,
+            forms=_STEM_FORMS_ES)
+
+    add("spanish_search_topk", _spanish_topk, _stem_oracle_sql(_STEM_FORMS_ES))
+
     # ------------------------------ multimodal ---------------------------
 
     # ------------------- Structured Streaming build ----------------------

@@ -1074,15 +1074,15 @@ _REGISTRY_CACHE: dict | None = None
 # CORRECTNESS_r01-03.json at reorder time):
 # (1) slot 1: text_bpe_encode — r3's one red row, re-shaped to a flat
 #     schema (entry_pipeline.py projects tokens -> space-joined string);
-# (2) slots 2-5: brand-new r4 entries (TA-routed flagship shape, German
-#     stemmer) and the two entries whose only driver rows are stale r2
+# (2) slots 2-6: brand-new r4 entries (TA-routed flagship shape, German
+#     + Spanish stemmers) and the two entries whose only driver rows are stale r2
 #     `no_oracle` records from BEFORE their r3 oracle conversions
 #     (stemmed_search_topk's derived-corpus oracle, full-probe
 #     ann_ivf_topk);
-# (3) slots 6-42: the 37 registry entries that have NEVER had a driver
+# (3) slots 7-43: the 37 registry entries that have NEVER had a driver
 #     row in any round (r1+r2+r3 union = 128 names; registry minus those
 #     = exactly this list);
-# (4) slots 43-50: entries riding round-4-CHANGED code — the rewritten
+# (4) slots 44-50: entries riding round-4-CHANGED code — the rewritten
 #     indexed-percolation kernel, the refactored stem-oracle builder,
 #     and core-family representatives over the TA-touched executor
 #     (_c_term/_c_phrase restriction hooks).
@@ -1093,7 +1093,7 @@ _WINDOW_FIRST = [
     # -- (1) the r3 red row, re-shaped --
     "text_bpe_encode",
     # -- (2) new r4 entries + stale-row oracle conversions --
-    "turns_search_mixed_topk", "german_search_topk",
+    "turns_search_mixed_topk", "german_search_topk", "spanish_search_topk",
     "stemmed_search_topk", "ann_ivf_topk",
     # -- (3) the 37 never-driver-checked entries --
     "ann_ivf_probe_topk", "batch_query_topk",
@@ -1118,8 +1118,8 @@ _WINDOW_FIRST = [
     "percolate_indexed_matches", "percolate_matches",
     "snowball_search_topk",
     "term_bm25_topk", "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk",
-    "every_count",
     # ---- 50-slot boundary ----
+    "every_count",
     # previously-green entries, most-recently-exercised families first
     "search_after_page2", "text_bpe_encode_fixed", "pipeline_pack_bins_uniform",
     "sketch_distinct_hll", "sketch_term_counts_cm",

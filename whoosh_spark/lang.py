@@ -571,3 +571,282 @@ warst was weg weil weiter welche welchem welchen welcher welches wenn
 werde werden wie wieder will wir wird wirst wo wollen wollte würde
 würden zu zum zur zwar zwischen
 """.split())
+
+
+# --------------------------------------------------------------- Spanish
+# Snowball Spanish stemmer (snowballstem.org "spanish" algorithm) — the
+# stemmer LanguageAnalyzer("es") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# spanish.py + lang/stopwords.py 'es'). Independent implementation from
+# the PUBLISHED algorithm description (the reference mount is empty —
+# SURVEY "Provenance"); parity is pinned by hand-executed vectors from
+# the spec in tests/test_lang_es.py.
+
+_ES_VOWELS = set("aeiouáéíóúü")
+
+# step 0: attached pronouns, longest-match
+_ES_PRONOUNS = (
+    "me", "se", "sela", "selo", "selas", "selos",
+    "la", "le", "lo", "las", "les", "los", "nos",
+)
+# step 0 preceding groups: (a) accented forms -> pronoun dropped AND the
+# accent removed; (b) unaccented forms -> pronoun dropped
+_ES_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRE_B = ("ando", "iendo", "ar", "er", "ir")
+
+# step 1 suffix groups (see stem_es for actions)
+_ES_S1_DELETE_R2 = (
+    "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+    "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+)
+_ES_S1_ADOR = (
+    "adora", "ador", "ación", "adoras", "adores", "aciones",
+    "ante", "antes", "ancia", "ancias",
+)
+_ES_S1_ALL = (
+    _ES_S1_DELETE_R2 + _ES_S1_ADOR
+    + ("logía", "logías", "ución", "uciones", "encia", "encias",
+       "amente", "mente", "idad", "idades", "iva", "ivo", "ivas", "ivos")
+)
+
+_ES_S2A = (
+    "ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó",
+    "yas", "yes", "yais", "yamos",
+)
+_ES_S2B_GU = ("en", "es", "éis", "emos")
+_ES_S2B = _ES_S2B_GU + (
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré",
+    "erían", "erías", "erán", "erás", "eríais", "ería", "eréis",
+    "eríamos", "eremos", "erá", "eré",
+    "irían", "irías", "irán", "irás", "iríais", "iría", "iréis",
+    "iríamos", "iremos", "irá", "iré",
+    "aba", "ada", "ida", "ía", "ara", "iera", "ad", "ed", "id",
+    "ase", "iese", "aste", "iste", "an", "aban", "ían", "aran",
+    "ieran", "asen", "iesen", "aron", "ieron", "ado", "ido", "ando",
+    "iendo", "ió", "ar", "er", "ir", "as", "abas", "adas", "idas",
+    "ías", "aras", "ieras", "ases", "ieses", "ís", "áis", "abais",
+    "íais", "arais", "ierais", "aseis", "ieseis", "asteis", "isteis",
+    "ados", "idos", "amos", "ábamos", "íamos", "imos", "áramos",
+    "iéramos", "iésemos", "ásemos",
+)
+_ES_S3 = ("os", "a", "o", "á", "í", "ó", "e", "é")
+
+_ES_DEACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def _es_regions(word: str) -> tuple[int, int, int]:
+    """(r1, r2, rv) start offsets per the published definitions: standard
+    R1/R2; RV = after the next vowel when letter 2 is a consonant, after
+    the next consonant when letters 1-2 are both vowels, else after the
+    third letter; end of word when shorter than 3."""
+
+    def scan(start: int) -> int:
+        for i in range(start, len(word) - 1):
+            if word[i] in _ES_VOWELS and word[i + 1] not in _ES_VOWELS:
+                return i + 2
+        return len(word)
+
+    r1 = scan(0)
+    r2 = scan(r1)
+    n = len(word)
+    if n < 3:
+        rv = n
+    elif word[1] not in _ES_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if word[i] in _ES_VOWELS:
+                rv = i + 1
+                break
+    elif word[0] in _ES_VOWELS and word[1] in _ES_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if word[i] not in _ES_VOWELS:
+                rv = i + 1
+                break
+    else:
+        rv = 3
+    return r1, r2, rv
+
+
+def _es_longest(word: str, sufs: tuple[str, ...]) -> str | None:
+    """Snowball 'among' semantics (same discipline as _de_longest): the
+    LONGEST matching suffix wins; a failed side-condition removes nothing
+    (no backtracking to a shorter suffix)."""
+    best = ""
+    for s in sufs:
+        if word.endswith(s) and len(s) > len(best):
+            best = s
+    return best or None
+
+
+def stem_es(word: str) -> str:
+    """Snowball-Spanish-stem one lowercase word."""
+    word = word.lower()
+    r1, r2, rv = _es_regions(word)
+
+    # ---- step 0: attached pronoun (only after a gerund/infinitive form
+    # that itself sits in RV; accented forms lose their accent)
+    pro = _es_longest(word, _ES_PRONOUNS)
+    if pro is not None:
+        base = word[: -len(pro)]
+        for pre in _ES_PRE_A:
+            if base.endswith(pre) and len(base) - len(pre) >= rv:
+                word = base[: -len(pre)] + pre.translate(_ES_DEACCENT)
+                break
+        else:
+            for pre in _ES_PRE_B:
+                if base.endswith(pre) and len(base) - len(pre) >= rv:
+                    word = base
+                    break
+            else:
+                if (
+                    base.endswith("yendo")
+                    and len(base) >= 6
+                    and base[-6] == "u"
+                    and len(base) - 5 >= rv
+                ):
+                    word = base
+
+    changed = False
+
+    # ---- step 1: standard suffix removal (longest across ALL groups;
+    # the group the winner belongs to decides the action)
+    suf = _es_longest(word, _ES_S1_ALL)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if suf in _ES_S1_DELETE_R2:
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+        elif suf in _ES_S1_ADOR:
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                if word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif suf in ("logía", "logías"):
+            if pos >= r2:
+                word = word[:pos] + "log"
+                changed = True
+        elif suf in ("ución", "uciones"):
+            if pos >= r2:
+                word = word[:pos] + "u"
+                changed = True
+        elif suf in ("encia", "encias"):
+            if pos >= r2:
+                word = word[:pos] + "ente"
+                changed = True
+        elif suf == "amente":
+            if pos >= r1:
+                word = word[:pos]
+                changed = True
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and len(word) - 2 >= r2:
+                            word = word[:-2]
+                            break
+        elif suf == "mente":
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                for pre in ("ante", "able", "ible"):
+                    if word.endswith(pre) and len(word) - 4 >= r2:
+                        word = word[:-4]
+                        break
+        elif suf in ("idad", "idades"):
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+        else:  # iva ivo ivas ivos
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+
+    # ---- step 2a (only when step 1 removed nothing): y-verb suffixes
+    # preceded by u
+    if not changed:
+        suf = _es_longest(word, _ES_S2A)
+        did_2a = False
+        if suf is not None:
+            pos = len(word) - len(suf)
+            if pos >= rv and pos >= 1 and word[pos - 1] == "u":
+                word = word[:pos]
+                did_2a = True
+        # ---- step 2b (when 2a removed nothing): other verb suffixes
+        if not did_2a:
+            suf = _es_longest(word, _ES_S2B)
+            if suf is not None:
+                pos = len(word) - len(suf)
+                if pos >= rv:
+                    word = word[:pos]
+                    if suf in _ES_S2B_GU and word.endswith("gu"):
+                        # the u deletes regardless of RV, per the spec
+                        word = word[:-1]
+
+    # ---- step 3: residual suffix
+    suf = _es_longest(word, _ES_S3)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if suf in ("e", "é"):
+            if pos >= rv:
+                word = word[:pos]
+                if (
+                    word.endswith("gu")
+                    and len(word) - 1 >= rv
+                ):
+                    word = word[:-1]
+        else:
+            if pos >= rv:
+                word = word[:pos]
+
+    # ---- postlude: strip acute accents
+    return word.translate(_ES_DEACCENT)
+
+
+# The published Snowball Spanish stopword list (snowballstem.org
+# spanish/stop.txt) — the data LanguageAnalyzer("es")'s StopFilter uses;
+# it famously carries the full estar/haber/ser/tener conjugation tables.
+SNOWBALL_STOP_ES = frozenset("""
+de la que el en y a los del se las por un para con no una su al lo como
+más pero sus le ya o este sí porque esta entre cuando muy sin sobre
+también me hasta hay donde quien desde todo nos durante todos uno les
+ni contra otros ese eso ante ellos e esto mí antes algunos qué unos yo
+otro otras otra él tanto esa estos mucho quienes nada muchos cual poco
+ella estar estas algunas algo nosotros mi mis tú te ti tu tus ellas
+nosotras vosotros vosotras os mío mía míos mías tuyo tuya tuyos tuyas
+suyo suya suyos suyas nuestro nuestra nuestros nuestras vuestro vuestra
+vuestros vuestras esos esas estoy estás está estamos estáis están esté
+estés estemos estéis estén estaré estarás estará estaremos estaréis
+estarán estaría estarías estaríamos estaríais estarían estaba estabas
+estábamos estabais estaban estuve estuviste estuvo estuvimos
+estuvisteis estuvieron estuviera estuvieras estuviéramos estuvierais
+estuvieran estuviese estuvieses estuviésemos estuvieseis estuviesen
+estando estado estada estados estadas estad he has ha hemos habéis han
+haya hayas hayamos hayáis hayan habré habrás habrá habremos habréis
+habrán habría habrías habríamos habríais habrían había habías habíamos
+habíais habían hube hubiste hubo hubimos hubisteis hubieron hubiera
+hubieras hubiéramos hubierais hubieran hubiese hubieses hubiésemos
+hubieseis hubiesen habiendo habido habida habidos habidas soy eres es
+somos sois son sea seas seamos seáis sean seré serás será seremos
+seréis serán sería serías seríamos seríais serían era eras éramos erais
+eran fui fuiste fue fuimos fuisteis fueron fuera fueras fuéramos
+fuerais fueran fuese fueses fuésemos fueseis fuesen siendo sido tengo
+tienes tiene tenemos tenéis tienen tenga tengas tengamos tengáis tengan
+tendré tendrás tendrá tendremos tendréis tendrán tendría tendrías
+tendríamos tendríais tendrían tenía tenías teníamos teníais tenían tuve
+tuviste tuvo tuvimos tuvisteis tuvieron tuviera tuvieras tuviéramos
+tuvierais tuvieran tuviese tuvieses tuviésemos tuvieseis tuviesen
+teniendo tenido tenida tenidos tenidas tened
+""".split())
