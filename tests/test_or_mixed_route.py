@@ -20,11 +20,17 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
-def six(spark, tmp_path_factory):
+def ixparts(spark, tmp_path_factory):
     corpus = transcript_corpus(spark, SF).persist()
     corpus.count()
     path = str(tmp_path_factory.mktemp("ormixix") / "ix")
     build_segments(spark, corpus, transcript_schema(), path, n_segments=3)
+    return path, corpus
+
+
+@pytest.fixture(scope="module")
+def six(spark, ixparts):
+    path, corpus = ixparts
     return open_segments(spark, path, corpus, transcript_schema())
 
 
@@ -137,6 +143,73 @@ def test_or_mixed_restriction_never_leaks(six):
     s = Searcher(six)
     s._or_mixed_route(CASES[0].normalize(), 10)
     assert s._within is None
+    assert s._within_df is None
     # a later unrestricted query sees the full index
     full = s.search(Q.Term("text", "spark"), limit=5, optimize=False)
     assert full.count() == 5
+
+
+def test_or_mixed_cap_falls_back_to_executor(six, monkeypatch):
+    """A flat tie plateau can hold τ above the k-th total until a huge
+    child exhausts; past _TA_MAX_K the route gives up (returns None) and
+    search() answers through the executor's single action instead of
+    collecting unbounded driver state."""
+    import whoosh_spark.search.executor as ex
+
+    s = Searcher(six)
+    qn = CASES[0].normalize()
+    # cap below the first deepened depth and pin the threshold check shut:
+    # start_k=1 can never converge (τ is the children's top-1 sum), so the
+    # loop must hit the cap and bail rather than spin to exhaustion
+    monkeypatch.setattr(ex, "_TA_DEEPEN", 2)
+    monkeypatch.setattr(ex, "_TA_MAX_K", 2)
+    assert s._or_mixed_route(qn, 10, start_k=1) is None
+    # the end-user path is unaffected: gate -> route -> None -> executor
+    monkeypatch.setattr(ex, "_TA_MIN_LEAF_POSTINGS", 0)
+    ref = _rows(s.search(CASES[0], limit=10, optimize=False))
+    assert _rows(s.search(CASES[0], limit=10)) == ref
+
+
+def test_or_mixed_broadcast_restriction_matches_isin(six, monkeypatch):
+    """Past _TA_ISIN_MAX candidates the rescore restriction switches from
+    a literal IN to a broadcast semi-join — surviving rows must be
+    identical (the 100 TB plan-size path)."""
+    import whoosh_spark.search.executor as ex
+
+    s = Searcher(six)
+    ref = _rows(s.search(CASES[0], limit=10, optimize=False))
+    monkeypatch.setattr(ex, "_TA_ISIN_MAX", 0)  # force the join variant
+    got = _rows(s._or_mixed_route(CASES[0].normalize(), 10))
+    assert got == ref
+
+
+def test_or_mixed_cold_concurrent_stats_exact(spark, ixparts):
+    """Round-4 sf1 regression: the route's concurrent child kernels hit a
+    COLD index handle — lazy avgdl/doc_count publication must be atomic or
+    one thread reads avgdl == 0.0 and silently zeroes its kernel's BM25
+    scores (wrong top-k, premature τ convergence). Fresh handle per run:
+    nothing warmed before the route."""
+    path, corpus = ixparts
+    ref = None
+    for _ in range(3):
+        ix = open_segments(spark, path, corpus, transcript_schema())
+        s = Searcher(ix)
+        got = _rows(s._or_mixed_route(CASES[0].normalize(), 10))
+        if ref is None:
+            ref = _rows(s.search(CASES[0], limit=10, optimize=False))
+        assert got == ref
+
+
+def test_field_totals_concurrent_readers_agree(spark, ixparts):
+    """Direct pin of the atomic-publication fix: N threads reading
+    avg_field_length on a fresh handle all see the same nonzero value
+    (the old code published an empty dict before the fill job ran)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path, corpus = ixparts
+    ix = open_segments(spark, path, corpus, transcript_schema())
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        vals = list(pool.map(
+            lambda _: ix.avg_field_length("text"), range(8)))
+    assert len(set(vals)) == 1
+    assert vals[0] > 0.0

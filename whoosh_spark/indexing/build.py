@@ -27,6 +27,7 @@ term shuffle + hot-term block splitting).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field as dc_field
 from typing import Iterator
 
@@ -240,6 +241,12 @@ class InvertedIndex:
     _doc_count: int | None = dc_field(default=None, repr=False)
     _field_totals: dict[str, float] | None = dc_field(default=None, repr=False)
     _lexicon_cache: dict | None = dc_field(default=None, repr=False)  # (field, term) -> (df, cf) LRU
+    # Lazy-stat initialization guard: concurrent kernel submits (the TA
+    # route's per-child pool, build_segments' concurrent actions) may hit a
+    # cold handle from several threads at once — each lazy stat publishes
+    # atomically AFTER its job completes, never a partially-built value.
+    _stats_lock: "threading.Lock" = dc_field(
+        default_factory=lambda: threading.Lock(), repr=False)
 
     # -- reader/stats API (reference: src/whoosh/reading.py::IndexReader) --
 
@@ -248,7 +255,9 @@ class InvertedIndex:
         """doc_count_all — BM25F idf uses ALL docs (SURVEY A.5). Lazy: one
         count of the docs table, memoized for the life of the index handle."""
         if self._doc_count is None:
-            self._doc_count = self.docs.count()
+            with self._stats_lock:
+                if self._doc_count is None:
+                    self._doc_count = self.docs.count()
         return self._doc_count
 
     @property
@@ -259,19 +268,29 @@ class InvertedIndex:
         Posting weights carry field_boost (Whoosh: weight = tf * boost), but
         field_length_total is a RAW token count in the reference, and per-doc
         dl is stored unboosted — so divide the boost back out to keep
-        dl/avgdl in the same unit for BM25 length normalization."""
+        dl/avgdl in the same unit for BM25 length normalization.
+
+        Published ATOMICALLY after the job completes (build local, assign
+        once, double-checked under ``_stats_lock``): a second thread — the
+        TA route's concurrent child kernels were the real-world caller —
+        must never observe a half-built dict, which would read as
+        avgdl == 0.0 and silently zero every BM25 score on that thread
+        (the round-4 sf1 regression caught exactly this)."""
         if self._field_totals is None:
-            self._field_totals = {}
-            text_names = [fs.name for fs in self.schema.text_fields()]
-            rows = (
-                self.postings.where(F.col("field").isin(text_names))
-                .groupBy("field")
-                .agg(F.sum("weight").alias("total_len"))
-                .collect()
-            )
-            for r in rows:
-                boost = float(self.schema[r["field"]].field_boost)
-                self._field_totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
+            with self._stats_lock:
+                if self._field_totals is None:
+                    totals: dict[str, float] = {}
+                    text_names = [fs.name for fs in self.schema.text_fields()]
+                    rows = (
+                        self.postings.where(F.col("field").isin(text_names))
+                        .groupBy("field")
+                        .agg(F.sum("weight").alias("total_len"))
+                        .collect()
+                    )
+                    for r in rows:
+                        boost = float(self.schema[r["field"]].field_boost)
+                        totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
+                    self._field_totals = totals
         return self._field_totals
 
     def avg_field_length(self, field_name: str) -> float:
@@ -293,7 +312,9 @@ class InvertedIndex:
 
     def _stats_cache(self) -> dict:
         if self._lexicon_cache is None:
-            self._lexicon_cache = {}
+            with self._stats_lock:
+                if self._lexicon_cache is None:
+                    self._lexicon_cache = {}
         return self._lexicon_cache
 
     def prefetch_stats(self, pairs: "list[tuple[str, str]]") -> None:

@@ -960,20 +960,28 @@ class SegmentedIndex(InvertedIndex):
         """Exact totals from BLOCK metadata (weight_sum), NOT the masked
         postings view: Whoosh keeps field_length_total unchanged under
         deletion (totals drop only when a merge rewrites the postings),
-        and reading per-block sums avoids decoding anything."""
+        and reading per-block sums avoids decoding anything.
+
+        Atomic publication under ``_stats_lock`` (same discipline as the
+        base class): the TA route's concurrent child kernels hit this cold
+        — a half-built dict reads as avgdl == 0.0 and zeroes one thread's
+        BM25 scores (the round-4 sf1 regression)."""
         if self._field_totals is None:
-            self._field_totals = {}
-            text_names = [fs.name for fs in self.schema.text_fields()]
-            rows = (
-                self.blocks.where(F.col("field").isin(text_names))
-                .groupBy("field")
-                .agg(F.sum("weight_sum").alias("total_len"))
-                .collect()
-            )
-            for r in rows:
-                # weight_sum carries field_boost; totals are raw token counts
-                boost = float(self.schema[r["field"]].field_boost)
-                self._field_totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
+            with self._stats_lock:
+                if self._field_totals is None:
+                    totals: dict[str, float] = {}
+                    text_names = [fs.name for fs in self.schema.text_fields()]
+                    rows = (
+                        self.blocks.where(F.col("field").isin(text_names))
+                        .groupBy("field")
+                        .agg(F.sum("weight_sum").alias("total_len"))
+                        .collect()
+                    )
+                    for r in rows:
+                        # weight_sum carries field_boost; totals are raw token counts
+                        boost = float(self.schema[r["field"]].field_boost)
+                        totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
+                    self._field_totals = totals
         return self._field_totals
 
     def _mask_deleted(self, df: DataFrame) -> DataFrame:

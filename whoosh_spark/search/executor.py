@@ -47,6 +47,26 @@ from whoosh_spark.search.scoring import BM25F, WeightingModel
 # amortizes (measured crossover, see _wand_route). Module-level so tests
 # can exercise both sides.
 _TA_MIN_LEAF_POSTINGS = 2_000_000
+# First-round per-child fetch depth. The route only engages past the
+# postings gate above, where a kernel's cost is scan-dominated (top-16384
+# costs the same wall as top-64, measured at sf1) — and τ only collapses
+# when a child's cutoff decays or the child exhausts, so starting deep
+# buys whole rounds: the sf1 flagship's 8,893-match phrase child exhausts
+# IN round one at this depth (5.3 s warm vs 13.5 s at a 1024 start vs
+# 88 s at the original 64/×4 loop — BENCH.md "TA route at sf1"). Driver
+# state is n_children×16384 (doc_id, score) rows — negligible.
+_TA_START_K = 16_384
+# Geometric deepening factor for the non-converged case.
+_TA_DEEPEN = 16
+# Per-child driver-state cap: past this depth the TA is no longer winning
+# (a pathologically flat tie plateau can defeat the strict-> threshold
+# until a huge child exhausts) — give up and let the executor's single
+# scored-union action answer instead of collecting millions of rows.
+_TA_MAX_K = 262_144
+# Candidate sets up to this size restrict the rescore via a literal IN
+# list; larger sets become a broadcast semi-join (a 100k-literal In blows
+# up plan serialization; the join is the cluster-scale shape).
+_TA_ISIN_MAX = 1_024
 
 
 class TimeLimitError(Exception):
@@ -75,6 +95,9 @@ class Searcher:
         # with the per-row score expressions, so restricted plans stay
         # bit-identical to the unrestricted ones on the surviving docs.
         self._within: list[int] | None = None
+        # large-candidate variant: the same doc_ids as a single-column
+        # frame, broadcast-semi-joined instead of a giant literal IN list
+        self._within_df: DataFrame | None = None
 
     # ------------------------------------------------------------------ utils
 
@@ -90,9 +113,15 @@ class Searcher:
 
     def _restrict(self, postings: DataFrame) -> DataFrame:
         """Apply the TA candidate restriction (see ``_within``), a no-op
-        outside _or_mixed_route's rescoring pass."""
+        outside _or_mixed_route's rescoring pass. Small sets push down as
+        a literal IN (row-group prunable); past _TA_ISIN_MAX the same set
+        broadcast-semi-joins instead — identical surviving rows, bounded
+        plan size."""
         if self._within is None:
             return postings
+        if self._within_df is not None:
+            return postings.join(
+                F.broadcast(self._within_df), "doc_id", "left_semi")
         return postings.where(F.col("doc_id").isin(self._within))
 
     def _score_ctx(self, fieldname: str):
@@ -675,16 +704,25 @@ class Searcher:
            child i's top-k' scores ≤ its k'-th entry there and a
            non-matching child contributes 0 — or when every child
            exhausted (< k' rows = its full match set is in the union);
-           otherwise deepen k' ×4 and repeat (geometric, so the loop
-           terminates at exhaustion in the worst case).
+           otherwise deepen k' ×_TA_DEEPEN and repeat. A child that
+           exhausted keeps its cached rows and a 0 bound — it is never
+           re-run. If k' would grow past _TA_MAX_K without converging
+           (a flat tie plateau can hold τ above the k-th total until a
+           huge child exhausts), the route gives up and returns None —
+           the caller compiles the executor's single scored-union action,
+           which is always correct and caps the worst case.
 
         Driver state per round is ≤ n_children·k' (doc_id, score) rows —
-        the same order as the result itself — so the route stays
-        cluster-scale; per-round child kernels submit concurrently.
+        capped by _TA_MAX_K — so the route stays cluster-scale; per-round
+        child kernels submit concurrently (their lazy per-field stats are
+        warmed before the pool so every kernel reads published values).
         search() reaches here only past the _TA_MIN_LEAF_POSTINGS cost
         gate (see _wand_route) — on small corpora the executor's single
-        action is cheaper than the TA's several. Returns the lazy
-        restricted-rescore frame, or None when ineligible.
+        action is cheaper than the TA's several. On convergence the exact
+        top-k was already collected for the threshold check, so it returns
+        as a local frame (same rows/schema/order) rather than re-running
+        the rescore on the caller's action. Returns None when ineligible
+        or when the cap trips.
         """
         import math
         from concurrent.futures import ThreadPoolExecutor
@@ -694,44 +732,66 @@ class Searcher:
         if descs is None:
             return None
         self.index.prefetch_stats(_leaf_terms(qn))
-        kk = start_k if start_k is not None else max(4 * k, 64)
+        # warm the lazy per-field stats sequentially before any concurrent
+        # kernel submit: publication is lock-guarded (InvertedIndex
+        # ._stats_lock), this just keeps the stats job off the measured
+        # kernel walls and guarantees it runs once
+        self.index.doc_count
+        for d, _b in descs:
+            self.index.avg_field_length(d[1])
+        kk = start_k if start_k is not None else max(4 * k, _TA_START_K)
+        # per-child cache: (rows, exhausted) — an exhausted child's full
+        # match set is already in hand, deeper rounds skip its kernel
+        state: list[list] = [[None, False] for _ in descs]
         while True:
-            bounds: list[float] = []
-            cand: set[int] = set()
-            exhausted = True
+            todo = [i for i, st in enumerate(state) if not st[1]]
+
             # the child kernels are independent jobs — submit them
             # concurrently so a round costs one kernel wall, not the sum
             # (the concurrent-submit precedent of build_segments)
-            def _run_child(db, _kk=kk):
-                d, b = db
-                return self._kernel_frame(d, _kk).collect(), b
+            def _run_child(i, _kk=kk):
+                d, _b = descs[i]
+                return i, self._kernel_frame(d, _kk).collect()
 
-            with ThreadPoolExecutor(max_workers=len(descs)) as pool:
-                tops = list(pool.map(_run_child, descs))
-            for rows, b in tops:
+            with ThreadPoolExecutor(max_workers=max(len(todo), 1)) as pool:
+                for i, rows in pool.map(_run_child, todo):
+                    state[i][0] = rows
+                    state[i][1] = len(rows) < kk
+            bounds: list[float] = []
+            cand: set[int] = set()
+            for (rows, exhausted), (_d, b) in zip(state, descs):
                 cand.update(r["doc_id"] for r in rows)
-                if len(rows) >= kk:
-                    exhausted = False
-                    bounds.append(max(rows[-1]["score"] * b, 0.0))
-                else:
-                    bounds.append(0.0)
+                bounds.append(
+                    0.0 if exhausted else max(rows[-1]["score"] * b, 0.0))
             if not cand:
                 return self._empty().orderBy(F.desc("score"), F.asc("doc_id"))
-            self._within = sorted(cand)
+            ids = sorted(cand)
+            self._within = ids
+            if len(ids) > _TA_ISIN_MAX:
+                self._within_df = self._spark.createDataFrame(
+                    [(int(i),) for i in ids], "doc_id long")
             try:
                 scored = self._c_or(qn)
             finally:
                 self._within = None
+                self._within_df = None
             out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-            if exhausted:
-                return out
+            head = out.collect()
             # one-ulp-paranoid threshold: fsum is exactly rounded, nextafter
             # guards the ≤-chain against the fold's own rounding
             tau = math.nextafter(math.fsum(bounds), math.inf)
-            head = out.collect()
-            if len(head) >= k and head[-1]["score"] > tau:
-                return out
-            kk *= 4
+            if all(st[1] for st in state) or (
+                len(head) >= k and head[-1]["score"] > tau
+            ):
+                # the exact ordered top-k is in hand — hand it back as a
+                # local frame instead of re-running the rescore action
+                return self._spark.createDataFrame(
+                    [(int(r["doc_id"]), float(r["score"])) for r in head],
+                    "doc_id long, score double",
+                )
+            kk *= _TA_DEEPEN
+            if kk > _TA_MAX_K:
+                return None
 
     def _apply_filter_mask(self, scored, filter, mask):
         if filter is not None:
