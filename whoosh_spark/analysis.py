@@ -122,10 +122,11 @@ class AnalyzerSpec:
         # fail at CONSTRUCTION, on the driver — an unknown stemmer name
         # must never reach the executor-side analyzer (where it would
         # surface as retried task failures), nor silently fall back
-        if self.stem not in (False, True, "porter", "porter2", "de", "es"):
+        if self.stem not in (False, True, "porter", "porter2", "de", "es",
+                             "fr"):
             raise ValueError(
                 f"unknown stem variant {self.stem!r}: use True/'porter', "
-                "'porter2', 'de', or 'es'"
+                "'porter2', 'de', 'es', or 'fr'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -197,15 +198,16 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     (lang.py::stem2 + SNOWBALL_STOP_EN). ``"en_porter"`` mirrors the
     reference's classic-Porter escape hatch. German and Spanish ship the
     same way (lang.py::stem_de + SNOWBALL_STOP_DE, lang.py::stem_es +
-    SNOWBALL_STOP_ES — the published Snowball algorithms + stoplists,
-    independently implemented). Other languages would need their snowball
-    stemmer and stoplist ported (reference: lang/snowball/,
-    lang/stopwords.py) — they raise instead of silently degrading
-    (COVERAGE.md notes the gap)."""
+    SNOWBALL_STOP_ES, lang.py::stem_fr + SNOWBALL_STOP_FR — the published
+    Snowball algorithms + stoplists, independently implemented). Other
+    languages would need their snowball stemmer and stoplist ported
+    (reference: lang/snowball/, lang/stopwords.py) — they raise instead
+    of silently degrading (COVERAGE.md notes the gap)."""
     from whoosh_spark.lang import (
         SNOWBALL_STOP_DE,
         SNOWBALL_STOP_EN,
         SNOWBALL_STOP_ES,
+        SNOWBALL_STOP_FR,
     )
 
     if lang == "en_porter":
@@ -214,10 +216,12 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         return AnalyzerSpec(stem="de", stoplist=SNOWBALL_STOP_DE)
     if lang in ("es", "es_ES", "spanish"):
         return AnalyzerSpec(stem="es", stoplist=SNOWBALL_STOP_ES)
+    if lang in ("fr", "fr_FR", "french"):
+        return AnalyzerSpec(stem="fr", stoplist=SNOWBALL_STOP_FR)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
-            f"LanguageAnalyzer({lang!r}): only English, German, and "
-            "Spanish snowball/stoplist data is bundled; port the "
+            f"LanguageAnalyzer({lang!r}): only English, German, Spanish, "
+            "and French snowball/stoplist data is bundled; port the "
             "reference lang tables to add more"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
@@ -326,6 +330,8 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             from whoosh_spark.lang import stem_de as _stem
         elif spec.stem == "es":
             from whoosh_spark.lang import stem_es as _stem
+        elif spec.stem == "fr":
+            from whoosh_spark.lang import stem_fr as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:
@@ -333,7 +339,7 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             # classic Porter — the index would quietly diverge
             raise ValueError(
                 f"unknown stem variant {spec.stem!r}: use True/'porter', "
-                "'porter2', or 'de'"
+                "'porter2', 'de', 'es', or 'fr'"
             )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}

@@ -2888,6 +2888,29 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     add("spanish_search_topk", _spanish_topk, _stem_oracle_sql(_STEM_FORMS_ES))
 
+    _STEM_FORMS_FR = ("zorgelation", "zorgeler", "zorgelant")
+
+    def _french_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball FRENCH stemmer — the
+        # one LanguageAnalyzer("fr") selects (lang.py::stem_fr, r4):
+        # zorgelation (step-1 ation in R2) / zorgeler (step-2b er in RV) /
+        # zorgelant (step-2b ant + e-check) all stem to 'zorgel',
+        # colliding with no natural token of the English-ish corpus under
+        # French stemming. The index uses stem="fr" with the DEFAULT
+        # stoplist so the shared tokenization prelude stays a faithful
+        # mirror (the full LANGUAGE("fr") preset, French stoplist
+        # included, is pinned in tests/test_lang_fr.py instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_fr as _stfr
+
+        return _derived_stem_topk(
+            spark, sf, "stemfr_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="fr")), _stfr,
+            forms=_STEM_FORMS_FR)
+
+    add("french_search_topk", _french_topk, _stem_oracle_sql(_STEM_FORMS_FR))
+
     # ------------------------------ multimodal ---------------------------
 
     # ------------------- Structured Streaming build ----------------------

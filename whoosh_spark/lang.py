@@ -850,3 +850,357 @@ tuviste tuvo tuvimos tuvisteis tuvieron tuviera tuvieras tuviéramos
 tuvierais tuvieran tuviese tuvieses tuviésemos tuvieseis tuviesen
 teniendo tenido tenida tenidos tenidas tened
 """.split())
+
+
+# ---------------------------------------------------------------- French
+# Snowball French stemmer (snowballstem.org "french" algorithm) — the
+# stemmer LanguageAnalyzer("fr") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# french.py + lang/stopwords.py 'fr'). Independent implementation from
+# the PUBLISHED algorithm description (the reference mount is empty —
+# SURVEY "Provenance"); parity is pinned by hand-executed vectors from
+# the spec in tests/test_lang_fr.py.
+
+_FR_VOWELS = set("aeiouyâàëéêèïîôûù")
+
+# step 1 groups (see stem_fr for actions)
+_FR_S1_DELETE_R2 = (
+    "ance", "iqUe", "isme", "able", "iste", "eux",
+    "ances", "iqUes", "ismes", "ables", "istes",
+)
+_FR_S1_ATEUR = (
+    "atrice", "ateur", "ation", "atrices", "ateurs", "ations",
+)
+_FR_S1_ALL = _FR_S1_DELETE_R2 + _FR_S1_ATEUR + (
+    "logie", "logies", "usion", "ution", "usions", "utions",
+    "ence", "ences", "ement", "ements", "ité", "ités",
+    "if", "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+    "issement", "issements", "amment", "emment", "ment", "ments",
+)
+
+# step 2a: i-verb suffixes (the marked forms arise from the prelude:
+# 'iraient' -> 'iraIent' etc.)
+_FR_S2A = (
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+    "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+    "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+    "issant", "issante", "issantes", "issants", "isse", "issent",
+    "isses", "issez", "issiez", "issions", "issons", "it",
+)
+
+# step 2b: other verb suffixes, in their three action groups
+_FR_S2B_E = (
+    "é", "ée", "ées", "és", "èrent", "er", "era", "erai", "eraIent",
+    "erais", "erait", "eras", "erez", "eriez", "erions", "erons",
+    "eront", "ez", "iez",
+)
+_FR_S2B_A = (
+    "â", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant",
+    "ante", "antes", "ants", "as", "asse", "assent", "asses",
+    "assiez", "assions", "âmes",
+)
+_FR_S2B_ALL = ("ions",) + _FR_S2B_E + _FR_S2B_A
+
+# step 4 residual suffixes
+_FR_S4 = ("ion", "ier", "ière", "Ier", "Ière", "e", "ë")
+# a final s survives after these (step 4 precondition)
+_FR_S4_KEEP_S_AFTER = set("aiouès")
+
+
+def _fr_longest(word: str, sufs: tuple[str, ...]) -> str | None:
+    """Snowball 'among' semantics (same discipline as _de_longest /
+    _es_longest): the LONGEST matching suffix wins; a failed
+    side-condition removes nothing (no backtracking to a shorter one)."""
+    best = ""
+    for s in sufs:
+        if word.endswith(s) and len(s) > len(best):
+            best = s
+    return best or None
+
+
+def _fr_prelude(word: str) -> str:
+    """Mark vowel letters serving as consonants: u/i between vowels and
+    u after q -> U/I; y next to a vowel (either side) -> Y. The marks are
+    OUTSIDE the vowel set, so every later vowel test sees them as
+    consonants; the postlude lowers them back."""
+    out = list(word)
+    for i, c in enumerate(out):
+        prev = out[i - 1] if i else ""
+        nxt = out[i + 1] if i + 1 < len(out) else ""
+        if c == "u":
+            if prev == "q" or (prev in _FR_VOWELS and nxt in _FR_VOWELS):
+                out[i] = "U"
+        elif c == "i":
+            if prev in _FR_VOWELS and nxt in _FR_VOWELS:
+                out[i] = "I"
+        elif c == "y":
+            if prev in _FR_VOWELS or nxt in _FR_VOWELS:
+                out[i] = "Y"
+    return "".join(out)
+
+
+def _fr_regions(word: str) -> tuple[int, int, int]:
+    """(r1, r2, rv) start offsets per the published definitions: standard
+    R1/R2; RV = after the third letter when the word begins with two
+    vowels or with par/col/tap, else after the first vowel not being the
+    first letter; end of word when not found."""
+
+    def scan(start: int) -> int:
+        for i in range(start, len(word) - 1):
+            if word[i] in _FR_VOWELS and word[i + 1] not in _FR_VOWELS:
+                return i + 2
+        return len(word)
+
+    r1 = scan(0)
+    r2 = scan(r1)
+    n = len(word)
+    if (
+        word[:3] in ("par", "col", "tap")
+        or (n >= 2 and word[0] in _FR_VOWELS and word[1] in _FR_VOWELS)
+    ):
+        rv = min(3, n)
+    else:
+        rv = n
+        for i in range(1, n):
+            if word[i] in _FR_VOWELS:
+                rv = i + 1
+                break
+    return r1, r2, rv
+
+
+def _fr_standard(word: str, r1: int, r2: int, rv: int) -> tuple[str, bool]:
+    """Step 1 (standard suffixes). Returns (word, success). The
+    amment/emment/ment(s) family performs its action but reports FAILURE
+    — the published control flow runs the verb steps after them (the
+    snowball source ends those rules with `fail`)."""
+    suf = _fr_longest(word, _FR_S1_ALL)
+    if suf is None:
+        return word, False
+    pos = len(word) - len(suf)
+    if suf in _FR_S1_DELETE_R2:
+        if pos >= r2:
+            return word[:pos], True
+        return word, False
+    if suf in _FR_S1_ATEUR:
+        if pos < r2:
+            return word, False
+        word = word[:pos]
+        if word.endswith("ic"):
+            if len(word) - 2 >= r2:
+                word = word[:-2]
+            else:
+                word = word[:-2] + "iqU"
+        return word, True
+    if suf in ("logie", "logies"):
+        if pos >= r2:
+            return word[:pos] + "log", True
+        return word, False
+    if suf in ("usion", "ution", "usions", "utions"):
+        if pos >= r2:
+            return word[:pos] + "u", True
+        return word, False
+    if suf in ("ence", "ences"):
+        if pos >= r2:
+            return word[:pos] + "ent", True
+        return word, False
+    if suf in ("ement", "ements"):
+        if pos < rv:
+            return word, False
+        word = word[:pos]
+        if word.endswith("iv") and len(word) - 2 >= r2:
+            word = word[:-2]
+            if word.endswith("at") and len(word) - 2 >= r2:
+                word = word[:-2]
+        elif word.endswith("eus"):
+            if len(word) - 3 >= r2:
+                word = word[:-3]
+            elif len(word) - 3 >= r1:
+                word = word[:-3] + "eux"
+        elif word.endswith("abl") and len(word) - 3 >= r2:
+            word = word[:-3]
+        elif word.endswith("iqU") and len(word) - 3 >= r2:
+            word = word[:-3]
+        elif word.endswith("ièr") and len(word) - 3 >= rv:
+            word = word[:-3] + "i"
+        elif word.endswith("Ièr") and len(word) - 3 >= rv:
+            word = word[:-3] + "i"
+        return word, True
+    if suf in ("ité", "ités"):
+        if pos < r2:
+            return word, False
+        word = word[:pos]
+        if word.endswith("abil"):
+            if len(word) - 4 >= r2:
+                word = word[:-4]
+            else:
+                word = word[:-4] + "abl"
+        elif word.endswith("ic"):
+            if len(word) - 2 >= r2:
+                word = word[:-2]
+            else:
+                word = word[:-2] + "iqU"
+        elif word.endswith("iv") and len(word) - 2 >= r2:
+            word = word[:-2]
+        return word, True
+    if suf in ("if", "ive", "ifs", "ives"):
+        if pos < r2:
+            return word, False
+        word = word[:pos]
+        if word.endswith("at") and len(word) - 2 >= r2:
+            word = word[:-2]
+            if word.endswith("ic"):
+                if len(word) - 2 >= r2:
+                    word = word[:-2]
+                else:
+                    word = word[:-2] + "iqU"
+        return word, True
+    if suf == "eaux":
+        return word[:-4] + "eau", True
+    if suf == "aux":
+        if pos >= r1:
+            return word[:pos] + "al", True
+        return word, False
+    if suf in ("euse", "euses"):
+        if pos >= r2:
+            return word[:pos], True
+        if pos >= r1:
+            return word[:pos] + "eux", True
+        return word, False
+    if suf in ("issement", "issements"):
+        if pos >= r1 and pos >= 1 and word[pos - 1] not in _FR_VOWELS:
+            return word[:pos], True
+        return word, False
+    if suf == "amment":
+        if pos >= rv:
+            word = word[:pos] + "ant"
+        return word, False
+    if suf == "emment":
+        if pos >= rv:
+            word = word[:pos] + "ent"
+        return word, False
+    # ment / ments: delete when preceded by a vowel that is itself in RV
+    if pos >= 1 and pos - 1 >= rv and word[pos - 1] in _FR_VOWELS:
+        word = word[:pos]
+    return word, False
+
+
+def _fr_i_verb(word: str, rv: int) -> tuple[str, bool]:
+    """Step 2a: i-verb suffixes, all tests confined to RV — the suffix
+    and its preceding NON-vowel must both lie in RV."""
+    suf = _fr_longest(word, _FR_S2A)
+    if suf is None:
+        return word, False
+    pos = len(word) - len(suf)
+    if pos >= 1 and pos - 1 >= rv and word[pos - 1] not in _FR_VOWELS:
+        return word[:pos], True
+    return word, False
+
+
+def _fr_verb(word: str, r2: int, rv: int) -> tuple[str, bool]:
+    """Step 2b: other verb suffixes within RV ('ions' additionally needs
+    R2; the a-group deletes a preceding e when that e is in RV too)."""
+    suf = _fr_longest(word, _FR_S2B_ALL)
+    if suf is None:
+        return word, False
+    pos = len(word) - len(suf)
+    if pos < rv:
+        return word, False
+    if suf == "ions":
+        if pos >= r2:
+            return word[:pos], True
+        return word, False
+    if suf in _FR_S2B_E:
+        return word[:pos], True
+    word = word[:pos]
+    if word.endswith("e") and len(word) - 1 >= rv:
+        word = word[:-1]
+    return word, True
+
+
+def _fr_residual(word: str, r2: int, rv: int) -> str:
+    """Step 4 (only when steps 1/2a/2b all failed): final-s removal, then
+    the residual suffixes within RV."""
+    if word.endswith("s") and (
+        len(word) < 2 or word[-2] not in _FR_S4_KEEP_S_AFTER
+    ):
+        word = word[:-1]
+    suf = _fr_longest(word, _FR_S4)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if pos >= rv:
+            if suf == "ion":
+                if (
+                    pos >= r2
+                    and pos >= 1
+                    and pos - 1 >= rv
+                    and word[pos - 1] in ("s", "t")
+                ):
+                    word = word[:pos]
+            elif suf in ("ier", "ière", "Ier", "Ière"):
+                word = word[:pos] + "i"
+            elif suf == "e":
+                word = word[:pos]
+            elif word[:pos].endswith("gu"):  # ë preceded by gu
+                word = word[:pos]
+    return word
+
+
+def stem_fr(word: str) -> str:
+    """Snowball-French-stem one lowercase word."""
+    word = _fr_prelude(word.lower())
+    r1, r2, rv = _fr_regions(word)
+
+    word, success = _fr_standard(word, r1, r2, rv)
+    if not success:
+        word, success = _fr_i_verb(word, rv)
+        if not success:
+            word, success = _fr_verb(word, r2, rv)
+
+    if success:
+        # step 3: tidy the changed ending
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        word = _fr_residual(word, r2, rv)
+
+    # step 5: undouble
+    for end in ("enn", "onn", "ett", "ell", "eill"):
+        if word.endswith(end):
+            word = word[:-1]
+            break
+
+    # step 6: un-accent é/è before a trailing non-vowel run
+    i = len(word) - 1
+    while i >= 0 and word[i] not in _FR_VOWELS:
+        i -= 1
+    if 0 <= i < len(word) - 1 and word[i] in ("é", "è"):
+        word = word[:i] + "e" + word[i + 1:]
+
+    # postlude: lower the consonant marks back
+    return word.translate(_FR_UNMARK)
+
+
+_FR_UNMARK = str.maketrans("IUY", "iuy")
+
+
+# The published Snowball French stopword list (snowballstem.org
+# french/stop.txt): articles/pronouns/particles, the elided single-letter
+# forms, and the full être/avoir conjugation tables (incl. the participle
+# forms étante/étants/étantes, ayante/ayantes/ayants), as carried by the
+# widely-redistributed version of the file.
+SNOWBALL_STOP_FR = frozenset("""
+au aux avec ce ces dans de des du elle en et eux il ils je la le les
+leur lui ma mais me même mes moi mon ne nos notre nous on ou par pas
+pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos votre
+vous c d j l à m n s t y été étée étées étés étant étante étants
+étantes suis es est sommes êtes sont serai seras sera serons serez
+seront serais serait serions seriez seraient étais était étions étiez
+étaient fus fut fûmes fûtes furent sois soit soyons soyez soient fusse
+fusses fût fussions fussiez fussent ayant ayante ayantes ayants eu eue
+eues eus ai as avons avez ont aurai auras aura aurons aurez auront
+aurais aurait aurions auriez auraient avais avait avions aviez avaient
+eut eûmes eûtes eurent aie aies ait ayons ayez aient eusse eusses eût
+eussions eussiez eussent
+""".split())
