@@ -2911,6 +2911,29 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     add("french_search_topk", _french_topk, _stem_oracle_sql(_STEM_FORMS_FR))
 
+    _STEM_FORMS_IT = ("zorgelazione", "zorgelare", "zorgelando")
+
+    def _italian_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball ITALIAN stemmer — the
+        # one LanguageAnalyzer("it") selects (lang.py::stem_it, r4):
+        # zorgelazione (step-1 azione in R2) / zorgelare (step-2 are in
+        # RV) / zorgelando (step-2 ando) all stem to 'zorgel', colliding
+        # with no natural token of the English-ish corpus under Italian
+        # stemming. The index uses stem="it" with the DEFAULT stoplist so
+        # the shared tokenization prelude stays a faithful mirror (the
+        # full LANGUAGE("it") preset, Italian stoplist included, is pinned
+        # in tests/test_lang_it.py instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_it as _stit
+
+        return _derived_stem_topk(
+            spark, sf, "stemit_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="it")), _stit,
+            forms=_STEM_FORMS_IT)
+
+    add("italian_search_topk", _italian_topk, _stem_oracle_sql(_STEM_FORMS_IT))
+
     # ------------------------------ multimodal ---------------------------
 
     # ------------------- Structured Streaming build ----------------------

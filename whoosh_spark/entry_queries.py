@@ -1094,7 +1094,8 @@ _WINDOW_FIRST = [
     "text_bpe_encode",
     # -- (2) new r4 entries + stale-row oracle conversions --
     "turns_search_mixed_topk", "german_search_topk", "spanish_search_topk",
-    "french_search_topk", "stemmed_search_topk", "ann_ivf_topk",
+    "french_search_topk", "italian_search_topk",
+    "stemmed_search_topk", "ann_ivf_topk",
     # -- (3) the 37 never-driver-checked entries --
     "ann_ivf_probe_topk", "batch_query_topk",
     "conv_assembled", "conv_exact_dedup", "conv_stats", "conv_truncate",
@@ -1117,9 +1118,9 @@ _WINDOW_FIRST = [
     # -- (4) round-4-changed code paths --
     "percolate_indexed_matches", "percolate_matches",
     "snowball_search_topk",
-    "term_bm25_topk", "and_bm25_topk", "or_bm25_topk",
+    "term_bm25_topk", "and_bm25_topk",
     # ---- 50-slot boundary ----
-    "phrase_bm25_topk", "every_count",
+    "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first
     "search_after_page2", "text_bpe_encode_fixed", "pipeline_pack_bins_uniform",
     "sketch_distinct_hll", "sketch_term_counts_cm",

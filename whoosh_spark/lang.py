@@ -1204,3 +1204,256 @@ aurais aurait aurions auriez auraient avais avait avions aviez avaient
 eut eûmes eûtes eurent aie aies ait ayons ayez aient eusse eusses eût
 eussions eussiez eussent
 """.split())
+
+
+# --------------------------------------------------------------- Italian
+# Snowball Italian stemmer (snowballstem.org "italian" algorithm) — the
+# stemmer LanguageAnalyzer("it") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# italian.py + lang/stopwords.py 'it'). Independent implementation from
+# the PUBLISHED algorithm description (the reference mount is empty —
+# SURVEY "Provenance"); parity is pinned by hand-executed vectors from
+# the spec in tests/test_lang_it.py.
+
+_IT_VOWELS = set("aeiouàèìòù")
+_IT_ACUTE_TO_GRAVE = str.maketrans("áéíóú", "àèìòù")
+
+# step 0: attached pronouns, longest-match, after ando/endo (delete) or
+# ar/er/ir (replace the pronoun with 'e'), the preceding group in RV
+_IT_PRONOUNS = (
+    "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+    "sene", "gliela", "gliele", "glieli", "glielo", "gliene",
+    "mela", "mele", "meli", "melo", "mene",
+    "tela", "tele", "teli", "telo", "tene",
+    "cela", "cele", "celi", "celo", "cene",
+    "vela", "vele", "veli", "velo", "vene",
+)
+
+# step 1 suffix groups (see stem_it for actions)
+_IT_S1_DELETE_R2 = (
+    "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+    "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista", "iste",
+    "isti", "istà", "istè", "istì", "oso", "osi", "osa", "ose", "mente",
+    "atrice", "atrici", "ante", "anti",
+)
+_IT_S1_AZIONE = ("azione", "azioni", "atore", "atori")
+_IT_S1_ALL = _IT_S1_DELETE_R2 + _IT_S1_AZIONE + (
+    "logia", "logie", "uzione", "uzioni", "usione", "usioni",
+    "enza", "enze", "amento", "amenti", "imento", "imenti",
+    "amente", "ità", "ivo", "ivi", "iva", "ive",
+)
+
+# step 2 verb suffixes, plain RV delete ('Iamo' arises from the prelude:
+# i between vowels is marked, e.g. creiamo -> creIamo)
+_IT_S2 = (
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+    "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+    "iamo", "Iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+    "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
+    "irò", "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
+    "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
+    "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir",
+)
+
+_IT_S3A_FINAL = set("aeioàèìò")
+
+
+def _it_prelude(word: str) -> str:
+    """Acute accents -> grave, then mark u after q and u/i between vowels
+    (U/I are outside the vowel set, so later vowel tests see consonants;
+    the postlude lowers them back)."""
+    word = word.translate(_IT_ACUTE_TO_GRAVE)
+    out = list(word)
+    for i, c in enumerate(out):
+        prev = out[i - 1] if i else ""
+        nxt = out[i + 1] if i + 1 < len(out) else ""
+        if c == "u":
+            if prev == "q" or (prev in _IT_VOWELS and nxt in _IT_VOWELS):
+                out[i] = "U"
+        elif c == "i":
+            if prev in _IT_VOWELS and nxt in _IT_VOWELS:
+                out[i] = "I"
+    return "".join(out)
+
+
+def _it_regions(word: str) -> tuple[int, int, int]:
+    """(r1, r2, rv): standard R1/R2; RV per the Spanish definition the
+    Italian spec shares (second letter consonant -> after the next vowel;
+    two leading vowels -> after the next consonant; else after the third
+    letter; end of word when shorter than 3)."""
+
+    def scan(start: int) -> int:
+        for i in range(start, len(word) - 1):
+            if word[i] in _IT_VOWELS and word[i + 1] not in _IT_VOWELS:
+                return i + 2
+        return len(word)
+
+    r1 = scan(0)
+    r2 = scan(r1)
+    n = len(word)
+    if n < 3:
+        rv = n
+    elif word[1] not in _IT_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if word[i] in _IT_VOWELS:
+                rv = i + 1
+                break
+    elif word[0] in _IT_VOWELS and word[1] in _IT_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if word[i] not in _IT_VOWELS:
+                rv = i + 1
+                break
+    else:
+        rv = 3
+    return r1, r2, rv
+
+
+def stem_it(word: str) -> str:
+    """Snowball-Italian-stem one lowercase word."""
+    word = _it_prelude(word.lower())
+    r1, r2, rv = _it_regions(word)
+
+    # ---- step 0: attached pronoun after a gerund/infinitive form in RV
+    pro = _fr_longest(word, _IT_PRONOUNS)
+    if pro is not None:
+        base = word[: -len(pro)]
+        for pre in ("ando", "endo"):
+            if base.endswith(pre) and len(base) - len(pre) >= rv:
+                word = base
+                break
+        else:
+            for pre in ("ar", "er", "ir"):
+                if base.endswith(pre) and len(base) - len(pre) >= rv:
+                    word = base + "e"
+                    break
+
+    changed = False
+
+    # ---- step 1: standard suffixes (longest across ALL groups; the
+    # winner's group decides the action)
+    suf = _fr_longest(word, _IT_S1_ALL)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if suf in _IT_S1_DELETE_R2:
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+        elif suf in _IT_S1_AZIONE:
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                if word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif suf in ("logia", "logie"):
+            if pos >= r2:
+                word = word[:pos] + "log"
+                changed = True
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if pos >= r2:
+                word = word[:pos] + "u"
+                changed = True
+        elif suf in ("enza", "enze"):
+            if pos >= r2:
+                word = word[:pos] + "ente"
+                changed = True
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if pos >= rv:
+                word = word[:pos]
+                changed = True
+        elif suf == "amente":
+            if pos >= r1:
+                word = word[:pos]
+                changed = True
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic"):
+                        if word.endswith(pre) and len(word) - 2 >= r2:
+                            word = word[:-2]
+                            break
+                    else:
+                        if word.endswith("abil") and len(word) - 4 >= r2:
+                            word = word[:-4]
+        elif suf == "ità":
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+        else:  # ivo ivi iva ive
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("ic") and len(word) - 2 >= r2:
+                        word = word[:-2]
+
+    # ---- step 2 (only when step 1 removed nothing): verb suffixes in RV
+    if not changed:
+        suf = _fr_longest(word, _IT_S2)
+        if suf is not None:
+            pos = len(word) - len(suf)
+            if pos >= rv:
+                word = word[:pos]
+
+    # ---- step 3a: final vowel (and a preceding i) in RV — always tried
+    if word and word[-1] in _IT_S3A_FINAL and len(word) - 1 >= rv:
+        word = word[:-1]
+        if word.endswith("i") and len(word) - 1 >= rv:
+            word = word[:-1]
+
+    # ---- step 3b: final ch/gh -> c/g in RV
+    if (
+        (word.endswith("ch") or word.endswith("gh"))
+        and len(word) - 2 >= rv
+    ):
+        word = word[:-1]
+
+    # ---- postlude: lower the consonant marks back
+    return word.translate(_IT_UNMARK)
+
+
+_IT_UNMARK = str.maketrans("IU", "iu")
+
+
+# The published Snowball Italian stopword list (snowballstem.org
+# italian/stop.txt): articles/prepositions (with their elided and
+# articulated forms), pronouns/possessives/demonstratives, and the full
+# avere/essere/fare/stare conjugation tables.
+SNOWBALL_STOP_IT = frozenset("""
+ad al allo ai agli all agl alla alle con col coi da dal dallo dai dagli
+dall dagl dalla dalle di del dello dei degli dell degl della delle in
+nel nello nei negli nell negl nella nelle su sul sullo sui sugli sull
+sugl sulla sulle per tra contro io tu lui lei noi voi loro mio mia miei
+mie tuo tua tuoi tue suo sua suoi sue nostro nostra nostri nostre
+vostro vostra vostri vostre mi ti ci vi lo la li le gli ne il un uno
+una ma ed se perché anche come dov dove che chi cui non più quale
+quanto quanti quanta quante quello quelli quella quelle questo questi
+questa queste si tutto tutti a c e i l o ho hai ha abbiamo avete hanno
+abbia abbiate abbiano avrò avrai avrà avremo avrete avranno avrei
+avresti avrebbe avremmo avreste avrebbero avevo avevi aveva avevamo
+avevate avevano ebbi avesti ebbe avemmo aveste ebbero avessi avesse
+avessimo avessero avendo avuto avuta avuti avute sono sei è siamo siete
+sia siate siano sarò sarai sarà saremo sarete saranno sarei saresti
+sarebbe saremmo sareste sarebbero ero eri era eravamo eravate erano fui
+fosti fu fummo foste furono fossi fosse fossimo fossero essendo faccio
+fai facciamo fanno faccia facciate facciano farò farai farà faremo
+farete faranno farei faresti farebbe faremmo fareste farebbero facevo
+facevi faceva facevamo facevate facevano feci facesti fece facemmo
+faceste fecero facessi facesse facessimo facessero facendo sto stai sta
+stiamo stanno stia stiate stiano starò starai starà staremo starete
+staranno starei staresti starebbe staremmo stareste starebbero stavo
+stavi stava stavamo stavate stavano stetti stesti stette stemmo steste
+stettero stessi stesse stessimo stessero stando
+""".split())
