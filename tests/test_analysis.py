@@ -347,7 +347,7 @@ def test_language_preset_unsupported_raises():
     from whoosh_spark.analysis import LANGUAGE
 
     with pytest.raises(NotImplementedError, match="snowball"):
-        LANGUAGE("fr")  # German shipped in r4 (lang.stem_de)
+        LANGUAGE("ru")  # en/de/es/fr/it shipped; others still raise
 
 
 def test_unknown_stem_variant_raises():
