@@ -185,3 +185,83 @@ def test_double_metaphone_conflation_pairs():
                  ("shell", "schell"), ("wait", "weight")]:
         assert dm(a) == dm(b), (a, b, dm(a), dm(b))
     assert dm("czech")[1] == dm("check")[0] == "XK"
+
+
+def test_double_metaphone_published_vectors():
+    """Full audited table of widely-published Double Metaphone vectors
+    (Philips 2000, C/C++ Users Journal — each hand-derived from the
+    published rules). Pins the language special-cases that depend on the
+    C++'s trailing-space padding and in-word spaces: whole-word JOSE /
+    'SAN J' Spanish handling, VAN/VON germanic prefixes, 'MAC C' name
+    skips, CH at end-of-word (bach -> PK), and -GIER french endings."""
+    from whoosh_spark.dmetaphone import double_metaphone as dm
+
+    vectors = {
+        # language special-cases enabled by space padding (the r4 fix)
+        "jose": ("HS", None),
+        "san jacinto": ("SNHS", None),
+        "bach": ("PK", None),
+        "caesar": ("SSR", None),
+        "van gogh": ("FNKK", None),
+        "von schuller": ("FNXL", None),
+        "mac caffrey": ("MKFR", None),
+        "mac gregor": ("MKRK", None),
+        "rogier": ("RJ", "RJR"),
+        # germanic/slavic vs anglicized splits (why two codes exist)
+        "smith": ("SM0", "XMT"),
+        "schmidt": ("XMT", "SMT"),
+        "snider": ("SNTR", "XNTR"),
+        "schneider": ("XNTR", "SNTR"),
+        "katherine": ("K0RN", "KTRN"),
+        "filipowicz": ("FLPT", "FLPF"),
+        "wasserman": ("ASRM", "FSRM"),
+        "jankelowicz": ("JNKL", "ANKL"),
+        "yankelovich": ("ANKL", None),
+        "jumble": ("JMPL", "AMPL"),
+        # italian / spanish
+        "chianti": ("KNT", None),
+        "focaccia": ("FKX", None),
+        "bertucci": ("PRTX", None),
+        "tagliaro": ("TKLR", "TLR"),
+        "cabrillo": ("KPRL", "KPR"),
+        "gallegos": ("KLKS", "KKS"),
+        # greek roots
+        "michael": ("MKL", "MXL"),
+        "chorus": ("KRS", None),
+        "chemistry": ("KMST", None),
+        "architect": ("ARKT", None),
+        "orchestra": ("ARKS", None),
+        "orchid": ("ARKT", None),
+        # gh / silent clusters
+        "ghost": ("KST", None),
+        "laugh": ("LF", None),
+        "cough": ("KF", None),
+        "gough": ("KF", None),
+        "hugh": ("H", None),
+        "dumb": ("TM", None),
+        "thumb": ("0M", "TM"),
+        "island": ("ALNT", None),
+        "knight": ("NT", None),
+        "pneumonia": ("NMN", None),
+        "wright": ("RT", None),
+        "psalm": ("SLM", None),
+        # c / cc branches
+        "accident": ("AKST", None),
+        "success": ("SKSS", None),
+        "edge": ("AJ", None),
+        "edgar": ("ATKR", None),
+        # misc published classics
+        "sugar": ("XKR", "SKR"),
+        "school": ("SKL", None),
+        "thomas": ("TMS", None),
+        "xavier": ("SF", "SFR"),
+        "macher": ("MKR", None),
+        "danger": ("TNJR", "TNKR"),
+        "ranger": ("RNJR", "RNKR"),
+        "manger": ("MNJR", "MNKR"),
+        "arnow": ("ARN", "ARNF"),
+        "lawrence": ("LRNS", None),
+        "zhao": ("J", None),
+    }
+    bad = {w: (exp, dm(w)) for w, exp in vectors.items() if dm(w) != exp}
+    assert not bad, bad

@@ -35,11 +35,18 @@ def _any(s: str, i: int, n: int, *opts: str) -> bool:
 
 
 def double_metaphone(word: str, maxlen: int = 4) -> tuple[str, str | None]:
-    s = "".join(c for c in word.upper() if c.isalpha())
+    # Keep in-word spaces and pad the tail with spaces exactly like the
+    # published C++ (it appends "     " to the input): several rules read
+    # a space to mean "word boundary" — 'JOSE '/'SAN J' Spanish handling,
+    # 'VAN /VON ' germanic prefixes, 'MAC C' name skips, and CH at
+    # end-of-word ('bach' -> PK). Stripping spaces or leaving the tail
+    # unpadded silently disables those branches.
+    s = "".join(c for c in word.upper() if c.isalpha() or c == " ").strip()
     if not s:
         return "", None
     length = len(s)
     last = length - 1
+    s = s + "     "
     pri: list[str] = []
     sec: list[str] = []
 
@@ -83,7 +90,7 @@ def double_metaphone(word: str, maxlen: int = 4) -> tuple[str, str | None]:
                 add("K")
                 i += 2
                 continue
-            if i == 0 and _ch(s, i, 6) == "CAESAR":
+            if _ch(s, i, 6) == "CAESAR":
                 add("S")
                 i += 2
                 continue
@@ -234,7 +241,7 @@ def double_metaphone(word: str, maxlen: int = 4) -> tuple[str, str | None]:
                 if (_any(s, 0, 4, "VAN ", "VON ") or _ch(s, 0, 3) == "SCH"
                         or _ch(s, i + 1, 2) == "ET"):
                     add("K")  # obvious germanic
-                elif _ch(s, i + 1, 4) == "IER " or _ch(s, i + 1, 3) == "IER" and i + 4 == length:
+                elif _ch(s, i + 1, 4) == "IER ":  # french ending (pad makes end-of-word a space)
                     add("J")
                 else:
                     add("J", "K")
