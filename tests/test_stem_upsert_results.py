@@ -172,6 +172,33 @@ def test_stemmed_oracle_group_is_pure():
         assert not {t for t in vocab if stem(t) == target}
 
 
+def test_dmetaphone_oracle_group_is_pure():
+    """Guards the dmetaphone_search_topk derived-corpus oracle: the
+    invented forms must code to exactly {NRSL, NRTS} with the secondary
+    arising only from knorzel (its K makes the word Slavo-Germanic, so Z
+    emits S/TS), and no token of the real documents corpus may emit
+    either code (a collision would add postings the DuckDB mirror can't
+    see)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from whoosh_spark.dmetaphone import dmetaphone_codes
+    from whoosh_spark.dmetaphone import double_metaphone as dm
+
+    assert dm("knorzel") == ("NRSL", "NRTS")
+    assert dm("gnorzel") == ("NRSL", None)
+    assert dm("norzel") == ("NRSL", None)
+    targets = {"NRSL", "NRTS"}
+    pat = re.compile(r"\w+(?:\.?\w+)*")
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+        vocab = set()
+        for t in texts.column("text").to_pylist():
+            vocab.update(pat.findall(t.lower()))
+        assert not {t for t in vocab if targets & set(dmetaphone_codes(t))}
+
+
 def test_double_metaphone_conflation_pairs():
     """Sound-alike spellings map to equal codes (reference:
     lang/dmetaphone.py behavior contract; Philips 2000): silent leading

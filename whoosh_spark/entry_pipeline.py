@@ -2934,6 +2934,79 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     add("italian_search_topk", _italian_topk, _stem_oracle_sql(_STEM_FORMS_IT))
 
+    # ---------------- phonetic (Double Metaphone) search -----------------
+
+    _DMETA_FORMS = ("knorzel", "gnorzel", "norzel")
+
+    def _dmeta_topk(spark, sf):
+        # Derived-corpus exact oracle for the DoubleMetaphoneFilter
+        # (reference: analysis/morph.py::DoubleMetaphoneFilter over
+        # lang/dmetaphone.py): inject invented sound-alikes that conflate
+        # under the silent-KN/GN rules — knorzel (primary NRSL, secondary
+        # NRTS via the Slavo-Germanic Z rule), gnorzel and norzel (NRSL
+        # only) — whose codes collide with no natural corpus token
+        # (tests/test_stem_upsert_results.py::
+        # test_dmetaphone_oracle_group_is_pure). The query Or(NRSL, NRTS)
+        # pins BOTH the primary and the secondary code emission end to end
+        # through analysis, postings and scoring. TF_IDF weighting keeps
+        # the oracle expressible: dual-code emission changes analyzed doc
+        # LENGTHS in a way SQL can't mirror (1-2 codes per source token),
+        # but tf and df of the injected codes are exact integers the
+        # oracle derives from the tokenized derived corpus alone.
+        from whoosh_spark import query as Qn
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.entry_queries import _topk
+        from whoosh_spark.fields import TEXT, Schema
+        from whoosh_spark.indexing import build_index
+        from whoosh_spark.search import Searcher
+        from whoosh_spark.search.scoring import TF_IDF
+
+        key = ("dmeta_ix", sf)
+        if key not in _CACHE:
+            d = _docs(spark, sf).withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    *[
+                        F.when(F.col("doc_id") % m == 0,
+                               F.lit(" " + w)).otherwise(F.lit(""))
+                        for m, w in zip((7, 11, 13), _DMETA_FORMS)
+                    ],
+                ),
+            )
+            spec = TEXT("text", analyzer=AnalyzerSpec(dmetaphone=True))
+            ix = build_index(spark, d, Schema(spec)).persist()
+            _CACHE[key] = Searcher(ix, TF_IDF())
+        s = _CACHE[key]
+        return _topk(s.compile(Qn.Or([Qn.Term("text", "NRSL"),
+                                      Qn.Term("text", "NRTS")])))
+
+    _DMETA_ORACLE_SQL = (
+        "WITH ds AS (SELECT doc_id, text || " + _stem_suffix_sql(_DMETA_FORMS)
+        + " AS text FROM documents),\n"
+        + _prelude_body("ds")
+        + """,
+mp AS (
+  SELECT doc_id,
+         sum(w) AS w1,
+         sum(CASE WHEN term = 'knorzel' THEN w ELSE 0 END) AS w2
+  FROM post WHERE term IN ('knorzel','gnorzel','norzel') GROUP BY doc_id
+),
+st AS (
+  SELECT (SELECT count(*) FROM mp)::DOUBLE AS df1,
+         (SELECT count(*) FROM mp WHERE w2 > 0)::DOUBLE AS df2
+)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT mp.doc_id,
+         mp.w1 * (ln(g.n / (st.df1 + 1)) + 1)
+           + mp.w2 * (ln(g.n / (st.df2 + 1)) + 1) AS score
+  FROM mp CROSS JOIN st CROSS JOIN gstat g
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    )
+
+    add("dmetaphone_search_topk", _dmeta_topk, _DMETA_ORACLE_SQL)
+
     # ------------------------------ multimodal ---------------------------
 
     # ------------------- Structured Streaming build ----------------------

@@ -1074,18 +1074,19 @@ _REGISTRY_CACHE: dict | None = None
 # CORRECTNESS_r01-03.json at reorder time):
 # (1) slot 1: text_bpe_encode — r3's one red row, re-shaped to a flat
 #     schema (entry_pipeline.py projects tokens -> space-joined string);
-# (2) slots 2-6: brand-new r4 entries (TA-routed flagship shape, German
-#     + Spanish stemmers) and the two entries whose only driver rows are stale r2
-#     `no_oracle` records from BEFORE their r3 oracle conversions
-#     (stemmed_search_topk's derived-corpus oracle, full-probe
-#     ann_ivf_topk);
-# (3) slots 7-43: the 37 registry entries that have NEVER had a driver
+# (2) slots 2-9: brand-new r4 entries (TA-routed flagship shape, the
+#     German/Spanish/French/Italian stemmers, the Double Metaphone
+#     phonetic search over the r4-fixed word-boundary rules) and the two
+#     entries whose only driver rows are stale r2 `no_oracle` records
+#     from BEFORE their r3 oracle conversions (stemmed_search_topk's
+#     derived-corpus oracle, full-probe ann_ivf_topk);
+# (3) slots 10-46: the 37 registry entries that have NEVER had a driver
 #     row in any round (r1+r2+r3 union = 128 names; registry minus those
 #     = exactly this list);
-# (4) slots 44-50: entries riding round-4-CHANGED code — the rewritten
+# (4) slots 47-50: entries riding round-4-CHANGED code — the rewritten
 #     indexed-percolation kernel, the refactored stem-oracle builder,
-#     and core-family representatives over the TA-touched executor
-#     (_c_term/_c_phrase restriction hooks).
+#     and a core representative over the TA-touched executor
+#     (_c_term restriction hook).
 # Everything past slot 50 has a green r1/r2/r3 driver row on code
 # unchanged this round; the full registry is also pytest-verified vs
 # DuckDB on HEAD every round (tests/test_entry_oracle.py).
@@ -1094,7 +1095,7 @@ _WINDOW_FIRST = [
     "text_bpe_encode",
     # -- (2) new r4 entries + stale-row oracle conversions --
     "turns_search_mixed_topk", "german_search_topk", "spanish_search_topk",
-    "french_search_topk", "italian_search_topk",
+    "french_search_topk", "italian_search_topk", "dmetaphone_search_topk",
     "stemmed_search_topk", "ann_ivf_topk",
     # -- (3) the 37 never-driver-checked entries --
     "ann_ivf_probe_topk", "batch_query_topk",
@@ -1118,9 +1119,9 @@ _WINDOW_FIRST = [
     # -- (4) round-4-changed code paths --
     "percolate_indexed_matches", "percolate_matches",
     "snowball_search_topk",
-    "term_bm25_topk", "and_bm25_topk",
+    "term_bm25_topk",
     # ---- 50-slot boundary ----
-    "or_bm25_topk", "phrase_bm25_topk", "every_count",
+    "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first
     "search_after_page2", "text_bpe_encode_fixed", "pipeline_pack_bins_uniform",
     "sketch_distinct_hll", "sketch_term_counts_cm",
@@ -1161,8 +1162,8 @@ _WINDOW_FIRST = [
     "sorted_by_lang", "page2_or_query", "matched_terms",
     "span_near_ordered_topk", "span_first_topk", "ngram_substring_topk",
 ]
-# Window math: slots 1-50 = 1 red-row fix + 4 new/re-oracled + 37
-# never-checked + 8 r4-changed-code entries. After this round every
+# Window math: slots 1-50 = 1 red-row fix + 8 new/re-oracled + 37
+# never-checked + 4 r4-changed-code entries. After this round every
 # oracle-backed registry entry has at least one driver row across
 # rounds (the VERDICT r3 #2 definition of done).
 
