@@ -3007,6 +3007,117 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     add("dmetaphone_search_topk", _dmeta_topk, _DMETA_ORACLE_SQL)
 
+    # ------------------- BiWord (shingle) search --------------------------
+
+    def _biword_topk(spark, sf):
+        # BiWordFilter end-to-end (reference: analysis/intraword.py::
+        # BiWordFilter — adjacent-pair tokens make phrase-ish search a
+        # single term lookup): index documents with the BIWORD preset
+        # (stoplist=None, minsize=1, shingle_size=2, '-' join) and search
+        # the bigram term. The oracle mirrors the whole chain in SQL —
+        # tokenize, self-join on pos+1 for the pairs, byte-quantized dl
+        # over the SHINGLE count (one fewer than the token count per doc:
+        # shingling changes doc lengths, which BM25 feels), then the
+        # standard BM25 prelude shapes.
+        from whoosh_spark import query as Qn
+        from whoosh_spark.analysis import BIWORD
+        from whoosh_spark.entry_queries import _topk
+        from whoosh_spark.fields import TEXT, Schema
+        from whoosh_spark.indexing import build_index
+        from whoosh_spark.search import Searcher
+
+        key = ("biword_ix", sf)
+        if key not in _CACHE:
+            spec = TEXT("text", analyzer=BIWORD())
+            ix = build_index(spark, _docs(spark, sf), Schema(spec)).persist()
+            _CACHE[key] = Searcher(ix)
+        return _topk(_CACHE[key].compile(Qn.Term("text", "hash-join")))
+
+    from whoosh_spark.entry_queries import _PATTERN_SQL as _PAT
+    from whoosh_spark.entry_queries import DL_CASE_SQL as _DL_SQL
+    from whoosh_spark.entry_queries import SCORED_SQL as _SCORED_SQL
+
+    _BIWORD_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_PAT}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{_PAT}'), 1) AS ord
+  FROM documents
+),
+ft AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM tok
+),
+big AS (
+  SELECT a.doc_id, a.term || '-' || b.term AS term
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+rawlen AS (
+  SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS raw_len
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM big GROUP BY doc_id) c USING (doc_id)
+),
+{_DL_SQL},
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS w FROM big GROUP BY doc_id, term
+),
+tstat AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+gstat AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(raw_len)::DOUBLE FROM rawlen) / (SELECT count(*) FROM documents) AS avgdl
+),
+{_SCORED_SQL}
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'hash-join'
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    add("biword_search_topk", _biword_topk, _BIWORD_ORACLE_SQL)
+
+    # ------------------- delete_by_term maintenance -----------------------
+
+    def _delete_topk(spark, sf):
+        # delete_by_term on a PHYSICAL index, then search (reference:
+        # writing.py::IndexWriter.delete_by_term + reading.py::
+        # SegmentReader.is_deleted): hits on deleted docs are masked but
+        # doc_count_all / field stats still count them until a merge
+        # expunges (segments.py::SegmentedIndex._mask_deleted), so the
+        # oracle scores over the FULL corpus stats and only excludes the
+        # deleted docs from the result set. A dedicated index path — the
+        # shared turns index must never see a delete set.
+        from whoosh_spark import query as Qn
+        from whoosh_spark.entry_queries import _topk
+        from whoosh_spark.fields import documents_schema
+        from whoosh_spark.indexing.segments import delete_by_term
+        from whoosh_spark.search import Searcher
+
+        key = ("del_six", sf)
+        if key not in _CACHE:
+            docs = _docs(spark, sf)
+            path = f"/tmp/whoosh_spark_entry/del_{abs(hash(sf))}"
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+            build_segments(spark, docs, documents_schema(), path, n_segments=2)
+            ix = open_segments(spark, path, docs, documents_schema())
+            delete_by_term(spark, ix, "text", "vector")
+            # re-open: the delete set is read at open time
+            _CACHE[key] = Searcher(
+                open_segments(spark, path, docs, documents_schema()))
+        return _topk(_CACHE[key].compile(Qn.Term("text", "spark")))
+
+    add(
+        "delete_search_topk",
+        _delete_topk,
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'spark'
+  AND doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'vector')
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
     # ------------------------------ multimodal ---------------------------
 
     # ------------------- Structured Streaming build ----------------------

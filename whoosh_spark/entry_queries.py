@@ -84,6 +84,33 @@ _PATTERN_SQL = r"\w+(?:\.?\w+)*"
 # oracle both the documents corpus and the derived transcript turns.
 
 
+# Byte-quantized doc length (util.length_to_byte/byte_to_length) over a
+# CTE named rawlen(doc_id, raw_len) — shared by prelude_body and the
+# custom-analyzer oracles (biword) so the mirrors can never drift apart.
+DL_CASE_SQL = """dl AS (
+  SELECT doc_id, raw_len,
+         CASE WHEN raw_len <= 0 THEN 0
+              WHEN raw_len >= 68000 THEN CAST(round((power(1.0325, 255) - 1) * 8) AS BIGINT)
+              ELSE CAST(round((power(1.0325,
+                     LEAST(255, CAST(round(ln(raw_len / 8.0 + 1) / ln(1.0325)) AS INTEGER))
+                   ) - 1) * 8) AS BIGINT)
+         END AS dl
+  FROM rawlen
+)"""
+
+# BM25 scored-postings CTE over post/tstat/dl/gstat — shared for the same
+# reason (K1=1.2, B=0.75, idf = ln(N/(df+1)) + 1).
+SCORED_SQL = """scored AS (
+  SELECT p.doc_id, p.term, p.w,
+         (ln(g.n / (t.df + 1)) + 1) * (p.w * 2.2)
+           / (p.w + 1.2 * (0.25 + 0.75 * l.dl / g.avgdl)) AS score
+  FROM post p
+  JOIN tstat t USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN gstat g
+)"""
+
+
 def prelude_body(src: str) -> str:
     return f"""tok AS (
   SELECT doc_id,
@@ -102,16 +129,7 @@ rawlen AS (
   FROM {src} d
   LEFT JOIN (SELECT doc_id, count(*) AS n FROM ftok GROUP BY doc_id) c USING (doc_id)
 ),
-dl AS (
-  SELECT doc_id, raw_len,
-         CASE WHEN raw_len <= 0 THEN 0
-              WHEN raw_len >= 68000 THEN CAST(round((power(1.0325, 255) - 1) * 8) AS BIGINT)
-              ELSE CAST(round((power(1.0325,
-                     LEAST(255, CAST(round(ln(raw_len / 8.0 + 1) / ln(1.0325)) AS INTEGER))
-                   ) - 1) * 8) AS BIGINT)
-         END AS dl
-  FROM rawlen
-),
+{DL_CASE_SQL},
 post AS (
   SELECT doc_id, term, count(*)::DOUBLE AS w FROM ftok GROUP BY doc_id, term
 ),
@@ -120,15 +138,7 @@ gstat AS (
   SELECT (SELECT count(*) FROM {src})::DOUBLE AS n,
          (SELECT sum(raw_len)::DOUBLE FROM rawlen) / (SELECT count(*) FROM {src}) AS avgdl
 ),
-scored AS (
-  SELECT p.doc_id, p.term, p.w,
-         (ln(g.n / (t.df + 1)) + 1) * (p.w * 2.2)
-           / (p.w + 1.2 * (0.25 + 0.75 * l.dl / g.avgdl)) AS score
-  FROM post p
-  JOIN tstat t USING (term)
-  JOIN dl l USING (doc_id)
-  CROSS JOIN gstat g
-)"""
+{SCORED_SQL}"""
 
 
 
@@ -1074,19 +1084,22 @@ _REGISTRY_CACHE: dict | None = None
 # CORRECTNESS_r01-03.json at reorder time):
 # (1) slot 1: text_bpe_encode — r3's one red row, re-shaped to a flat
 #     schema (entry_pipeline.py projects tokens -> space-joined string);
-# (2) slots 2-9: brand-new r4 entries (TA-routed flagship shape, the
+# (2) slots 2-11: brand-new r4 entries (TA-routed flagship shape, the
 #     German/Spanish/French/Italian stemmers, the Double Metaphone
-#     phonetic search over the r4-fixed word-boundary rules) and the two
+#     phonetic search over the r4-fixed word-boundary rules, the BiWord
+#     shingle search, the delete_by_term masked search) and the two
 #     entries whose only driver rows are stale r2 `no_oracle` records
 #     from BEFORE their r3 oracle conversions (stemmed_search_topk's
 #     derived-corpus oracle, full-probe ann_ivf_topk);
-# (3) slots 10-46: the 37 registry entries that have NEVER had a driver
+# (3) slots 12-48: the 37 registry entries that have NEVER had a driver
 #     row in any round (r1+r2+r3 union = 128 names; registry minus those
 #     = exactly this list);
-# (4) slots 47-50: entries riding round-4-CHANGED code — the rewritten
-#     indexed-percolation kernel, the refactored stem-oracle builder,
-#     and a core representative over the TA-touched executor
-#     (_c_term restriction hook).
+# (4) slots 49-50: entries riding round-4-CHANGED code — the rewritten
+#     indexed-percolation kernel (both tiers). The other r4-touched
+#     paths (TA executor hooks, refactored stem-oracle builder) are
+#     already exercised by the group-2/3 names above; their multi-green
+#     core representatives (term/and/or/phrase _bm25_topk,
+#     snowball_search_topk) sit just past the boundary.
 # Everything past slot 50 has a green r1/r2/r3 driver row on code
 # unchanged this round; the full registry is also pytest-verified vs
 # DuckDB on HEAD every round (tests/test_entry_oracle.py).
@@ -1096,6 +1109,7 @@ _WINDOW_FIRST = [
     # -- (2) new r4 entries + stale-row oracle conversions --
     "turns_search_mixed_topk", "german_search_topk", "spanish_search_topk",
     "french_search_topk", "italian_search_topk", "dmetaphone_search_topk",
+    "biword_search_topk", "delete_search_topk",
     "stemmed_search_topk", "ann_ivf_topk",
     # -- (3) the 37 never-driver-checked entries --
     "ann_ivf_probe_topk", "batch_query_topk",
@@ -1118,9 +1132,8 @@ _WINDOW_FIRST = [
     "turns_wand_phrase_topk",
     # -- (4) round-4-changed code paths --
     "percolate_indexed_matches", "percolate_matches",
-    "snowball_search_topk",
-    "term_bm25_topk",
     # ---- 50-slot boundary ----
+    "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first
     "search_after_page2", "text_bpe_encode_fixed", "pipeline_pack_bins_uniform",
@@ -1162,8 +1175,8 @@ _WINDOW_FIRST = [
     "sorted_by_lang", "page2_or_query", "matched_terms",
     "span_near_ordered_topk", "span_first_topk", "ngram_substring_topk",
 ]
-# Window math: slots 1-50 = 1 red-row fix + 8 new/re-oracled + 37
-# never-checked + 4 r4-changed-code entries. After this round every
+# Window math: slots 1-50 = 1 red-row fix + 10 new/re-oracled + 37
+# never-checked + 2 r4-changed-code entries. After this round every
 # oracle-backed registry entry has at least one driver row across
 # rounds (the VERDICT r3 #2 definition of done).
 
