@@ -3118,6 +3118,148 @@ SELECT doc_id, round(score, 4) AS score FROM (
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
     )
 
+    # --------------- merge with physical expunge (optimize) ---------------
+
+    def _merged_lexicon(spark, sf):
+        # delete_by_term then merge ALL segments (reference: writing.py
+        # MERGE policies / Index.optimize + SegmentWriter.add_reader
+        # skipping deleted docs): the merge physically expunges the
+        # deleted docs' postings and _finalize recomputes the global term
+        # stats from the rewritten blocks, so the post-merge lexicon must
+        # equal a fresh lexicon over the corpus WITHOUT the deleted docs —
+        # which is exactly what the oracle computes.
+        from whoosh_spark.fields import documents_schema
+        from whoosh_spark.indexing.segments import delete_by_term, merge_segments
+
+        key = ("merged_lex", sf)
+        if key not in _CACHE:
+            docs = _docs(spark, sf)
+            path = f"/tmp/whoosh_spark_entry/merge_{abs(hash(sf))}"
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+            build_segments(spark, docs, documents_schema(), path, n_segments=3)
+            ix = open_segments(spark, path, docs, documents_schema())
+            delete_by_term(spark, ix, "text", "vector")
+            merge_segments(spark, path)
+            _CACHE[key] = open_segments(spark, path, docs, documents_schema())
+        return (_CACHE[key].terms.where(F.col("field") == "text")
+                .select("term", "df", "total_weight"))
+
+    add(
+        "merged_lexicon_stats",
+        _merged_lexicon,
+        f"""
+WITH del AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_PAT}')) AS term
+    FROM documents
+  ) WHERE term = 'vector'
+),
+live AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+{prelude_body("live")}
+SELECT term, count(*)::BIGINT AS df, sum(w)::DOUBLE AS total_weight
+FROM post GROUP BY term""",
+    )
+
+    # ------------------- update_document (upsert) -------------------------
+
+    def _upsert_lexicon(spark, sf):
+        # update_document end-to-end (reference: writing.py::IndexWriter
+        # .update_document ~L520 — delete every doc matching the batch's
+        # unique-field values, then add the batch): seed the index with
+        # the corpus keyed by a unique ID field, upsert a replacement
+        # batch (every 17th doc, text amended), merge to expunge the
+        # replaced postings. The post-merge lexicon must equal a fresh
+        # lexicon over the LOGICAL final corpus: untouched docs plus the
+        # replacements.
+        from whoosh_spark.fields import ID, TEXT, Schema
+        from whoosh_spark.indexing.segments import merge_segments
+        from whoosh_spark.streaming.incremental import (
+            IncrementalIndexer,
+            upsert_batch,
+        )
+
+        key = ("upsert_lex", sf)
+        if key not in _CACHE:
+            schema = Schema(TEXT("text"), ID("ukey", unique=True))
+            docs = _docs(spark, sf)
+            path = f"/tmp/whoosh_spark_entry/upsert_{abs(hash(sf))}"
+            shutil.rmtree(path, ignore_errors=True)
+            ixer = IncrementalIndexer(spark, path, schema)
+            ixer.append_batch(
+                docs.select(F.col("doc_id").cast("string").alias("ukey"),
+                            "text"),
+                0,
+            )
+            upd = (docs.where(F.col("doc_id") % 17 == 0)
+                   .select(F.col("doc_id").cast("string").alias("ukey"),
+                           F.concat(F.col("text"),
+                                    F.lit(" zorgupd")).alias("text")))
+            upsert_batch(ixer, upd, 1, ["ukey"])
+            merge_segments(spark, path)
+            _CACHE[key] = open_segments(spark, path, ixer.stored_docs(),
+                                        schema)
+        return (_CACHE[key].terms.where(F.col("field") == "text")
+                .select("term", "df", "total_weight"))
+
+    add(
+        "upsert_lexicon_stats",
+        _upsert_lexicon,
+        f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 100000000, text || ' zorgupd' FROM documents
+  WHERE doc_id % 17 = 0
+),
+{prelude_body("corpus")}
+SELECT term, count(*)::BIGINT AS df, sum(w)::DOUBLE AS total_weight
+FROM post GROUP BY term""",
+    )
+
+    # ------------------- compat facade workflow ---------------------------
+
+    def _compat_topk(spark, sf):
+        # The reference's primary user surface, end-to-end: create_in ->
+        # writer().add_dataframe(corpus) -> commit -> searcher().search
+        # (string query through the default QueryParser) -> driver-side
+        # Hits with stored fields (reference: index.create_in /
+        # IndexWriter / Searcher.search). The facade assigns its own doc
+        # ids, so the original id rides a stored ID field; the oracle
+        # discipline matches _topk: fetch deep by exact score, round,
+        # re-rank by (score desc, original id asc), cut to 10.
+        import tempfile
+
+        from whoosh_spark import compat
+        from whoosh_spark.fields import ID, TEXT, Schema
+
+        key = ("compat_hits", sf)
+        if key not in _CACHE:
+            base = tempfile.mkdtemp(prefix="ws_compat_gate_")
+            schema = Schema(TEXT("text"), ID("ukey"))
+            cix = compat.create_in(base, schema, spark=spark)
+            w = cix.writer()
+            w.add_dataframe(
+                _docs(spark, sf).select(
+                    F.col("doc_id").cast("string").alias("ukey"), "text"))
+            w.commit()
+            _CACHE[key] = cix.searcher()
+        hits = _CACHE[key].search("spark", limit=5 * K)
+        rows = sorted(((int(h["ukey"]), round(h.score, 4)) for h in hits),
+                      key=lambda t: (-t[1], t[0]))[:K]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    add(
+        "compat_search_topk",
+        _compat_topk,
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'spark'
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
     # ------------------------------ multimodal ---------------------------
 
     # ------------------- Structured Streaming build ----------------------
