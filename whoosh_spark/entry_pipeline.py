@@ -2412,6 +2412,52 @@ SELECT doc_id, round(score, 4) AS score FROM (
 """,
     )
     add(
+        # Sequence (reference: positional.py::Sequence ~L40): q1..qn in
+        # order, each within slop of the previous — a phrase of subqueries
+        # through the SPAN compiler (SpanNear2 ordered chain), not the
+        # phrase kernel. Three terms, slop=2 -> two consecutive gap joins.
+        "sequence_topk",
+        lambda spark, sf: _span_q(
+            spark, sf,
+            lambda: Qn.Sequence([Qn.Term("text", "hash"),
+                                 Qn.Term("text", "value"),
+                                 Qn.Term("text", "table")], slop=2),
+        ),
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT s.doc_id, sum(s.score) AS score FROM scored s
+  WHERE s.term IN ('hash','value','table') AND s.doc_id IN (
+    SELECT a.doc_id FROM ftok a
+    JOIN ftok b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+    JOIN ftok c ON b.doc_id = c.doc_id AND c.pos - b.pos BETWEEN 1 AND 2
+    WHERE a.term = 'hash' AND b.term = 'value' AND c.term = 'table')
+  GROUP BY s.doc_id HAVING count(*) = 3
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+    add(
+        # Ordered (reference: positional.py::Ordered): subqueries anywhere
+        # in the doc but in document order (unbounded slop).
+        "ordered_anywhere_topk",
+        lambda spark, sf: _span_q(
+            spark, sf,
+            lambda: Qn.Ordered([Qn.Term("text", "spark"),
+                                Qn.Term("text", "vector")]),
+        ),
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT s.doc_id, sum(s.score) AS score FROM scored s
+  WHERE s.term IN ('spark','vector') AND s.doc_id IN (
+    SELECT a.doc_id FROM ftok a JOIN ftok b
+      ON a.doc_id = b.doc_id AND b.pos > a.pos
+    WHERE a.term = 'spark' AND b.term = 'vector')
+  GROUP BY s.doc_id HAVING count(*) = 2
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+    add(
         "span_near_unordered_topk",
         lambda spark, sf: _span_q(
             spark, sf,
@@ -3006,6 +3052,90 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     )
 
     add("dmetaphone_search_topk", _dmeta_topk, _DMETA_ORACLE_SQL)
+
+    # ------------------- ReverseTextFilter search -------------------------
+
+    def _reverse_topk(spark, sf):
+        # ReverseTextFilter (reference: analysis/filters.py::
+        # ReverseTextFilter — the leading-wildcard acceleration trick):
+        # index with AnalyzerSpec(reverse=True) and query the reversed
+        # term. The chain order matters and the oracle mirrors it
+        # exactly: reverse runs BEFORE stop/minsize (analysis.py stage
+        # order), so REVERSED stopwords survive the stop filter and doc
+        # lengths include them — the oracle reverses every token, then
+        # reruns the standard prelude (whose stop filter now sees the
+        # reversed forms, just like the engine's).
+        from whoosh_spark import query as Qn
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.entry_queries import _topk
+        from whoosh_spark.fields import TEXT, Schema
+        from whoosh_spark.indexing import build_index
+        from whoosh_spark.search import Searcher
+
+        key = ("reverse_ix", sf)
+        if key not in _CACHE:
+            spec = TEXT("text", analyzer=AnalyzerSpec(reverse=True))
+            ix = build_index(spark, _docs(spark, sf), Schema(spec)).persist()
+            _CACHE[key] = Searcher(ix)
+        return _topk(_CACHE[key].compile(Qn.Term("text", "kraps")))
+
+    from whoosh_spark.entry_queries import _PATTERN_SQL as _PAT0
+
+    add(
+        "reverse_search_topk",
+        _reverse_topk,
+        f"""
+WITH ds AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(regexp_extract_all(lower(text), '{_PAT0}'),
+                          t -> reverse(t)), ' ') AS text
+  FROM documents
+),
+{prelude_body("ds")}
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'kraps'
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
+    # ------------------- CommaSeparatedTokenizer --------------------------
+
+    def _commasep_lexicon(spark, sf):
+        # CommaSeparatedTokenizer (reference: analysis/tokenizers.py::
+        # CommaSeparatedTokenizer — pattern [^,]+ with StripFilter, NO
+        # lowercase): index a derived "tags" field built as
+        # 'UPPER(lang) , source' so the oracle pins all three properties —
+        # comma-only splitting, per-token strip, case preservation.
+        from whoosh_spark.analysis import COMMA_SEP
+        from whoosh_spark.fields import TEXT, Schema
+        from whoosh_spark.indexing import build_index
+
+        key = ("commasep_ix", sf)
+        if key not in _CACHE:
+            d = _docs(spark, sf).select(
+                "doc_id",
+                F.concat(F.upper("lang"), F.lit(" , "), F.col("source"))
+                .alias("tags"),
+            )
+            _CACHE[key] = build_index(
+                spark, d, Schema(TEXT("tags", analyzer=COMMA_SEP))).persist()
+        return (_CACHE[key].terms.where(F.col("field") == "tags")
+                .select("term", "df", "total_weight"))
+
+    add(
+        "commasep_lexicon",
+        _commasep_lexicon,
+        """
+SELECT term, count(*)::BIGINT AS df, sum(w)::DOUBLE AS total_weight FROM (
+  SELECT doc_id, term, count(*)::DOUBLE AS w FROM (
+    SELECT doc_id,
+           trim(unnest(regexp_extract_all(upper(lang) || ' , ' || source,
+                                          '[^,]+'))) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+) GROUP BY term""",
+    )
 
     # ------------------- BiWord (shingle) search --------------------------
 

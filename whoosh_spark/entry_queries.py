@@ -1133,12 +1133,15 @@ _WINDOW_FIRST = [
     # -- (4) round-4-changed code paths --
     "percolate_indexed_matches", "percolate_matches",
     # ---- 50-slot boundary ----
-    # Slots 51-53: the last three r4 entries (merge-expunge lexicon,
-    # update_document lexicon, compat facade search) — the head is full
-    # with the never-checked backlog, so these wait for the r5 window;
-    # they are pytest-oracle-verified on HEAD (tests/test_entry_oracle.py)
-    # like everything else.
+    # Slots 51-57: the last seven r4 entries (merge-expunge lexicon,
+    # update_document lexicon, compat facade search, Sequence/Ordered
+    # span constructors, ReverseTextFilter search, CommaSeparatedTokenizer
+    # lexicon) — the head is full with the never-checked backlog, so
+    # these wait for the r5 window; they are pytest-oracle-verified on
+    # HEAD (tests/test_entry_oracle.py) like everything else.
     "merged_lexicon_stats", "upsert_lexicon_stats", "compat_search_topk",
+    "sequence_topk", "ordered_anywhere_topk",
+    "reverse_search_topk", "commasep_lexicon",
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first
