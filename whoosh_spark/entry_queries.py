@@ -25,6 +25,7 @@ from whoosh_spark.indexing import build_index
 from whoosh_spark.query.parser import MultifieldParser, QueryParser
 from whoosh_spark.search import (
     BM25F,
+    FinalWeighting,
     Frequency,
     FunctionFacet,
     FunctionWeighting,
@@ -707,6 +708,29 @@ SELECT bucket, count(*)::BIGINT AS count FROM (
     )
 
     add(
+        # final() hook (reference: scoring.py::WeightingModel.final ~L120,
+        # use_final flag): a named post-transform over the ACCUMULATED
+        # per-doc score — applied after the Or-sum, not per term, which is
+        # exactly what the sqrt-of-sum oracle distinguishes (sum of sqrts
+        # would differ). use_final also excludes the model from block-max
+        # pruning, as the reference does.
+        "final_hook_topk",
+        # search(), not compile(): the hook fires before collection
+        # (executor.py applies final_expr on the accumulated score), and
+        # compile() is the pre-final scored frame by contract
+        lambda spark, sf: _topk(
+            _docs_searcher(
+                spark, sf, FinalWeighting(BM25F(), lambda s: F.sqrt(s))
+            ).search(Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")]),
+                     limit=3 * K)
+        ),
+        _sql_topk(
+            "SELECT doc_id, sqrt(sum(score)) AS score FROM scored "
+            "WHERE term IN ('spark','vector') GROUP BY doc_id"
+        ),
+    )
+
+    add(
         "frequency_topk",
         lambda spark, sf: _topk(
             _docs_searcher(spark, sf, Frequency()).compile(Q.Term("text", "hash"))
@@ -1133,15 +1157,16 @@ _WINDOW_FIRST = [
     # -- (4) round-4-changed code paths --
     "percolate_indexed_matches", "percolate_matches",
     # ---- 50-slot boundary ----
-    # Slots 51-57: the last seven r4 entries (merge-expunge lexicon,
+    # Slots 51-58: the last eight r4 entries (merge-expunge lexicon,
     # update_document lexicon, compat facade search, Sequence/Ordered
     # span constructors, ReverseTextFilter search, CommaSeparatedTokenizer
-    # lexicon) — the head is full with the never-checked backlog, so
-    # these wait for the r5 window; they are pytest-oracle-verified on
-    # HEAD (tests/test_entry_oracle.py) like everything else.
+    # lexicon, final()-hook weighting) — the head is full with the
+    # never-checked backlog, so these wait for the r5 window; they are
+    # pytest-oracle-verified on HEAD (tests/test_entry_oracle.py) like
+    # everything else.
     "merged_lexicon_stats", "upsert_lexicon_stats", "compat_search_topk",
     "sequence_topk", "ordered_anywhere_topk",
-    "reverse_search_topk", "commasep_lexicon",
+    "reverse_search_topk", "commasep_lexicon", "final_hook_topk",
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first
