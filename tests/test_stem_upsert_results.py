@@ -199,6 +199,35 @@ def test_dmetaphone_oracle_group_is_pure():
         assert not {t for t in vocab if targets & set(dmetaphone_codes(t))}
 
 
+def test_intraword_oracle_corpus_is_pure():
+    """Guards the intraword_search_topk derived-corpus oracle: IntraWord
+    must be the IDENTITY on the natural corpus (pure lowercase alpha
+    tokens — any camelCase/digit/dot token would split under FANCY but
+    not under the oracle's standard prelude), the injected forms must
+    split exactly as the oracle's pre-split equivalents, and 'zorgel'
+    must not occur naturally."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from whoosh_spark.analysis import _INTRAWORD_RE
+
+    assert _INTRAWORD_RE.findall("zorgelCaseFoo7bar") == [
+        "zorgel", "Case", "Foo", "7", "bar"]
+    assert _INTRAWORD_RE.findall("zorgelXMLParser") == [
+        "zorgel", "XML", "Parser"]
+    assert _INTRAWORD_RE.findall("zorgel42beta") == ["zorgel", "42", "beta"]
+    pat = re.compile(r"\w+(?:\.?\w+)*")
+    alpha = re.compile(r"[a-z]+$")
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        vocab = set()
+        texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+        for t in texts.column("text").to_pylist():
+            vocab.update(pat.findall(t))
+        assert all(alpha.match(v) for v in vocab)
+        assert "zorgel" not in vocab
+
+
 def test_double_metaphone_conflation_pairs():
     """Sound-alike spellings map to equal codes (reference:
     lang/dmetaphone.py behavior contract; Philips 2000): silent leading

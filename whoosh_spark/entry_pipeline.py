@@ -3053,6 +3053,69 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     add("dmetaphone_search_topk", _dmeta_topk, _DMETA_ORACLE_SQL)
 
+    # ------------------- IntraWordFilter (FANCY) search --------------------
+
+    _IW_FORMS = (
+        # injected camelCase form -> its pre-split lowercase equivalent
+        (" zorgelCaseFoo7bar", " zorgel case foo 7 bar"),
+        (" zorgelXMLParser", " zorgel xml parser"),   # acronym rule
+        (" zorgel42beta", " zorgel 42 beta"),         # digit-run rule
+    )
+
+    def _intraword_topk(spark, sf):
+        # IntraWordFilter via the FANCY preset (reference: analysis/
+        # intraword.py::IntraWordFilter + analyzers.py::FancyAnalyzer):
+        # camelCase / ACRONYMCase / digit-run splitting. The derived-corpus
+        # mirror: inject camelCase forms on the Spark side and their
+        # PRE-SPLIT lowercase equivalents in the SQL — the token streams
+        # are identical because (a) the split fragments match by
+        # construction and (b) the natural vocabulary is pure lowercase
+        # alpha, on which IntraWord is the identity (purity test:
+        # tests/test_stem_upsert_results.py::test_intraword_oracle_corpus_is_pure).
+        # Pins all three published split rules including the acronym
+        # lookahead ([A-Z]+ not followed by [a-z]).
+        from whoosh_spark import query as Qn
+        from whoosh_spark.analysis import FANCY
+        from whoosh_spark.entry_queries import _topk
+        from whoosh_spark.fields import TEXT, Schema
+        from whoosh_spark.indexing import build_index
+        from whoosh_spark.search import Searcher
+
+        key = ("intraword_ix", sf)
+        if key not in _CACHE:
+            d = _docs(spark, sf).withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    *[
+                        F.when(F.col("doc_id") % m == 0,
+                               F.lit(camel)).otherwise(F.lit(""))
+                        for m, (camel, _) in zip((7, 11, 13), _IW_FORMS)
+                    ],
+                ),
+            )
+            ix = build_index(spark, d, Schema(TEXT("text", analyzer=FANCY))).persist()
+            _CACHE[key] = Searcher(ix)
+        return _topk(_CACHE[key].compile(Qn.Term("text", "zorgel")))
+
+    _IW_SUFFIX = " || ".join(
+        f"(CASE WHEN doc_id % {m} = 0 THEN '{split}' ELSE '' END)"
+        for m, (_, split) in zip((7, 11, 13), _IW_FORMS)
+    )
+
+    add(
+        "intraword_search_topk",
+        _intraword_topk,
+        "WITH ds AS (SELECT doc_id, text || " + _IW_SUFFIX
+        + " AS text FROM documents),\n"
+        + prelude_body("ds")
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'zorgel'
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
     # ------------------- ReverseTextFilter search -------------------------
 
     def _reverse_topk(spark, sf):
