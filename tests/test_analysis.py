@@ -201,6 +201,26 @@ def test_delimited_boost_filter():
     assert b.lengths().tolist() == [3]
 
 
+def test_delimited_boost_field_totals_are_token_counts(spark):
+    """field_length_total must be a RAW token count (reference:
+    field lengths and totals are boost-independent) even though posting
+    weights sum the delimited boosts — sum(weight) of 'big^2 big
+    small^0.5' is 3.5, the token total is 3. Guards the avgdl the
+    BM25 length normalization divides by."""
+    from whoosh_spark.analysis import AnalyzerSpec
+    from whoosh_spark.fields import TEXT, Schema
+    from whoosh_spark.indexing import build_index
+
+    spec = TEXT("text", analyzer=AnalyzerSpec(
+        pattern=r"[^ \t\r\n]+", stoplist=None, minsize=1,
+        delimited_boost="^"))
+    docs = spark.createDataFrame(
+        [(0, "big^2 big small^0.5"), (1, "plain words here")],
+        "doc_id long, text string")
+    ix = build_index(spark, docs, Schema(spec))
+    assert ix.field_totals["text"] == 6.0  # 3 + 3 tokens, not 3.5 + 3
+
+
 def test_biword_filter():
     from whoosh_spark.analysis import BIWORD, analyze_text
 

@@ -3453,6 +3453,244 @@ SELECT doc_id, round(score, 4) AS score FROM (
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
     )
 
+    # ---------- remaining analysis stages: one exact oracle each ----------
+    # Together with stem/snowball/dmetaphone/biword/intraword/reverse/
+    # commasep above, every §2.2 stage now has a DuckDB-checked entry.
+
+    def _analysis_ix_topk(spark, sf, cache_key, spec_fn, text_col_fn, qterm):
+        """Shared derived-corpus analysis entry: build an index over
+        documents with a transformed text column + a custom analyzer,
+        search one term."""
+        from whoosh_spark import query as Qn
+        from whoosh_spark.entry_queries import _topk
+        from whoosh_spark.fields import Schema
+        from whoosh_spark.indexing import build_index
+        from whoosh_spark.search import Searcher
+
+        key = (cache_key, sf)
+        if key not in _CACHE:
+            d = _docs(spark, sf).select("doc_id", text_col_fn().alias("text"))
+            ix = build_index(spark, d, Schema(spec_fn())).persist()
+            _CACHE[key] = Searcher(ix)
+        return _topk(_CACHE[key].compile(Qn.Term("text", qterm)))
+
+    def _inject(*forms):
+        """text + per-multiple injected suffixes (the stem-oracle pattern)."""
+        return F.concat(
+            F.col("text"),
+            *[F.when(F.col("doc_id") % m == 0, F.lit(" " + w)).otherwise(F.lit(""))
+              for m, w in zip((7, 11, 13), forms)],
+        )
+
+    def _inject_sql(*forms):
+        return " || ".join(
+            f"(CASE WHEN doc_id % {m} = 0 THEN ' {w}' ELSE '' END)"
+            for m, w in zip((7, 11, 13), forms)
+        )
+
+    # CompoundWordFilter (reference: intraword.py::CompoundWordFilter
+    # ~L260, keep_compound=True): 'zorgelhash' decomposes over the wordset
+    # into original + subwords; the mirror injects the decomposed stream.
+    # Natural tokens are non-decomposable over this wordset ('hash' itself
+    # is a single dictionary word -> unchanged).
+    def _compound_spec():
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+
+        return TEXT("text", analyzer=AnalyzerSpec(
+            compound_words=frozenset({"zorgel", "hash"}), keep_compound=True))
+
+    add(
+        "compound_search_topk",
+        lambda spark, sf: _analysis_ix_topk(
+            spark, sf, "compound_ix", _compound_spec,
+            lambda: _inject("zorgelhash"), "zorgel"),
+        "WITH ds AS (SELECT doc_id, text || "
+        + _inject_sql("zorgelhash zorgel hash")
+        + " AS text FROM documents),\n" + prelude_body("ds")
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'zorgel'
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
+    # SubstitutionFilter (reference: filters.py::SubstitutionFilter ~L240):
+    # qu->kw over every token ('query' -> 'kwery'); the mirror applies the
+    # same replace to the raw text (in-token replacement, boundaries are
+    # unaffected since k/w are word chars).
+    def _subst_spec():
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+
+        return TEXT("text", analyzer=AnalyzerSpec(substitutions=(("qu", "kw"),)))
+
+    add(
+        "substitution_search_topk",
+        lambda spark, sf: _analysis_ix_topk(
+            spark, sf, "subst_ix", _subst_spec, lambda: F.col("text"), "kwery"),
+        "WITH ds AS (SELECT doc_id, regexp_replace(text, 'qu', 'kw', 'g')"
+        " AS text FROM documents),\n" + prelude_body("ds")
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'kwery'
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
+    # CharsetFilter accent folding (reference: filters.py::CharsetFilter
+    # with the accent map): injected accented forms fold to ASCII; the
+    # natural corpus is ASCII so folding is the identity there. The mirror
+    # injects the folded forms (the DuckDB RE2 \\w is ASCII-only, so the
+    # accented original could not even tokenize identically there).
+    def _fold_spec():
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+
+        return TEXT("text", analyzer=AnalyzerSpec(accent_fold=True))
+
+    add(
+        "accentfold_search_topk",
+        lambda spark, sf: _analysis_ix_topk(
+            spark, sf, "fold_ix", _fold_spec,
+            lambda: _inject("zörgél", "zorgèl"), "zorgel"),
+        "WITH ds AS (SELECT doc_id, text || "
+        + _inject_sql("zorgel", "zorgel")
+        + " AS text FROM documents),\n" + prelude_body("ds")
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'zorgel'
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
+    # CharsetTokenizer (reference: tokenizers.py::CharsetTokenizer ~L200):
+    # the char map applies to the RAW text BEFORE tokenizing, so it can
+    # split token boundaries — '-' maps to ' ' and 'zorgel-case' becomes
+    # two tokens. The mirror injects the pre-split form.
+    def _ctok_spec():
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+
+        return TEXT("text", analyzer=AnalyzerSpec(
+            charmap=(("-", " "),), charmap_tokenize=True))
+
+    add(
+        "charset_tokenize_topk",
+        lambda spark, sf: _analysis_ix_topk(
+            spark, sf, "ctok_ix", _ctok_spec,
+            lambda: _inject("zorgel-case"), "zorgel"),
+        "WITH ds AS (SELECT doc_id, text || "
+        + _inject_sql("zorgel case")
+        + " AS text FROM documents),\n" + prelude_body("ds")
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'zorgel'
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
+    # DelimitedAttributeFilter (reference: filters.py::
+    # DelimitedAttributeFilter ~L280): 'zorgel^3' parses to token 'zorgel'
+    # with boost 3, boosts SUM into the posting weight (doc 0 carries both
+    # arms -> w=4) while field length counts TOKENS (boost-independent).
+    # Needs the space-separated tokenizer so '^' survives; the mirror
+    # rebuilds the prelude with that tokenizer, no stop/minsize, and
+    # overrides the injected term's weight with the boost arithmetic.
+    def _boost_spec():
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+
+        return TEXT("text", analyzer=AnalyzerSpec(
+            pattern=r"[^ \t\r\n]+", stoplist=None, minsize=1,
+            delimited_boost="^"))
+
+    add(
+        "delimited_boost_topk",
+        lambda spark, sf: _analysis_ix_topk(
+            spark, sf, "dboost_ix", _boost_spec,
+            lambda: F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" zorgel^3"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 11 == 0, F.lit(" zorgel"))
+                .otherwise(F.lit("")),
+            ), "zorgel"),
+        f"""
+WITH ds AS (
+  SELECT doc_id, text
+    || (CASE WHEN doc_id % 7 = 0 THEN ' zorgel' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' zorgel' ELSE '' END) AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r]+')) AS term
+  FROM ds
+),
+rawlen AS (
+  SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS raw_len
+  FROM ds d
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id) c USING (doc_id)
+),
+{_DL_SQL},
+post0 AS (SELECT doc_id, term, count(*)::DOUBLE AS w FROM tok GROUP BY doc_id, term),
+post AS (
+  SELECT doc_id, term,
+         CASE WHEN term = 'zorgel'
+              THEN 3.0 * (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+              ELSE w END AS w
+  FROM post0
+),
+tstat AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+gstat AS (
+  SELECT (SELECT count(*) FROM ds)::DOUBLE AS n,
+         (SELECT sum(raw_len)::DOUBLE FROM rawlen) / (SELECT count(*) FROM ds) AS avgdl
+),
+{_SCORED_SQL}
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored WHERE term = 'zorgel'
+)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    )
+
+    # PathTokenizer (reference: tokenizers.py::PathTokenizer ~L240):
+    # progressive '/'-prefixes of a derived 3-level path; lexicon oracle
+    # enumerates the three prefix depths.
+    def _path_lexicon(spark, sf):
+        from whoosh_spark.analysis import PATH
+        from whoosh_spark.fields import TEXT, Schema
+        from whoosh_spark.indexing import build_index
+
+        key = ("path_ix", sf)
+        if key not in _CACHE:
+            d = _docs(spark, sf).select(
+                "doc_id",
+                F.concat(F.lit("/"), F.col("lang"), F.lit("/"),
+                         F.col("source"), F.lit("/"),
+                         (F.col("doc_id") % 5).cast("string")).alias("p"),
+            )
+            _CACHE[key] = build_index(
+                spark, d, Schema(TEXT("p", analyzer=PATH))).persist()
+        return (_CACHE[key].terms.where(F.col("field") == "p")
+                .select("term", "df", "total_weight"))
+
+    add(
+        "path_lexicon",
+        _path_lexicon,
+        """
+SELECT term, count(*)::BIGINT AS df, sum(w)::DOUBLE AS total_weight FROM (
+  SELECT doc_id, term, count(*)::DOUBLE AS w FROM (
+    SELECT doc_id, lang AS term FROM documents
+    UNION ALL
+    SELECT doc_id, lang || '/' || source FROM documents
+    UNION ALL
+    SELECT doc_id, lang || '/' || source || '/' || (doc_id % 5)::VARCHAR
+    FROM documents
+  ) GROUP BY doc_id, term
+) GROUP BY term""",
+    )
+
     # ------------------------------ multimodal ---------------------------
 
     # ------------------- Structured Streaming build ----------------------

@@ -1157,17 +1157,23 @@ _WINDOW_FIRST = [
     # -- (4) round-4-changed code paths --
     "percolate_indexed_matches", "percolate_matches",
     # ---- 50-slot boundary ----
-    # Slots 51-59: the last nine r4 entries (merge-expunge lexicon,
+    # Slots 51-65: the last fifteen r4 entries (merge-expunge lexicon,
     # update_document lexicon, compat facade search, Sequence/Ordered
     # span constructors, ReverseTextFilter search, CommaSeparatedTokenizer
-    # lexicon, final()-hook weighting, IntraWord FANCY search) — the head is full with the
-    # never-checked backlog, so these wait for the r5 window; they are
+    # lexicon, final()-hook weighting, IntraWord FANCY search, and the
+    # six that complete the analysis-chain oracle coverage: CompoundWord,
+    # Substitution, accent fold, CharsetTokenizer, DelimitedAttribute
+    # boost, PathTokenizer) — the head is full with the never-checked
+    # backlog, so these wait for the r5 window; they are
     # pytest-oracle-verified on HEAD (tests/test_entry_oracle.py) like
     # everything else.
     "merged_lexicon_stats", "upsert_lexicon_stats", "compat_search_topk",
     "sequence_topk", "ordered_anywhere_topk",
     "reverse_search_topk", "commasep_lexicon", "final_hook_topk",
     "intraword_search_topk",
+    "compound_search_topk", "substitution_search_topk",
+    "accentfold_search_topk", "charset_tokenize_topk",
+    "delimited_boost_topk", "path_lexicon",
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first

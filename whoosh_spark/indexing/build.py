@@ -280,18 +280,55 @@ class InvertedIndex:
             with self._stats_lock:
                 if self._field_totals is None:
                     totals: dict[str, float] = {}
-                    text_names = [fs.name for fs in self.schema.text_fields()]
-                    rows = (
-                        self.postings.where(F.col("field").isin(text_names))
-                        .groupBy("field")
-                        .agg(F.sum("weight").alias("total_len"))
-                        .collect()
-                    )
-                    for r in rows:
-                        boost = float(self.schema[r["field"]].field_boost)
-                        totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
+                    plain = [fs.name for fs in self.schema.text_fields()
+                             if fs.analyzer.delimited_boost is None]
+                    if plain:
+                        rows = (
+                            self.postings.where(F.col("field").isin(plain))
+                            .groupBy("field")
+                            .agg(F.sum("weight").alias("total_len"))
+                            .collect()
+                        )
+                        for r in rows:
+                            boost = float(self.schema[r["field"]].field_boost)
+                            totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
+                    for fs in self.schema.text_fields():
+                        # DelimitedAttributeFilter is the one stage whose
+                        # per-token boosts make sum(weight) != token count
+                        # (every other stage emits boost 1.0 or resets) —
+                        # recount exactly from the stored docs, as the
+                        # reference's field_length_total is a raw token
+                        # count accumulated at write
+                        if fs.analyzer.delimited_boost is not None:
+                            totals[fs.name] = self._exact_token_total(fs)
                     self._field_totals = totals
         return self._field_totals
+
+    def _exact_token_total(self, fs) -> float:
+        """Exact raw token count of one text field, recomputed from the
+        stored docs via the same analyzer chain the build ran. Tombstoned
+        docs (expunged by a merge) are excluded so totals drop when a
+        merge rewrites the postings, while lazily-deleted docs still
+        count — the reference's field_length_total semantics under
+        deletion vs optimize."""
+        import pandas as pd
+
+        from whoosh_spark.analysis import analyze_series
+
+        spec = fs.analyzer
+
+        @F.pandas_udf("long")
+        def _nlens(texts: pd.Series) -> pd.Series:
+            return pd.Series(analyze_series(texts, spec).lengths())
+
+        base = self.docs
+        tomb = getattr(self, "tombstones", None)
+        if tomb is not None:
+            base = base.join(
+                F.broadcast(tomb.select(F.col("doc_id").alias(self.doc_id_col))),
+                self.doc_id_col, "left_anti")
+        row = base.select(F.sum(_nlens(F.col(fs.name))).alias("t")).first()
+        return float(row["t"] or 0.0)
 
     def avg_field_length(self, field_name: str) -> float:
         """avgdl = exact field_length_total / doc_count_all

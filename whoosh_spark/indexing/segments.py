@@ -970,17 +970,25 @@ class SegmentedIndex(InvertedIndex):
             with self._stats_lock:
                 if self._field_totals is None:
                     totals: dict[str, float] = {}
-                    text_names = [fs.name for fs in self.schema.text_fields()]
-                    rows = (
-                        self.blocks.where(F.col("field").isin(text_names))
-                        .groupBy("field")
-                        .agg(F.sum("weight_sum").alias("total_len"))
-                        .collect()
-                    )
-                    for r in rows:
-                        # weight_sum carries field_boost; totals are raw token counts
-                        boost = float(self.schema[r["field"]].field_boost)
-                        totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
+                    plain = [fs.name for fs in self.schema.text_fields()
+                             if fs.analyzer.delimited_boost is None]
+                    if plain:
+                        rows = (
+                            self.blocks.where(F.col("field").isin(plain))
+                            .groupBy("field")
+                            .agg(F.sum("weight_sum").alias("total_len"))
+                            .collect()
+                        )
+                        for r in rows:
+                            # weight_sum carries field_boost; totals are raw token counts
+                            boost = float(self.schema[r["field"]].field_boost)
+                            totals[r["field"]] = float(r["total_len"]) / (boost or 1.0)
+                    for fs in self.schema.text_fields():
+                        # delimited per-token boosts contaminate weight_sum —
+                        # recount exact token totals from the stored docs
+                        # (minus tombstones), see InvertedIndex._exact_token_total
+                        if fs.analyzer.delimited_boost is not None:
+                            totals[fs.name] = self._exact_token_total(fs)
                     self._field_totals = totals
         return self._field_totals
 
