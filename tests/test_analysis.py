@@ -367,7 +367,7 @@ def test_language_preset_unsupported_raises():
     from whoosh_spark.analysis import LANGUAGE
 
     with pytest.raises(NotImplementedError, match="snowball"):
-        LANGUAGE("ru")  # en/de/es/fr/it shipped; others still raise
+        LANGUAGE("nl")  # en/de/es/fr/it/ru shipped; others still raise
 
 
 def test_unknown_stem_variant_raises():

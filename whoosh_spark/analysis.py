@@ -123,10 +123,10 @@ class AnalyzerSpec:
         # must never reach the executor-side analyzer (where it would
         # surface as retried task failures), nor silently fall back
         if self.stem not in (False, True, "porter", "porter2", "de", "es",
-                             "fr", "it"):
+                             "fr", "it", "ru"):
             raise ValueError(
                 f"unknown stem variant {self.stem!r}: use True/'porter', "
-                "'porter2', 'de', 'es', 'fr', or 'it'"
+                "'porter2', 'de', 'es', 'fr', 'it', or 'ru'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -196,11 +196,10 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     lang.stemmer_for_language — NOT the classic Porter/default-stoplist
     chain StemmingAnalyzer uses — so that is what this preset selects
     (lang.py::stem2 + SNOWBALL_STOP_EN). ``"en_porter"`` mirrors the
-    reference's classic-Porter escape hatch. German and Spanish ship the
-    same way (lang.py::stem_de + SNOWBALL_STOP_DE, lang.py::stem_es +
-    SNOWBALL_STOP_ES, lang.py::stem_fr + SNOWBALL_STOP_FR, lang.py::
-    stem_it + SNOWBALL_STOP_IT — the published Snowball algorithms +
-    stoplists, independently implemented). Other
+    reference's classic-Porter escape hatch. German, Spanish, French,
+    Italian, and Russian ship the same way (lang.py::stem_de/_es/_fr/
+    _it/_ru + their SNOWBALL_STOP_* lists — the published Snowball
+    algorithms + stoplists, independently implemented). Other
     languages would need their snowball stemmer and stoplist ported
     (reference: lang/snowball/, lang/stopwords.py) — they raise instead
     of silently degrading (COVERAGE.md notes the gap)."""
@@ -210,6 +209,7 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         SNOWBALL_STOP_ES,
         SNOWBALL_STOP_FR,
         SNOWBALL_STOP_IT,
+        SNOWBALL_STOP_RU,
     )
 
     if lang == "en_porter":
@@ -222,11 +222,13 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         return AnalyzerSpec(stem="fr", stoplist=SNOWBALL_STOP_FR)
     if lang in ("it", "it_IT", "italian"):
         return AnalyzerSpec(stem="it", stoplist=SNOWBALL_STOP_IT)
+    if lang in ("ru", "ru_RU", "russian"):
+        return AnalyzerSpec(stem="ru", stoplist=SNOWBALL_STOP_RU)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
             f"LanguageAnalyzer({lang!r}): only English, German, Spanish, "
-            "French, and Italian snowball/stoplist data is bundled; port "
-            "the reference lang tables to add more"
+            "French, Italian, and Russian snowball/stoplist data is "
+            "bundled; port the reference lang tables to add more"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
@@ -338,6 +340,8 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             from whoosh_spark.lang import stem_fr as _stem
         elif spec.stem == "it":
             from whoosh_spark.lang import stem_it as _stem
+        elif spec.stem == "ru":
+            from whoosh_spark.lang import stem_ru as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:
@@ -345,7 +349,7 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             # classic Porter — the index would quietly diverge
             raise ValueError(
                 f"unknown stem variant {spec.stem!r}: use True/'porter', "
-                "'porter2', 'de', 'es', 'fr', or 'it'"
+                "'porter2', 'de', 'es', 'fr', 'it', or 'ru'"
             )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}

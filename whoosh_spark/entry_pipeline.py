@@ -2835,17 +2835,20 @@ FROM documents ORDER BY doc_id
 
     from whoosh_spark.entry_queries import prelude_body as _prelude_body
 
-    def _stem_oracle_sql(forms) -> str:
+    def _stem_oracle_sql(forms, pattern=None) -> str:
         """Merged-group BM25 oracle over the derived corpus: the stemmed
         index collapses the invented forms into ONE posting, so tf = sum
         of the forms' counts and df = docs with any form (nonlinear in
         both, hence the explicit merge rather than summed per-form
-        scores)."""
+        scores). ``pattern`` overrides the prelude tokenizer regex for
+        non-ASCII form groups (see prelude_body)."""
         forms_sql = ", ".join(f"'{w}'" for w in forms)
+        pre = (_prelude_body("ds") if pattern is None
+               else _prelude_body("ds", pattern))
         return (
             "WITH ds AS (SELECT doc_id, text || " + _stem_suffix_sql(forms)
             + " AS text FROM documents),\n"
-            + _prelude_body("ds")
+            + pre
             + f""",
 mpost AS (
   SELECT doc_id, sum(w) AS w FROM post WHERE term IN ({forms_sql}) GROUP BY doc_id
@@ -2979,6 +2982,39 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
             forms=_STEM_FORMS_IT)
 
     add("italian_search_topk", _italian_topk, _stem_oracle_sql(_STEM_FORMS_IT))
+
+    # NON-ASCII forms, deliberately: the Snowball Russian endings are
+    # Cyrillic, so an ASCII form can never exercise the stemmer. The
+    # ASCII constraint on the OTHER language oracles comes from RE2's
+    # ASCII-only \w in the shared prelude — this entry's oracle swaps the
+    # prelude tokenizer for [\w\p{Cyrillic}], verified to tokenize, lower,
+    # and length-count identically to the Python analyzer on this corpus.
+    _STEM_FORMS_RU = ("зоргелить", "зоргелов", "зоргелами")
+    _RU_PATTERN_SQL = (
+        r"[\w\p{Cyrillic}]+(?:\.?[\w\p{Cyrillic}]+)*"
+    )
+
+    def _russian_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball RUSSIAN stemmer — the
+        # one LanguageAnalyzer("ru") selects (lang.py::stem_ru, r4):
+        # зоргелить (step-1 verb ить, group 2) / зоргелов (step-1 noun ов) /
+        # зоргелами (step-1 noun ами) all stem to 'зоргел', colliding with
+        # no natural token of the English-ish corpus. The index uses
+        # stem="ru" with the DEFAULT stoplist so the shared tokenization
+        # prelude stays a faithful mirror (the full LANGUAGE("ru") preset,
+        # Russian stoplist included, is pinned in tests/test_lang_ru.py
+        # instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_ru as _stru
+
+        return _derived_stem_topk(
+            spark, sf, "stemru_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="ru")), _stru,
+            forms=_STEM_FORMS_RU)
+
+    add("russian_search_topk", _russian_topk,
+        _stem_oracle_sql(_STEM_FORMS_RU, pattern=_RU_PATTERN_SQL))
 
     # ---------------- phonetic (Double Metaphone) search -----------------
 

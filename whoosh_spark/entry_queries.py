@@ -112,11 +112,15 @@ SCORED_SQL = """scored AS (
 )"""
 
 
-def prelude_body(src: str) -> str:
+def prelude_body(src: str, pattern: str = _PATTERN_SQL) -> str:
+    # ``pattern`` swaps the tokenizer regex for corpora whose derived
+    # tokens fall outside RE2's ASCII \w (the Python analyzer's \w is
+    # Unicode): russian_search_topk passes [\w\p{Cyrillic}] so its
+    # appended Cyrillic forms tokenize identically on both sides.
     return f"""tok AS (
   SELECT doc_id,
-         unnest(regexp_extract_all(lower(text), '{_PATTERN_SQL}')) AS term,
-         generate_subscripts(regexp_extract_all(lower(text), '{_PATTERN_SQL}'), 1) AS ord
+         unnest(regexp_extract_all(lower(text), '{pattern}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{pattern}'), 1) AS ord
   FROM {src}
 ),
 ftok AS (
@@ -1174,6 +1178,9 @@ _WINDOW_FIRST = [
     "compound_search_topk", "substitution_search_topk",
     "accentfold_search_topk", "charset_tokenize_topk",
     "delimited_boost_topk", "path_lexicon",
+    # Slot 66: the r4-session-3 Russian analyzer entry (Cyrillic-prelude
+    # derived-corpus oracle) — same r5-window wait as slots 51-65.
+    "russian_search_topk",
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first

@@ -1457,3 +1457,172 @@ staranno starei staresti starebbe staremmo stareste starebbero stavo
 stavi stava stavamo stavate stavano stetti stesti stette stemmo steste
 stettero stessi stesse stessimo stessero stando
 """.split())
+
+
+# ---------------------------------------------------------------------------
+# Snowball Russian stemmer.
+#
+# Independent implementation of the PUBLISHED Snowball Russian algorithm
+# (snowballstem.org 'russian'; reference surface: src/whoosh/lang/snowball/
+# russian.py via analysis/analyzers.py::LanguageAnalyzer). Unlike the romance
+# stemmers above, the whole backward pass runs under `setlimit tomark pV`, so
+# EVERY suffix search (not just the removal test) is confined to the RV
+# window: a literal longer than RV simply never matches and the next-longest
+# one is considered instead. Group-1 endings delete only when preceded by
+# а/я (the а/я stays, and must itself lie inside RV); a failed group-1
+# precondition fails the whole class — snowball's `among` commits to the
+# longest literal and never backtracks to a shorter one.
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+
+
+def _ru_sorted(pairs):
+    return tuple(sorted(pairs, key=lambda p: -len(p[0])))
+
+
+_RU_PERFECTIVE_GERUND = _ru_sorted(
+    [("в", 1), ("вши", 1), ("вшись", 1),
+     ("ив", 2), ("ивши", 2), ("ившись", 2),
+     ("ыв", 2), ("ывши", 2), ("ывшись", 2)]
+)
+_RU_REFLEXIVE = _ru_sorted([("ся", 2), ("сь", 2)])
+_RU_ADJECTIVE = _ru_sorted(
+    [(s, 2) for s in (
+        "ее ие ые ое ими ыми ей ий ый ой ем им ым ом его ого ему ому "
+        "их ых ую юю ая яя ою ею"
+    ).split()]
+)
+_RU_PARTICIPLE = _ru_sorted(
+    [("ем", 1), ("нн", 1), ("вш", 1), ("ющ", 1), ("щ", 1),
+     ("ивш", 2), ("ывш", 2), ("ующ", 2)]
+)
+_RU_VERB = _ru_sorted(
+    [(s, 1) for s in (
+        "ла на ете йте ли й л ем н ло но ет ют ны ть ешь нно"
+    ).split()]
+    + [(s, 2) for s in (
+        "ила ыла ена ейте уйте ите или ыли ей уй ил ыл им ым ен ило ыло "
+        "ено ят ует уют ит ыт ены ить ыть ишь ю ую"
+    ).split()]
+)
+_RU_NOUN = _ru_sorted(
+    [(s, 2) for s in (
+        "а ев ов ие ье е иями ями ами еи ии и ией ей ой ий й иям ям ием "
+        "ем ам ом о у ах иях ях ы ь ию ью ю ия ья я"
+    ).split()]
+)
+_RU_SUPERLATIVE = _ru_sorted([("ейш", 2), ("ейше", 2)])
+_RU_DERIVATIONAL = _ru_sorted([("ост", 2), ("ость", 2)])
+
+
+def _ru_regions(word: str) -> tuple[int, int]:
+    """(r2, rv) as absolute character offsets into ``word``.
+
+    RV: after the first vowel. R1: after the first non-vowel following a
+    vowel; R2: the same, computed inside R1 (so R2 ⊆ R1 ⊆ RV never holds
+    by definition, but for Russian R1 always starts past RV, making the
+    step-3 R2 test strictly tighter than the RV window).
+    """
+    n = len(word)
+    rv = n
+    for i, ch in enumerate(word):
+        if ch in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1 = n
+    for i in range(1, n):
+        if word[i] not in _RU_VOWELS and word[i - 1] in _RU_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if word[i] not in _RU_VOWELS and word[i - 1] in _RU_VOWELS:
+            r2 = i + 1
+            break
+    return r2, rv
+
+
+def _ru_find(word: str, rv: int, pairs):
+    """Longest suffix among ``pairs`` lying wholly inside the RV window."""
+    lim = len(word) - rv
+    for sfx, grp in pairs:
+        if len(sfx) <= lim and word.endswith(sfx):
+            return sfx, grp
+    return None
+
+
+def _ru_strip(word: str, rv: int, pairs) -> tuple[str, bool]:
+    m = _ru_find(word, rv, pairs)
+    if m is None:
+        return word, False
+    sfx, grp = m
+    pos = len(word) - len(sfx)
+    if grp == 1 and (pos - 1 < rv or word[pos - 1] not in "ая"):
+        # among committed to this literal; a failed group-1 precondition
+        # fails the whole class (no retry of a shorter suffix)
+        return word, False
+    return word[:pos], True
+
+
+def stem_ru(word: str) -> str:
+    """Snowball-Russian-stem one word (ё is normalized to е first)."""
+    word = word.lower().replace("ё", "е")
+    r2, rv = _ru_regions(word)
+
+    # ---- step 1: perfective gerund, else [reflexive] then the first of
+    # adjectival / verb / noun (the reflexive removal stands even when no
+    # later class matches — snowball deletions are not rolled back)
+    w, ok = _ru_strip(word, rv, _RU_PERFECTIVE_GERUND)
+    if ok:
+        word = w
+    else:
+        word, _ = _ru_strip(word, rv, _RU_REFLEXIVE)
+        w, ok = _ru_strip(word, rv, _RU_ADJECTIVE)
+        if ok:
+            # adjectival: the adjective ending may hide a participle one
+            word = _ru_strip(w, rv, _RU_PARTICIPLE)[0]
+        else:
+            w, ok = _ru_strip(word, rv, _RU_VERB)
+            if ok:
+                word = w
+            else:
+                word, _ = _ru_strip(word, rv, _RU_NOUN)
+
+    # ---- step 2: a final и in RV
+    if len(word) - rv >= 1 and word.endswith("и"):
+        word = word[:-1]
+
+    # ---- step 3: derivational ост/ость, additionally required to be in R2
+    m = _ru_find(word, rv, _RU_DERIVATIONAL)
+    if m is not None and len(word) - len(m[0]) >= r2:
+        word = word[: -len(m[0])]
+
+    # ---- step 4: undouble нн | superlative (then undouble) | final ь
+    if len(word) - rv >= 2 and word.endswith("нн"):
+        word = word[:-1]
+    else:
+        m = _ru_find(word, rv, _RU_SUPERLATIVE)
+        if m is not None:
+            word = word[: -len(m[0])]
+            if len(word) - rv >= 2 and word.endswith("нн"):
+                word = word[:-1]
+        elif len(word) - rv >= 1 and word.endswith("ь"):
+            word = word[:-1]
+    return word
+
+
+# The published Snowball Russian stopword list (snowballstem.org
+# russian/stop.txt): conjunctions/prepositions/particles, the personal and
+# demonstrative pronoun declensions, and the high-frequency быть forms.
+SNOWBALL_STOP_RU = frozenset("""
+и в во не что он на я с со как а то все она так его но да ты к у же вы
+за бы по только ее мне было вот от меня еще нет о из ему теперь когда
+даже ну вдруг ли если уже или ни быть был него до вас нибудь опять уж
+вам ведь там потом себя ничего ей может они тут где есть надо ней для
+мы тебя их чем была сам чтоб без будто чего раз тоже себе под будет ж
+тогда кто этот того потому этого какой совсем ним здесь этом один
+почти мой тем чтобы нее сейчас были куда зачем всех никогда можно при
+наконец два об другой хоть после над больше тот через эти нас про
+всего них какая много разве три эту моя впрочем хорошо свою этой перед
+иногда лучше чуть том нельзя такой им более всегда конечно всю между
+""".split())
