@@ -3016,6 +3016,30 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     add("russian_search_topk", _russian_topk,
         _stem_oracle_sql(_STEM_FORMS_RU, pattern=_RU_PATTERN_SQL))
 
+    _STEM_FORMS_PT = ("zorgelismo", "zorgelar", "zorgelando")
+
+    def _portuguese_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball PORTUGUESE stemmer —
+        # the one LanguageAnalyzer("pt") selects (lang.py::stem_pt, r4):
+        # zorgelismo (step-1 ismo in R2) / zorgelar (step-2 ar in RV) /
+        # zorgelando (step-2 ando) all stem to 'zorgel', colliding with no
+        # natural token of the English-ish corpus under Portuguese
+        # stemming. The index uses stem="pt" with the DEFAULT stoplist so
+        # the shared tokenization prelude stays a faithful mirror (the
+        # full LANGUAGE("pt") preset, Portuguese stoplist included, is
+        # pinned in tests/test_lang_pt.py instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_pt as _stpt
+
+        return _derived_stem_topk(
+            spark, sf, "stempt_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="pt")), _stpt,
+            forms=_STEM_FORMS_PT)
+
+    add("portuguese_search_topk", _portuguese_topk,
+        _stem_oracle_sql(_STEM_FORMS_PT))
+
     # ---------------- phonetic (Double Metaphone) search -----------------
 
     _DMETA_FORMS = ("knorzel", "gnorzel", "norzel")

@@ -1626,3 +1626,226 @@ SNOWBALL_STOP_RU = frozenset("""
 всего них какая много разве три эту моя впрочем хорошо свою этой перед
 иногда лучше чуть том нельзя такой им более всегда конечно всю между
 """.split())
+
+
+# ------------------------------------------------------------- Portuguese
+# Snowball Portuguese stemmer (snowballstem.org "portuguese" algorithm) —
+# the stemmer LanguageAnalyzer("pt") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# portuguese.py + lang/stopwords.py 'pt'). Independent implementation from
+# the PUBLISHED algorithm description (the reference mount is empty —
+# SURVEY "Provenance"); parity is pinned by hand-executed vectors from the
+# spec in tests/test_lang_pt.py. The prelude marks the nasal vowels
+# (ã -> a~, õ -> o~) so suffix literals like aça~o/aço~es match the
+# published tables; the postlude restores them.
+
+_PT_VOWELS = set("aeiouáéíóúâêô")
+
+_PT_S1_DELETE_R2 = (
+    "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+    "amento", "amentos", "imento", "imentos",
+)
+_PT_S1_ADOR = (
+    "adora", "ador", "aça~o", "adoras", "adores", "aço~es",
+    "ante", "antes", "ância",
+)
+_PT_S1_ALL = (
+    _PT_S1_DELETE_R2 + _PT_S1_ADOR
+    + ("logia", "logias", "uça~o", "uço~es", "ência", "ências",
+       "amente", "mente", "idade", "idades", "iva", "ivo", "ivas", "ivos",
+       "ira", "iras")
+)
+
+_PT_S2 = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este", "iste",
+    "ei", "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam",
+    "aram", "eram", "iram", "avam", "em", "arem", "erem", "irem",
+    "assem", "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+    "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as", "adas", "idas",
+    "ias", "arias", "erias", "irias", "arás", "aras", "erás", "eras",
+    "irás", "avas", "es", "ardes", "erdes", "irdes", "ares", "eres",
+    "ires", "asses", "esses", "isses", "astes", "estes", "istes", "is",
+    "ais", "eis", "íeis", "aríeis", "eríeis", "iríeis", "áreis",
+    "areis", "éreis", "ereis", "íreis", "ireis", "ásseis", "ésseis",
+    "ísseis", "ásteis", "ésteis", "ísteis", "ados", "idos", "ámos",
+    "amos", "íamos", "aríamos", "eríamos", "iríamos", "áramos",
+    "éramos", "íramos", "ávamos", "emos", "aremos", "eremos", "iremos",
+    "ássemos", "êssemos", "íssemos", "imos", "armos", "ermos", "irmos",
+    "eu", "iu", "ou", "ira", "iras",
+)
+_PT_S4 = ("os", "a", "i", "o", "á", "í", "ó")
+
+
+def _pt_regions(word: str) -> tuple[int, int, int]:
+    """(r1, r2, rv) start offsets per the published definitions — same
+    R1/R2/RV construction as Spanish, over the Portuguese vowel set (the
+    nasal-mark ~ is a non-vowel, exactly as in the published source)."""
+
+    def scan(start: int) -> int:
+        for i in range(start, len(word) - 1):
+            if word[i] in _PT_VOWELS and word[i + 1] not in _PT_VOWELS:
+                return i + 2
+        return len(word)
+
+    r1 = scan(0)
+    r2 = scan(r1)
+    n = len(word)
+    if n < 3:
+        rv = n
+    elif word[1] not in _PT_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if word[i] in _PT_VOWELS:
+                rv = i + 1
+                break
+    elif word[0] in _PT_VOWELS and word[1] in _PT_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if word[i] not in _PT_VOWELS:
+                rv = i + 1
+                break
+    else:
+        rv = 3
+    return r1, r2, rv
+
+
+def stem_pt(word: str) -> str:
+    """Snowball-Portuguese-stem one lowercase word."""
+    word = word.lower().replace("ã", "a~").replace("õ", "o~")
+    r1, r2, rv = _pt_regions(word)
+
+    changed = False
+
+    # ---- step 1: standard suffix removal (longest across ALL groups;
+    # the group the winner belongs to decides the action)
+    suf = _es_longest(word, _PT_S1_ALL)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if suf in _PT_S1_DELETE_R2:
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+        elif suf in _PT_S1_ADOR:
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                if word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif suf in ("logia", "logias"):
+            if pos >= r2:
+                word = word[:pos] + "log"
+                changed = True
+        elif suf in ("uça~o", "uço~es"):
+            if pos >= r2:
+                word = word[:pos] + "u"
+                changed = True
+        elif suf in ("ência", "ências"):
+            if pos >= r2:
+                word = word[:pos] + "ente"
+                changed = True
+        elif suf == "amente":
+            if pos >= r1:
+                word = word[:pos]
+                changed = True
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and len(word) - 2 >= r2:
+                            word = word[:-2]
+                            break
+        elif suf == "mente":
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                for pre in ("ante", "avel", "ível"):
+                    if word.endswith(pre) and len(word) - 4 >= r2:
+                        word = word[:-4]
+                        break
+        elif suf in ("idade", "idades"):
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if pos >= r2:
+                word = word[:pos]
+                changed = True
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        else:  # ira iras: -> ir when in RV and preceded by e
+            if pos >= rv and pos >= 1 and word[pos - 1] == "e":
+                word = word[:pos] + "ir"
+                changed = True
+
+    # ---- step 2 (only when step 1 removed nothing): verb suffixes in RV
+    if not changed:
+        suf = _es_longest(word, _PT_S2)
+        if suf is not None:
+            pos = len(word) - len(suf)
+            if pos >= rv:
+                word = word[:pos]
+                changed = True
+
+    # ---- step 3 (only when step 1 or 2 removed something): final i
+    # preceded by c, the i in RV
+    if changed:
+        if (
+            word.endswith("ci")
+            and len(word) - 1 >= rv
+        ):
+            word = word[:-1]
+    else:
+        # ---- step 4 (only when steps 1 AND 2 both failed): residual
+        suf = _es_longest(word, _PT_S4)
+        if suf is not None:
+            pos = len(word) - len(suf)
+            if pos >= rv:
+                word = word[:pos]
+
+    # ---- step 5 (always): residual e/é/ê in RV, with the gu/ci pair
+    # collapse; or a bare trailing cedilla
+    if word and word[-1] in ("e", "é", "ê") and len(word) - 1 >= rv:
+        word = word[:-1]
+        if word.endswith("gu") and len(word) - 1 >= rv:
+            word = word[:-1]
+        elif word.endswith("ci") and len(word) - 1 >= rv:
+            word = word[:-1]
+    elif word.endswith("ç"):
+        word = word[:-1] + "c"
+
+    # ---- postlude: restore the nasal vowels
+    return word.replace("a~", "ã").replace("o~", "õ")
+
+
+# The published Snowball Portuguese stopword list (snowballstem.org
+# portuguese/stop.txt): articles/prepositions and their contractions,
+# pronouns/possessives/demonstratives, and the full estar/haver/ser/ter
+# conjugation tables.
+SNOWBALL_STOP_PT = frozenset("""
+de a o que e do da em um para é com não uma os no se na por mais as dos
+como mas foi ao ele das tem à seu sua ou ser quando muito há nos já
+está eu também só pelo pela até isso ela entre era depois sem mesmo aos
+ter seus quem nas me esse eles estão você tinha foram essa num nem suas
+meu às minha têm numa pelos elas havia seja qual será nós tenho lhe
+deles essas esses pelas este fosse dele tu te vocês vos lhes meus
+minhas teu tua teus tuas nosso nossa nossos nossas dela delas esta
+estes estas aquele aquela aqueles aquelas isto aquilo estou estamos
+estive esteve estivemos estiveram estava estávamos estavam estivera
+estivéramos esteja estejamos estejam estivesse estivéssemos estivessem
+estiver estivermos estiverem hei havemos hão houve houvemos houveram
+houvera houvéramos haja hajamos hajam houvesse houvéssemos houvessem
+houver houvermos houverem houverei houverá houveremos houverão houveria
+houveríamos houveriam sou somos são éramos eram fui fomos fora fôramos
+sejamos sejam fôssemos fossem for formos forem serei seremos serão
+seria seríamos seriam temos tinham tínhamos tive teve tivemos tiveram
+tivera tivéramos tenha tenhamos tenham tivesse tivéssemos tivessem
+tiver tivermos tiverem terei terá teremos terão teria teríamos teriam
+""".split())
