@@ -57,6 +57,10 @@ VECTORS = [
     # step 2a y-suffixes preceded by u
     ("construyendo", "constru"),
     ("construyas", "constru"),
+    # the verb tier searches INSIDE the RV window (setlimit semantics):
+    # 'aban' would match the word but starts before RV, so the in-window
+    # 'an' wins instead of aborting the tier
+    ("daban", "dab"),
     # gu -> u deletion (2b group 1 and step 3)
     ("lleguemos", "lleg"),
     ("llegué", "lleg"),

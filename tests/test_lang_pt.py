@@ -39,6 +39,10 @@ VECTORS = [
     # step 3: exposed final i preceded by c
     ("apreciar", "aprec"),            # ar, then ci -> c
     ("apreciou", "aprec"),            # ou, then ci -> c
+    # the verb tier searches INSIDE the RV window (setlimit semantics):
+    # 'aram' would match the word but starts before RV, so the in-window
+    # 'am' wins instead of aborting the tier
+    ("param", "par"),
     # step 4 residual (only when steps 1-2 both fail)
     ("bonita", "bonit"),              # a
     ("quinta", "quint"),              # a

@@ -681,6 +681,21 @@ def _es_longest(word: str, sufs: tuple[str, ...]) -> str | None:
     return best or None
 
 
+
+def _limited_longest(word: str, start: int, sufs: tuple[str, ...]) -> str | None:
+    """Longest suffix among ``sufs`` lying WHOLLY inside ``word[start:]`` —
+    the snowball ``setlimit tomark pV for ([substring] among(...))`` search
+    semantics the verb tiers use: a literal longer than the region never
+    matches, so it cannot shadow a shorter in-region one (unlike the
+    match-then-check discipline of the un-limited standard-suffix amongs)."""
+    lim = len(word) - start
+    best = ""
+    for s in sufs:
+        if len(s) <= lim and len(s) > len(best) and word.endswith(s):
+            best = s
+    return best or None
+
+
 def stem_es(word: str) -> str:
     """Snowball-Spanish-stem one lowercase word."""
     word = word.lower()
@@ -777,7 +792,7 @@ def stem_es(word: str) -> str:
     # ---- step 2a (only when step 1 removed nothing): y-verb suffixes
     # preceded by u
     if not changed:
-        suf = _es_longest(word, _ES_S2A)
+        suf = _limited_longest(word, rv, _ES_S2A)
         did_2a = False
         if suf is not None:
             pos = len(word) - len(suf)
@@ -786,7 +801,7 @@ def stem_es(word: str) -> str:
                 did_2a = True
         # ---- step 2b (when 2a removed nothing): other verb suffixes
         if not did_2a:
-            suf = _es_longest(word, _ES_S2B)
+            suf = _limited_longest(word, rv, _ES_S2B)
             if suf is not None:
                 pos = len(word) - len(suf)
                 if pos >= rv:
@@ -1087,7 +1102,7 @@ def _fr_standard(word: str, r1: int, r2: int, rv: int) -> tuple[str, bool]:
 def _fr_i_verb(word: str, rv: int) -> tuple[str, bool]:
     """Step 2a: i-verb suffixes, all tests confined to RV — the suffix
     and its preceding NON-vowel must both lie in RV."""
-    suf = _fr_longest(word, _FR_S2A)
+    suf = _limited_longest(word, rv, _FR_S2A)
     if suf is None:
         return word, False
     pos = len(word) - len(suf)
@@ -1099,7 +1114,7 @@ def _fr_i_verb(word: str, rv: int) -> tuple[str, bool]:
 def _fr_verb(word: str, r2: int, rv: int) -> tuple[str, bool]:
     """Step 2b: other verb suffixes within RV ('ions' additionally needs
     R2; the a-group deletes a preceding e when that e is in RV too)."""
-    suf = _fr_longest(word, _FR_S2B_ALL)
+    suf = _limited_longest(word, rv, _FR_S2B_ALL)
     if suf is None:
         return word, False
     pos = len(word) - len(suf)
@@ -1401,7 +1416,7 @@ def stem_it(word: str) -> str:
 
     # ---- step 2 (only when step 1 removed nothing): verb suffixes in RV
     if not changed:
-        suf = _fr_longest(word, _IT_S2)
+        suf = _limited_longest(word, rv, _IT_S2)
         if suf is not None:
             pos = len(word) - len(suf)
             if pos >= rv:
@@ -1787,7 +1802,7 @@ def stem_pt(word: str) -> str:
 
     # ---- step 2 (only when step 1 removed nothing): verb suffixes in RV
     if not changed:
-        suf = _es_longest(word, _PT_S2)
+        suf = _limited_longest(word, rv, _PT_S2)
         if suf is not None:
             pos = len(word) - len(suf)
             if pos >= rv:
