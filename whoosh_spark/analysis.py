@@ -123,10 +123,10 @@ class AnalyzerSpec:
         # must never reach the executor-side analyzer (where it would
         # surface as retried task failures), nor silently fall back
         if self.stem not in (False, True, "porter", "porter2", "de", "es",
-                             "fr", "it", "pt", "ru"):
+                             "fr", "it", "pt", "ru", "sv", "no"):
             raise ValueError(
                 f"unknown stem variant {self.stem!r}: use True/'porter', "
-                "'porter2', 'de', 'es', 'fr', 'it', 'pt', or 'ru'"
+                "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', or 'no'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -197,9 +197,9 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     chain StemmingAnalyzer uses — so that is what this preset selects
     (lang.py::stem2 + SNOWBALL_STOP_EN). ``"en_porter"`` mirrors the
     reference's classic-Porter escape hatch. German, Spanish, French,
-    Italian, Portuguese, and Russian ship the same way (lang.py::
-    stem_de/_es/_fr/_it/_pt/_ru + their SNOWBALL_STOP_* lists — the
-    published Snowball
+    Italian, Portuguese, Russian, Swedish, and Norwegian ship the same
+    way (lang.py::stem_de/_es/_fr/_it/_pt/_ru/_sv/_no + their
+    SNOWBALL_STOP_* lists — the published Snowball
     algorithms + stoplists, independently implemented). Other
     languages would need their snowball stemmer and stoplist ported
     (reference: lang/snowball/, lang/stopwords.py) — they raise instead
@@ -210,8 +210,10 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         SNOWBALL_STOP_ES,
         SNOWBALL_STOP_FR,
         SNOWBALL_STOP_IT,
+        SNOWBALL_STOP_NO,
         SNOWBALL_STOP_PT,
         SNOWBALL_STOP_RU,
+        SNOWBALL_STOP_SV,
     )
 
     if lang == "en_porter":
@@ -228,11 +230,16 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         return AnalyzerSpec(stem="pt", stoplist=SNOWBALL_STOP_PT)
     if lang in ("ru", "ru_RU", "russian"):
         return AnalyzerSpec(stem="ru", stoplist=SNOWBALL_STOP_RU)
+    if lang in ("sv", "sv_SE", "swedish"):
+        return AnalyzerSpec(stem="sv", stoplist=SNOWBALL_STOP_SV)
+    if lang in ("no", "nb", "nn", "no_NO", "norwegian"):
+        return AnalyzerSpec(stem="no", stoplist=SNOWBALL_STOP_NO)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
             f"LanguageAnalyzer({lang!r}): only English, German, Spanish, "
-            "French, Italian, Portuguese, and Russian snowball/stoplist "
-            "data is bundled; port the reference lang tables to add more"
+            "French, Italian, Portuguese, Russian, Swedish, and Norwegian "
+            "snowball/stoplist data is bundled; port the reference lang "
+            "tables to add more"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
@@ -348,6 +355,10 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             from whoosh_spark.lang import stem_pt as _stem
         elif spec.stem == "ru":
             from whoosh_spark.lang import stem_ru as _stem
+        elif spec.stem == "sv":
+            from whoosh_spark.lang import stem_sv as _stem
+        elif spec.stem == "no":
+            from whoosh_spark.lang import stem_no as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:
@@ -355,7 +366,7 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             # classic Porter — the index would quietly diverge
             raise ValueError(
                 f"unknown stem variant {spec.stem!r}: use True/'porter', "
-                "'porter2', 'de', 'es', 'fr', 'it', 'pt', or 'ru'"
+                "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', or 'no'"
             )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}

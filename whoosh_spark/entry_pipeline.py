@@ -3040,6 +3040,51 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     add("portuguese_search_topk", _portuguese_topk,
         _stem_oracle_sql(_STEM_FORMS_PT))
 
+    _STEM_FORMS_SV = ("zorgelarna", "zorgelheten", "zorgelerna")
+
+    def _swedish_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball SWEDISH stemmer — the
+        # one LanguageAnalyzer("sv") selects (lang.py::stem_sv, r4):
+        # zorgelarna (step-1 arna) / zorgelheten (step-1 heten) /
+        # zorgelerna (step-1 erna) all stem to 'zorgel' inside the
+        # min-3-adjusted R1 window, colliding with no natural token of the
+        # English-ish corpus under Swedish stemming. Default stoplist so
+        # the shared tokenization prelude stays a faithful mirror (the
+        # full LANGUAGE("sv") preset is pinned in tests/
+        # test_lang_nordic.py instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_sv as _stsv
+
+        return _derived_stem_topk(
+            spark, sf, "stemsv_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="sv")), _stsv,
+            forms=_STEM_FORMS_SV)
+
+    add("swedish_search_topk", _swedish_topk,
+        _stem_oracle_sql(_STEM_FORMS_SV))
+
+    _STEM_FORMS_NO = ("zorgelene", "zorgelheten", "zorgelens")
+
+    def _norwegian_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball NORWEGIAN stemmer —
+        # the one LanguageAnalyzer("no") selects (lang.py::stem_no, r4):
+        # zorgelene (step-1 ene) / zorgelheten (step-1 heten) / zorgelens
+        # (step-1 ens) all stem to 'zorgel' inside the R1 window,
+        # colliding with no natural token of the English-ish corpus under
+        # Norwegian stemming. Default stoplist for the same mirror reason.
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_no as _stno
+
+        return _derived_stem_topk(
+            spark, sf, "stemno_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="no")), _stno,
+            forms=_STEM_FORMS_NO)
+
+    add("norwegian_search_topk", _norwegian_topk,
+        _stem_oracle_sql(_STEM_FORMS_NO))
+
     # ---------------- phonetic (Double Metaphone) search -----------------
 
     _DMETA_FORMS = ("knorzel", "gnorzel", "norzel")

@@ -1864,3 +1864,151 @@ seria seríamos seriam temos tinham tínhamos tive teve tivemos tiveram
 tivera tivéramos tenha tenhamos tenham tivesse tivéssemos tivessem
 tiver tivermos tiverem terei terá teremos terão teria teríamos teriam
 """.split())
+
+
+# ------------------------------------------------------- Swedish/Norwegian
+# Snowball Swedish and Norwegian stemmers (snowballstem.org "swedish" /
+# "norwegian" algorithms) — the stemmers LanguageAnalyzer("sv"/"no")
+# select in the reference via lang.stemmer_for_language (reference data:
+# src/whoosh/lang/snowball/{swedish,norwegian}.py + lang/stopwords.py).
+# Independent implementations from the PUBLISHED algorithm descriptions
+# (the reference mount is empty — SURVEY "Provenance"); parity pinned by
+# hand-executed vectors in tests/test_lang_nordic.py. Both use one region:
+# R1, adjusted so at least 3 letters precede it, and ALL suffix searches
+# run inside the R1 window (`setlimit tomark p1` — _limited_longest); only
+# the valid-s-ending look-behind reads outside the window, per the spec.
+
+
+def _nordic_r1(word: str, vowels: set) -> int:
+    n = len(word)
+    r1 = n
+    for i in range(1, n):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            r1 = i + 1
+            break
+    return max(r1, 3) if r1 < n else r1
+
+
+_SV_VOWELS = set("aeiouyäåö")
+_SV_S1 = (
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+    "ast", "s",
+)
+_SV_S_END = set("bcdfghjklmnoprtvy")
+_SV_S2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_S3 = ("lig", "ig", "els", "löst", "fullt")
+
+
+def stem_sv(word: str) -> str:
+    """Snowball-Swedish-stem one lowercase word."""
+    word = word.lower()
+    r1 = _nordic_r1(word, _SV_VOWELS)
+
+    # ---- step 1: main suffix in R1 ('s' needs a valid s-ending before
+    # it, which may sit outside R1)
+    suf = _limited_longest(word, r1, _SV_S1)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if suf != "s":
+            word = word[:pos]
+        elif pos >= 1 and word[pos - 1] in _SV_S_END:
+            word = word[:pos]
+
+    # ---- step 2: consonant-pair suffix in R1 -> drop the last letter
+    if _limited_longest(word, r1, _SV_S2) is not None:
+        word = word[:-1]
+
+    # ---- step 3: residual suffix in R1
+    suf = _limited_longest(word, r1, _SV_S3)
+    if suf in ("lig", "ig", "els"):
+        word = word[: -len(suf)]
+    elif suf == "löst":
+        word = word[:-1]
+    elif suf == "fullt":
+        word = word[:-1]
+    return word
+
+
+_NO_VOWELS = set("aeiouyæåø")
+_NO_S1 = (
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "or", "as", "es", "edes", "endes",
+    "enes", "hetenes", "ens", "hetens", "ers", "ets", "et", "het",
+    "ast", "s", "erte", "ert",
+)
+_NO_S_END = set("bcdfghjlmnoprtvyz")
+_NO_S2 = ("dt", "vt")
+_NO_S3 = (
+    "leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+    "slov", "hetslov",
+)
+
+
+def stem_no(word: str) -> str:
+    """Snowball-Norwegian-stem one lowercase word."""
+    word = word.lower()
+    r1 = _nordic_r1(word, _NO_VOWELS)
+
+    # ---- step 1: main suffix in R1; 's' needs a valid s-ending (which
+    # may sit outside R1; 'k' counts only after a non-vowel); erte/ert
+    # become er
+    suf = _limited_longest(word, r1, _NO_S1)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if suf in ("erte", "ert"):
+            word = word[:pos] + "er"
+        elif suf != "s":
+            word = word[:pos]
+        elif pos >= 1 and (
+            word[pos - 1] in _NO_S_END
+            or (
+                word[pos - 1] == "k"
+                and pos >= 2
+                and word[pos - 2] not in _NO_VOWELS
+            )
+        ):
+            word = word[:pos]
+
+    # ---- step 2: dt/vt in R1 -> drop the t
+    if _limited_longest(word, r1, _NO_S2) is not None:
+        word = word[:-1]
+
+    # ---- step 3: residual suffix in R1 -> delete
+    suf = _limited_longest(word, r1, _NO_S3)
+    if suf is not None:
+        word = word[: -len(suf)]
+    return word
+
+
+# The published Snowball Swedish stopword list (snowballstem.org
+# swedish/stop.txt).
+SNOWBALL_STOP_SV = frozenset("""
+och det att i en jag hon som han på den med var sig för så till är men
+ett om hade de av icke mig du henne då sin nu har inte hans honom
+skulle hennes där min man ej vid kunde något från ut när efter upp vi
+dem vara vad över än dig kan sina här ha mot alla under någon eller
+allt mycket sedan ju denna själv detta åt utan varit hur ingen mitt ni
+bli blev oss din dessa några deras blir mina samma vilken er sådan vår
+blivit dess inom mellan sådant varför varje vilka ditt vem vilket sitta
+sådana vart dina vars vårt våra ert era vilkas
+""".split())
+
+# The published Snowball Norwegian stopword list (snowballstem.org
+# norwegian/stop.txt).
+SNOWBALL_STOP_NO = frozenset("""
+og i jeg det at en et den til er som på de med han av ikke ikkje der så
+var meg seg men ett har om vi min mitt ha hadde hun nå over da ved fra
+du ut sin dem oss opp man kan hans hvor eller hva skal selv sjøl her
+alle vil bli ble blei blitt kunne inn når være kom noen noe ville dere
+deres kun ja etter ned skulle denne for deg si sine sitt mot å meget
+hvorfor dette disse uten hvordan ingen din ditt blir samme hvilken
+hvilke sånn inni mellom vår hver hvem vors hvis både bare enn fordi før
+mange også slik vært båe begge siden dykk dykkar dei deira deires deim
+di då eg ein eit eitt elles honom hjå ho hoe henne hennar hennes hoss
+hossen ingi inkje korleis korso kva kvar kvarhelst kven kvi kvifor me
+medan mi mine mykje no nokon noka nokor noko nokre sia sidan so somt
+somme um upp vere vort varte vart
+""".split())
