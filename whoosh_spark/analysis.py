@@ -123,10 +123,11 @@ class AnalyzerSpec:
         # must never reach the executor-side analyzer (where it would
         # surface as retried task failures), nor silently fall back
         if self.stem not in (False, True, "porter", "porter2", "de", "es",
-                             "fr", "it", "pt", "ru", "sv", "no"):
+                             "fr", "it", "pt", "ru", "sv", "no", "da"):
             raise ValueError(
                 f"unknown stem variant {self.stem!r}: use True/'porter', "
-                "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', or 'no'"
+                "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
+                "'no', or 'da'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -205,6 +206,7 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     (reference: lang/snowball/, lang/stopwords.py) — they raise instead
     of silently degrading (COVERAGE.md notes the gap)."""
     from whoosh_spark.lang import (
+        SNOWBALL_STOP_DA,
         SNOWBALL_STOP_DE,
         SNOWBALL_STOP_EN,
         SNOWBALL_STOP_ES,
@@ -234,12 +236,14 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         return AnalyzerSpec(stem="sv", stoplist=SNOWBALL_STOP_SV)
     if lang in ("no", "nb", "nn", "no_NO", "norwegian"):
         return AnalyzerSpec(stem="no", stoplist=SNOWBALL_STOP_NO)
+    if lang in ("da", "da_DK", "danish"):
+        return AnalyzerSpec(stem="da", stoplist=SNOWBALL_STOP_DA)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
             f"LanguageAnalyzer({lang!r}): only English, German, Spanish, "
-            "French, Italian, Portuguese, Russian, Swedish, and Norwegian "
-            "snowball/stoplist data is bundled; port the reference lang "
-            "tables to add more"
+            "French, Italian, Portuguese, Russian, Swedish, Norwegian, "
+            "and Danish snowball/stoplist data is bundled; port the "
+            "reference lang tables to add more"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
@@ -359,6 +363,8 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             from whoosh_spark.lang import stem_sv as _stem
         elif spec.stem == "no":
             from whoosh_spark.lang import stem_no as _stem
+        elif spec.stem == "da":
+            from whoosh_spark.lang import stem_da as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:
@@ -366,7 +372,8 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             # classic Porter — the index would quietly diverge
             raise ValueError(
                 f"unknown stem variant {spec.stem!r}: use True/'porter', "
-                "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', or 'no'"
+                "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
+                "'no', or 'da'"
             )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}

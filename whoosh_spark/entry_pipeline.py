@@ -3085,6 +3085,30 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     add("norwegian_search_topk", _norwegian_topk,
         _stem_oracle_sql(_STEM_FORMS_NO))
 
+    _STEM_FORMS_DA = ("zorgelerne", "zorgelheden", "zorgelets")
+
+    def _danish_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball DANISH stemmer — the
+        # one LanguageAnalyzer("da") selects (lang.py::stem_da, r4):
+        # zorgelerne (step-1 erne) / zorgelheden (step-1 heden) /
+        # zorgelets (step-1 ets) all stem to 'zorgel' inside the
+        # min-3-adjusted R1 window, colliding with no natural token of
+        # the English-ish corpus under Danish stemming. Default stoplist
+        # so the shared tokenization prelude stays a faithful mirror (the
+        # full LANGUAGE("da") preset is pinned in tests/test_lang_da.py
+        # instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_da as _stda
+
+        return _derived_stem_topk(
+            spark, sf, "stemda_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="da")), _stda,
+            forms=_STEM_FORMS_DA)
+
+    add("danish_search_topk", _danish_topk,
+        _stem_oracle_sql(_STEM_FORMS_DA))
+
     # ---------------- phonetic (Double Metaphone) search -----------------
 
     _DMETA_FORMS = ("knorzel", "gnorzel", "norzel")

@@ -2012,3 +2012,89 @@ hossen ingi inkje korleis korso kva kvar kvarhelst kven kvi kvifor me
 medan mi mine mykje no nokon noka nokor noko nokre sia sidan so somt
 somme um upp vere vort varte vart
 """.split())
+
+
+# ----------------------------------------------------------------- Danish
+# Snowball Danish stemmer (snowballstem.org "danish" algorithm) — the
+# stemmer LanguageAnalyzer("da") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# danish.py + lang/stopwords.py 'da'). Independent implementation from
+# the PUBLISHED algorithm description (the reference mount is empty —
+# SURVEY "Provenance"); parity pinned by hand-executed vectors in
+# tests/test_lang_da.py. Danish shares the Scandinavian single-R1
+# discipline with Swedish/Norwegian (_nordic_r1, min-3 adjusted, all
+# suffix searches inside the R1 window) and adds two quirks of its own:
+# the igst pre-step of step 3 runs UNLIMITED (outside R1), and step 4
+# undoubles a final double consonant whose last letter sits in R1.
+
+_DA_VOWELS = set("aeiouyæåø")
+_DA_S1 = (
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+    "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+    "hedens", "erens", "ers", "ets", "erets", "et", "eret",
+)
+# the Danish valid s-endings famously include the vowels a, o and å
+_DA_S_END = set("abcdfghjklmnoprtvyzå")
+_DA_S2 = ("gd", "dt", "gt", "kt")
+_DA_S3 = ("ig", "lig", "elig", "els")
+
+
+def _da_consonant_pair(word: str, r1: int) -> str:
+    # step 2: a gd/dt/gt/kt pair wholly inside R1 -> drop the last letter
+    if _limited_longest(word, r1, _DA_S2) is not None:
+        return word[:-1]
+    return word
+
+
+def stem_da(word: str) -> str:
+    """Snowball-Danish-stem one lowercase word."""
+    word = word.lower()
+    r1 = _nordic_r1(word, _DA_VOWELS)
+
+    # ---- step 1: main suffix in R1 ('s' needs a valid s-ending before
+    # it, which may sit outside R1)
+    suf = _limited_longest(word, r1, _DA_S1 + ("s",))
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if suf != "s":
+            word = word[:pos]
+        elif pos >= 1 and word[pos - 1] in _DA_S_END:
+            word = word[:pos]
+
+    # ---- step 2: consonant pair in R1 -> drop the last letter
+    word = _da_consonant_pair(word, r1)
+
+    # ---- step 3: the igst pre-step is NOT R1-limited (the published
+    # routine runs `do(['st'] 'ig' delete)` before the setlimit)
+    if word.endswith("igst"):
+        word = word[:-2]
+    suf = _limited_longest(word, r1, _DA_S3 + ("løst",))
+    if suf == "løst":
+        word = word[:-1]
+    elif suf is not None:
+        word = word[: -len(suf)]
+        word = _da_consonant_pair(word, r1)
+
+    # ---- step 4 (undouble): final double consonant with its LAST letter
+    # inside R1 -> drop it (the equal preceding letter may sit outside)
+    if (
+        len(word) >= 2
+        and len(word) - 1 >= r1
+        and word[-1] not in _DA_VOWELS
+        and word[-1] == word[-2]
+    ):
+        word = word[:-1]
+    return word
+
+
+# The published Snowball Danish stopword list (snowballstem.org
+# danish/stop.txt).
+SNOWBALL_STOP_DA = frozenset("""
+og i jeg det at en den til er som på de med han af for ikke der var mig
+sig men et har om vi min havde ham hun nu over da fra du ud sin dem os
+op man hans hvor eller hvad skal selv her alle vil blev kunne ind når
+være dog noget ville jo deres efter ned skulle denne end dette mit også
+under have dig anden hende mine alt meget sit sine vor mod disse hvis
+din nogle hos blive mange ad bliver hendes været thi jer sådan
+""".split())
