@@ -367,7 +367,7 @@ def test_language_preset_unsupported_raises():
     from whoosh_spark.analysis import LANGUAGE
 
     with pytest.raises(NotImplementedError, match="snowball"):
-        LANGUAGE("nl")  # en/de/es/fr/it/ru shipped; others still raise
+        LANGUAGE("fi")  # many langs shipped (incl. nl/da); others still raise
 
 
 def test_unknown_stem_variant_raises():

@@ -123,11 +123,12 @@ class AnalyzerSpec:
         # must never reach the executor-side analyzer (where it would
         # surface as retried task failures), nor silently fall back
         if self.stem not in (False, True, "porter", "porter2", "de", "es",
-                             "fr", "it", "pt", "ru", "sv", "no", "da"):
+                             "fr", "it", "pt", "ru", "sv", "no", "da",
+                             "nl"):
             raise ValueError(
                 f"unknown stem variant {self.stem!r}: use True/'porter', "
                 "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
-                "'no', or 'da'"
+                "'no', 'da', or 'nl'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -198,9 +199,9 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     chain StemmingAnalyzer uses — so that is what this preset selects
     (lang.py::stem2 + SNOWBALL_STOP_EN). ``"en_porter"`` mirrors the
     reference's classic-Porter escape hatch. German, Spanish, French,
-    Italian, Portuguese, Russian, Swedish, and Norwegian ship the same
-    way (lang.py::stem_de/_es/_fr/_it/_pt/_ru/_sv/_no + their
-    SNOWBALL_STOP_* lists — the published Snowball
+    Italian, Portuguese, Russian, Swedish, Norwegian, Danish, and Dutch
+    ship the same way (lang.py::stem_de/_es/_fr/_it/_pt/_ru/_sv/_no/
+    _da/_nl + their SNOWBALL_STOP_* lists — the published Snowball
     algorithms + stoplists, independently implemented). Other
     languages would need their snowball stemmer and stoplist ported
     (reference: lang/snowball/, lang/stopwords.py) — they raise instead
@@ -212,6 +213,7 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         SNOWBALL_STOP_ES,
         SNOWBALL_STOP_FR,
         SNOWBALL_STOP_IT,
+        SNOWBALL_STOP_NL,
         SNOWBALL_STOP_NO,
         SNOWBALL_STOP_PT,
         SNOWBALL_STOP_RU,
@@ -238,12 +240,14 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         return AnalyzerSpec(stem="no", stoplist=SNOWBALL_STOP_NO)
     if lang in ("da", "da_DK", "danish"):
         return AnalyzerSpec(stem="da", stoplist=SNOWBALL_STOP_DA)
+    if lang in ("nl", "nl_NL", "nl_BE", "dutch"):
+        return AnalyzerSpec(stem="nl", stoplist=SNOWBALL_STOP_NL)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
             f"LanguageAnalyzer({lang!r}): only English, German, Spanish, "
             "French, Italian, Portuguese, Russian, Swedish, Norwegian, "
-            "and Danish snowball/stoplist data is bundled; port the "
-            "reference lang tables to add more"
+            "Danish, and Dutch snowball/stoplist data is bundled; port "
+            "the reference lang tables to add more"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
@@ -365,6 +369,8 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             from whoosh_spark.lang import stem_no as _stem
         elif spec.stem == "da":
             from whoosh_spark.lang import stem_da as _stem
+        elif spec.stem == "nl":
+            from whoosh_spark.lang import stem_nl as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:
@@ -373,7 +379,7 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             raise ValueError(
                 f"unknown stem variant {spec.stem!r}: use True/'porter', "
                 "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
-                "'no', or 'da'"
+                "'no', 'da', or 'nl'"
             )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}

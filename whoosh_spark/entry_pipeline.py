@@ -3109,6 +3109,31 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     add("danish_search_topk", _danish_topk,
         _stem_oracle_sql(_STEM_FORMS_DA))
 
+    _STEM_FORMS_NL = ("zorgelen", "zorgelheden", "zorgels")
+
+    def _dutch_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball DUTCH stemmer — the
+        # one LanguageAnalyzer("nl") selects (lang.py::stem_nl, r4):
+        # zorgelen (step-1 en after a valid en-ending) / zorgelheden
+        # (step-1 heden->heid then step-3a heid-in-R2) / zorgels (step-1
+        # s after a valid s-ending) all stem to 'zorgel' inside the
+        # min-3-adjusted R1/R2 windows, colliding with no natural token
+        # of the English-ish corpus under Dutch stemming. Default
+        # stoplist so the shared tokenization prelude stays a faithful
+        # mirror (the full LANGUAGE("nl") preset is pinned in
+        # tests/test_lang_nl.py instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_nl as _stnl
+
+        return _derived_stem_topk(
+            spark, sf, "stemnl_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="nl")), _stnl,
+            forms=_STEM_FORMS_NL)
+
+    add("dutch_search_topk", _dutch_topk,
+        _stem_oracle_sql(_STEM_FORMS_NL))
+
     # ---------------- phonetic (Double Metaphone) search -----------------
 
     _DMETA_FORMS = ("knorzel", "gnorzel", "norzel")

@@ -2098,3 +2098,185 @@ være dog noget ville jo deres efter ned skulle denne end dette mit også
 under have dig anden hende mine alt meget sit sine vor mod disse hvis
 din nogle hos blive mange ad bliver hendes været thi jer sådan
 """.split())
+
+
+# ------------------------------------------------------------------ Dutch
+# Snowball Dutch stemmer (snowballstem.org "dutch" algorithm) — the
+# stemmer LanguageAnalyzer("nl") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# dutch.py + lang/stopwords.py 'nl'). Independent implementation from the
+# PUBLISHED algorithm description (the reference mount is empty — SURVEY
+# "Provenance"); parity pinned by hand-executed vectors in
+# tests/test_lang_nl.py. Dutch is a standard two-region stemmer (R1
+# min-3-adjusted, R2 from the unadjusted R1) with a consonant-marking
+# prelude (initial y, y after a vowel, i between vowels go upper-case),
+# kk/dd/tt ending undoubling, and a final double-vowel undouble step.
+
+_NL_VOWELS = set("aeiouyè")
+_NL_ACCENTS = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+_NL_POSTLUDE = str.maketrans("IY", "iy")
+
+
+def _nl_prelude(word: str) -> str:
+    """Strip umlauts/acutes (è keeps its grave and stays a vowel); mark
+    initial y, y after a vowel, and i between vowels as consonants via
+    upper-case, left-to-right over the mutating string as published."""
+    word = word.translate(_NL_ACCENTS)
+    chars = list(word)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _NL_VOWELS:
+            chars[i] = "Y"
+        elif (
+            chars[i] == "i"
+            and chars[i - 1] in _NL_VOWELS
+            and i + 1 < len(chars)
+            and chars[i + 1] in _NL_VOWELS
+        ):
+            chars[i] = "I"
+    return "".join(chars)
+
+
+def _nl_regions(word: str) -> tuple[int, int]:
+    def scan(start: int) -> int:
+        for i in range(start, len(word) - 1):
+            if word[i] in _NL_VOWELS and word[i + 1] not in _NL_VOWELS:
+                return i + 2
+        return len(word)
+
+    r1 = scan(0)
+    r2 = scan(r1)
+    return max(r1, 3), r2
+
+
+def _nl_undouble(word: str) -> str:
+    # "undouble the ending": kk/dd/tt lose the last letter
+    if word.endswith(("kk", "dd", "tt")):
+        return word[:-1]
+    return word
+
+
+def _nl_en_ok(rem: str) -> bool:
+    # valid en-ending: a non-vowel (the marked I/Y count), and not gem
+    return (
+        len(rem) >= 1
+        and rem[-1] not in _NL_VOWELS
+        and not rem.endswith("gem")
+    )
+
+
+def _nl_step2(word: str, r1: int) -> tuple[str, bool]:
+    # step 2: drop a final e in R1 preceded by a non-vowel, undouble;
+    # reports whether an e was actually removed (step 3b's 'bar' gate)
+    if (
+        word.endswith("e")
+        and len(word) - 1 >= r1
+        and len(word) >= 2
+        and word[-2] not in _NL_VOWELS
+    ):
+        return _nl_undouble(word[:-1]), True
+    return word, False
+
+
+def stem_nl(word: str) -> str:
+    """Snowball-Dutch-stem one lowercase word."""
+    word = _nl_prelude(word.lower())
+    r1, r2 = _nl_regions(word)
+
+    # ---- step 1: heden -> heid; en/ene after a valid en-ending; s/se
+    # after a valid s-ending (a non-vowel other than j)
+    suf = _de_longest(word, ("heden", "ene", "en", "se", "s"))
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if suf == "heden":
+            if pos >= r1:
+                word = word[:pos] + "heid"
+        elif suf in ("en", "ene"):
+            rem = word[:pos]
+            if pos >= r1 and _nl_en_ok(rem):
+                word = _nl_undouble(rem)
+        else:  # s / se
+            rem = word[:pos]
+            if (
+                pos >= r1
+                and rem
+                and rem[-1] not in _NL_VOWELS
+                and rem[-1] != "j"
+            ):
+                word = rem
+
+    # ---- step 2
+    word, e_found = _nl_step2(word, r1)
+
+    # ---- step 3a: heid in R2 not preceded by c, then a preceding en as
+    # in step 1(b)
+    if (
+        word.endswith("heid")
+        and len(word) - 4 >= r2
+        and (len(word) < 5 or word[-5] != "c")
+    ):
+        word = word[:-4]
+        if word.endswith("en"):
+            pos = len(word) - 2
+            rem = word[:pos]
+            if pos >= r1 and _nl_en_ok(rem):
+                word = _nl_undouble(rem)
+
+    # ---- step 3b: d-suffixes (longest match; a failed side-condition
+    # removes nothing — no backtracking)
+    suf = _de_longest(word, ("end", "ing", "ig", "lijk", "baar", "bar"))
+    if suf in ("end", "ing"):
+        pos = len(word) - 3
+        if pos >= r2:
+            word = word[:pos]
+            if (
+                word.endswith("ig")
+                and len(word) - 2 >= r2
+                and (len(word) < 3 or word[-3] != "e")
+            ):
+                word = word[:-2]
+            else:
+                word = _nl_undouble(word)
+    elif suf == "ig":
+        if len(word) - 2 >= r2 and (len(word) < 3 or word[-3] != "e"):
+            word = word[:-2]
+    elif suf == "lijk":
+        if len(word) - 4 >= r2:
+            word = word[:-4]
+            word, _ = _nl_step2(word, r1)  # "then repeat step 2"
+    elif suf == "baar":
+        if len(word) - 4 >= r2:
+            word = word[:-4]
+    elif suf == "bar":
+        if len(word) - 3 >= r2 and e_found:
+            word = word[:-3]
+
+    # ---- step 4 (undouble vowel): ...C aa/ee/oo/uu D with D a
+    # non-vowel other than the marked I -> drop one vowel
+    if len(word) >= 4:
+        c, v1, v2, d = word[-4], word[-3], word[-2], word[-1]
+        if (
+            c not in _NL_VOWELS
+            and d not in _NL_VOWELS
+            and d != "I"
+            and v1 == v2
+            and v1 in "aeou"
+        ):
+            word = word[:-2] + d
+
+    # ---- postlude: unmark I/Y
+    return word.translate(_NL_POSTLUDE)
+
+
+# The published Snowball Dutch stopword list (snowballstem.org
+# dutch/stop.txt).
+SNOWBALL_STOP_NL = frozenset("""
+de en van ik te dat die in een hij het niet zijn is was op aan met als
+voor had er maar om hem dan zou of wat mijn men dit zo door over ze zich
+bij ook tot je mij uit der daar haar naar heb hoe heeft hebben deze u
+want nog zal me zij nu ge geen omdat iets worden toch al waren veel meer
+doen toen moet ben zonder kan hun dus alles onder ja eens hier wie werd
+altijd doch wordt wezen kunnen ons zelf tegen na reeds wil kon niets uw
+iemand geweest andere
+""".split())
