@@ -124,11 +124,11 @@ class AnalyzerSpec:
         # surface as retried task failures), nor silently fall back
         if self.stem not in (False, True, "porter", "porter2", "de", "es",
                              "fr", "it", "pt", "ru", "sv", "no", "da",
-                             "nl"):
+                             "nl", "ro"):
             raise ValueError(
                 f"unknown stem variant {self.stem!r}: use True/'porter', "
                 "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
-                "'no', 'da', or 'nl'"
+                "'no', 'da', 'nl', or 'ro'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -199,9 +199,9 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     chain StemmingAnalyzer uses — so that is what this preset selects
     (lang.py::stem2 + SNOWBALL_STOP_EN). ``"en_porter"`` mirrors the
     reference's classic-Porter escape hatch. German, Spanish, French,
-    Italian, Portuguese, Russian, Swedish, Norwegian, Danish, and Dutch
-    ship the same way (lang.py::stem_de/_es/_fr/_it/_pt/_ru/_sv/_no/
-    _da/_nl + their SNOWBALL_STOP_* lists — the published Snowball
+    Italian, Portuguese, Russian, Swedish, Norwegian, Danish, Dutch, and
+    Romanian ship the same way (lang.py::stem_de/_es/_fr/_it/_pt/_ru/
+    _sv/_no/_da/_nl/_ro + their SNOWBALL_STOP_* lists — the published Snowball
     algorithms + stoplists, independently implemented). Other
     languages would need their snowball stemmer and stoplist ported
     (reference: lang/snowball/, lang/stopwords.py) — they raise instead
@@ -216,6 +216,7 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         SNOWBALL_STOP_NL,
         SNOWBALL_STOP_NO,
         SNOWBALL_STOP_PT,
+        SNOWBALL_STOP_RO,
         SNOWBALL_STOP_RU,
         SNOWBALL_STOP_SV,
     )
@@ -242,12 +243,14 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         return AnalyzerSpec(stem="da", stoplist=SNOWBALL_STOP_DA)
     if lang in ("nl", "nl_NL", "nl_BE", "dutch"):
         return AnalyzerSpec(stem="nl", stoplist=SNOWBALL_STOP_NL)
+    if lang in ("ro", "ro_RO", "romanian"):
+        return AnalyzerSpec(stem="ro", stoplist=SNOWBALL_STOP_RO)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
             f"LanguageAnalyzer({lang!r}): only English, German, Spanish, "
             "French, Italian, Portuguese, Russian, Swedish, Norwegian, "
-            "Danish, and Dutch snowball/stoplist data is bundled; port "
-            "the reference lang tables to add more"
+            "Danish, Dutch, and Romanian snowball/stoplist data is "
+            "bundled; port the reference lang tables to add more"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
@@ -371,6 +374,8 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             from whoosh_spark.lang import stem_da as _stem
         elif spec.stem == "nl":
             from whoosh_spark.lang import stem_nl as _stem
+        elif spec.stem == "ro":
+            from whoosh_spark.lang import stem_ro as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:
@@ -379,7 +384,7 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             raise ValueError(
                 f"unknown stem variant {spec.stem!r}: use True/'porter', "
                 "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
-                "'no', 'da', or 'nl'"
+                "'no', 'da', 'nl', or 'ro'"
             )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}

@@ -3134,6 +3134,31 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     add("dutch_search_topk", _dutch_topk,
         _stem_oracle_sql(_STEM_FORMS_NL))
 
+    _STEM_FORMS_RO = ("zorgelul", "zorgelilor", "zorgelata")
+
+    def _romanian_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball ROMANIAN stemmer —
+        # the one LanguageAnalyzer("ro") selects (lang.py::stem_ro, r4):
+        # zorgelul (step-0 ul) / zorgelilor (step-0 ilor->i then step-4
+        # final-vowel) / zorgelata (step-2 ata in R2) all stem to
+        # 'zorgel' and stay ASCII (DuckDB's RE2 \w is ASCII-only),
+        # colliding with no natural token of the English-ish corpus
+        # under Romanian stemming. Default stoplist so the shared
+        # tokenization prelude stays a faithful mirror (the full
+        # LANGUAGE("ro") preset is pinned in tests/test_lang_ro.py
+        # instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_ro as _stro
+
+        return _derived_stem_topk(
+            spark, sf, "stemro_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="ro")), _stro,
+            forms=_STEM_FORMS_RO)
+
+    add("romanian_search_topk", _romanian_topk,
+        _stem_oracle_sql(_STEM_FORMS_RO))
+
     # ---------------- phonetic (Double Metaphone) search -----------------
 
     _DMETA_FORMS = ("knorzel", "gnorzel", "norzel")

@@ -2280,3 +2280,228 @@ doen toen moet ben zonder kan hun dus alles onder ja eens hier wie werd
 altijd doch wordt wezen kunnen ons zelf tegen na reeds wil kon niets uw
 iemand geweest andere
 """.split())
+
+
+# --------------------------------------------------------------- Romanian
+# Snowball Romanian stemmer (snowballstem.org "romanian" algorithm) — the
+# stemmer LanguageAnalyzer("ro") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# romanian.py + lang/stopwords.py 'ro'). Independent implementation from
+# the PUBLISHED algorithm description (the reference mount is empty —
+# SURVEY "Provenance"); parity pinned by hand-executed vectors in
+# tests/test_lang_ro.py. Romanian is a Romance-family stemmer: standard
+# R1/R2 + the shared RV window, a plural step (0), a repeating
+# combining-suffix step (1), a standard-suffix step (2) whose success
+# gates the verb step (3, RV-limited like the French/Spanish verb
+# tiers), and a final-vowel step (4). The algorithm is defined over the
+# cedilla forms ş/ţ; the prelude folds the modern comma-below ș/ț onto
+# them, and marks i/u between vowels as consonants via upper-case.
+
+_RO_VOWELS = set("aăâeiîou")
+
+_RO_S0 = (
+    "iilor", "aţia", "aţie", "atei", "elor", "iile", "ilor", "aua",
+    "ele", "iei", "iua", "ile", "ea", "ii", "ul",
+)
+
+# step 1 combining suffixes -> their reduced form (longest match; applied
+# repeatedly while a replacement fires in R1)
+_RO_S1 = {}
+for _sufs, _rep in (
+    (("abilitate", "abilitati", "abilităi", "abilităţi"), "abil"),
+    (("ibilitate",), "ibil"),
+    (("ivitate", "ivitati", "ivităi", "ivităţi"), "iv"),
+    (("icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+      "iciv", "iciva", "icive", "icivi", "icivă",
+      "ical", "icala", "icale", "icali", "icală"), "ic"),
+    (("ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+      "atoare", "ator", "atori", "ătoare", "ător", "ători"), "at"),
+    (("itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+      "itoare", "itor", "itori"), "it"),
+):
+    for _s in _sufs:
+        _RO_S1[_s] = _rep
+
+_RO_S2_DELETE = (
+    "at", "ata", "ată", "ati", "ate",
+    "ut", "uta", "ută", "uti", "ute",
+    "ât", "âta", "âtă", "âti", "âte",
+    "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă",
+    "ibil", "ibila", "ibile", "ibili", "ibilă",
+    "oasa", "oasă", "oase", "os", "osi", "oşi",
+    "ant", "anta", "ante", "anti", "antă",
+    "ator", "atori",
+    "itate", "itati", "ităi", "ităţi",
+    "iv", "iva", "ive", "ivi", "ivă",
+)
+_RO_S2_IST = ("ism", "isme", "ist", "ista", "iste", "isti", "istă", "işti")
+_RO_S2_ALL = _RO_S2_DELETE + _RO_S2_IST + ("iune", "iuni")
+
+# step 3 verb suffixes. Group A deletes only when preceded INSIDE RV by a
+# non-vowel or by 'u' (setlimit semantics: a preceding letter outside RV
+# fails the test); group B deletes unconditionally. One longest-match
+# among over A ∪ B — a failed A-condition removes nothing.
+_RO_VERB_A = (
+    "are", "ere", "ire", "âre",
+    "ind", "ând", "indu", "ându",
+    "eze", "ează", "ez", "ezi",
+    "ească", "esc", "eşti", "eşte", "ăsc", "ăşti", "ăşte",
+    "am", "ai", "au",
+    "eam", "eai", "ea", "eaţi", "eau",
+    "iam", "iai", "ia", "iaţi", "iau",
+    "ui", "aşi", "arăm", "arăţi", "ară",
+    "uşi", "urăm", "urăţi", "ură",
+    "işi", "irăm", "irăţi", "iră",
+    "âi", "âşi", "ârăm", "ârăţi", "âră",
+    "asem", "aseşi", "ase", "aserăm", "aserăţi", "aseră",
+    "isem", "iseşi", "ise", "iserăm", "iserăţi", "iseră",
+    "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră",
+    "usem", "useşi", "use", "userăm", "userăţi", "useră",
+)
+_RO_VERB_B = (
+    "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi",
+    "seşi", "serăm", "serăţi", "seră", "sei", "se",
+    "sesem", "seseşi", "sese", "seserăm", "seserăţi", "seseră",
+)
+
+_RO_POSTLUDE = str.maketrans("IU", "iu")
+
+
+def _ro_prelude(word: str) -> str:
+    word = word.replace("ș", "ş").replace("ț", "ţ")
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if (
+            chars[i] in "iu"
+            and chars[i - 1] in _RO_VOWELS
+            and chars[i + 1] in _RO_VOWELS
+        ):
+            chars[i] = chars[i].upper()
+    return "".join(chars)
+
+
+def _ro_regions(word: str) -> tuple[int, int, int]:
+    """Standard R1/R2 + the shared Romance RV definition (after the next
+    vowel when letter 2 is a consonant; after the next consonant when
+    letters 1-2 are both vowels; else after the third letter)."""
+
+    def scan(start: int) -> int:
+        for i in range(start, len(word) - 1):
+            if word[i] in _RO_VOWELS and word[i + 1] not in _RO_VOWELS:
+                return i + 2
+        return len(word)
+
+    r1 = scan(0)
+    r2 = scan(r1)
+    n = len(word)
+    if n < 3:
+        rv = n
+    elif word[1] not in _RO_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if word[i] in _RO_VOWELS:
+                rv = i + 1
+                break
+    elif word[0] in _RO_VOWELS and word[1] in _RO_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if word[i] not in _RO_VOWELS:
+                rv = i + 1
+                break
+    else:
+        rv = 3
+    return r1, r2, rv
+
+
+def stem_ro(word: str) -> str:
+    """Snowball-Romanian-stem one lowercase word."""
+    word = _ro_prelude(word.lower())
+    r1, r2, rv = _ro_regions(word)
+
+    # ---- step 0: plurals and other simplifications (in R1)
+    suf = _de_longest(word, _RO_S0)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if pos >= r1:
+            if suf == "ul":
+                word = word[:pos]
+            elif suf == "aua":
+                word = word[:pos] + "a"
+            elif suf in ("ea", "ele", "elor"):
+                word = word[:pos] + "e"
+            elif suf in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+                word = word[:pos] + "i"
+            elif suf == "ile":
+                if not word[:pos].endswith("ab"):
+                    word = word[:pos] + "i"
+            elif suf == "atei":
+                word = word[:pos] + "at"
+            else:  # aţie / aţia
+                word = word[:pos] + "aţi"
+
+    # ---- step 1: combining suffixes, repeated while one fires (in R1);
+    # a success counts as "standard suffix removed" for step 3's gate
+    removed = False
+    while True:
+        suf = _de_longest(word, tuple(_RO_S1))
+        if suf is None or len(word) - len(suf) < r1:
+            break
+        word = word[: len(word) - len(suf)] + _RO_S1[suf]
+        removed = True
+
+    # ---- step 2: standard suffixes (in R2)
+    suf = _de_longest(word, _RO_S2_ALL)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if pos >= r2:
+            if suf in ("iune", "iuni"):
+                # delete only when preceded by ţ, which becomes t
+                if pos >= 1 and word[pos - 1] == "ţ":
+                    word = word[: pos - 1] + "t"
+                    removed = True
+            elif suf in _RO_S2_IST:
+                word = word[:pos] + "ist"
+                removed = True
+            else:
+                word = word[:pos]
+                removed = True
+
+    # ---- step 3: verb suffixes (RV-limited), only if steps 1-2 removed
+    # nothing
+    if not removed:
+        suf = _de_longest(word, _RO_VERB_A + _RO_VERB_B)
+        if suf is not None:
+            pos = len(word) - len(suf)
+            if pos >= rv:
+                if suf in _RO_VERB_B:
+                    word = word[:pos]
+                elif pos - 1 >= rv and (
+                    word[pos - 1] not in _RO_VOWELS
+                    or word[pos - 1] == "u"
+                ):
+                    word = word[:pos]
+
+    # ---- step 4: final vowel (in RV)
+    suf = _de_longest(word, ("a", "e", "i", "ie", "ă"))
+    if suf is not None and len(word) - len(suf) >= rv:
+        word = word[: len(word) - len(suf)]
+
+    return word.translate(_RO_POSTLUDE)
+
+
+# Romanian stopword list — the reference bundles stopword data per
+# language (src/whoosh/lang/stopwords.py 'ro'); with the mount empty this
+# is the standard Romanian function-word list (articles, pronouns,
+# prepositions, conjunctions, auxiliaries) in its published cedilla form.
+SNOWBALL_STOP_RO = frozenset("""
+şi în de la cu pe un o este sunt a al ale ai lui ei lor că să nu se ce
+care mai dar din ca pentru fi fost era erau fie dacă după când unde cum
+prin despre între fără până peste sub spre asupra acest această aceste
+acestor acel acea acei acele el ea ele noi voi eu tu îi le îl ne vă mă
+te am ai are avem aveţi au avut va vor fiind atunci acum aici acolo
+toate toţi tot toată foarte doar numai însă deci astfel ori sau nici
+chiar către încă orice fiecare unei unui unor celor celui alte alt alta
+altă alţi câte câţi cât câtă atât mult multe mulţi puţin aceasta acesta
+acestea acestuia acesteia asemenea
+""".split())
