@@ -3159,6 +3159,31 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     add("romanian_search_topk", _romanian_topk,
         _stem_oracle_sql(_STEM_FORMS_RO))
 
+    _STEM_FORMS_HU = ("zorgelban", "zorgelek", "zorgelunk")
+
+    def _hungarian_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball HUNGARIAN stemmer —
+        # the one LanguageAnalyzer("hu") selects (lang.py::stem_hu, r4):
+        # zorgelban (step-2 inessive 'ban') / zorgelek (step-9 plural
+        # 'ek') / zorgelunk (step-7 owner 'unk') all stem to 'zorgel'
+        # inside the consonant-initial R1 window and stay ASCII (DuckDB's
+        # RE2 \w is ASCII-only), colliding with no natural token of the
+        # English-ish corpus under Hungarian stemming. Default stoplist
+        # so the shared tokenization prelude stays a faithful mirror (the
+        # full LANGUAGE("hu") preset is pinned in tests/test_lang_hu.py
+        # instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_hu as _sthu
+
+        return _derived_stem_topk(
+            spark, sf, "stemhu_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="hu")), _sthu,
+            forms=_STEM_FORMS_HU)
+
+    add("hungarian_search_topk", _hungarian_topk,
+        _stem_oracle_sql(_STEM_FORMS_HU))
+
     # ---------------- phonetic (Double Metaphone) search -----------------
 
     _DMETA_FORMS = ("knorzel", "gnorzel", "norzel")

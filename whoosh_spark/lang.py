@@ -2505,3 +2505,186 @@ chiar către încă orice fiecare unei unui unor celor celui alte alt alta
 altă alţi câte câţi cât câtă atât mult multe mulţi puţin aceasta acesta
 acestea acestuia acesteia asemenea
 """.split())
+
+
+# --------------------------------------------------------------- Hungarian
+# Snowball Hungarian stemmer (snowballstem.org "hungarian" algorithm) —
+# the stemmer LanguageAnalyzer("hu") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# hungarian.py + lang/stopwords.py 'hu'). Independent implementation
+# from the PUBLISHED algorithm description (the reference mount is empty
+# — SURVEY "Provenance"); parity pinned by hand-executed vectors in
+# tests/test_lang_hu.py. Hungarian is a single-region stemmer with a
+# digraph-aware R1 (cs/dz/dzs/gy/ly/ny/sz/ty/zs count as one consonant
+# when marking the region), double-consonant tests with digraph doubles
+# (ccs/ggy/lly/nny/ssz/tty/zzs), and nine ordered suffix-class steps
+# (instrumental, case, special case, other case, factive, owned,
+# singular owner, plural owner, plural), each a longest-match among
+# limited to R1.
+
+_HU_VOWELS = set("aáeéiíoóöőuúüű")
+_HU_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+# doubles, longest-first so ccs/ssz-style digraph doubles win over cc/ss
+_HU_DOUBLES = (
+    "ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+    "pp", "rr", "ss", "tt", "vv", "zz",
+)
+
+_HU_CASE = (
+    "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
+    "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz",
+    "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp", "képpen",
+    "kor", "ul", "ül", "vá", "vé", "onként", "enként", "anként",
+    "ként", "en", "on", "an", "ön", "n", "t",
+)
+
+_HU_OWNED = {
+    "oké": "", "öké": "", "aké": "", "eké": "", "ké": "", "éi": "",
+    "é": "", "áké": "a", "áéi": "a", "éké": "e", "ééi": "e", "éé": "e",
+}
+
+_HU_SING_OWNER = {
+    "ünk": "", "unk": "", "ánk": "a", "énk": "e", "nk": "",
+    "ájuk": "a", "éjük": "e", "juk": "", "jük": "", "uk": "", "ük": "",
+    "ém": "e", "ám": "a", "em": "", "om": "", "am": "", "m": "",
+    "éd": "e", "ád": "a", "ed": "", "od": "", "ad": "", "d": "",
+    "ja": "", "je": "", "á": "a", "é": "e", "a": "", "e": "", "o": "",
+}
+
+_HU_PLUR_OWNER = {
+    "áim": "a", "éim": "e", "jaim": "", "jeim": "", "aim": "", "eim": "",
+    "im": "",
+    "áid": "a", "éid": "e", "jaid": "", "jeid": "", "aid": "", "eid": "",
+    "id": "",
+    "ái": "a", "jai": "", "jei": "", "ai": "", "ei": "", "i": "",
+    "áink": "a", "éink": "e", "jaink": "", "jeink": "", "aink": "",
+    "eink": "", "ink": "",
+    "áitok": "a", "éitek": "e", "jaitok": "", "jeitek": "", "aitok": "",
+    "eitek": "", "itek": "",
+    "áik": "a", "éik": "e", "jaik": "", "jeik": "", "aik": "", "eik": "",
+    "ik": "",
+}
+
+_HU_PLURAL = {"ák": "a", "ék": "e", "ök": "", "ok": "", "ek": "",
+              "ak": "", "k": ""}
+
+
+def _hu_r1(word: str) -> int:
+    """R1: after the first consonant-or-digraph following the start when
+    the word begins with a vowel (the digraph is one unit), else after
+    the first vowel."""
+    n = len(word)
+    if not word:
+        return 0
+    if word[0] in _HU_VOWELS:
+        for i in range(1, n):
+            if word[i] not in _HU_VOWELS:
+                for d in _HU_DIGRAPHS:
+                    if word.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return n
+    for i in range(1, n):
+        if word[i] in _HU_VOWELS:
+            return i + 1
+    return n
+
+
+def _hu_ends_double(word: str) -> str | None:
+    for d in _HU_DOUBLES:
+        if word.endswith(d):
+            return d
+    return None
+
+
+def _hu_undouble(word: str) -> str:
+    """Remove one member of a final double consonant: ccs -> cs,
+    ssz -> sz, bb -> b, ..."""
+    d = _hu_ends_double(word)
+    if d is None:
+        return word
+    if len(d) == 3:
+        return word[:-3] + d[1:]
+    return word[:-1]
+
+
+def _hu_map_step(word: str, r1: int, table: dict) -> str:
+    """One longest-match among over ``table`` limited to R1; the value is
+    the replacement ('' = delete). A match before R1 removes nothing (no
+    backtracking)."""
+    suf = _de_longest(word, tuple(table))
+    if suf is not None and len(word) - len(suf) >= r1:
+        return word[: len(word) - len(suf)] + table[suf]
+    return word
+
+
+def stem_hu(word: str) -> str:
+    """Snowball-Hungarian-stem one lowercase word."""
+    word = word.lower()
+    r1 = _hu_r1(word)
+
+    # ---- step 1: instrumental case — al/el in R1 preceded by a double
+    # consonant; delete and undouble (könyvvel -> könyv)
+    suf = _de_longest(word, ("al", "el"))
+    if suf is not None:
+        pos = len(word) - 2
+        if pos >= r1 and _hu_ends_double(word[:pos]):
+            word = _hu_undouble(word[:pos])
+
+    # ---- step 2: frequent cases; after deletion a final á/é is
+    # shortened to a/e
+    suf = _de_longest(word, _HU_CASE)
+    if suf is not None and len(word) - len(suf) >= r1:
+        word = word[: len(word) - len(suf)]
+        if word.endswith("á"):
+            word = word[:-1] + "a"
+        elif word.endswith("é"):
+            word = word[:-1] + "e"
+
+    # ---- step 3: special cases
+    word = _hu_map_step(word, r1, {"ánként": "a", "án": "a", "én": "e"})
+
+    # ---- step 4: other cases
+    word = _hu_map_step(
+        word, r1,
+        {"astul": "", "estül": "", "stul": "", "stül": "",
+         "ástul": "a", "éstül": "e"})
+
+    # ---- step 5: factive case — á/é in R1 preceded by a double
+    # consonant; delete and undouble
+    if word and word[-1] in "áé":
+        pos = len(word) - 1
+        if pos >= r1 and _hu_ends_double(word[:pos]):
+            word = _hu_undouble(word[:pos])
+
+    # ---- step 6: owned (-é "that of", -éi plural)
+    word = _hu_map_step(word, r1, _HU_OWNED)
+
+    # ---- step 7: singular owner suffixes
+    word = _hu_map_step(word, r1, _HU_SING_OWNER)
+
+    # ---- step 8: plural owner suffixes
+    word = _hu_map_step(word, r1, _HU_PLUR_OWNER)
+
+    # ---- step 9: plural
+    word = _hu_map_step(word, r1, _HU_PLURAL)
+
+    return word
+
+
+# Hungarian stopword list — the reference bundles stopword data per
+# language (src/whoosh/lang/stopwords.py 'hu'); standard Hungarian
+# function words (articles, pronouns, conjunctions, auxiliaries).
+SNOWBALL_STOP_HU = frozenset("""
+a az és hogy nem is de van egy ez volt már meg csak mint el még ki mi
+ha vagy te ők mert be azt aki így majd ő én őt neki vele nekem itt ott
+úgy ezt arra erre abban ebben annak ennek attól ettől arról erről ahhoz
+ehhez azzal ezzel után alatt előtt között ellen nélkül által olyan
+ilyen mely amely amelyek aki akik ami amik mikor hol hova honnan miért
+hogyan milyen mennyi sem se pedig hanem illetve valamint tehát ugyanis
+azonban viszont bár noha hiszen amikor ahol ahogy amint míg mivel ezért
+azért akkor most mindig soha talán éppen szinte nagyon inkább ismét
+újra együtt át rá le fel ide oda vissza volt voltak lesz lenne lehet
+kell kellett minden mindenki semmi valami néhány több kevés sok
+""".split())
