@@ -367,7 +367,7 @@ def test_language_preset_unsupported_raises():
     from whoosh_spark.analysis import LANGUAGE
 
     with pytest.raises(NotImplementedError, match="snowball"):
-        LANGUAGE("fi")  # many langs shipped (incl. nl/da); others still raise
+        LANGUAGE("tr")  # the full snowball family ships; non-snowball langs raise
 
 
 def test_unknown_stem_variant_raises():

@@ -124,11 +124,11 @@ class AnalyzerSpec:
         # surface as retried task failures), nor silently fall back
         if self.stem not in (False, True, "porter", "porter2", "de", "es",
                              "fr", "it", "pt", "ru", "sv", "no", "da",
-                             "nl", "ro", "hu"):
+                             "nl", "ro", "hu", "fi"):
             raise ValueError(
                 f"unknown stem variant {self.stem!r}: use True/'porter', "
                 "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
-                "'no', 'da', 'nl', 'ro', or 'hu'"
+                "'no', 'da', 'nl', 'ro', 'hu', or 'fi'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -200,9 +200,10 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     (lang.py::stem2 + SNOWBALL_STOP_EN). ``"en_porter"`` mirrors the
     reference's classic-Porter escape hatch. German, Spanish, French,
     Italian, Portuguese, Russian, Swedish, Norwegian, Danish, Dutch,
-    Romanian, and Hungarian ship the same way (lang.py::stem_de/_es/_fr/
-    _it/_pt/_ru/_sv/_no/_da/_nl/_ro/_hu + their SNOWBALL_STOP_* lists —
-    the published Snowball
+    Romanian, Hungarian, and Finnish ship the same way — the COMPLETE
+    Snowball family the reference bundles (lang.py::stem_de/_es/_fr/
+    _it/_pt/_ru/_sv/_no/_da/_nl/_ro/_hu/_fi + their SNOWBALL_STOP_*
+    lists — the published Snowball
     algorithms + stoplists, independently implemented). Other
     languages would need their snowball stemmer and stoplist ported
     (reference: lang/snowball/, lang/stopwords.py) — they raise instead
@@ -212,6 +213,7 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         SNOWBALL_STOP_DE,
         SNOWBALL_STOP_EN,
         SNOWBALL_STOP_ES,
+        SNOWBALL_STOP_FI,
         SNOWBALL_STOP_FR,
         SNOWBALL_STOP_HU,
         SNOWBALL_STOP_IT,
@@ -249,12 +251,14 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         return AnalyzerSpec(stem="ro", stoplist=SNOWBALL_STOP_RO)
     if lang in ("hu", "hu_HU", "hungarian"):
         return AnalyzerSpec(stem="hu", stoplist=SNOWBALL_STOP_HU)
+    if lang in ("fi", "fi_FI", "finnish"):
+        return AnalyzerSpec(stem="fi", stoplist=SNOWBALL_STOP_FI)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
-            f"LanguageAnalyzer({lang!r}): only English, German, Spanish, "
-            "French, Italian, Portuguese, Russian, Swedish, Norwegian, "
-            "Danish, Dutch, Romanian, and Hungarian snowball/stoplist "
-            "data is bundled; port the reference lang tables to add more"
+            f"LanguageAnalyzer({lang!r}): the COMPLETE Snowball family "
+            "the reference bundles is implemented (en de es fr it pt ru "
+            "sv no da nl ro hu fi); other languages (e.g. 'tr', 'ar') "
+            "have no snowball stemmer in the reference either"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
@@ -382,6 +386,8 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             from whoosh_spark.lang import stem_ro as _stem
         elif spec.stem == "hu":
             from whoosh_spark.lang import stem_hu as _stem
+        elif spec.stem == "fi":
+            from whoosh_spark.lang import stem_fi as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:
@@ -390,7 +396,7 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             raise ValueError(
                 f"unknown stem variant {spec.stem!r}: use True/'porter', "
                 "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
-                "'no', 'da', 'nl', 'ro', or 'hu'"
+                "'no', 'da', 'nl', 'ro', 'hu', or 'fi'"
             )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}

@@ -3184,6 +3184,32 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     add("hungarian_search_topk", _hungarian_topk,
         _stem_oracle_sql(_STEM_FORMS_HU))
 
+    _STEM_FORMS_FI = ("zorgelossa", "zorgeloissa", "zorgelot")
+
+    def _finnish_topk(spark, sf):
+        # Same derived-corpus trick for the Snowball FINNISH stemmer —
+        # the one LanguageAnalyzer("fi") selects (lang.py::stem_fi, r4):
+        # zorgelossa (case 'ssa') / zorgeloissa (case 'ssa' + i-plural) /
+        # zorgelot (t-plural) all stem to 'zorgelo' and stay ASCII
+        # (DuckDB's RE2 \w is ASCII-only), colliding with no natural
+        # token of the English-ish corpus under Finnish stemming.
+        # Default stoplist so the shared tokenization prelude stays a
+        # faithful mirror (the full LANGUAGE("fi") preset is pinned in
+        # tests/test_lang_fi.py instead). This completes the snowball
+        # family: every language the reference bundles has an
+        # exact-oracle entry.
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_fi as _stfi
+
+        return _derived_stem_topk(
+            spark, sf, "stemfi_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="fi")), _stfi,
+            forms=_STEM_FORMS_FI)
+
+    add("finnish_search_topk", _finnish_topk,
+        _stem_oracle_sql(_STEM_FORMS_FI))
+
     # ---------------- phonetic (Double Metaphone) search -----------------
 
     _DMETA_FORMS = ("knorzel", "gnorzel", "norzel")

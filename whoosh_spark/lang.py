@@ -2688,3 +2688,219 @@ azért akkor most mindig soha talán éppen szinte nagyon inkább ismét
 újra együtt át rá le fel ide oda vissza volt voltak lesz lenne lehet
 kell kellett minden mindenki semmi valami néhány több kevés sok
 """.split())
+
+
+# ----------------------------------------------------------------- Finnish
+# Snowball Finnish stemmer (snowballstem.org "finnish" algorithm) — the
+# stemmer LanguageAnalyzer("fi") selects in the reference via
+# lang.stemmer_for_language (reference data: src/whoosh/lang/snowball/
+# finnish.py + lang/stopwords.py 'fi'). Independent implementation from
+# the PUBLISHED algorithm description (the reference mount is empty —
+# SURVEY "Provenance"); parity pinned by hand-executed vectors in
+# tests/test_lang_fi.py. Finnish is a two-region agglutinative stemmer:
+# ordered particle / possessive / case / comparative steps, an i- or
+# t-plural step selected by whether a CASE ending was removed, and a
+# four-rule tidy pass plus a final double-consonant undouble. Every
+# look-behind honours Snowball's setlimit-to-R1 window: a condition
+# character that sits before R1 is unreadable and fails its test (so a
+# `not 'k'` look-behind SUCCEEDS at the window edge).
+
+_FI_VOWELS = set("aeiouyäö")
+_FI_V2 = set("aeiouäö")            # restricted vowel (no y), the Vi test
+_FI_AEI = set("aäei")
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_PARTICLE_END = _FI_VOWELS | {"n", "t"}
+
+_FI_PARTICLES = ("kin", "kaan", "kään", "ko", "kö", "han", "hän",
+                 "pa", "pä", "sti")
+_FI_POSS = ("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en")
+_FI_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o", "hun": "u",
+           "hyn": "y", "hän": "ä", "hön": "ö"}
+_FI_CASE_PLAIN = ("ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä",
+                  "lta", "ltä", "lle", "na", "nä", "ksi", "ine")
+_FI_CASES = (tuple(_FI_HXN) + ("siin", "den", "tten", "seen", "a", "ä",
+                               "tta", "ttä", "n") + _FI_CASE_PLAIN)
+_FI_OTHER = ("mpi", "mpa", "mpä", "mmi", "mma", "mmä",
+             "impi", "impa", "impä", "immi", "imma", "immä",
+             "eja", "ejä")
+
+
+def _fi_regions(word: str) -> tuple[int, int]:
+    def scan(start: int) -> int:
+        for i in range(start, len(word) - 1):
+            if word[i] in _FI_VOWELS and word[i + 1] not in _FI_VOWELS:
+                return i + 2
+        return len(word)
+
+    r1 = scan(0)
+    return r1, scan(r1)
+
+
+def _fi_ends_long(word: str, r1: int) -> bool:
+    # a final long vowel, readable inside the R1 window
+    return (len(word) >= 2 and len(word) - 2 >= r1
+            and word[-2:] in _FI_LONG)
+
+
+def stem_fi(word: str) -> str:
+    """Snowball-Finnish-stem one lowercase word."""
+    word = word.lower()
+    r1, r2 = _fi_regions(word)
+
+    # ---- step 1: particles etc. (window = R1)
+    suf = _de_longest(word, _FI_PARTICLES)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if pos >= r1:
+            if suf == "sti":
+                if pos >= r2:
+                    word = word[:pos]
+            elif pos - 1 >= r1 and word[pos - 1] in _FI_PARTICLE_END:
+                word = word[:pos]
+
+    # ---- step 2: possessives (window = R1)
+    suf = _de_longest(word, _FI_POSS)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if pos >= r1:
+            if suf == "si":
+                # not preceded by k — an unreadable look-behind counts
+                # as "not k" success
+                if pos - 1 < r1 or word[pos - 1] != "k":
+                    word = word[:pos]
+            elif suf == "ni":
+                word = word[:pos]
+                if word.endswith("kse") and len(word) - 3 >= 0:
+                    word = word[:-1] + "i"
+            elif suf in ("nsa", "nsä", "mme", "nne"):
+                word = word[:pos]
+            elif suf == "an":
+                if any(word.endswith(p, r1 if pos - len(p) < r1 else 0,
+                                     pos) and pos - len(p) >= r1
+                       for p in ("ta", "ssa", "sta", "lla", "lta", "na")):
+                    word = word[:pos]
+            elif suf == "än":
+                if any(word.endswith(p, 0, pos) and pos - len(p) >= r1
+                       for p in ("tä", "ssä", "stä", "llä", "ltä", "nä")):
+                    word = word[:pos]
+            else:  # en
+                if any(word.endswith(p, 0, pos) and pos - len(p) >= r1
+                       for p in ("lle", "ine")):
+                    word = word[:pos]
+
+    # ---- step 3: cases (window = R1); success selects the i-plural
+    ending_removed = False
+    suf = _de_longest(word, _FI_CASES)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if pos >= r1:
+            if suf in _FI_HXN:
+                # illative -hVn where V copies the preceding vowel
+                if pos - 1 >= r1 and word[pos - 1] == _FI_HXN[suf]:
+                    word = word[:pos]
+                    ending_removed = True
+            elif suf in ("siin", "den", "tten"):
+                # preceded by Vi (restricted vowel + i)
+                if (pos - 2 >= r1 and word[pos - 1] == "i"
+                        and word[pos - 2] in _FI_V2):
+                    word = word[:pos]
+                    ending_removed = True
+            elif suf == "seen":
+                if pos - 2 >= r1 and word[pos - 2:pos] in _FI_LONG:
+                    word = word[:pos]
+                    ending_removed = True
+            elif suf in ("a", "ä"):
+                # preceded by consonant + vowel
+                if (pos - 2 >= r1 and word[pos - 1] in _FI_VOWELS
+                        and word[pos - 2] not in _FI_VOWELS):
+                    word = word[:pos]
+                    ending_removed = True
+            elif suf in ("tta", "ttä"):
+                if pos - 1 >= r1 and word[pos - 1] == "e":
+                    word = word[:pos]
+                    ending_removed = True
+            elif suf == "n":
+                word = word[:pos]
+                ending_removed = True
+                if _fi_ends_long(word, r1) or (
+                        len(word) - 2 >= r1 and word.endswith("ie")):
+                    word = word[:-1]
+            else:
+                word = word[:pos]
+                ending_removed = True
+
+    # ---- step 4: other endings (comparatives etc., window = R2)
+    suf = _de_longest(word, _FI_OTHER)
+    if suf is not None:
+        pos = len(word) - len(suf)
+        if pos >= r2:
+            if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+                if not word.endswith("po", 0, pos):
+                    word = word[:pos]
+            else:
+                word = word[:pos]
+
+    # ---- step 5: plurals — i-plural when a case ending was removed,
+    # else the t-plural (which may expose a superlative mma/imma in R2)
+    if ending_removed:
+        if word and word[-1] in "ij" and len(word) - 1 >= r1:
+            word = word[:-1]
+    else:
+        if (word.endswith("t") and len(word) - 1 >= r1
+                and len(word) - 2 >= r1 and word[-2] in _FI_VOWELS):
+            word = word[:-1]
+            suf = _de_longest(word, ("imma", "mma"))
+            if suf is not None and len(word) - len(suf) >= r2:
+                if suf == "imma" or not word.endswith(
+                        "po", 0, len(word) - 3):
+                    word = word[: len(word) - len(suf)]
+
+    # ---- step 6: tidying (four R1-window rules, then the global
+    # double-consonant undouble)
+    if _fi_ends_long(word, r1):
+        word = word[:-1]
+    if (word and word[-1] in _FI_AEI and len(word) - 1 >= r1
+            and len(word) - 2 >= r1 and word[-2] not in _FI_VOWELS):
+        word = word[:-1]
+    if (word.endswith("j") and len(word) - 1 >= r1
+            and len(word) - 2 >= r1 and word[-2] in "ou"):
+        word = word[:-1]
+    if (word.endswith("o") and len(word) - 1 >= r1
+            and len(word) - 2 >= r1 and word[-2] == "j"):
+        word = word[:-1]
+    # final: a double consonant followed by zero or more vowels loses
+    # its last consonant (eläkk -> eläk, aatonaatto -> aatonaato)
+    j = len(word) - 1
+    while j >= 0 and word[j] in _FI_VOWELS:
+        j -= 1
+    if j >= 1 and word[j] not in _FI_VOWELS and word[j] == word[j - 1]:
+        word = word[:j] + word[j + 1:]
+
+    return word
+
+
+# The published Snowball Finnish stopword list (snowballstem.org
+# finnish/stop.txt) — forms of olla/ei, personal and demonstrative
+# pronoun paradigms, and the core conjunctions.
+SNOWBALL_STOP_FI = frozenset("""
+olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+olisimme olisitte olisivat olit olin olimme olitte olivat ollut olleet
+en et ei emme ette eivät minä minun minut minua minussa minusta minuun
+minulla minulta minulle sinä sinun sinut sinua sinussa sinusta sinuun
+sinulla sinulta sinulle hän hänen hänet häntä hänessä hänestä häneen
+hänellä häneltä hänelle me meidän meidät meitä meissä meistä meihin
+meillä meiltä meille te teidän teidät teitä teissä teistä teihin
+teillä teiltä teille he heidän heidät heitä heissä heistä heihin
+heillä heiltä heille tämä tämän tätä tässä tästä tähän tällä tältä
+tälle tänä täksi tuo tuon tuota tuossa tuosta tuohon tuolla tuolta
+tuolle tuona tuoksi se sen sitä siinä siitä siihen sillä siltä sille
+sinä siksi nämä näiden näitä näissä näistä näihin näillä näiltä
+näille näinä näiksi nuo noiden noita noissa noista noihin noilla
+noilta noille noina noiksi ne niiden niitä niissä niistä niihin
+niillä niiltä niille niinä niiksi kuka kenen kenet ketä kenessä
+kenestä keneen kenellä keneltä kenelle kenenä keneksi ketkä keitä
+keissä keistä keihin keillä keiltä keille keinä keiksi mikä minkä
+mitä missä mistä mihin millä miltä mille minä miksi kuin ja että
+joka kun niin sekä mutta vaan tai vai jos koska kuten itse juuri
+myös vielä vain jo nyt sitten tässä siellä täällä
+""".split())
