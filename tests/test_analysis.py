@@ -366,8 +366,8 @@ def test_language_preset_unsupported_raises():
 
     from whoosh_spark.analysis import LANGUAGE
 
-    with pytest.raises(NotImplementedError, match="snowball"):
-        LANGUAGE("tr")  # the full snowball family ships; non-snowball langs raise
+    with pytest.raises(NotImplementedError, match="Snowball"):
+        LANGUAGE("el")  # languages the reference does not bundle still raise
 
 
 def test_unknown_stem_variant_raises():

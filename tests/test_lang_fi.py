@@ -92,9 +92,10 @@ def test_language_fi_spec():
     assert LANGUAGE("finnish").stem == "fi"
     with pytest.raises(ValueError):
         AnalyzerSpec(stem="suomi")
-    # the snowball family is now COMPLETE: non-snowball languages raise
+    # the snowball family is now COMPLETE: only languages the
+    # reference does not bundle raise
     with pytest.raises(NotImplementedError):
-        LANGUAGE("tr")
+        LANGUAGE("el")
 
 
 def test_language_fi_chain():
@@ -135,3 +136,19 @@ def test_language_fi_end_to_end(spark):
     # Finnish stopwords are not indexed
     assert s.search(Q.Term("text", "siellä"), limit=10,
                     optimize=False).count() == 0
+
+
+def test_language_tr_stopwords_only():
+    # the reference bundles Turkish stopwords but no Turkish stemmer —
+    # LanguageAnalyzer('tr') is tokenize|lowercase|stop with NO stemming
+    # (the NoStemmer skip path)
+    import pandas as pd
+
+    from whoosh_spark.lang import STOP_TR
+
+    spec = LANGUAGE("tr")
+    assert spec.stem is False
+    assert spec.stoplist is STOP_TR
+    out = analyze_series(pd.Series(["bu evler ve arabalar"]), spec)
+    # 'bu'/'ve' are Turkish stopwords; the rest pass through UNstemmed
+    assert list(out.term) == ["evler", "arabalar"]

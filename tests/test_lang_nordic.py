@@ -108,7 +108,7 @@ def test_language_nordic_spec():
     assert LANGUAGE("no").stoplist is SNOWBALL_STOP_NO
     assert LANGUAGE("norwegian").stem == "no"
     with pytest.raises(NotImplementedError):
-        LANGUAGE("tr")
+        LANGUAGE("el")
     with pytest.raises(ValueError):
         AnalyzerSpec(stem="nope")
 

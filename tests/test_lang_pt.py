@@ -87,7 +87,7 @@ def test_language_pt_spec():
     assert spec.stoplist is SNOWBALL_STOP_PT
     assert LANGUAGE("portuguese").stem == "pt"
     with pytest.raises(NotImplementedError):
-        LANGUAGE("tr")
+        LANGUAGE("el")
     with pytest.raises(ValueError):
         AnalyzerSpec(stem="nope")
 

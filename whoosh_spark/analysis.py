@@ -253,12 +253,18 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         return AnalyzerSpec(stem="hu", stoplist=SNOWBALL_STOP_HU)
     if lang in ("fi", "fi_FI", "finnish"):
         return AnalyzerSpec(stem="fi", stoplist=SNOWBALL_STOP_FI)
+    if lang in ("tr", "tr_TR", "turkish"):
+        # the reference has Turkish STOPWORDS but no Turkish stemmer;
+        # its LanguageAnalyzer composes tokenize|lowercase|stop only
+        # (the try/except NoStemmer path) — mirror that exactly
+        from whoosh_spark.lang import STOP_TR
+        return AnalyzerSpec(stem=False, stoplist=STOP_TR)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
             f"LanguageAnalyzer({lang!r}): the COMPLETE Snowball family "
             "the reference bundles is implemented (en de es fr it pt ru "
-            "sv no da nl ro hu fi); other languages (e.g. 'tr', 'ar') "
-            "have no snowball stemmer in the reference either"
+            "sv no da nl ro hu fi) plus stopword-only Turkish; the one "
+            "remaining reference language is Arabic (ISRI stemmer)"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 

@@ -2904,3 +2904,26 @@ mitä missä mistä mihin millä miltä mille minä miksi kuin ja että
 joka kun niin sekä mutta vaan tai vai jos koska kuten itse juuri
 myös vielä vain jo nyt sitten tässä siellä täällä
 """.split())
+
+
+# ----------------------------------------------------------------- Turkish
+# Turkish stopword list — the reference bundles Turkish STOPWORDS but no
+# Turkish stemmer (src/whoosh/lang/stopwords.py 'tr'; there is no
+# snowball Turkish class in lang/snowball/), and its LanguageAnalyzer
+# silently composes tokenize|lowercase|StopFilter only when
+# stemmer_for_language raises (analysis/analyzers.py::LanguageAnalyzer's
+# try/except NoStemmer). LANGUAGE("tr") mirrors that: stoplist, no stem.
+STOP_TR = frozenset("""
+acaba ama ancak artık asla aslında az bana bazen bazı bazıları belki
+ben beni benim beş bile bir birçok biri birkaç birşey biz bize bizi
+bizim böyle böylece bu buna bunda bundan bunlar bunları bunu bunun
+burada bütün çok çünkü da daha de değil demek diğer diye dolayı dört
+elbette en fakat falan felan gibi hangi hani hatta hem henüz hep hepsi
+her herkes hiç hiçbir için içinde iki ile ilgili ise işte kaç kadar
+karşı kendi kendine kendini ki kim kime kimi kimin kimse madem mi mı
+mu mü nasıl ne neden nedir nerde nerede nereye niçin niye on ona ondan
+onlar onlara onlardan onları onların onu onun orada oysa öyle pek rağmen
+sana sen senden seni senin siz sizden sizi sizin son sonra şayet şey
+şimdi şöyle şu şuna şunları şunu tabi tamam tüm tümü üç üzere var ve
+veya ya yani yerine yine yoksa zaten zira
+""".split())
