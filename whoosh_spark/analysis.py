@@ -124,11 +124,11 @@ class AnalyzerSpec:
         # surface as retried task failures), nor silently fall back
         if self.stem not in (False, True, "porter", "porter2", "de", "es",
                              "fr", "it", "pt", "ru", "sv", "no", "da",
-                             "nl", "ro", "hu", "fi"):
+                             "nl", "ro", "hu", "fi", "ar"):
             raise ValueError(
                 f"unknown stem variant {self.stem!r}: use True/'porter', "
                 "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
-                "'no', 'da', 'nl', 'ro', 'hu', or 'fi'"
+                "'no', 'da', 'nl', 'ro', 'hu', 'fi', or 'ar'"
             )
 
     def compiled(self) -> re.Pattern:
@@ -259,12 +259,17 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
         # (the try/except NoStemmer path) — mirror that exactly
         from whoosh_spark.lang import STOP_TR
         return AnalyzerSpec(stem=False, stoplist=STOP_TR)
+    if lang in ("ar", "ar_SA", "arabic"):
+        # the reference's stemmer_for_language("ar") selects the ISRI
+        # root-extraction stemmer (lang/isri.py), not a snowball class
+        from whoosh_spark.lang import STOP_AR
+        return AnalyzerSpec(stem="ar", stoplist=STOP_AR)
     if lang not in ("en", "en_US", "english"):
         raise NotImplementedError(
-            f"LanguageAnalyzer({lang!r}): the COMPLETE Snowball family "
-            "the reference bundles is implemented (en de es fr it pt ru "
-            "sv no da nl ro hu fi) plus stopword-only Turkish; the one "
-            "remaining reference language is Arabic (ISRI stemmer)"
+            f"LanguageAnalyzer({lang!r}): EVERY language the reference "
+            "bundles is implemented — the 14 snowball languages, ISRI "
+            "Arabic, and stopword-only Turkish; other languages have no "
+            "stemmer/stoplist data in the reference either"
         )
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
@@ -394,6 +399,8 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             from whoosh_spark.lang import stem_hu as _stem
         elif spec.stem == "fi":
             from whoosh_spark.lang import stem_fi as _stem
+        elif spec.stem == "ar":
+            from whoosh_spark.lang import stem_ar as _stem
         elif spec.stem is True or spec.stem == "porter":
             from whoosh_spark.lang import stem as _stem
         else:
@@ -402,7 +409,7 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
             raise ValueError(
                 f"unknown stem variant {spec.stem!r}: use True/'porter', "
                 "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
-                "'no', 'da', 'nl', 'ro', 'hu', or 'fi'"
+                "'no', 'da', 'nl', 'ro', 'hu', 'fi', or 'ar'"
             )
 
         mapping = {u: _stem(u) for u in pd.unique(kept)}

@@ -3210,6 +3210,36 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     add("finnish_search_topk", _finnish_topk,
         _stem_oracle_sql(_STEM_FORMS_FI))
 
+    # NON-ASCII forms, deliberately (same reasoning as the Russian entry):
+    # ISRI operates on Arabic script, so an ASCII form can never exercise
+    # it. The oracle swaps the prelude tokenizer for [\w\p{Arabic}] —
+    # Arabic has no case, so lower() and length-counting mirror the
+    # Python analyzer exactly.
+    _STEM_FORMS_AR = ("الزرجل", "زرجلون", "والزرجل")
+    _AR_PATTERN_SQL = r"[\w\p{Arabic}]+(?:\.?[\w\p{Arabic}]+)*"
+
+    def _arabic_topk(spark, sf):
+        # Same derived-corpus trick for the ISRI ARABIC stemmer — the one
+        # non-snowball stemmer the reference bundles, selected by
+        # LanguageAnalyzer("ar") (lang.py::stem_ar, r4): الزرجل (al-
+        # prefix) / زرجلون (-un suffix) / والزرجل (wal- 3-prefix) all
+        # extract the invented 4-letter root زرجل, colliding with no
+        # natural token of the English-ish corpus. Default stoplist so
+        # the shared tokenization prelude stays a faithful mirror (the
+        # full LANGUAGE("ar") preset is pinned in tests/test_lang_ar.py
+        # instead).
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.fields import TEXT
+        from whoosh_spark.lang import stem_ar as _star
+
+        return _derived_stem_topk(
+            spark, sf, "stemar_ix",
+            TEXT("text", analyzer=AnalyzerSpec(stem="ar")), _star,
+            forms=_STEM_FORMS_AR)
+
+    add("arabic_search_topk", _arabic_topk,
+        _stem_oracle_sql(_STEM_FORMS_AR, pattern=_AR_PATTERN_SQL))
+
     # ---------------- phonetic (Double Metaphone) search -----------------
 
     _DMETA_FORMS = ("knorzel", "gnorzel", "norzel")

@@ -1178,14 +1178,15 @@ _WINDOW_FIRST = [
     "compound_search_topk", "substitution_search_topk",
     "accentfold_search_topk", "charset_tokenize_topk",
     "delimited_boost_topk", "path_lexicon",
-    # Slots 66-75: the r4-session-3 language-analyzer entries — Russian
+    # Slots 66-76: the r4-session-3 language-analyzer entries — Russian
     # (Cyrillic-prelude derived-corpus oracle), Portuguese, Swedish,
-    # Norwegian, Danish, Dutch, Romanian, Hungarian, and Finnish — the
-    # COMPLETE snowball family; same r5-window wait as slots 51-65.
+    # Norwegian, Danish, Dutch, Romanian, Hungarian, Finnish (the
+    # COMPLETE snowball family), and ISRI Arabic (Arabic-prelude oracle);
+    # same r5-window wait as slots 51-65.
     "russian_search_topk", "portuguese_search_topk",
     "swedish_search_topk", "norwegian_search_topk", "danish_search_topk",
     "dutch_search_topk", "romanian_search_topk", "hungarian_search_topk",
-    "finnish_search_topk",
+    "finnish_search_topk", "arabic_search_topk",
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first

@@ -2927,3 +2927,239 @@ sana sen senden seni senin siz sizden sizi sizin son sonra şayet şey
 şimdi şöyle şu şuna şunları şunu tabi tamam tüm tümü üç üzere var ve
 veya ya yani yerine yine yoksa zaten zira
 """.split())
+
+
+# ------------------------------------------------------------------ Arabic
+# ISRI Arabic stemmer (Taghva, Elkhoury & Coombs 2005, "Arabic Stemming
+# Without A Root Dictionary") — the stemmer the reference's
+# lang.stemmer_for_language("ar") selects (reference data:
+# src/whoosh/lang/isri.py + lang/stopwords.py 'ar'). Independent
+# implementation from the PUBLISHED paper's rule tables (the reference
+# mount is empty — SURVEY "Provenance"); parity pinned by hand-executed
+# vectors in tests/test_lang_ar.py. ISRI is a root-extraction stemmer:
+# diacritic normalization, length-3/2 prefix and suffix classes, the
+# connective-waw rule, initial-hamza normalization, then length-driven
+# pattern matching (awzan) that locates the 3- or 4-letter root inside
+# 4/5/6/7-letter words, falling back to single-letter affix removal.
+
+# affix classes (paper Tables 1-3)
+_AR_P3 = ("كال", "بال",
+          "ولل", "وال")     # كال بال ولل وال
+_AR_P2 = ("ال", "لل")                  # ال لل
+_AR_P1 = tuple("لبفسويتنا")
+_AR_S3 = ("تمل", "همل",
+          "تان", "تين",
+          "كمل")                             # تمل همل تان تين كمل
+_AR_S2 = ("ون", "ات", "ان", "ين",
+          "تن", "كم", "هن", "نا",
+          "يا", "ها", "تم", "كن",
+          "ني", "وا", "ما", "هم")
+_AR_S1 = tuple("ةهيكتان")
+
+# pattern tables: allowed non-root letters by position for 4-letter words
+# (pr4) and for the 3-letter-root patterns of 5-letter words (pr53)
+_AR_PR4 = {0: "م", 1: "ا", 2: "اوي", 3: "ة"}
+_AR_PR53 = {0: "ات", 1: "ايو",
+            2: "اتم", 3: "ميت",
+            4: "مت", 5: "او", 6: "ام"}
+
+import re as _re
+
+_AR_SHORT_VOWELS = _re.compile("[ً-ْ]")
+_AR_INITIAL_HAMZA = _re.compile("^[آأإ]")
+
+# high-frequency words the ISRI pass returns unstemmed (the paper keeps a
+# small function-word exception list; this is its common core)
+_AR_STOP = frozenset((
+    "يكون", "وليس",
+    "وكان", "كذلك",
+    "التي", "وبين",
+    "عليها", "الذي",
+    "وكانت", "ولكن",
+    "والتي", "تكون",
+    "اليوم", "اللذين",
+    "عليه", "كانت",
+    "لذلك", "أمام",
+    "هناك", "منها",
+    "الذين", "والذي",
+))
+
+
+def _ar_suf1(word: str) -> str:
+    if word and word[-1] in _AR_S1:
+        return word[:-1]
+    return word
+
+
+def _ar_pre1(word: str) -> str:
+    if word and word[0] in _AR_P1:
+        return word[1:]
+    return word
+
+
+def _ar_pro_w4(word: str) -> str:
+    # 4-letter word against the 3-root patterns مفعل فاعل فعال/فعول/فعيل فعلة
+    if word[0] in _AR_PR4[0]:
+        return word[1:]
+    if word[1] in _AR_PR4[1]:
+        return word[0] + word[2:]
+    if word[2] in _AR_PR4[2]:
+        return word[:2] + word[3]
+    if word[3] in _AR_PR4[3]:
+        return word[:-1]
+    word = _ar_suf1(word)
+    if len(word) == 4:
+        word = _ar_pre1(word)
+    return word
+
+
+def _ar_pro_w53(word: str) -> str:
+    # 5-letter word against the 3-root patterns (افتعل مفعول مفعلة مفتعل
+    # مفاعل فعالة انفعل افعال فعلان تفعيل فوعول فواعل فعائل فاعلة فعالي)
+    if word[2] in _AR_PR53[0] and word[0] == "ا":
+        return word[1] + word[3:]
+    if word[3] in _AR_PR53[1] and word[0] == "م":
+        return word[1:3] + word[4]
+    if word[0] in _AR_PR53[2] and word[4] == "ة":
+        return word[1:4]
+    if word[0] in _AR_PR53[3] and word[2] == "ت":
+        return word[1] + word[3:]
+    if word[0] in _AR_PR53[4] and word[2] == "ا":
+        return word[1] + word[3:]
+    if word[2] in _AR_PR53[5] and word[4] == "ة":
+        return word[:2] + word[3]
+    if word[0] in _AR_PR53[6] and word[1] == "ن":
+        return word[2:]
+    if word[3] == "ا" and word[0] == "ا":
+        return word[1:3] + word[4]
+    if word[4] == "ن" and word[3] == "ا":
+        return word[:3]
+    if word[3] == "ي" and word[0] == "ت":
+        return word[1:3] + word[4]
+    if word[3] == "و" and word[1] == "و":
+        return word[0] + word[2] + word[4]
+    if word[2] == "ا" and word[1] == "و":
+        return word[0] + word[3:]
+    if word[3] == "ئ" and word[2] == "ا":
+        return word[:2] + word[4]
+    if word[4] == "ة" and word[1] == "ا":
+        return word[0] + word[2:4]
+    if word[4] == "ي" and word[2] == "ا":
+        return word[:2] + word[3]
+    word = _ar_suf1(word)
+    if len(word) == 5:
+        word = _ar_pre1(word)
+    return word
+
+
+def _ar_pro_w54(word: str) -> str:
+    # 5-letter word against the 4-root patterns (تفعلل فعللة فعالل)
+    if word[0] in _AR_PR53[2]:
+        return word[1:]
+    if word[4] == "ة":
+        return word[:4]
+    if word[2] == "ا":
+        return word[:2] + word[3:]
+    return word
+
+
+def _ar_end_w5(word: str) -> str:
+    if len(word) == 4:
+        return _ar_pro_w4(word)
+    if len(word) == 5:
+        return _ar_pro_w54(word)
+    return word
+
+
+def _ar_pro_w6(word: str) -> str:
+    # 6-letter word against the 3-root patterns (استفعل/مستفعل مفعالة
+    # افتعال افعوعل تفاعيل)
+    if word.startswith(("است", "مست")):
+        return word[3:]
+    if (word[0] == "م" and word[3] == "ا"
+            and word[5] == "ة"):
+        return word[1:3] + word[4]
+    if (word[0] == "ا" and word[2] == "ت"
+            and word[4] == "ا"):
+        return word[1] + word[3] + word[5]
+    if (word[0] == "ا" and word[3] == "و"
+            and word[2] == word[4]):
+        return word[1] + word[4:]
+    if (word[0] == "ت" and word[2] == "ا"
+            and word[4] == "ي"):
+        return word[1] + word[3] + word[5]
+    word = _ar_suf1(word)
+    if len(word) == 6:
+        word = _ar_pre1(word)
+    return word
+
+
+def _ar_pro_w64(word: str) -> str:
+    # 6-letter word against the 4-root patterns (افعلال متفعلل)
+    if word[0] == "ا" and word[4] == "ا":
+        return word[1:4] + word[5]
+    if word.startswith("مت"):
+        return word[2:]
+    return word
+
+
+def _ar_end_w6(word: str) -> str:
+    if len(word) == 5:
+        word = _ar_pro_w53(word)
+        return _ar_end_w5(word)
+    if len(word) == 6:
+        return _ar_pro_w64(word)
+    return word
+
+
+def stem_ar(word: str) -> str:
+    """ISRI-stem one Arabic token (no-op for non-Arabic input)."""
+    word = _AR_SHORT_VOWELS.sub("", word)
+    if word in _AR_STOP:
+        return word
+    # length-3 then length-2 prefixes (the longer class needs the longer
+    # remainder guard)
+    if len(word) >= 6 and word.startswith(_AR_P3):
+        word = word[3:]
+    elif len(word) >= 5 and word.startswith(_AR_P2):
+        word = word[2:]
+    # length-3 then length-2 suffixes
+    if len(word) >= 6 and word.endswith(_AR_S3):
+        word = word[:-3]
+    elif len(word) >= 5 and word.endswith(_AR_S2):
+        word = word[:-2]
+    # connective waw: an initial وو loses one و
+    if len(word) >= 4 and word.startswith("وو"):
+        word = word[1:]
+    # initial hamza forms normalize to bare alif
+    word = _AR_INITIAL_HAMZA.sub("ا", word)
+
+    n = len(word)
+    if n == 4:
+        word = _ar_pro_w4(word)
+    elif n == 5:
+        word = _ar_pro_w53(word)
+        word = _ar_end_w5(word)
+    elif n == 6:
+        word = _ar_pro_w6(word)
+        word = _ar_end_w6(word)
+    elif n == 7:
+        word = _ar_suf1(word)
+        if len(word) == 7:
+            word = _ar_pre1(word)
+        if len(word) == 6:
+            word = _ar_pro_w6(word)
+            word = _ar_end_w6(word)
+    return word
+
+
+# Arabic stopword list — the reference bundles stopword data per language
+# (src/whoosh/lang/stopwords.py 'ar'); standard Arabic function words.
+STOP_AR = frozenset("""
+من في على أن إلى عن مع هذا هذه ذلك تلك التي الذي الذين ما لا لم لن لو
+كان كانت يكون تكون هو هي هم هن أنا نحن أنت كما لكن بل قد كل بعض غير
+بين عند عندما حتى إذا أو ثم منذ حيث هناك هنا أي أيضا فقط بعد قبل فوق
+تحت أمام خلف ضد نحو عبر خلال دون سوف ليس ليست إن لأن كيف متى أين لماذا
+الى اذا انه انها وهو وهي وقد وما ولا وان ومن وكان فيه فيها عليه عليها
+منه منها اليه اليها به بها له لها لهم اننا انني
+""".split())
