@@ -366,7 +366,7 @@ def test_language_preset_unsupported_raises():
 
     from whoosh_spark.analysis import LANGUAGE
 
-    with pytest.raises(NotImplementedError, match="Snowball"):
+    with pytest.raises(NotImplementedError, match="reference"):
         LANGUAGE("el")  # languages the reference does not bundle still raise
 
 

@@ -24,6 +24,7 @@ row-at-a-time Python UDFs.
 
 from __future__ import annotations
 
+import functools
 import re
 from dataclasses import dataclass, field
 
@@ -274,6 +275,34 @@ def LANGUAGE(lang: str = "en") -> AnalyzerSpec:
     return AnalyzerSpec(stem="porter2", stoplist=SNOWBALL_STOP_EN)
 
 
+_STEM_FN_NAMES = {
+    True: "stem", "porter": "stem", "porter2": "stem2",
+    "de": "stem_de", "es": "stem_es", "fr": "stem_fr", "it": "stem_it",
+    "pt": "stem_pt", "ru": "stem_ru", "sv": "stem_sv", "no": "stem_no",
+    "da": "stem_da", "nl": "stem_nl", "ro": "stem_ro", "hu": "stem_hu",
+    "fi": "stem_fi", "ar": "stem_ar",
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _stemmer_for(variant):
+    """Resolve a stem-variant name to its (pure) stemmer, wrapped in the
+    reference StemFilter's LRU (cachesize=50000 — morph.py::StemFilter
+    default) so repeated Arrow batches in one worker process reuse
+    stems across calls. An unknown name must NOT silently fall back to
+    classic Porter — the index would quietly diverge."""
+    name = _STEM_FN_NAMES.get(variant)
+    if name is None:
+        raise ValueError(
+            f"unknown stem variant {variant!r}: use True/'porter', "
+            "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
+            "'no', 'da', 'nl', 'ro', 'hu', 'fi', or 'ar'"
+        )
+    import whoosh_spark.lang as _lang
+
+    return functools.lru_cache(maxsize=50000)(getattr(_lang, name))
+
+
 @dataclass(frozen=True)
 class AnalyzedBatch:
     """Flat (row, term, pos) view of an analyzed batch of texts.
@@ -369,49 +398,10 @@ def analyze_series(texts: pd.Series, spec: AnalyzerSpec = STANDARD) -> AnalyzedB
     if boosts is not None:
         boosts = boosts[keep.to_numpy()]
     if spec.stem:
-        # stem per UNIQUE term (zipfian batches -> tiny vocabulary), the
-        # reference's StemFilter lru_cache trick vectorized via Series.map
-        if spec.stem == "porter2":
-            from whoosh_spark.lang import stem2 as _stem
-        elif spec.stem == "de":
-            from whoosh_spark.lang import stem_de as _stem
-        elif spec.stem == "es":
-            from whoosh_spark.lang import stem_es as _stem
-        elif spec.stem == "fr":
-            from whoosh_spark.lang import stem_fr as _stem
-        elif spec.stem == "it":
-            from whoosh_spark.lang import stem_it as _stem
-        elif spec.stem == "pt":
-            from whoosh_spark.lang import stem_pt as _stem
-        elif spec.stem == "ru":
-            from whoosh_spark.lang import stem_ru as _stem
-        elif spec.stem == "sv":
-            from whoosh_spark.lang import stem_sv as _stem
-        elif spec.stem == "no":
-            from whoosh_spark.lang import stem_no as _stem
-        elif spec.stem == "da":
-            from whoosh_spark.lang import stem_da as _stem
-        elif spec.stem == "nl":
-            from whoosh_spark.lang import stem_nl as _stem
-        elif spec.stem == "ro":
-            from whoosh_spark.lang import stem_ro as _stem
-        elif spec.stem == "hu":
-            from whoosh_spark.lang import stem_hu as _stem
-        elif spec.stem == "fi":
-            from whoosh_spark.lang import stem_fi as _stem
-        elif spec.stem == "ar":
-            from whoosh_spark.lang import stem_ar as _stem
-        elif spec.stem is True or spec.stem == "porter":
-            from whoosh_spark.lang import stem as _stem
-        else:
-            # an unknown stemmer name must NOT silently fall back to
-            # classic Porter — the index would quietly diverge
-            raise ValueError(
-                f"unknown stem variant {spec.stem!r}: use True/'porter', "
-                "'porter2', 'de', 'es', 'fr', 'it', 'pt', 'ru', 'sv', "
-                "'no', 'da', 'nl', 'ro', 'hu', 'fi', or 'ar'"
-            )
-
+        # stem per UNIQUE term (zipfian batches -> tiny vocabulary),
+        # vectorized via Series.map; _stemmer_for adds the reference's
+        # cross-call StemFilter LRU (cachesize=50000) per worker process
+        _stem = _stemmer_for(spec.stem)
         mapping = {u: _stem(u) for u in pd.unique(kept)}
         kept = kept.map(mapping)
     if spec.shingle_size is not None and spec.shingle_size > 1:
