@@ -84,7 +84,7 @@ def test_language_de_spec():
     assert spec.stoplist is SNOWBALL_STOP_DE
     assert LANGUAGE("german").stem == "de"
     with pytest.raises(NotImplementedError):
-        LANGUAGE("nl")
+        LANGUAGE("el")
     with pytest.raises(ValueError):
         AnalyzerSpec(stem="nope")
 

@@ -103,7 +103,7 @@ def test_language_es_spec():
     assert spec.stoplist is SNOWBALL_STOP_ES
     assert LANGUAGE("spanish").stem == "es"
     with pytest.raises(NotImplementedError):
-        LANGUAGE("nl")
+        LANGUAGE("el")
     with pytest.raises(ValueError):
         AnalyzerSpec(stem="nope")
 

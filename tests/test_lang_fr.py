@@ -105,7 +105,7 @@ def test_language_fr_spec():
     assert spec.stoplist is SNOWBALL_STOP_FR
     assert LANGUAGE("french").stem == "fr"
     with pytest.raises(NotImplementedError):
-        LANGUAGE("nl")
+        LANGUAGE("el")
     with pytest.raises(ValueError):
         AnalyzerSpec(stem="nope")
 

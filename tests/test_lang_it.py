@@ -80,7 +80,7 @@ def test_language_it_spec():
     assert spec.stoplist is SNOWBALL_STOP_IT
     assert LANGUAGE("italian").stem == "it"
     with pytest.raises(NotImplementedError):
-        LANGUAGE("nl")
+        LANGUAGE("el")
     with pytest.raises(ValueError):
         AnalyzerSpec(stem="nope")
 

@@ -95,7 +95,7 @@ def test_language_ru_spec():
     assert spec.stoplist is SNOWBALL_STOP_RU
     assert LANGUAGE("russian").stem == "ru"
     with pytest.raises(NotImplementedError):
-        LANGUAGE("nl")
+        LANGUAGE("el")
     with pytest.raises(ValueError):
         AnalyzerSpec(stem="nope")
 
