@@ -1037,9 +1037,18 @@ FROM documents
     # oracle (top-50 under the deterministic (count DESC, word ASC) cap
     # order, the same cap the trainer collects). The trainer + encoder are
     # an iterative merge recurrence (each rule rewrites the symbol
-    # sequences the next rule counts), not expressible in one SQL query —
-    # rows-only, with canonical-merge vectors, pure-python encode parity,
-    # roundtrip, and partitioning invariance pinned in tests/test_bpe.py.
+    # sequences the next rule counts) — r4 converts BOTH to an exact
+    # DuckDB oracle via two recursive CTEs (see text_bpe_encode below):
+    # the trainer as single-row state (vocab list + accumulated merge
+    # list, argmax pair per step under the (count DESC, pair ASC)
+    # tie-break), the encoder as per-distinct-word recursion applying the
+    # lowest-rank present pair until none applies. Merge application uses
+    # the double-space trick (gaps written as two spaces so replace() of
+    # ' a  b ' consumes one boundary space per side and adjacent
+    # occurrences still match — left-to-right non-overlapping, exactly
+    # _encode_word/_merge_vocab). Canonical-merge vectors, pure-python
+    # encode parity, roundtrip, and partitioning invariance stay pinned
+    # in tests/test_bpe.py.
 
     def _bpe_wc(spark, sf):
         from whoosh_spark.pipeline.bpe import bpe_word_counts
@@ -1070,8 +1079,9 @@ SELECT word, count(*)::BIGINT AS count FROM (
         # canonicalizer cannot hash (pandas sort_values over lists) — the
         # r3 red row. Render the token sequence as ONE space-joined string
         # (tokens never contain spaces: WORD_RE pieces + the </w> marker),
-        # lossless and order-preserving, so the rows-only check sees a
-        # flat (doc_id, tokens_str, n_tokens) frame.
+        # lossless and order-preserving, so the driver check sees a
+        # flat (doc_id, tokens_str, n_tokens) frame — hash-compared
+        # against the full recursive-CTE oracle below since r4.
         return bpe_encode(_docs(spark, sf), merges).select(
             "doc_id",
             F.concat_ws(" ", F.col("tokens")).alias("tokens_str"),
@@ -1081,7 +1091,122 @@ SELECT word, count(*)::BIGINT AS count FROM (
     add(
         "text_bpe_encode",
         _bpe_encode,
-        None,  # iterative merge recurrence; parity + roundtrip in tests
+        # Exact oracle for the FULL train->encode recurrence (r4; this was
+        # the registry's one rows-only-by-iteration entry and r3's red
+        # driver row). `train` mirrors bpe_train(num_merges=50,
+        # min_pair_count=2, max_vocab_words=50000): single-row state
+        # carrying the space-joined symbol vocab + the merge list; each
+        # step picks argmax pair by (count DESC, left ASC, right ASC) —
+        # the trainer's min((-count, pair)) tie-break — via LATERAL
+        # (HAVING >= 2 ends recursion exactly like the trainer's
+        # min_pair_count break). `enc` mirrors _encode_word per DISTINCT
+        # word: apply the lowest-rank pair present (list_position > 0 —
+        # DuckDB returns 0, not NULL, for absent) until none applies; the
+        # final row per word is its token sequence. Both use the
+        # double-space replace trick for left-to-right non-overlapping
+        # merge-all semantics. Verified equal to the Spark entry at
+        # sf0.001 AND sf0.01 (different corpora -> different learned
+        # merge tables).
+        r"""
+WITH RECURSIVE
+wc AS (
+  SELECT word, count(*)::BIGINT AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+    FROM documents)
+  GROUP BY word ORDER BY c DESC, word ASC LIMIT 50000
+),
+v0 AS (
+  SELECT list({'w': rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>',
+               'c': c}) AS vocab
+  FROM wc
+),
+train(i, vocab, merges) AS (
+  SELECT 0, (SELECT vocab FROM v0), []::VARCHAR[]
+  UNION ALL
+  SELECT i + 1,
+         list_transform(
+           vocab,
+           e -> {'w': trim(replace(
+                    replace(' ' || replace(e.w, ' ', '  ') || ' ',
+                            ' ' || best.pair_sp || ' ',
+                            ' ' || replace(best.pair, ' ', '') || ' '),
+                    '  ', ' ')),
+                 'c': e.c}),
+         list_append(merges, best.pair)
+  FROM train,
+       LATERAL (
+         SELECT pair, replace(pair, ' ', '  ') AS pair_sp, sum(c) AS cnt
+         FROM (
+           SELECT unnest(list_transform(
+                    range(1, len(string_split(e.w, ' '))),
+                    k -> string_split(e.w, ' ')[k] || ' ' ||
+                         string_split(e.w, ' ')[k + 1])) AS pair,
+                  e.c AS c
+           FROM unnest(train.vocab) AS t(e)
+         )
+         GROUP BY pair
+         HAVING sum(c) >= 2
+         ORDER BY cnt DESC, split_part(pair, ' ', 1) ASC,
+                  split_part(pair, ' ', 2) ASC
+         LIMIT 1
+       ) best
+  WHERE i < 50
+),
+mt AS (SELECT merges FROM train ORDER BY i DESC LIMIT 1),
+dw AS (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+    FROM documents)
+),
+enc(word, syms, it) AS (
+  SELECT word,
+         rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>',
+         0
+  FROM dw
+  UNION ALL
+  SELECT word,
+         trim(replace(
+           replace(' ' || replace(syms, ' ', '  ') || ' ',
+                   ' ' || replace(best.pair, ' ', '  ') || ' ',
+                   ' ' || replace(best.pair, ' ', '') || ' '),
+           '  ', ' ')),
+         it + 1
+  FROM enc,
+       LATERAL (
+         SELECT pair
+         FROM (
+           SELECT unnest(list_transform(
+                    range(1, len(string_split(enc.syms, ' '))),
+                    k -> string_split(enc.syms, ' ')[k] || ' ' ||
+                         string_split(enc.syms, ' ')[k + 1])) AS pair
+         )
+         WHERE list_position((SELECT merges FROM mt), pair) > 0
+         ORDER BY list_position((SELECT merges FROM mt), pair) ASC
+         LIMIT 1
+       ) best
+),
+encf AS (
+  SELECT word, syms
+  FROM enc
+  QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC) = 1
+),
+docw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS ord
+  FROM documents
+),
+perdoc AS (
+  SELECT d.doc_id,
+         string_agg(e.syms, ' ' ORDER BY d.ord) AS tokens_str,
+         sum(len(string_split(e.syms, ' ')))::INT AS n_tokens
+  FROM docw d JOIN encf e USING (word)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, coalesce(p.tokens_str, '') AS tokens_str,
+       coalesce(p.n_tokens, 0)::INT AS n_tokens
+FROM documents LEFT JOIN perdoc p USING (doc_id)
+""",
     )
 
     add(

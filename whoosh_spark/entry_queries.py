@@ -1111,7 +1111,10 @@ _REGISTRY_CACHE: dict | None = None
 # backlog — the list below IS the backlog, verified against
 # CORRECTNESS_r01-03.json at reorder time):
 # (1) slot 1: text_bpe_encode — r3's one red row, re-shaped to a flat
-#     schema (entry_pipeline.py projects tokens -> space-joined string);
+#     schema (entry_pipeline.py projects tokens -> space-joined string)
+#     AND converted from rows-only to an EXACT oracle (recursive-CTE
+#     mirror of the full train->encode recurrence), so the driver now
+#     hash-checks it;
 # (2) slots 2-11: brand-new r4 entries (TA-routed flagship shape, the
 #     German/Spanish/French/Italian stemmers, the Double Metaphone
 #     phonetic search over the r4-fixed word-boundary rules, the BiWord
