@@ -906,6 +906,58 @@ SELECT query_id, vec_id, round(raw, 4) AS cosine FROM (
         ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine")),
         None,  # approximate (PQ shortlist); recall + exact-rerank pinned in tests
     )
+
+    def _pq_lossless(spark, sf):
+        # Degenerate-config exact twin for the PQ tier (the last kernel
+        # family without one): sign-quantize the corpus (component ->
+        # +/-1) and hand ivf_pq_topk an EXPLICIT codebook holding every
+        # possible normalized subvector — all 2^dsub = 256 sign patterns
+        # x 0.125 (the normalized component: full-vector norm is
+        # sqrt(64) = 8 exactly). pq_encode then finds each subvector AT
+        # d2 = 0 (losslessly its own codeword), and every ADC table
+        # value is a multiple of 1/64 in [-1, 1] — EXACT in float32, no
+        # epsilon anywhere — so the ADC shortlist ranks by true cosine
+        # and the entry provably equals exact cosine top-k. Full probe
+        # (n_probe = n_clusters) removes IVF blind spots like
+        # ann_ivf_topk. The real kernels all run: k-means centroid
+        # train, mapInArrow assignment + encode, per-query ADC lookup
+        # tables, shortlist window, exact re-rank.
+        import numpy as np
+
+        cb = np.empty((8, 256, 8))
+        for c in range(256):
+            for b in range(8):
+                cb[:, c, b] = 0.125 if (c >> b) & 1 else -0.125
+        sign = lambda col: F.transform(
+            col, lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        ).alias("embedding")
+        e2 = _emb(spark, sf).select("vec_id", sign(F.col("embedding")))
+        return ivf_pq_topk(
+            e2, e2.where("vec_id < 3"),
+            n_clusters=4, n_probe=4, m=8, ksub=256, codebooks=cb,
+        ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+    add(
+        "ann_ivf_pq_lossless",
+        _pq_lossless,
+        """
+WITH s AS (
+  SELECT vec_id,
+         [CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END FOR x IN embedding] AS sv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, sv AS qv FROM s WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.sv::DOUBLE[]) AS raw
+  FROM s e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, round(raw, 4) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+""",
+    )
     add(
         "dedup_cluster_cosine_pairs",
         lambda spark, sf: cluster_neardup_pairs(

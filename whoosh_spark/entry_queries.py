@@ -1190,6 +1190,9 @@ _WINDOW_FIRST = [
     "swedish_search_topk", "norwegian_search_topk", "danish_search_topk",
     "dutch_search_topk", "romanian_search_topk", "hungarian_search_topk",
     "finnish_search_topk", "arabic_search_topk",
+    # (also waiting on the r5 window: ann_ivf_pq_lossless — the r4-late
+    # PQ exact twin, registered past this list so it sorts after all
+    # named slots; pytest-oracle-verified at sf0.001/0.01/0.1)
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first
