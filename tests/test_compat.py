@@ -337,3 +337,183 @@ def test_search_groupedby_and_filter_mask(spark, bigixdir):
     assert len(hits) == 9
     assert s.search("query engine", limit=None, unlimited=True,
                     filter=filt, mask=filt) == []
+
+
+def test_context_managers(spark, tmp_path_factory):
+    """The reference's canonical idioms: ``with ix.writer() as w:`` commits
+    on clean exit and cancels when the block raised (writing.py::
+    IndexWriter.__exit__); searcher/reader/index are context managers."""
+    path = str(tmp_path_factory.mktemp("compat_ctx") / "ix")
+    with compat.create_in(path, Schema(ID("docid", unique=True), TEXT("text")),
+                          spark) as ix:
+        with ix.writer() as w:
+            w.add_document(docid="a", text="alpha join")
+            w.add_document(docid="b", text="beta join")
+        assert ix.doc_count() == 2  # auto-committed
+
+        with pytest.raises(RuntimeError):
+            with ix.writer() as w:
+                w.add_document(docid="c", text="gamma")
+                raise RuntimeError("abort")
+        assert ix.doc_count() == 2  # cancelled, nothing visible
+
+        with ix.searcher() as s:
+            assert {h["docid"] for h in s.search("join")} == {"a", "b"}
+        with ix.reader() as r:
+            assert r.doc_frequency("text", "join") == 2
+
+
+def test_index_freshness_and_generations(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("compat_gen") / "ix")
+    ix = compat.create_in(path, Schema(TEXT("text")), spark)
+    assert ix.is_empty() and ix.latest_generation() == -1
+    with ix.writer() as w:
+        w.add_document(text="alpha beta")
+    assert not ix.is_empty()
+    g1 = ix.latest_generation()
+    assert g1 >= 0 and ix.last_modified() > 0
+    assert ix.up_to_date()  # writes through its own writer keep it current
+    s = ix.searcher()
+    other = compat.open_dir(ix.path, spark)
+    with ix.writer() as w:
+        w.add_document(text="gamma delta")
+    assert ix.latest_generation() > g1
+    assert ix.up_to_date()        # the committing handle
+    assert not s.up_to_date()     # the searcher pins its open-time snapshot
+    assert not other.up_to_date()  # a foreign handle went stale
+    fresh = other.refresh()
+    assert fresh.up_to_date() and fresh.doc_count() == 2
+    # a bare delete (no TOC swap, just the id-set write) also flips freshness
+    assert ix.delete_by_term("text", "alpha") > 0
+    assert ix.up_to_date() and not fresh.up_to_date()
+
+
+def test_hit_mapping_surface(spark, bigixdir):
+    s = compat.open_dir(bigixdir, spark).searcher()
+    h = s.search("different words")[0]
+    assert "docid" in h and "nope" not in h
+    assert sorted(h.keys()) == ["docid", "text"]
+    assert dict(h.items())["docid"] == "odd"
+    assert set(iter(h)) == {"docid", "text"} and len(h) == 2
+    # both the attribute (this facade's historical spelling) and the
+    # reference's method call return the stored fields
+    assert h.fields["docid"] == "odd"
+    assert h.fields() == dict(h.items())
+
+
+def test_results_introspection_and_setops(spark, bigixdir):
+    s = compat.open_dir(bigixdir, spark).searcher()
+    broad = s.search("query engine", limit=None, unlimited=True)
+    narrow = s.search("shard0", limit=None, unlimited=True)
+    assert not broad.is_empty() and broad.estimated_length() == len(broad)
+    assert narrow.docs() <= broad.docs() and len(narrow.docs()) == 9
+    assert list(broad.items())[0] == (broad[0].docnum, broad[0].score)
+    assert broad.fields(0) == dict(broad[0].items())
+    assert broad.score(0) == broad[0].score
+    assert broad.docnum(0) == broad[0].docnum
+
+    # filter keeps the intersection (and is a no-op on an empty other)
+    inter = s.search("query engine", limit=None, unlimited=True)
+    inter.filter(narrow)
+    assert inter.docs() == narrow.docs()
+    inter.filter(compat.Results())
+    assert inter.docs() == narrow.docs()
+
+    # extend appends only new docs; upgrade floats the other set's docs up
+    ext = s.search("shard0", limit=None, unlimited=True)
+    ext.extend(broad)
+    assert ext.docs() == broad.docs() and len(ext) == len(broad)
+    up = s.search("query engine", limit=None, unlimited=True)
+    up.upgrade(narrow)
+    assert {h.docnum for h in up[:9]} == narrow.docs()
+    uae = s.search("shard0", limit=None, unlimited=True)
+    uae.upgrade_and_extend(broad)
+    assert uae.docs() == broad.docs()
+
+    # matched-terms + facet introspection + results-level key terms
+    t = s.search("shard0 OR different", terms=True)
+    assert t.has_matched_terms() and t.matched_terms() == {"shard0", "different"}
+    assert not broad.has_matched_terms()
+    with pytest.raises(ValueError):
+        broad.matched_terms()
+    g = s.search("query engine", groupedby="docid", maptype="count")
+    assert g.facet_names() == ["docid"]
+    assert broad.facet_names() == []
+    kt = broad.key_terms("text", docs=10, numterms=3)
+    assert len(kt) == 3 and all(isinstance(term, str) for term, _ in kt)
+
+
+def test_reader_term_info_postings_and_iters(spark, bigixdir):
+    from whoosh_spark.util import quantized_length
+
+    r = compat.open_dir(bigixdir, spark).reader()
+    ti = r.term_info("text", "shard0")
+    assert ti.doc_frequency() == 9 and ti.weight() == 9.0
+    assert ti.max_weight() == 1.0
+    assert ti.min_id() == 0 and ti.max_id() == 24
+    assert ti.min_length() == ti.max_length() == quantized_length(6)
+    odd_ti = r.term_info("text", "different")
+    assert odd_ti.min_id() == odd_ti.max_id() == 25
+    assert odd_ti.min_length() == quantized_length(4)
+    with pytest.raises(KeyError):
+        r.term_info("text", "zzz_not_there")
+
+    s = compat.open_dir(bigixdir, spark).searcher()
+    shard0_ids = sorted(
+        h.docnum for h in s.search("shard0", limit=None, unlimited=True))
+    assert r.first_id("text", "shard0") == shard0_ids[0]
+    assert r.first_id("text", "different") == odd_ti.min_id()
+    with pytest.raises(KeyError):
+        r.first_id("text", "zzz_not_there")
+
+    posts = list(r.postings("text", "shard0"))
+    assert posts == [(d, 1.0) for d in shard0_ids]
+
+    by_prefix = list(r.iter_prefix("text", "shard"))
+    assert [t for t, _ in by_prefix] == ["shard0", "shard1", "shard2"]
+    assert [ti.doc_frequency() for _, ti in by_prefix] == [9, 8, 8]
+    allf = list(r.iter_field("text"))
+    assert [t for t, _ in allf] == r.lexicon("text")
+    tail = list(r.iter_from("text", "shard1"))
+    assert [t for t, _ in tail] == [t for t in r.lexicon("text") if t >= "shard1"]
+    assert r.indexed_field_names() == ["docid", "text"]
+    assert r.generation() >= 0
+
+
+def test_reader_deletions_and_has_vector(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("compat_del") / "ix")
+    ix = compat.create_in(
+        path, Schema(ID("docid", unique=True), TEXT("text")), spark)
+    with ix.writer() as w:
+        for i in range(4):
+            w.add_document(docid=f"d{i}", text=f"shared word token{i}")
+    s = ix.searcher()
+    ids = {d: s.document_number(docid=f"d{d}") for d in range(4)}
+    victim = ids[0]
+    survivors = sorted(v for k, v in ids.items() if k != 0)
+    r = ix.reader()
+    assert not r.has_deletions() and r.deleted_count() == 0
+    assert not r.is_deleted(victim)
+    assert r.first_id("text", "shared") == min(ids.values())
+
+    assert ix.delete_by_term("docid", "d0") == 1
+    r = ix.reader()
+    assert r.has_deletions() and r.deleted_count() == 1
+    assert r.is_deleted(victim) and not r.is_deleted(survivors[0])
+    # first_id skips deleted docs, like the reference's matcher
+    assert r.first_id("text", "shared") == survivors[0]
+    # the masked postings stream excludes the deleted doc too
+    assert [d for d, _ in r.postings("text", "shared")] == survivors
+
+    assert r.has_vector(survivors[0], "text")
+    assert not r.has_vector(victim, "text")   # deleted -> masked out
+    assert not r.has_vector(10_000, "text")   # no such doc
+    assert not r.has_vector(survivors[0], "nope")  # not an indexed field
+
+
+def test_searcher_suggest_and_document_numbers(spark, bigixdir):
+    s = compat.open_dir(bigixdir, spark).searcher()
+    assert s.suggest("text", "quary")[0] == "query"
+    nums = list(s.document_numbers(docid="odd"))
+    assert nums == [s.document_number(docid="odd")]
+    assert list(s.document_numbers(docid="nope")) == []

@@ -74,15 +74,26 @@ def exists_in(dirname: str) -> bool:
     return os.path.exists(os.path.join(dirname, _SCHEMA_FILE))
 
 
+class _HitFields(dict):
+    """The reference exposes stored fields as the METHOD ``Hit.fields()``;
+    this facade historically exposed the attribute ``hit.fields``. A
+    callable dict keeps both spellings working."""
+
+    def __call__(self) -> dict:
+        return self
+
+
 class Hit:
-    """One result row: stored fields + score (reference: searching.py::Hit)."""
+    """One result row: stored fields + score (reference: searching.py::Hit).
+    Dict-like over the stored fields (``in`` / iteration / keys / items),
+    matching the reference's Hit mapping surface."""
 
     __slots__ = ("fields", "score", "docnum", "_qterms", "matched_terms")
 
     def __init__(self, fields: dict, score: float, docnum: int,
                  qterms: dict[str, set] | None = None,
                  matched_terms: list[str] | None = None):
-        self.fields = fields
+        self.fields = _HitFields(fields)
         self.score = score
         self.docnum = docnum
         self._qterms = qterms or {}
@@ -95,6 +106,24 @@ class Hit:
 
     def get(self, name, default=None):
         return self.fields.get(name, default)
+
+    def __contains__(self, name) -> bool:
+        return name in self.fields
+
+    def __iter__(self):
+        return iter(self.fields)
+
+    def __len__(self) -> int:
+        return len(self.fields)
+
+    def keys(self):
+        return self.fields.keys()
+
+    def items(self):
+        return self.fields.items()
+
+    def values(self):
+        return self.fields.values()
 
     def highlights(self, fieldname: str, top: int = 2, fmt="upper",
                    fragmenter: str = "context") -> str:
@@ -114,12 +143,110 @@ class Hit:
 
 class Results(list):
     """List of Hits (reference: searching.py::Results — the commonly-used
-    surface: iteration, indexing, len, scored_length, groups)."""
+    surface: iteration, indexing, len, scored_length, groups, docnum set
+    ops, and the extend/filter/upgrade combinators)."""
 
     _groups: dict | None = None
+    _searcher: "CompatSearcher | None" = None
+    _fieldname: str | None = None
 
     def scored_length(self) -> int:
         return len(self)
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    def estimated_length(self) -> int:
+        """reference: Results.estimated_length — here the collected length
+        IS exact (the engine computed the full top-k)."""
+        return len(self)
+
+    def estimated_min_length(self) -> int:
+        return len(self)
+
+    def docs(self) -> set:
+        """Docnums of the hits (reference: Results.docs)."""
+        return {h.docnum for h in self}
+
+    def items(self):
+        """Yield (docnum, score) pairs (reference: Results.items)."""
+        for h in self:
+            yield (h.docnum, h.score)
+
+    def fields(self, n: int) -> dict:
+        """Stored fields of hit ``n`` (reference: Results.fields)."""
+        return dict(self[n].fields)
+
+    def score(self, n: int) -> float:
+        return self[n].score
+
+    def docnum(self, n: int) -> int:
+        return self[n].docnum
+
+    def has_matched_terms(self) -> bool:
+        """True when the search recorded matched terms — search(terms=True)
+        (reference: Results.has_matched_terms)."""
+        return any(h.matched_terms is not None for h in self)
+
+    def matched_terms(self) -> set:
+        """Union of the hits' matched term texts (reference:
+        Results.matched_terms returns (field, termbytes) pairs; this
+        facade records the matched texts)."""
+        if not self.has_matched_terms():
+            raise ValueError("search was not run with terms=True")
+        out: set = set()
+        for h in self:
+            out.update(h.matched_terms or [])
+        return out
+
+    def facet_names(self) -> list[str]:
+        """Names of the groupedby facets present (reference:
+        Results.facet_names)."""
+        return sorted(self._groups or {})
+
+    def key_terms(self, fieldname: str, docs: int = 10,
+                  numterms: int = 5, model: str = "bo1"):
+        """Key terms of the top ``docs`` hits (reference: Results.key_terms
+        — delegates to Searcher.key_terms over the leading docnums)."""
+        if self._searcher is None:
+            raise ValueError("these Results are detached from a searcher")
+        docnums = [h.docnum for h in self[:docs]]
+        return self._searcher.key_terms(docnums, fieldname, numterms, model)
+
+    # -- set-op combinators (reference: Results.extend/filter/upgrade —
+    # in-place edits over the collected hit lists, driver-side by nature) --
+
+    def extend(self, results) -> None:
+        """Append hits of ``results`` not already present (reference:
+        Results.extend)."""
+        have = self.docs()
+        super().extend(h for h in results if h.docnum not in have)
+
+    def filter(self, results) -> None:
+        """Remove hits that are NOT also in ``results`` (reference:
+        Results.filter keeps the intersection; a no-op when the other set
+        is empty, like the reference)."""
+        if not len(results):
+            return
+        keep = results.docs() if isinstance(results, Results) else {
+            h.docnum for h in results}
+        self[:] = [h for h in self if h.docnum in keep]
+
+    def upgrade(self, results, reverse: bool = False) -> None:
+        """Re-sort so hits also present in ``results`` float to the top
+        (bottom when ``reverse``) — relative order otherwise preserved
+        (reference: Results.upgrade)."""
+        other = results.docs() if isinstance(results, Results) else {
+            h.docnum for h in results}
+        inside = [h for h in self if h.docnum in other]
+        outside = [h for h in self if h.docnum not in other]
+        self[:] = outside + inside if reverse else inside + outside
+
+    def upgrade_and_extend(self, results) -> None:
+        """Extend with the other set's new hits, then upgrade its docs
+        (reference: Results.upgrade_and_extend)."""
+        self.extend(results)
+        self.upgrade(results)
 
     def groups(self, name: str | None = None) -> dict:
         """Facet groups from ``search(groupedby=...)`` (reference:
@@ -173,12 +300,87 @@ def _query_field_terms(q: "Q.Query") -> dict[str, set]:
     return out
 
 
+def _toc_fingerprint(path: str) -> tuple:
+    """Cheap content identity of the index's commit state: the TOC body
+    plus the delete/tombstone id-set file listings. Changes on every
+    commit, merge, and delete — the signal behind up_to_date()/refresh()
+    (the reference keys freshness on the TOC generation number; deletes
+    here live OUTSIDE the TOC, so they join the fingerprint)."""
+    parts: list = []
+    meta = os.path.join(path, "_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            parts.append(f.read())
+    for sub in ("_deletes", "_tombstones"):
+        d = os.path.join(path, sub)
+        if os.path.isdir(d):
+            parts.append(tuple(sorted(
+                (n, os.path.getsize(os.path.join(d, n)))
+                for n in os.listdir(d) if not n.startswith(".")
+            )))
+        else:
+            parts.append(None)
+    return tuple(parts)
+
+
 class CompatIndex:
     def __init__(self, spark: SparkSession, path: str, schema: Schema):
         self.spark = spark
         self.path = path
         self.schema = schema
         self._indexer = IncrementalIndexer(spark, path, schema)
+        self._opened_at = _toc_fingerprint(path)
+
+    # -- lifecycle (reference: Index.close/refresh/up_to_date/
+    #    latest_generation/last_modified — index.py::FileIndex ~L450) -----
+
+    def close(self) -> None:
+        """No-op: the index holds no locks or handles — readers open the
+        published TOC snapshot per call (the reference closes storage
+        file handles here)."""
+
+    def __enter__(self) -> "CompatIndex":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def is_empty(self) -> bool:
+        """reference: Index.is_empty — no documents ever committed."""
+        return self.doc_count_all() == 0
+
+    def latest_generation(self) -> int:
+        """Generation of the published term-stats tier, -1 before the
+        first non-empty commit (reference: latest_generation returns the
+        newest TOC gen on disk; our TOC swap republishes stats per
+        commit, so the stats generation is the commit counter once the
+        index is non-empty)."""
+        meta = os.path.join(self.path, "_meta.json")
+        if not os.path.exists(meta):
+            return -1
+        with open(meta) as f:
+            stats = json.load(f).get("stats")
+        return -1 if stats is None else int(stats["generation"])
+
+    def last_modified(self) -> float:
+        """Commit-point mtime (reference: Index.last_modified)."""
+        meta = os.path.join(self.path, "_meta.json")
+        return os.path.getmtime(meta) if os.path.exists(meta) else -1.0
+
+    def up_to_date(self) -> bool:
+        """True when no OTHER handle committed/deleted since this object
+        opened (reference: Index.up_to_date compares generations).
+        Writes through this index's own writer keep it up to date — its
+        searchers/readers open the published TOC per call anyway."""
+        return _toc_fingerprint(self.path) == self._opened_at
+
+    def _mark_current(self) -> None:
+        self._opened_at = _toc_fingerprint(self.path)
+
+    def refresh(self) -> "CompatIndex":
+        """Re-opened view of the current commit state (reference:
+        Index.refresh returns an up-to-date version of the index)."""
+        return open_dir(self.path, self.spark)
 
     # -- writing --------------------------------------------------------
 
@@ -189,7 +391,9 @@ class CompatIndex:
         ix = self._open()
         if ix is None:
             return 0
-        return _delete_by_term(self.spark, ix, fieldname, str(text))
+        n = _delete_by_term(self.spark, ix, fieldname, str(text))
+        self._mark_current()
+        return n
 
     # -- reading --------------------------------------------------------
 
@@ -230,11 +434,16 @@ class CompatIndex:
         ix = self._open()
         return 0 if ix is None else ix.doc_count
 
+    def field_length(self, fieldname: str) -> int:
+        """Total token count of one field (reference: Index.field_length)."""
+        return self.reader().field_length(fieldname)
+
     def optimize(self) -> None:
         """Merge all segments, expunging deletes (reference: Index.optimize)."""
         from whoosh_spark.indexing.segments import merge_segments
 
         merge_segments(self.spark, self.path)
+        self._mark_current()
 
 
 class CompatWriter:
@@ -250,6 +459,17 @@ class CompatWriter:
         self._updates: list[dict] = []
         self._deletes: list[tuple[str, str]] = []
         self._committed = False
+
+    def __enter__(self) -> "CompatWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        """``with ix.writer() as w:`` — commit on clean exit, cancel when
+        the block raised (reference: writing.py::IndexWriter.__exit__)."""
+        if exc_type is not None:
+            self.cancel()
+        elif not self._committed:
+            self.commit()
 
     def add_document(self, **fields) -> None:
         self._adds.append(fields)
@@ -318,6 +538,7 @@ class CompatWriter:
             adds = frame if adds is None else adds.unionByName(frame)
         if adds is not None:
             self.index._indexer.append_batch(adds, batch_id)
+        self.index._mark_current()
 
 
 class CompatSearcher:
@@ -327,6 +548,26 @@ class CompatSearcher:
         self._searcher = (
             None if self._six is None else Searcher(self._six, weighting)
         )
+        self._opened_at = _toc_fingerprint(index.path)
+
+    # -- lifecycle (reference: Searcher.close/up_to_date; ``with
+    #    ix.searcher() as s:`` is the reference's canonical idiom) --------
+
+    def close(self) -> None:
+        """No-op: the searcher's frames are lazy views over the TOC
+        snapshot taken at construction (the reference releases its reader
+        here)."""
+
+    def __enter__(self) -> "CompatSearcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def up_to_date(self) -> bool:
+        """True when nothing committed/deleted since this searcher opened
+        (reference: Searcher.up_to_date)."""
+        return _toc_fingerprint(self.index.path) == self._opened_at
 
     def _default_field(self) -> str:
         texts = self.index.schema.text_fields()
@@ -391,6 +632,7 @@ class CompatSearcher:
         if groupedby:
             res._groups = {groupedby: self._facet_groups(
                 q, groupedby, maptype, kw.get("filter"), kw.get("mask"))}
+        res._searcher = self
         return res
 
     def _facet_groups(self, q: "Q.Query", groupedby: str, maptype: str,
@@ -476,10 +718,19 @@ class CompatSearcher:
         stored = self._searcher.with_stored_fields(top, *self.index.schema.names())
         rows = stored.orderBy(*_order_cols({})).collect()
         names = self.index.schema.names()
-        return Results(
+        res = Results(
             Hit({c: r[c] for c in names}, float(r["score"]), int(r["doc_id"]))
             for r in rows
         )
+        res._searcher = self
+        return res
+
+    def suggest(self, fieldname: str, text: str, limit: int = 5,
+                maxdist: int = 2, prefix: int = 0) -> list[str]:
+        """reference: Searcher.suggest — shorthand for
+        corrector(fieldname).suggest(text, ...)."""
+        return self.corrector(fieldname).suggest(
+            text, limit=limit, maxdist=maxdist, prefix=prefix)
 
     def refresh(self) -> "CompatSearcher":
         return CompatSearcher(self.index, None if self._searcher is None
@@ -534,6 +785,77 @@ class CompatSearcher:
         for r in docs.toLocalIterator():
             yield {c: r[c] for c in names if c in r.__fields__}
 
+    def document_numbers(self, **kw):
+        """Yield every docnum matching the field values (reference:
+        Searcher.document_numbers) — same pushed-down scan as documents(),
+        projected to the id column only."""
+        docs = self.index._stored_docs()
+        if docs is None:
+            return
+        for k, v in kw.items():
+            docs = docs.where(docs[k] == v)
+        for r in docs.select("doc_id").toLocalIterator():
+            yield int(r["doc_id"])
+
+
+class TermInfo:
+    """Per-term statistics (reference: reading.py::TermInfo). The weight /
+    df / id-range numbers come straight off the index's pushed-down
+    lexicon row (build-time stats, NOT masked by lazy deletes — the
+    reference's TermInfo is likewise static per segment); min/max field
+    length probe the term's postings lazily on first call."""
+
+    def __init__(self, reader: "CompatReader", fieldname: str, text: str,
+                 row):
+        self._reader = reader
+        self._fieldname = fieldname
+        self._text = text
+        self._row = row
+        self._lens: tuple[int, int] | None = None
+
+    def weight(self) -> float:
+        """Total weight of the term across all docs."""
+        return float(self._row["total_weight"])
+
+    def doc_frequency(self) -> int:
+        return int(self._row["df"])
+
+    def max_weight(self) -> float:
+        """Highest per-doc weight (the block-max WAND bound's source)."""
+        return float(self._row["max_weight"])
+
+    def min_id(self) -> int:
+        return int(self._row["min_doc"])
+
+    def max_id(self) -> int:
+        return int(self._row["max_doc"])
+
+    def _lengths(self) -> tuple[int, int]:
+        if self._lens is None:
+            from pyspark.sql import functions as F
+
+            row = _first(
+                self._reader._ix.term_postings(
+                    self._fieldname, self._text, positions=False)
+                .agg(F.min("dl").alias("lo"), F.max("dl").alias("hi"))
+            )
+            lo = 0 if row is None or row["lo"] is None else int(row["lo"])
+            hi = 0 if row is None or row["hi"] is None else int(row["hi"])
+            self._lens = (lo, hi)
+        return self._lens
+
+    def min_length(self) -> int:
+        """Shortest field length among docs containing the term
+        (quantized, like every dl — SURVEY A.4)."""
+        return self._lengths()[0]
+
+    def max_length(self) -> int:
+        return self._lengths()[1]
+
+    def __repr__(self):
+        return (f"<TermInfo {self._fieldname}:{self._text!r} "
+                f"df={self.doc_frequency()} w={self.weight():.1f}>")
+
 
 class CompatReader:
     """IndexReader facade (reference: reading.py::IndexReader — the
@@ -553,11 +875,112 @@ class CompatReader:
         self.index = index
         self._ix = index._open()
 
+    # -- lifecycle ------------------------------------------------------
+
+    def close(self) -> None:
+        """No-op (reference: IndexReader.close releases file handles)."""
+
+    def __enter__(self) -> "CompatReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def generation(self) -> int:
+        """reference: IndexReader.generation — the TOC generation this
+        reader's snapshot came from."""
+        return self.index.latest_generation()
+
+    def indexed_field_names(self) -> list[str]:
+        """Names of the fields that carry postings (reference:
+        IndexReader.indexed_field_names)."""
+        return [fs.name for fs in self.index.schema.indexed_fields()]
+
     # -- vocabulary -------------------------------------------------------
 
     def lexicon(self, fieldname: str) -> list[str]:
         """All terms of one field, sorted (reference: IndexReader.lexicon)."""
         return [] if self._ix is None else self._ix.lexicon(fieldname)
+
+    def term_info(self, fieldname: str, text: str) -> TermInfo:
+        """Stats of one term (reference: IndexReader.term_info) — ONE
+        pushed-down lexicon point lookup; raises ``KeyError`` for an
+        unindexed term like the reference's TermNotFound."""
+        from pyspark.sql import functions as F
+
+        row = None if self._ix is None else _first(
+            self._ix.terms.where(
+                (F.col("field") == fieldname) & (F.col("term") == str(text))
+            )
+        )
+        if row is None:
+            raise KeyError(f"term not in index: {fieldname}:{text!r}")
+        return TermInfo(self, fieldname, str(text), row)
+
+    def first_id(self, fieldname: str, text: str) -> int:
+        """Lowest LIVE docnum containing the term (reference:
+        IndexReader.first_id goes through the matcher, which skips
+        deleted docs). Without deletes this is the lexicon row's min_doc
+        — zero posting decode; with deletes, one masked posting probe."""
+        from pyspark.sql import functions as F
+
+        if self._ix is None:
+            raise KeyError(f"term not in index: {fieldname}:{text!r}")
+        if getattr(self._ix, "deleted", None) is None and \
+                getattr(self._ix, "tombstones", None) is None:
+            return self.term_info(fieldname, text).min_id()
+        row = _first(
+            self._ix.term_postings(fieldname, str(text), positions=False)
+            .agg(F.min("doc_id").alias("lo"))
+        )
+        if row is None or row["lo"] is None:
+            raise KeyError(f"term not in index: {fieldname}:{text!r}")
+        return int(row["lo"])
+
+    def postings(self, fieldname: str, text: str):
+        """Yield (docnum, weight) docnum-ascending for one term
+        (reference: IndexReader.postings returns the leaf matcher; this
+        facade streams the rows via toLocalIterator — df-sized, block
+        -pruned decode, deletes masked like a matcher)."""
+        if self._ix is None:
+            raise KeyError(f"term not in index: {fieldname}:{text!r}")
+        rows = (
+            self._ix.term_postings(fieldname, str(text), positions=False)
+            .select("doc_id", "weight").orderBy("doc_id").toLocalIterator()
+        )
+        for r in rows:
+            yield (int(r["doc_id"]), float(r["weight"]))
+
+    def iter_field(self, fieldname: str, prefix: str = ""):
+        """Yield (termtext, TermInfo) term-ascending for one field
+        (reference: IndexReader.iter_field) — streamed off the sorted
+        lexicon; the prefix predicate pushes into the scan."""
+        if self._ix is None:
+            return
+        from pyspark.sql import functions as F
+
+        t = self._ix.terms.where(F.col("field") == fieldname)
+        if prefix:
+            t = t.where(F.col("term").startswith(prefix))
+        for r in t.orderBy("term").toLocalIterator():
+            yield (r["term"], TermInfo(self, fieldname, r["term"], r))
+
+    def iter_prefix(self, fieldname: str, prefix: str):
+        """reference: IndexReader.iter_prefix."""
+        return self.iter_field(fieldname, prefix=prefix)
+
+    def iter_from(self, fieldname: str, text: str):
+        """Yield (termtext, TermInfo) from ``text`` onward (reference:
+        IndexReader.iter_from) — a >= range predicate on the sorted
+        lexicon, row-group pruned."""
+        if self._ix is None:
+            return
+        from pyspark.sql import functions as F
+
+        t = self._ix.terms.where(
+            (F.col("field") == fieldname) & (F.col("term") >= str(text)))
+        for r in t.orderBy("term").toLocalIterator():
+            yield (r["term"], TermInfo(self, fieldname, r["term"], r))
 
     def __contains__(self, pair) -> bool:
         """``(fieldname, text) in reader`` (reference: IndexReader
@@ -705,6 +1128,41 @@ class CompatReader:
             return []
         rows = self._ix.vector(int(docnum), fieldname).collect()
         return [(r["term"], float(r["weight"])) for r in rows]
+
+    def has_vector(self, docnum: int, fieldname: str) -> bool:
+        """True when vector() would return terms for this doc (reference:
+        IndexReader.has_vector checks the field's vector format; here
+        every indexed field reconstructs vectors from postings, so this
+        is a one-row doc-filtered probe)."""
+        if self._ix is None or fieldname not in {
+                fs.name for fs in self.index.schema.indexed_fields()}:
+            return False
+        return _first(self._ix.vector(int(docnum), fieldname)) is not None
+
+    # -- deletions (reference: IndexReader.is_deleted/has_deletions —
+    #    lazy doc-id sets filtered at read time, SegmentReader ~L300) ----
+
+    def has_deletions(self) -> bool:
+        """True when any doc was deleted and not yet expunged by a merge
+        (reference: IndexReader.has_deletions)."""
+        return self.deleted_count() > 0
+
+    def deleted_count(self) -> int:
+        return self.index.doc_count_all() - self.index.doc_count()
+
+    def is_deleted(self, docnum: int) -> bool:
+        """Point probe of the (broadcast-sized) delete/tombstone id sets
+        (reference: IndexReader.is_deleted)."""
+        if self._ix is None:
+            return False
+        from pyspark.sql import functions as F
+
+        for idset in (getattr(self._ix, "deleted", None),
+                      getattr(self._ix, "tombstones", None)):
+            if idset is not None and _first(
+                    idset.where(F.col("doc_id") == int(docnum))) is not None:
+                return True
+        return False
 
 
 class CompatCorrector:
