@@ -1943,6 +1943,66 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """,
     )
 
+    # -------- model-based quality classifier (FineWeb/DCLM filter tier) ---
+    # multinomial NB trained distributed against the lang='en' gold class
+    # (the deterministic stand-in for "curated reference corpus");
+    # min_df=2 exercises the vocabulary pruning that bounds the model at
+    # web scale. Exact oracle: the whole train->score recurrence is
+    # count arithmetic, mirrored CTE-for-stage in DuckDB.
+    from whoosh_spark.pipeline.classify import nb_score, nb_train
+
+    _NB_COUNTS_CTE = """
+WITH toks AS (
+  SELECT doc_id, coalesce((lang = 'en')::INT, 0) AS y,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, sum(y) AS c_pos, sum(1 - y) AS c_neg
+  FROM toks GROUP BY term HAVING count(*) >= 2
+), tot AS (SELECT sum(c_pos) AS tp, sum(c_neg) AS tn, count(*) AS v FROM counts)
+"""
+
+    add(
+        "nb_quality_weights",
+        # top-20 most gold-indicative tokens by rounded llr (term ASC
+        # tiebreak — hapax-class terms share llr values exactly)
+        lambda spark, sf: nb_train(
+            _docs(spark, sf), F.col("lang") == "en", min_df=2
+        )
+        .select("term", F.round("llr", 4).alias("llr"))
+        .orderBy(F.desc("llr"), F.asc("term"))
+        .limit(20),
+        _NB_COUNTS_CTE
+        + """SELECT term,
+       round(ln((c_pos + 1) / (tp + v)) - ln((c_neg + 1) / (tn + v)), 4) AS llr
+FROM counts, tot
+ORDER BY llr DESC, term ASC LIMIT 20""",
+    )
+
+    add(
+        "nb_quality_scores",
+        # every document scored: prior + sum(tf * llr) over in-vocabulary
+        # tokens; out-of-vocab (min_df-pruned) tokens contribute 0, empty
+        # docs score the bare prior — the LEFT joins in both engines keep
+        # all rows
+        lambda spark, sf: nb_score(
+            _docs(spark, sf),
+            nb_train(_docs(spark, sf), F.col("lang") == "en", min_df=2),
+        ).select("doc_id", F.round("score", 4).alias("score")),
+        _NB_COUNTS_CTE
+        + """, w AS (
+  SELECT term, ln((c_pos + 1) / (tp + v)) - ln((c_neg + 1) / (tn + v)) AS llr
+  FROM counts, tot),
+prior AS (
+  SELECT ln((sum(coalesce((lang = 'en')::INT, 0)) + 1.0)
+           / (sum(1 - coalesce((lang = 'en')::INT, 0)) + 1.0)) AS p
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+s AS (SELECT doc_id, sum(tf * llr) AS part FROM tf JOIN w USING (term) GROUP BY doc_id)
+SELECT d.doc_id, round(p + coalesce(s.part, 0.0), 4) AS score
+FROM documents d LEFT JOIN s USING (doc_id), prior""",
+    )
+
     # ------------- streaming monitor: tumbling-window counts -------------
     from whoosh_spark.streaming.monitor import windowed_turn_counts
 

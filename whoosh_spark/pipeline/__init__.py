@@ -19,6 +19,11 @@ from whoosh_spark.pipeline.dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
 )
+from whoosh_spark.pipeline.classify import (  # noqa: F401
+    nb_filter,
+    nb_score,
+    nb_train,
+)
 from whoosh_spark.pipeline.multimodal import (  # noqa: F401
     decode_image,
     fake_decode_meta,
