@@ -1108,3 +1108,39 @@ def test_upsample_repeat_invariants(spark):
     assert abs(upsample_repeat(
         df.withColumn("w", F.lit(0.25)), "w").count() - 1250) < 120
     assert upsample_repeat(df.withColumn("w", F.lit(0.0)), "w").count() == 0
+
+
+def test_shard_shuffle_invariants(spark):
+    from whoosh_spark.pipeline.sampling import shard_shuffle
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    out = shard_shuffle(docs, 4).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # every shard's positions are a dense 0..n-1 range
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # partitioning invariance: identical (doc_id, shard, pos) under a
+    # different layout
+    base = sorted((r["doc_id"], r["shard"], r["pos"]) for r in out)
+    shuf = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_shuffle(docs.repartition(7), 4).collect())
+    assert shuf == base
+    # a different salt produces a different order (the shuffle actually
+    # shuffles), but the same shard-size profile up to hash variation
+    alt = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_shuffle(docs, 4, salt="other").collect())
+    assert alt != base
+    # n_shards=1 degenerates to one total order over the whole corpus
+    one = shard_shuffle(docs, 1).collect()
+    assert {r["shard"] for r in one} == {0}
+    assert sorted(r["pos"] for r in one) == list(range(200))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        shard_shuffle(docs, 0)

@@ -4987,6 +4987,29 @@ WHERE n.n > 0
 """,
     )
 
+    # ---------- deterministic shard shuffle (training-order stage) --------
+    from whoosh_spark.pipeline.sampling import shard_shuffle
+
+    add(
+        "sample_shard_shuffle",
+        # global shuffle into 4 training shards: shard + in-shard position
+        # as pure functions of md5('shuf:'||doc_id) — the oracle rebuilds
+        # the identical order, pinning hash, modulus, and the
+        # tie-break-on-key total order end to end
+        lambda spark, sf: shard_shuffle(_docs(spark, sf), 4).select(
+            "doc_id", "shard", "pos"),
+        """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents)
+SELECT doc_id, (h % 4)::INT AS shard,
+       (row_number() OVER (PARTITION BY h % 4 ORDER BY h ASC, doc_id ASC)
+        - 1)::BIGINT AS pos
+FROM h
+""",
+    )
+
     return reg
 
 

@@ -73,6 +73,7 @@ from whoosh_spark.pipeline.temporal import asof_join, lookback_join  # noqa: F40
 from whoosh_spark.pipeline.sampling import (  # noqa: F401
     hash_sample,
     proportional_sample,
+    shard_shuffle,
     stratified_sample,
     token_budget_sample,
     weighted_hash_sample,

@@ -162,6 +162,35 @@ def token_budget_sample(docs: DataFrame, budgets: dict, by: str = "lang",
     )
 
 
+def shard_shuffle(docs: DataFrame, n_shards: int,
+                  key_col: str = "doc_id",
+                  salt: str = "shuf") -> DataFrame:
+    """Deterministic global training-order shuffle into ``n_shards``
+    output shards: every row gets a ``shard`` in [0, n_shards) and a
+    0-based ``pos`` within its shard, both pure functions of
+    md5(salt:key) — the "shuffle the tokenized corpus before writing
+    training shards" stage, reproducible under any partitioning or
+    cluster size (a seeded ``orderBy(rand())`` is neither).
+
+    Ties in the 32-bit hash break on the raw key so the order is total.
+    Scale shape: ONE shuffle keyed on ``shard`` (the window partition),
+    then a per-shard external sort — exactly the work a shard writer
+    does anyway (repartition + sortWithinPartitions), with ``pos`` as
+    the materialized rank. Each shard holds |corpus|/n_shards rows;
+    pick n_shards so that stays executor-sized at the target scale."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _hash_u32(key_col, salt)
+    win = (Window.partitionBy("shard")
+           .orderBy(F.col("_h").asc(), F.col(key_col).asc()))
+    return (
+        docs.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(win) - 1).cast("long"))
+        .drop("_h")
+    )
+
+
 def upsample_repeat(docs: DataFrame, weight_col: str,
                     key_col: str = "doc_id",
                     salt: str = "rep") -> DataFrame:
