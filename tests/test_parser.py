@@ -234,6 +234,25 @@ def test_variation_forms_irregular():
     assert "join" in variation_forms("joining")
 
 
+def test_variation_forms_derivational():
+    """morph_en long tail: derivational families generate both ways
+    (absent forms are pruned by the lexicon intersection downstream)."""
+    from whoosh_spark.query.nodes import variation_forms
+
+    f = variation_forms("compute")
+    assert {"computation", "computations", "computable", "computing",
+            "computer"} <= set(f)
+    g = variation_forms("computation")
+    assert {"compute", "computate", "computations"} <= set(g)
+    assert "activate" in variation_forms("activation")
+    assert "optimization" in variation_forms("optimize")
+    assert "optimize" in variation_forms("optimized")
+    assert {"joinment", "joinable", "joinful"} <= set(variation_forms("join"))
+    assert "align" in variation_forms("alignment")
+    # generation stays bounded (query-side Or width)
+    assert len(variation_forms("optimize")) < 100
+
+
 def test_nl_time_of_day():
     from whoosh_spark.fields import DATETIME, Schema, TEXT
 

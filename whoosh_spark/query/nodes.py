@@ -305,8 +305,23 @@ def variation_forms(word: str) -> list[str]:
     ):
         dbl = word + word[-1]
         forms.update({dbl + "ing", dbl + "ed", dbl + "er", dbl + "est"})
+    # derivational families (reference: lang/morph_en.py — LiteMorph's
+    # rule table also generates derivational candidates; erring wide is
+    # safe because the lexicon intersection downstream prunes absent
+    # forms, exactly like the reference's expansion-then-lookup)
+    deriv_stems = {word}
+    if word.endswith("e") and len(word) > 2:
+        deriv_stems.add(word[:-1])  # compute -> computation/computable
+    for stem in deriv_stems:
+        for suf in ("ment", "ion", "ation", "ity", "able", "ible", "ive",
+                    "al", "ous", "ful", "less", "ish", "ize"):
+            forms.add(stem + suf)
+            forms.add(stem + suf + "s")
+        forms.update({stem + "ized", stem + "izing"})
     for suf in ("iness", "ness", "iest", "ily", "ier", "ing", "ied", "ies",
-                "est", "ed", "er", "es", "ly", "s"):
+                "est", "ed", "er", "es", "ly", "s",
+                "ations", "ation", "ments", "ment", "ions", "ion",
+                "ity", "able", "ible", "ive", "ous", "ful", "less", "ish"):
         if word.endswith(suf) and len(word) - len(suf) >= 2:
             base = word[: len(word) - len(suf)]
             if suf in ("iness", "iest", "ily", "ier"):
@@ -314,6 +329,8 @@ def variation_forms(word: str) -> list[str]:
             forms.add(base)
             if suf not in ("ly", "ness"):
                 forms.add(base + "e")
+            if suf in ("ations", "ation", "ions", "ion"):
+                forms.add(base + "ate")  # activation -> activate
             # reverse doubling: hopping -> hop
             if len(base) >= 3 and base[-1] == base[-2] and base[-1] not in _VOWELS:
                 forms.add(base[:-1])
