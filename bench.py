@@ -251,6 +251,17 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
         "p_bigram_lm",
         lambda: bigram_logprob(raw_docs).agg(F.sum("mean_logprob")).collect(),
     )
+    # model-based quality classifier (FineWeb/DCLM filter tier): NB llr
+    # train (one term groupBy) + whole-corpus score (tf groupBy + term
+    # join + doc groupBy)
+    from whoosh_spark.pipeline.classify import nb_score, nb_train
+
+    timed(
+        "p_nb_classifier",
+        lambda: nb_score(
+            raw_docs, nb_train(raw_docs, F.col("lang") == "en", min_df=2)
+        ).agg(F.sum("score")).collect(),
+    )
 
     # time-axis transcript analytics (sixth wave): the (ts, tool) suite
     # over 500k jittered-timestamp synth turns — session_stats (lag +

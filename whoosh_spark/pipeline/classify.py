@@ -51,6 +51,7 @@ def nb_train(
     positive: Column,
     text_col: str = "text",
     min_df: int = 1,
+    eager: bool = True,
 ) -> DataFrame:
     """Train a multinomial NB token model -> (term, llr, prior).
 
@@ -65,6 +66,12 @@ def nb_train(
     repeated on every row so the model stays a single self-contained
     DataFrame (scoring reads it back via a 1-row limit, never a
     collect).
+
+    ``eager`` pins the count table via ``localCheckpoint`` so the totals
+    aggregate and the per-term weights share ONE materialized token pass
+    instead of re-running the explode+groupBy lineage twice (the same
+    pattern as ``sketch.bloom_contains``); pass ``eager=False`` to stay
+    fully lazy.
     """
     y = F.when(positive, F.lit(1)).otherwise(F.lit(0))
     toks = docs.select(
@@ -78,6 +85,8 @@ def nb_train(
         )
         .where((F.col("c_pos") + F.col("c_neg")) >= F.lit(min_df))
     )
+    if eager:
+        counts = counts.localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("c_pos").alias("t_pos"),
         F.sum("c_neg").alias("t_neg"),
