@@ -410,3 +410,50 @@ def test_aggregation_suite_plan_shapes(spark):
     assert "BroadcastHashJoin" in p2  # match set broadcasts onto postings
     assert p2.count("Window [") == 1  # one bounded per-bucket window exec
     assert "PythonUDF" not in p2 and "ArrowEval" not in p2
+
+
+def test_nb_classifier_plan_shapes(spark):
+    """nb_train: the count table builds as ONE map-side-combined groupBy
+    (partial + final HashAggregate around one Exchange) over pure JVM
+    expressions, and the totals/prior attach via broadcast — no shuffle
+    join, no Python. nb_score: the weights side joins the per-doc tf
+    stream without a cartesian, and the final top-level plan carries no
+    Python either."""
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.pipeline.classify import nb_score, nb_train
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join word{i % 11} term{i % 5}", "en" if i % 2 else "de")
+         for i in range(200)],
+        "doc_id long, text string, lang string")
+    # train with eager=False so the FULL lineage (counts included) is
+    # visible in one plan
+    w = nb_train(docs, F.col("lang") == "en", min_df=2, eager=False)
+    p = _plan(w)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+    # the counts sub-plan is a partial agg: at least one Exchange carries
+    # partial_sum on both class counters
+    assert "partial_sum" in p.lower() or p.count("HashAggregate") >= 2
+
+    s = nb_score(docs, nb_train(docs, F.col("lang") == "en", min_df=2))
+    p2 = _plan(s)
+    assert "CartesianProduct" not in p2
+    assert "PythonUDF" not in p2 and "ArrowEval" not in p2
+
+
+def test_shard_shuffle_single_exchange(spark):
+    """shard_shuffle = ONE hash Exchange on the shard key + an in-partition
+    sort under the window — no global (single-partition) exchange, no
+    Python."""
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.pipeline.sampling import shard_shuffle
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    p = _plan(shard_shuffle(docs, 8))
+    assert len(re.findall(r"\bExchange\b", p)) == 1
+    assert "SinglePartition" not in p
+    assert "PythonUDF" not in p and "ArrowEval" not in p
