@@ -954,6 +954,26 @@ def test_curation_labels_keep_best_quality(spark, docs):
                for r in best if r.cluster_canonical)
 
 
+def test_curation_labels_classifier_stage(spark, docs):
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.pipeline import curation_labels, nb_score, nb_train
+
+    w = nb_train(docs, F.length("text") > 20)
+    base = {r.doc_id: r for r in curation_labels(docs).collect()}
+    clf = {r.doc_id: r for r in
+           curation_labels(docs, classifier_weights=w,
+                           classifier_min=0.0).collect()}
+    scores = {r.doc_id: r.score for r in nb_score(docs, w).collect()}
+    assert set(clf) == set(base)
+    for i, r in clf.items():
+        assert r.clf_score == scores[i]
+        # keep = base keep AND the classifier gate; never newly true
+        assert r.keep == (base[i].keep and scores[i] >= 0.0)
+    # default path is unchanged (no clf_score column)
+    assert "clf_score" not in base[next(iter(base))].__fields__
+
+
 # ---------------------- FFD boundary-preserving packing ---------------------
 
 

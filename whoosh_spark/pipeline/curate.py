@@ -28,9 +28,11 @@ from whoosh_spark.pipeline.textstats import langid, quality_scores
 def curation_labels(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", quality_min: float = 0.05,
                     jaccard_threshold: float = 0.8,
-                    keep_best_quality: bool = False) -> DataFrame:
+                    keep_best_quality: bool = False,
+                    classifier_weights: DataFrame | None = None,
+                    classifier_min: float = 0.0) -> DataFrame:
     """(doc_id, lang_pred, quality, exact_canonical, cluster_id,
-    cluster_canonical, keep) for every doc.
+    cluster_canonical[, clf_score], keep) for every doc.
 
     keep = exact_canonical AND cluster_canonical AND quality >=
     quality_min — keep one representative per exact group and per
@@ -42,6 +44,11 @@ def curation_labels(docs: DataFrame, text_col: str = "text",
     :func:`~whoosh_spark.pipeline.dedup.select_canonical`) instead of
     min-id — the FineWeb/Dolma keep-the-best-copy rule; exact-group
     canonicals stay min-id (identical texts have identical quality).
+
+    ``classifier_weights`` (a :func:`~whoosh_spark.pipeline.classify.
+    nb_train` model) adds the model-based filter tier: a ``clf_score``
+    column and ``AND clf_score >= classifier_min`` folded into keep —
+    the heuristic-then-model gauntlet FineWeb/DCLM run.
     """
     q = quality_scores(docs, text_col, id_col).select("doc_id", "quality")
     lid = langid(docs, text_col, id_col).select("doc_id", "lang_pred")
@@ -59,10 +66,17 @@ def curation_labels(docs: DataFrame, text_col: str = "text",
             sweep.select("doc_id", "cluster_id"), q, "quality"
         ).select("doc_id", "cluster_id",
                  F.col("is_canonical").alias("cluster_canonical"))
-    return (q.join(lid, "doc_id").join(ex, "doc_id").join(sweep, "doc_id")
-            .select(
-                "doc_id", "lang_pred", "quality", "exact_canonical",
-                "cluster_id", "cluster_canonical",
-                (F.col("exact_canonical") & F.col("cluster_canonical")
-                 & (F.col("quality") >= quality_min)).alias("keep"),
-            ))
+    out = q.join(lid, "doc_id").join(ex, "doc_id").join(sweep, "doc_id")
+    keep = (F.col("exact_canonical") & F.col("cluster_canonical")
+            & (F.col("quality") >= quality_min))
+    cols = ["doc_id", "lang_pred", "quality", "exact_canonical",
+            "cluster_id", "cluster_canonical"]
+    if classifier_weights is not None:
+        from whoosh_spark.pipeline.classify import nb_score
+
+        clf = nb_score(docs, classifier_weights, text_col=text_col,
+                       id_col=id_col).withColumnRenamed("score", "clf_score")
+        out = out.join(clf, "doc_id")
+        keep = keep & (F.col("clf_score") >= classifier_min)
+        cols.append("clf_score")
+    return out.select(*cols, keep.alias("keep"))
