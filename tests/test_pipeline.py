@@ -1164,3 +1164,38 @@ def test_shard_shuffle_invariants(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         shard_shuffle(docs, 0)
+
+
+def test_conversation_qa_flags(spark):
+    from whoosh_spark.pipeline import conversation_qa
+
+    turns = spark.createDataFrame(
+        [
+            # c1: perfectly formed
+            ("c1", 0, "user", "hi"), ("c1", 1, "assistant", "hello"),
+            # c2: role repeat at turn 1
+            ("c2", 0, "user", "a"), ("c2", 1, "user", "b"),
+            ("c2", 2, "assistant", "c"),
+            # c3: empty turn (whitespace only)
+            ("c3", 0, "user", "x"), ("c3", 1, "assistant", "   "),
+            # c4: index gap (0 then 2)
+            ("c4", 0, "user", "x"), ("c4", 2, "assistant", "y"),
+            # c5: duplicate turn_idx
+            ("c5", 0, "user", "x"), ("c5", 0, "assistant", "y"),
+            ("c5", 1, "user", "z"),
+            # c6: opens with assistant
+            ("c6", 0, "assistant", "x"), ("c6", 1, "user", "y"),
+        ],
+        "conv_id string, turn_idx int, role string, text string")
+    rows = {r.conv_id: r for r in conversation_qa(turns).collect()}
+    assert rows["c1"].valid and rows["c1"].n_role_repeats == 0
+    assert rows["c2"].n_role_repeats == 1 and not rows["c2"].valid
+    assert rows["c3"].n_empty == 1 and not rows["c3"].valid
+    assert rows["c4"].has_idx_gap and not rows["c4"].valid
+    assert rows["c5"].n_dup_idx == 1 and not rows["c5"].valid
+    assert rows["c6"].first_role == "assistant" and not rows["c6"].valid
+    assert rows["c1"].first_role == "user"
+    # partitioning invariance
+    again = {r.conv_id: r for r in
+             conversation_qa(turns.repartition(5)).collect()}
+    assert again == rows

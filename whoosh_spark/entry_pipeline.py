@@ -1620,6 +1620,83 @@ FROM (
   FROM lagd GROUP BY conv_id)
 """,
     )
+    # ---- structural QA gate over a deterministically-damaged corpus ----
+    # the natural derived turns are perfectly formed, so the entry damages
+    # them with three independent md5 coins (delete -> index gaps +
+    # assistant-first convs, role overwrite -> repeats, text blanking ->
+    # empties) and the oracle applies the identical damage — every
+    # failure arm of the gate fires on real rows
+    from whoosh_spark.pipeline.conversations import conversation_qa
+
+    def _qa_damaged(spark, sf):
+        t = transcript_corpus(spark, sf)
+
+        def coin(salt, mod):
+            return F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(salt + ":"), F.col("conv_id"),
+                                       F.lit(":"),
+                                       F.col("turn_idx").cast("string"))),
+                        1, 8),
+                    16, 10,
+                ).cast("long"),
+                F.lit(mod),
+            )
+
+        t = t.where(coin("qa_del", 29) != 0)
+        t = t.withColumn(
+            "role",
+            F.when(coin("qa_role", 5) == 0, F.lit("user"))
+            .otherwise(F.col("role")))
+        t = t.withColumn(
+            "text",
+            F.when(coin("qa_empty", 23) == 0, F.lit(""))
+            .otherwise(F.col("text")))
+        return conversation_qa(t).withColumn(
+            "has_idx_gap", F.col("has_idx_gap").cast("int")).withColumn(
+            "valid", F.col("valid").cast("int"))
+
+    _QA_COIN = ("('0x' || substr(md5('{s}:' || conv_id || ':' || "
+                "turn_idx::VARCHAR), 1, 8))::BIGINT % {m}")
+    add(
+        "conv_qa_gate",
+        _qa_damaged,
+        _TURNS_CTE
+        + f""", dmg0 AS (
+  SELECT conv_id, turn_idx, role, text FROM turns
+  WHERE {_QA_COIN.format(s='qa_del', m=29)} <> 0),
+dmg AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN {_QA_COIN.format(s='qa_role', m=5)} = 0
+              THEN 'user' ELSE role END AS role,
+         CASE WHEN {_QA_COIN.format(s='qa_empty', m=23)} = 0
+              THEN '' ELSE text END AS text
+  FROM dmg0),
+lagd AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, role)
+           AS prev_role
+  FROM dmg)
+SELECT conv_id, n_turns, n_role_repeats, n_empty, n_dup_idx, has_idx_gap,
+       first_role,
+       (CASE WHEN n_role_repeats = 0 AND n_empty = 0 AND n_dup_idx = 0
+             AND has_idx_gap = 0 AND first_role IN ('user', 'system')
+        THEN 1 ELSE 0 END)::INT AS valid
+FROM (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         coalesce(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END), 0)::BIGINT
+           AS n_role_repeats,
+         sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+         (count(*) - count(DISTINCT turn_idx))::BIGINT AS n_dup_idx,
+         (CASE WHEN max(turn_idx) - min(turn_idx) + 1
+                    <> count(DISTINCT turn_idx) THEN 1 ELSE 0 END)::INT
+           AS has_idx_gap,
+         arg_min(role, turn_idx) AS first_role
+  FROM lagd GROUP BY conv_id)
+""",
+    )
+
     add(
         "conv_assembled",
         # ordered reassembly: collect_list structs + array_sort (no

@@ -86,6 +86,7 @@ from whoosh_spark.pipeline.packing import (  # noqa: F401
     pack_sequences,
 )
 from whoosh_spark.pipeline.conversations import (  # noqa: F401
+    conversation_qa,
     assemble_conversations,
     conversation_stats,
     loss_mask_spans,

@@ -254,3 +254,48 @@ def loss_mask_spans(turns: DataFrame, sep: str = "\n",
             F.col("role").isin(*train_roles).cast("int").alias("trainable"),
         )
     )
+
+
+def conversation_qa(turns: DataFrame,
+                    expected_first: tuple = ("user", "system")) -> DataFrame:
+    """Per-conversation structural QA — the malformed-transcript gate a
+    transcript corpus runs before training (consecutive same-role turns,
+    empty turns, duplicated or gapped turn indexes, a conversation that
+    opens mid-dialogue).
+
+    Output per conv_id: ``n_turns``, ``n_role_repeats`` (turns whose role
+    equals the previous turn's), ``n_empty`` (whitespace-only text),
+    ``n_dup_idx`` (duplicate turn_idx values), ``has_idx_gap`` (index
+    range not dense), ``first_role``, and ``valid`` = no repeats AND no
+    empties AND no dup/gapped indexes AND first_role in
+    ``expected_first``.
+
+    Plan shape: one conv-keyed window (the lag) + one groupBy on the same
+    key — Spark reuses the exchange, so the whole gate is a single
+    shuffle, parallel across conversations at any corpus size.
+    ``first_role`` comes from min(struct(turn_idx, role)) and the lag
+    window orders by (turn_idx, role) — total orders both, so every
+    output (including the repeat count on a conversation whose indexes
+    ARE duplicated) is deterministic under any partitioning.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "role")
+    t = turns.withColumn("_prev_role", F.lag("role").over(w))
+    n_distinct_idx = F.countDistinct("turn_idx")
+    agg = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.coalesce(
+            F.sum((F.col("role") == F.col("_prev_role")).cast("long")),
+            F.lit(0),
+        ).alias("n_role_repeats"),
+        F.sum((F.trim(F.col("text")) == "").cast("long")).alias("n_empty"),
+        (F.count(F.lit(1)) - n_distinct_idx).alias("n_dup_idx"),
+        ((F.max("turn_idx") - F.min("turn_idx") + 1) != n_distinct_idx)
+        .alias("has_idx_gap"),
+        F.min(F.struct("turn_idx", "role"))["role"].alias("first_role"),
+    )
+    return agg.withColumn(
+        "valid",
+        (F.col("n_role_repeats") == 0) & (F.col("n_empty") == 0)
+        & (F.col("n_dup_idx") == 0) & ~F.col("has_idx_gap")
+        & F.col("first_role").isin(*expected_first),
+    )
