@@ -1199,3 +1199,25 @@ def test_conversation_qa_flags(spark):
     again = {r.conv_id: r for r in
              conversation_qa(turns.repartition(5)).collect()}
     assert again == rows
+
+
+def test_group_centroids_matches_numpy(spark, emb, docs):
+    from whoosh_spark.pipeline import group_centroids
+
+    labels = docs.select(F.col("doc_id").alias("vec_id"), "lang")
+    got = {r.lang: (r.n, list(r.centroid))
+           for r in group_centroids(emb, labels, "lang").collect()}
+    pdf = emb.join(labels, "vec_id").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        mat = np.array([np.asarray(v, dtype=np.float64)
+                        for v in grp["embedding"]])
+        n, cent = got[lang]
+        assert n == len(grp)
+        assert np.allclose(cent, mat.mean(axis=0), atol=1e-12)
+        assert len(cent) == mat.shape[1]
+    # partitioning invariance
+    again = {r.lang: (r.n, [round(x, 9) for x in r.centroid])
+             for r in group_centroids(emb.repartition(7), labels,
+                                      "lang").collect()}
+    base = {k: (n, [round(x, 9) for x in c]) for k, (n, c) in got.items()}
+    assert again == base

@@ -5064,6 +5064,32 @@ WHERE n.n > 0
 """,
     )
 
+    # --------- per-group embedding centroids (domain pooling) -------------
+    from whoosh_spark.pipeline.similarity import group_centroids
+
+    add(
+        "emb_lang_centroids",
+        # language-domain centroids of the embedding table, exploded to
+        # (lang, pos, value) so the driver canonicalizer sees a flat
+        # schema; values rounded AFTER the mean (one float op mirrored)
+        lambda spark, sf: group_centroids(
+            _emb(spark, sf),
+            _docs(spark, sf).select(F.col("doc_id").alias("vec_id"), "lang"),
+            "lang",
+        ).select(
+            "lang", "n", F.posexplode(F.col("centroid"))
+        ).select("lang", "n", "pos", F.round("col", 4).alias("value")),
+        """
+WITH expl AS (
+  SELECT d.lang, e.vec_id,
+         generate_subscripts(e.embedding, 1) - 1 AS pos,
+         unnest(e.embedding) AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
+SELECT lang, count(*)::BIGINT AS n, pos, round(avg(v), 4) AS value
+FROM expl GROUP BY lang, pos
+""",
+    )
+
     # ---------- deterministic shard shuffle (training-order stage) --------
     from whoosh_spark.pipeline.sampling import shard_shuffle
 

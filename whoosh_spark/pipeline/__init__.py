@@ -34,6 +34,7 @@ from whoosh_spark.pipeline.similarity import (  # noqa: F401
     ann_topk,
     cosine_neardup_pairs,
     cosine_topk,
+    group_centroids,
     hyperplane_buckets,
     cluster_neardup_pairs,
     ivf_centroids,

@@ -548,3 +548,37 @@ def cluster_neardup_pairs(
     assigned = _assign_clusters(emb, centroids, vec_col, id_col)
     e = _normed_pairs_input(emb, vec_col, id_col).join(assigned, "vec_id")
     return _pair_cosines(e, threshold, block_col="cluster")
+
+
+def group_centroids(emb: DataFrame, labels: DataFrame, by: str,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-group mean embedding -> (by, n, centroid) — the pooling
+    primitive behind domain-centroid analysis (SemDeDup's cluster means,
+    domain drift monitoring, conversation-level vectors from turn
+    vectors).
+
+    ``labels`` maps ``id_col`` to the grouping column ``by``. Plan: join
+    on the id, posexplode the vector, ONE groupBy(group, pos) mean (the
+    dimension-wise partial aggregate — never a collect_list of whole
+    vectors, whose per-group state would be members x dim at web scale),
+    then reassemble each centroid with a bounded sort over its own dim
+    entries. Two key shuffles total, state bounded by groups x dim.
+    """
+    joined = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
+        .join(labels.select(F.col(id_col).alias("_id"), F.col(by)), "_id")
+    dims = (
+        joined.select(by, F.posexplode(F.col("_v").cast("array<double>")))
+        .groupBy(by, "pos")
+        .agg(F.avg("col").alias("_m"), F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        dims.groupBy(by)
+        .agg(
+            F.max("_n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("centroid"),
+        )
+    )
