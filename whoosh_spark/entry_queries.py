@@ -1191,8 +1191,12 @@ _WINDOW_FIRST = [
     "dutch_search_topk", "romanian_search_topk", "hungarian_search_topk",
     "finnish_search_topk", "arabic_search_topk",
     # (also waiting on the r5 window: ann_ivf_pq_lossless — the r4-late
-    # PQ exact twin, registered past this list so it sorts after all
-    # named slots; pytest-oracle-verified at sf0.001/0.01/0.1)
+    # PQ exact twin — plus the five r4-final-session entries
+    # nb_quality_weights / nb_quality_scores (NB classifier tier),
+    # sample_shard_shuffle, conv_qa_gate, and emb_lang_centroids; all
+    # registered past this list so they sort after the named slots, all
+    # pytest-oracle-verified at sf0.001/0.01 and hash-verified at the
+    # sf0.1 stress tier)
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first
