@@ -112,3 +112,31 @@ def test_span_contains_and_before_apply_boost(s):
     for a, b in zip(sorted(plain2, key=lambda r: r.doc_id),
                     sorted(boosted2, key=lambda r: r.doc_id)):
         assert b.score == pytest.approx(3.0 * a.score, rel=1e-9)
+
+
+def test_span_condition(s):
+    """SpanCondition (spans.py::SpanCondition): spans from a, doc-level
+    require on b; scores are the a+b intersection sum."""
+    q = Q.SpanCondition(Q.Term("text", "gamma"), Q.Term("text", "beta"))
+    assert ids(s, q) == [0, 1, 3]  # gamma docs that also contain beta
+    fr = span_frames(s, q).orderBy("doc_id").collect()
+    assert [(r.doc_id, [(x.s, x.e) for x in r.spans]) for r in fr] == [
+        (0, [(2, 2)]),
+        (1, [(2, 2)]),
+        (3, [(1, 1)]),
+    ]  # spans are a's positions only — b contributes no spans
+    conj = Q.And([Q.Term("text", "gamma"), Q.Term("text", "beta")])
+    a = {r.doc_id: r.score for r in s.compile(q.normalize()).collect()}
+    b = {r.doc_id: r.score for r in s.compile(conj.normalize()).collect()}
+    assert a and all(a[d] == pytest.approx(b[d], rel=1e-12) for d in a)
+    # condition never satisfied in a's docs -> empty
+    assert ids(s, Q.SpanCondition(Q.Term("text", "beta"), Q.Term("text", "epsilon"))) == []
+    boosted = {
+        r.doc_id: r.score
+        for r in s.compile(
+            Q.SpanCondition(
+                Q.Term("text", "gamma"), Q.Term("text", "beta"), boost=2.0
+            ).normalize()
+        ).collect()
+    }
+    assert all(boosted[d] == pytest.approx(2.0 * a[d], rel=1e-9) for d in a)

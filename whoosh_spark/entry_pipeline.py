@@ -2910,6 +2910,34 @@ SELECT doc_id, round(score, 4) AS score FROM (
 """,
     )
     add(
+        "span_condition_topk",
+        # SpanCondition (spans.py::SpanCondition): near-spans of
+        # slow..query kept only in docs that ALSO match 'scan' anywhere —
+        # spans from a, doc-level require on b; score = a+b intersection
+        # sum per _join2 (same convention as contains/before)
+        lambda spark, sf: _span_q(
+            spark, sf,
+            lambda: Qn.SpanCondition(
+                Qn.SpanNear2([Qn.Term("text", "slow"),
+                              Qn.Term("text", "query")], slop=3),
+                Qn.Term("text", "scan"),
+            ),
+        ),
+        PRELUDE_DOCS
+        + """
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT s.doc_id, sum(s.score) AS score FROM scored s
+  WHERE s.term IN ('slow','query','scan') AND s.doc_id IN (
+    SELECT a.doc_id FROM ftok a JOIN ftok b
+      ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+    WHERE a.term = 'slow' AND b.term = 'query'
+      AND EXISTS (SELECT 1 FROM ftok c WHERE c.doc_id = a.doc_id
+                  AND c.term = 'scan'))
+  GROUP BY s.doc_id HAVING count(*) = 3
+) ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    )
+    add(
         "span_first_topk",
         lambda spark, sf: _span_q(
             spark, sf, lambda: Qn.SpanFirst(Qn.Term("text", "spark"), limit=2)

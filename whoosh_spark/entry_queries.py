@@ -1193,10 +1193,10 @@ _WINDOW_FIRST = [
     # (also waiting on the r5 window: ann_ivf_pq_lossless — the r4-late
     # PQ exact twin — plus the five r4-final-session entries
     # nb_quality_weights / nb_quality_scores (NB classifier tier),
-    # sample_shard_shuffle, conv_qa_gate, and emb_lang_centroids; all
-    # registered past this list so they sort after the named slots, all
-    # pytest-oracle-verified at sf0.001/0.01 and hash-verified at the
-    # sf0.1 stress tier)
+    # sample_shard_shuffle, conv_qa_gate, and emb_lang_centroids, and the
+    # r4-tail additions span_condition_topk / key_terms_from_text /
+    # c4_line_filter; all registered past this list so they sort after
+    # the named slots, all pytest-oracle-verified at sf0.001/0.01)
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first

@@ -619,6 +619,13 @@ class SpanBefore(BinaryQuery):
 
 
 @dataclass(frozen=True)
+class SpanCondition(BinaryQuery):
+    """Spans of a, kept only in docs where b ALSO matches — the span-level
+    Require (reference: spans.py::SpanCondition: wraps IntersectionMatcher
+    but takes spans exclusively from a)."""
+
+
+@dataclass(frozen=True)
 class SpanFirst(Query):
     """Spans ending at or before position ``limit``
     (reference: spans.py::SpanFirst)."""

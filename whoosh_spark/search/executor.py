@@ -1504,6 +1504,14 @@ class SpanCompiler:
             out = out.withColumn("score", F.col("score") * q.boost)
         return out
 
+    def _s_spancondition(self, q: Q.SpanCondition) -> DataFrame:
+        # inner doc_id join (IntersectionMatcher), spans from a only; the
+        # score is the intersection's a+b sum like contains/before
+        out = self._join2(self.frame(q.a), self.frame(q.b), lambda sa, sb: sa)
+        if q.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * q.boost)
+        return out
+
     def _s_spanfirst(self, q: Q.SpanFirst) -> DataFrame:
         sub = self.frame(q.subquery)
         return (
@@ -1528,7 +1536,8 @@ def _install_span_compilers():
         _c.__name__ = f"_c_{name}"
         return _c
 
-    for cls in ("spannear2", "spanor", "spannot", "spancontains", "spanbefore", "spanfirst"):
+    for cls in ("spannear2", "spanor", "spannot", "spancontains", "spanbefore",
+                "spancondition", "spanfirst"):
         setattr(Searcher, f"_c_{cls}", make(cls))
 
 
