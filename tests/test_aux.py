@@ -289,3 +289,27 @@ def test_significant_terms_buckets_differ(spark, ix):
         by_bucket.setdefault(r.bucket, []).append(r.term)
     assert set(by_bucket) == {"0", "1"}
     assert all(len(v) <= 3 for v in by_bucket.values())
+
+
+def test_key_terms_from_text(spark, ix):
+    from whoosh_spark.search.aux import key_terms_from_text
+
+    txt = "the spark vector scan performs a hash join over streaming spark data"
+    bo1 = key_terms_from_text(ix, "text", txt, numterms=5).collect()
+    assert len(bo1) == 5 and all(r.score > 0 for r in bo1)
+    # the field's analyzer runs: stopwords never surface as key terms
+    assert not {r.term for r in bo1} & {"the", "a"}
+    # every surfaced term occurs in the probe text itself
+    probe_terms = set(txt.split()) - {"the", "a"}
+    assert {r.term for r in bo1} <= probe_terms
+    # kl and bo2 run on the same shared scorer
+    kl = key_terms_from_text(ix, "text", txt, numterms=3, model="kl").collect()
+    assert len(kl) == 3
+    bo2 = key_terms_from_text(ix, "text", txt, numterms=3, model="bo2").collect()
+    assert len(bo2) == 3
+    # stop-only / empty text -> empty frame with the scored schema
+    empty = key_terms_from_text(ix, "text", "the a of", numterms=5)
+    assert empty.columns == ["term", "score"] and empty.count() == 0
+    assert key_terms_from_text(ix, "text", "", numterms=5).count() == 0
+    # lexicon-absent terms drop out instead of producing infinities
+    assert key_terms_from_text(ix, "text", "zzzqqqxx", numterms=5).count() == 0

@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whoosh_spark.analysis import STOP_WORDS
-from whoosh_spark.entry_queries import K, _CACHE, _rounded, prelude_body
+from whoosh_spark.entry_queries import (
+    K,
+    _CACHE,
+    _PATTERN_SQL as _PATTERN_SQL_Q,
+    _STOPLIST_SQL as _STOPLIST_SQL_Q,
+    _rounded,
+    prelude_body,
+)
 from whoosh_spark.fields import transcript_schema
 from whoosh_spark.indexing.segments import build_segments, open_segments
 from whoosh_spark.pipeline import (
@@ -51,7 +58,12 @@ from whoosh_spark.pipeline import (
     token_counts,
     winnow_fingerprints,
 )
-from whoosh_spark.search.aux import key_terms, more_like_this, suggest
+from whoosh_spark.search.aux import (
+    key_terms,
+    key_terms_from_text,
+    more_like_this,
+    suggest,
+)
 from whoosh_spark.search.highlight import highlight_df, highlights
 from whoosh_spark.search.wand import wand_topk
 from whoosh_spark.transcripts import TURNS_FROM_DOCUMENTS_SQL, transcript_corpus
@@ -2984,6 +2996,39 @@ SELECT term, round(score, 4) AS score FROM (
   SELECT p.term,
          (wt * ln((1 + cf / n) / (cf / n)) + ln(1 + cf / n)) / ln(2) AS score
   FROM (SELECT term, sum(w) AS wt FROM post WHERE doc_id IN {_SET20} GROUP BY term) p
+  JOIN (SELECT term, sum(w) AS cf FROM post GROUP BY term) c USING (term)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS n FROM documents)
+) ORDER BY score DESC, term ASC LIMIT 5
+""",
+    )
+    add(
+        # key_terms_from_text (searching.py::Searcher.key_terms_from_text):
+        # the probe text is analyzed with the field's own chain (the
+        # stopword 'the'/'a' and the doubled 'spark' below prove stop
+        # filtering + tf counting ride through), then Bo1-scored against
+        # the collection exactly like key_terms. The oracle tokenizes the
+        # SAME literal with the prelude's regex + stoplist, so analysis
+        # and scoring are both pinned.
+        "key_terms_from_text",
+        lambda spark, sf: key_terms_from_text(
+            _docs_ix(spark, sf),
+            "text",
+            "the spark vector scan performs a hash join over streaming spark data",
+            numterms=5,
+        ).select("term", F.round("score", 4).alias("score")),
+        PRELUDE_DOCS
+        + f"""
+SELECT term, round(score, 4) AS score FROM (
+  SELECT q.term,
+         (wt * ln((1 + cf / n) / (cf / n)) + ln(1 + cf / n)) / ln(2) AS score
+  FROM (
+    SELECT term, count(*)::DOUBLE AS wt FROM (
+      SELECT unnest(regexp_extract_all(lower(
+        'the spark vector scan performs a hash join over streaming spark data'
+      ), '{_PATTERN_SQL_Q}')) AS term
+    ) WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL_Q})
+    GROUP BY term
+  ) q
   JOIN (SELECT term, sum(w) AS cf FROM post GROUP BY term) c USING (term)
   CROSS JOIN (SELECT count(*)::DOUBLE AS n FROM documents)
 ) ORDER BY score DESC, term ASC LIMIT 5

@@ -118,6 +118,46 @@ def key_terms(
     """Top distinctive terms of a doc set -> (term, score), model in
     {bo1, bo2, kl}. Plain aggregations over postings + the terms table."""
     wt = _set_weights(ix, doc_ids, fieldname)
+    return _expansion_rank(ix, wt, fieldname, numterms, model)
+
+
+def key_terms_from_text(
+    ix: InvertedIndex,
+    fieldname: str,
+    text: str,
+    numterms: int = 5,
+    model: str = "bo1",
+) -> DataFrame:
+    """Expansion terms of ARBITRARY text -> (term, score) (reference:
+    searching.py::Searcher.key_terms_from_text): the text is run through
+    the field's own analyzer chain and its term frequencies play the
+    doc-set weights fed to the same expansion model as :func:`key_terms`.
+
+    The text is one driver-side string (the reference's signature), so
+    analysis is a bounded local step; terms absent from the field's
+    lexicon drop out (cf = 0 has no finite Bo1/KL score — the reference
+    skips them the same way via its frequency lookups)."""
+    import pandas as pd
+
+    from whoosh_spark.analysis import analyze_series
+
+    spec = ix.schema[fieldname].analyzer
+    batch = analyze_series(pd.Series([text]), spec)
+    if batch.term.size == 0:
+        return ix.spark.createDataFrame([], "term string, score double")
+    import collections
+
+    counts = collections.Counter(batch.term.tolist())
+    wt = ix.spark.createDataFrame(
+        sorted((t, float(c)) for t, c in counts.items()), "term string, wt double"
+    )
+    return _expansion_rank(ix, F.broadcast(wt), fieldname, numterms, model)
+
+
+def _expansion_rank(ix: InvertedIndex, wt: DataFrame, fieldname: str,
+                    numterms: int, model: str) -> DataFrame:
+    """Shared Bo1/Bo2/KL expansion scoring over a (term, wt) frame
+    (reference: classify.py::Bo1Model/Bo2Model/KLModel)."""
     coll = ix.terms.where(F.col("field") == fieldname).select(
         "term", F.col("total_weight").alias("cf")
     )
