@@ -1221,3 +1221,61 @@ def test_group_centroids_matches_numpy(spark, emb, docs):
                                       "lang").collect()}
     base = {k: (n, [round(x, 9) for x in c]) for k, (n, c) in got.items()}
     assert again == base
+
+
+# ------------------------------------------------ c4_line_filter
+
+
+def test_c4_line_filter_rules(spark):
+    from whoosh_spark.pipeline.textstats import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            # two good lines + one no-punct + one short + one javascript
+            (0, "alpha beta gamma delta epsilon.\n"
+                "one two three four five six!\n"
+                "this line has no terminal punctuation\n"
+                "too short.\n"
+                "enable JavaScript to view this content now."),
+            # three good lines -> keep
+            (1, 'first good line with five words."\n'
+                "second good line with five words?\n"
+                "third good line with five words."),
+            # lorem ipsum kills the doc even with good lines
+            (2, "good line with five words here.\n"
+                "more good words in this line.\n"
+                "a third fine line right here.\n"
+                "Lorem Ipsum dolor sit amet."),
+            # brace kills the doc
+            (3, "good line with five words here.\n"
+                "more good words in this line.\n"
+                "function f() { return 1; } ok."),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    r0 = out[0]
+    assert r0.n_lines == 5 and r0.n_kept == 2 and not r0.keep
+    assert r0.text_clean == ("alpha beta gamma delta epsilon.\n"
+                             "one two three four five six!")
+    r1 = out[1]
+    assert r1.n_kept == 3 and r1.keep  # end-quote counts as terminal
+    r2 = out[2]
+    assert r2.n_kept == 4 and r2.has_lorem and not r2.keep
+    r3 = out[3]
+    assert r3.has_brace and not r3.keep
+    r4 = out[4]
+    assert r4.n_lines == 1 and r4.n_kept == 0 and r4.text_clean == "" and not r4.keep
+    # min_words / min_kept_lines are tunable
+    loose = {r.doc_id: r for r in
+             c4_line_filter(df, min_words=2, min_kept_lines=2).collect()}
+    assert loose[0].n_kept == 3 and loose[0].keep  # 'too short.' now passes
+
+
+def test_c4_line_filter_no_shuffle(spark):
+    from whoosh_spark.pipeline.textstats import c4_line_filter
+
+    df = spark.createDataFrame([(0, "a.\nb.")], "doc_id long, text string")
+    plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow map: cleans at scan speed

@@ -5107,6 +5107,54 @@ WHERE length(text) > 0
 """,
     )
 
+    from whoosh_spark.pipeline.textstats import c4_line_filter
+
+    # C4 derived corpus: the synthetic docs are one-line and
+    # punctuation-free, so BOTH engines apply the same SQL derivation —
+    # ' a ' becomes a period+newline (terminal-punct line break), ' big '
+    # a bare newline (non-terminal break, the line before it drops),
+    # doc_id%7 injects a 'javascript' line, %37 appends mixed-case
+    # 'Lorem Ipsum' (pins the lowercase doc check), %41 appends a
+    # '{'-brace line — every C4 rule fires on real rows.
+    _C4_D1 = "replace(replace(text, ' a ', '.' || chr(10)), ' big ', chr(10))"
+    _C4_D2 = (f"CASE WHEN doc_id % 7 = 0 THEN "
+              f"replace({_C4_D1}, ' slow ', ' javascript slow ') "
+              f"ELSE {_C4_D1} END")
+    _C4_D3 = (f"CASE WHEN doc_id % 37 = 0 THEN "
+              f"{_C4_D2} || ' Lorem Ipsum dolor sit amet.' ELSE {_C4_D2} END")
+    _C4_DERIVE = (f"CASE WHEN doc_id % 41 = 3 THEN "
+                  f"{_C4_D3} || ' code ' || chr(123) || 'x' || chr(125) || "
+                  f"' end.' ELSE {_C4_D3} END")
+
+    add(
+        "text_c4_line_filter",
+        lambda spark, sf: c4_line_filter(
+            _docs(spark, sf).select("doc_id", F.expr(_C4_DERIVE).alias("text"))
+        ),
+        f"""
+WITH derived AS (SELECT doc_id, {_C4_DERIVE} AS text FROM documents),
+split AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, chr(10)), x -> trim(x)) AS ls
+  FROM derived),
+kept AS (
+  SELECT doc_id, text, ls,
+         list_filter(ls, x -> x <> '' AND regexp_matches(x, '[.!?\"]$')
+                     AND length(regexp_split_to_array(x, '\\s+')) >= 5
+                     AND NOT contains(lower(x), 'javascript')) AS ks
+  FROM split)
+SELECT doc_id,
+       coalesce(array_to_string(ks, chr(10)), '') AS text_clean,
+       length(ls)::INT AS n_lines,
+       length(ks)::INT AS n_kept,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, chr(123)) AS has_brace,
+       (length(ks) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, chr(123))) AS keep
+FROM kept
+""",
+    )
+
     def _upsample(spark, sf):
         # epoch up-sampling: mixture weight w = 0.5 + n_chars/400 (spans
         # both the down-sample and multi-copy regimes with varied

@@ -43,6 +43,7 @@ from whoosh_spark.pipeline.similarity import (  # noqa: F401
 )
 from whoosh_spark.pipeline.textstats import (  # noqa: F401
     bigram_logprob,
+    c4_line_filter,
     contamination_pairs,
     dsir_gumbel_topk,
     dsir_logweights,

@@ -690,6 +690,54 @@ _HTML_ENTITIES = (
 )
 
 
+_C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_filter(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_words: int = 5,
+                   min_kept_lines: int = 3) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
+    published C4 heuristics) -> (doc_id, text_clean, n_lines, n_kept,
+    has_lorem, has_brace, keep).
+
+    Line rules (a line survives iff ALL hold, after trimming):
+    ends in a terminal punctuation mark (``. ! ? "``), has at least
+    ``min_words`` whitespace-separated words, and does not contain the
+    word "javascript" (case-insensitive). Doc rules: ``keep`` is true
+    iff at least ``min_kept_lines`` lines survive AND the raw text has
+    neither "lorem ipsum" (case-insensitive) nor a ``{`` character.
+
+    Entirely JVM higher-order functions over the split line array —
+    a narrow map with NO shuffle and no Python, so a 100 TB crawl
+    cleans at scan speed; downstream stages filter on ``keep``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    trimmed = F.transform(lines, lambda x: F.trim(x))
+
+    def _line_ok(x):
+        return (
+            (x != "")
+            & x.rlike(_C4_TERMINAL_RE)
+            & (F.size(F.split(x, r"\s+")) >= int(min_words))
+            & ~F.contains(F.lower(x), F.lit("javascript"))
+        )
+
+    kept = F.filter(trimmed, _line_ok)
+    low = F.lower(F.col(text_col))
+    has_lorem = F.contains(low, F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col(text_col), F.lit("{"))
+    n_kept = F.size(kept)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_kept >= int(min_kept_lines)) & ~has_lorem & ~has_brace).alias("keep"),
+    )
+
+
 def strip_html(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """HTML/boilerplate removal: (doc_id, text_clean, n_clean_chars) —
