@@ -613,3 +613,25 @@ def test_search_many_equals_per_query(searcher):
                 for r in searcher.search(q, limit=5).collect()]
         assert by_q.get(qid, []) == solo, qid
     assert 9 not in by_q  # empty result set contributes no rows
+
+
+def test_collapse_order(searcher):
+    """collapse_order (searching.py::Searcher.search(collapse_order=)):
+    the facet picks each group's survivor instead of the score."""
+    from whoosh_spark.search.facets import FieldFacet
+
+    got = searcher.search(Q.Term("text", "spark"), limit=None,
+                          collapse="role", collapse_order=FieldFacet("n"))
+    # lowest n per role among matches, ties doc_id-ascending:
+    # user 0 (n=5, tie vs 6), assistant 1, tool 5 (n=3)
+    assert ids(got) == [0, 1, 5]
+    rev = searcher.search(Q.Term("text", "spark"), limit=None,
+                          collapse="role",
+                          collapse_order=FieldFacet("n", reverse=True))
+    # highest n per role: user 0 (tie n=5 -> doc_id asc), assistant 1,
+    # tool 7 (n=6 beats 5's n=3)
+    assert ids(rev) == [0, 1, 7]
+    # default (no order facet) keeps the score-ranked survivor
+    base = searcher.search(Q.Term("text", "spark"), limit=None,
+                           collapse="role")
+    assert len(base.collect()) == 3

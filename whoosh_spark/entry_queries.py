@@ -637,6 +637,29 @@ SELECT bucket, count(*)::BIGINT AS count FROM (
         ") WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 10",
     )
 
+    def _collapse_order(spark, sf):
+        # collapse_order (searching.py::Searcher.search(collapse_order=)):
+        # the facet — not the score — picks each source's survivor
+        # (lowest n_chars, ties doc_id-asc); registry discipline rounds
+        # scores before the final ordering like every topk entry
+        from whoosh_spark.search.facets import FieldFacet
+
+        s = _docs_searcher(spark, sf)
+        scored = _rounded(s.compile(Q.Term("text", "spark")))
+        best = s._collapse(scored, "source", 1, order=FieldFacet("n_chars"))
+        return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(K)
+
+    add(
+        "collapse_order_topk",
+        _collapse_order,
+        PRELUDE
+        + "SELECT doc_id, score FROM ("
+        "  SELECT s.doc_id, round(s.score, 4) AS score,"
+        "         row_number() OVER (PARTITION BY d.source ORDER BY d.n_chars ASC, s.doc_id) AS rn"
+        "  FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'spark'"
+        ") WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 10",
+    )
+
     def _page2(spark, sf):
         s = _docs_searcher(spark, sf)
         scored = _rounded(
@@ -1195,8 +1218,9 @@ _WINDOW_FIRST = [
     # nb_quality_weights / nb_quality_scores (NB classifier tier),
     # sample_shard_shuffle, conv_qa_gate, and emb_lang_centroids, and the
     # r4-tail additions span_condition_topk / key_terms_from_text /
-    # c4_line_filter; all registered past this list so they sort after
-    # the named slots, all pytest-oracle-verified at sf0.001/0.01)
+    # text_c4_line_filter / collapse_order_topk; all registered past this
+    # list so they sort after the named slots, all pytest-oracle-verified
+    # at sf0.001/0.01)
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first

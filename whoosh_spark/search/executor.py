@@ -475,6 +475,7 @@ class Searcher:
         mask: Q.Query | DataFrame | None = None,
         collapse: str | None = None,
         collapse_limit: int = 1,
+        collapse_order=None,
         optimize: bool = True,
     ) -> DataFrame:
         """Top-k search -> DataFrame(doc_id, score) ordered by
@@ -508,7 +509,8 @@ class Searcher:
             )
         scored = self._apply_filter_mask(scored, filter, mask)
         if collapse is not None:
-            scored = self._collapse(scored, collapse, collapse_limit)
+            scored = self._collapse(scored, collapse, collapse_limit,
+                                    order=collapse_order)
         if sortedby is not None:
             keys = [sortedby] if not isinstance(sortedby, (list, tuple)) else list(sortedby)
             facets = [as_facet(k) for k in keys]
@@ -802,11 +804,28 @@ class Searcher:
             scored = scored.join(mdf.select("doc_id"), "doc_id", "left_anti")
         return scored
 
-    def _collapse(self, scored: DataFrame, key: str, keep: int) -> DataFrame:
+    def _collapse(self, scored: DataFrame, key: str, keep: int,
+                  order=None) -> DataFrame:
         """Field collapsing: best ``keep`` docs per key
-        (collectors.py::CollapseCollector ~L750) — the engine's window op."""
-        docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), key)
-        w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("doc_id"))
+        (collectors.py::CollapseCollector ~L750) — the engine's window op.
+        ``order``: optional facet (or column name) deciding WHICH docs
+        survive per key instead of results order — the reference's
+        ``collapse_order`` (searching.py::Searcher.search ~L640); facet
+        ``reverse`` honored, ties broken doc_id-ascending either way."""
+        if order is None:
+            cols = [key]
+            w_order = [F.desc("score"), F.asc("doc_id")]
+        else:
+            f = as_facet(order)
+            cols = sorted({key, *f.columns})
+            k = f.key()
+            desc = getattr(f, "reverse", False)
+            if isinstance(f, ScoreFacet):
+                desc = not desc
+            w_order = [k.desc() if desc else k.asc(), F.asc("doc_id")]
+        docs = self.index.docs.select(
+            F.col(self.index.doc_id_col).alias("doc_id"), *cols)
+        w = Window.partitionBy(key).orderBy(*w_order)
         return (
             scored.join(docs, "doc_id")
             .withColumn("_rn", F.row_number().over(w))
@@ -823,6 +842,7 @@ class Searcher:
         mask: "Q.Query | DataFrame | None" = None,
         collapse: str | None = None,
         collapse_limit: int = 1,
+        collapse_order=None,
     ) -> DataFrame:
         """Keyset ("search-after") deep pagination: the next ``limit`` hits
         strictly after ``cursor`` in the canonical order (score desc,
@@ -858,7 +878,8 @@ class Searcher:
                 )
         scored = self._apply_filter_mask(scored, filter, mask)
         if collapse is not None:
-            scored = self._collapse(scored, collapse, collapse_limit)
+            scored = self._collapse(scored, collapse, collapse_limit,
+                                    order=collapse_order)
         if cursor is not None:
             s0, d0 = cursor
             s0 = float(s0)
