@@ -313,3 +313,28 @@ def test_key_terms_from_text(spark, ix):
     assert key_terms_from_text(ix, "text", "", numterms=5).count() == 0
     # lexicon-absent terms drop out instead of producing infinities
     assert key_terms_from_text(ix, "text", "zzzqqqxx", numterms=5).count() == 0
+
+
+def test_highlights_order_score_vs_first():
+    import pytest as _pt
+
+    # first chunk has ONE match, a later chunk has TWO -> order="score"
+    # leads with the two-match fragment, order="first" with the earlier one
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu " * 4
+            + "spark lives here with more words around it "
+            + "filler words keep the fragments apart for a while longer "
+            + "spark and spark again close together in one fragment end")
+    first = highlights(text, {"spark"}, top=2, maxchars=60, surround=15,
+                       order="first")
+    score = highlights(text, {"spark"}, top=2, maxchars=60, surround=15,
+                       order="score")
+    parts_f = first.split("...")
+    parts_s = score.split("...")
+    assert len(parts_f) == len(parts_s) == 2
+    # same fragments, different render order
+    assert sorted(parts_f) == sorted(parts_s)
+    assert parts_f[0] != parts_s[0]
+    assert parts_s[0].count("SPARK") == 2  # best fragment leads
+    with _pt.raises(ValueError, match="unknown order"):
+        highlights(text, {"spark"}, order="last")

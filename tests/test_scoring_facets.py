@@ -290,3 +290,23 @@ def test_group_cardinality_and_quantiles(spark):
         vals = sorted(r[4] for r in rows if r[3] == lang)
         exact = vals[math.ceil(0.5 * len(vals)) - 1]
         assert exact * (1 - 2 ** -5) - 1.0 <= est[(lang, 0.5)] <= exact
+
+
+def test_translate_facet(searcher):
+    """TranslateFacet (sorting.py::TranslateFacet): fn applied to the
+    wrapped facet's key; reverse inherited unless overridden."""
+    from whoosh_spark.search.facets import TranslateFacet
+
+    tf = TranslateFacet(lambda c: c % 3, FieldFacet("n"), name="k")
+    out = searcher.search(Q.Term("text", "spark"), sortedby=[tf], limit=None).collect()
+    ks = [r["k"] for r in out]
+    assert ks == sorted(ks)
+    for a, b in zip(out, out[1:]):
+        if a["k"] == b["k"]:
+            assert a["doc_id"] < b["doc_id"]
+    # string shorthand wraps through as_facet; reverse inherits then flips
+    rev = TranslateFacet(lambda c: c % 3, "n", name="k", reverse=True)
+    out_r = searcher.search(Q.Term("text", "spark"), sortedby=[rev], limit=None).collect()
+    assert [r["k"] for r in out_r] == sorted(ks, reverse=True)
+    inh = TranslateFacet(lambda c: c % 3, FieldFacet("n", reverse=True), name="k")
+    assert inh.reverse is True

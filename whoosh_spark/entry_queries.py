@@ -721,6 +721,28 @@ SELECT bucket, count(*)::BIGINT AS count FROM (
         "WHERE s.term = 'vector'",
     )
 
+    def _sorted_translate(spark, sf):
+        # TranslateFacet (sorting.py::TranslateFacet): sort by a function
+        # of another facet's key — here n_chars % 97, kept as a JVM
+        # expression; limit membership pins the translated ordering
+        from whoosh_spark.search.facets import FieldFacet, TranslateFacet
+
+        s = _docs_searcher(spark, sf)
+        tf = TranslateFacet(lambda c: c % 97, FieldFacet("n_chars"), name="tkey")
+        out = s.search(Q.Term("text", "vector"), limit=15, sortedby=[tf])
+        return out.select("doc_id", F.col("tkey").cast("long").alias("tkey"))
+
+    add(
+        "sorted_by_translate",
+        _sorted_translate,
+        PRELUDE
+        + "SELECT doc_id, tkey FROM ("
+        "  SELECT s.doc_id, (d.n_chars % 97)::BIGINT AS tkey"
+        "  FROM scored s JOIN documents d USING (doc_id)"
+        "  WHERE s.term = 'vector'"
+        ") ORDER BY tkey ASC, doc_id ASC LIMIT 15",
+    )
+
     # --- alternative weightings (SURVEY §2.6) ---
 
     add(
@@ -1218,9 +1240,9 @@ _WINDOW_FIRST = [
     # nb_quality_weights / nb_quality_scores (NB classifier tier),
     # sample_shard_shuffle, conv_qa_gate, and emb_lang_centroids, and the
     # r4-tail additions span_condition_topk / key_terms_from_text /
-    # text_c4_line_filter / collapse_order_topk; all registered past this
-    # list so they sort after the named slots, all pytest-oracle-verified
-    # at sf0.001/0.01)
+    # text_c4_line_filter / collapse_order_topk / sorted_by_translate; all
+    # registered past this list so they sort after the named slots, all
+    # pytest-oracle-verified at sf0.001/0.01)
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first

@@ -83,5 +83,32 @@ class FunctionFacet:
         return self.expr_fn(F)
 
 
+class TranslateFacet:
+    """Apply a function to another facet's key (reference: sorting.py::
+    TranslateFacet ~L540: ``TranslateFacet(fn, facet)`` sorts/groups by
+    ``fn(key)``). ``fn`` is Column -> Column so the translation stays a
+    JVM expression; reverse follows the WRAPPED facet unless overridden,
+    and the translated key is emitted as ``name`` when given."""
+
+    def __init__(self, fn, facet, name: str | None = None,
+                 reverse: bool | None = None):
+        self.fn = fn
+        self.facet = as_facet(facet)
+        self.name = name
+        self.reverse = (getattr(self.facet, "reverse", False)
+                        if reverse is None else reverse)
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return tuple(self.facet.columns)
+
+    @property
+    def output_name(self) -> str | None:
+        return self.name
+
+    def key(self) -> Column:
+        return self.fn(self.facet.key())
+
+
 def as_facet(k) -> "FieldFacet | ScoreFacet | FunctionFacet":
     return FieldFacet(k) if isinstance(k, str) else k

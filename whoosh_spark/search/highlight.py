@@ -231,13 +231,16 @@ def highlights(
     fragmenter: str = "context",
     stoplist: "set[str] | None" = STOP_WORDS,
     match_fn=None,
+    order: str = "first",
 ) -> str:
     """Top-scoring snippets of ``text`` for ``terms`` (Hit.highlights);
     ``fragmenter`` in {context, whole, sentence, pinpoint}.
 
-    The TOP fragments are selected by score but rendered in POSITION order
-    (the reference's default order=FIRST), joined by ``joiner`` — fragments
-    do not carry their own ellipses inside the joined string.
+    The TOP fragments are selected by score and rendered per ``order``
+    (reference: highlight.py FIRST/SCORE sort keys): "first" = POSITION
+    order (the reference's default), "score" = best-scoring first (ties
+    position-ascending). Fragments are joined by ``joiner`` and do not
+    carry their own ellipses inside the joined string.
 
     Non-default analyzers: pass ``stoplist`` (None for a no-stopword field)
     and ``match_fn`` — a ``surface_token -> comparable`` normalizer (e.g.
@@ -247,11 +250,15 @@ def highlights(
         raise ValueError(
             f"unknown fragmenter {fragmenter!r}; one of {sorted(_FRAGMENTERS)}"
         )
+    if order not in ("first", "score"):
+        raise ValueError(f"unknown order {order!r}; one of ['first', 'score']")
     terms = {t.lower() for t in terms} - (stoplist or set())
     frags = _FRAGMENTERS[fragmenter](text, terms, maxchars, surround,
                                      match_fn=match_fn)
     frags.sort(key=lambda fr: (-fr.score(), fr.start))
-    chosen = sorted(frags[:top], key=lambda fr: fr.start)
+    chosen = frags[:top]
+    if order == "first":
+        chosen = sorted(chosen, key=lambda fr: fr.start)
     return joiner.join(
         format_fragment(text, fr, fmt, ellipses=False) for fr in chosen
     )
