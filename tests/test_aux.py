@@ -338,3 +338,29 @@ def test_highlights_order_score_vs_first():
     assert parts_s[0].count("SPARK") == 2  # best fragment leads
     with _pt.raises(ValueError, match="unknown order"):
         highlights(text, {"spark"}, order="last")
+
+
+def test_build_spell_words_surface_vocabulary(spark):
+    """spelling=True parity: the corrector can suggest SURFACE words for a
+    stemmed field (fields.py spelling=True + whoosh/spelling.py)."""
+    from whoosh_spark.fields import STEMTEXT, Schema
+    from whoosh_spark.indexing import build_index
+    from whoosh_spark.search.aux import build_spell_words
+
+    docs = spark.createDataFrame(
+        [
+            (0, "running runner jumped jumping quickly"),
+            (1, "the runner was running again"),
+        ],
+        "doc_id long, text string",
+    )
+    six = build_index(spark, docs, Schema(STEMTEXT("text"))).persist()
+    stems = {r.term for r in six.terms.select("term").collect()}
+    assert "run" in stems and "running" not in stems  # lexicon = stems
+    words = build_spell_words(docs, STEMTEXT("text"))
+    surf = {r.term: r.total_weight for r in words.collect()}
+    assert surf["running"] == 2.0 and "run" not in surf
+    got = suggest(six, "text", "runing", words=words, limit=3).collect()
+    assert got and got[0].term == "running"  # real word, not the stem
+    got2 = suggest(six, "text", "runing", limit=3).collect()
+    assert all(r.term != "running" for r in got2)  # lexicon path can't

@@ -2981,6 +2981,30 @@ SELECT doc_id, round(score, 4) AS score FROM (
         "ORDER BY dist ASC, freq DESC, term ASC LIMIT 5",
     )
 
+    def _spell_words(spark, sf):
+        # spelling=True parity (fields.py + whoosh/spelling.py): the
+        # wordlist is built by the STEMTEXT field's chain with the stem
+        # stage DISABLED — i.e. exactly the standard surface chain the
+        # PRELUDE mirrors — so the corrector suggests surface words even
+        # though the field's own lexicon stores stems
+        from whoosh_spark.fields import STEMTEXT
+        from whoosh_spark.search.aux import build_spell_words
+
+        docs = _docs(spark, sf)
+        words = build_spell_words(docs, STEMTEXT("text"))
+        return suggest(_docs_ix(spark, sf), "text", "querry", limit=5,
+                       words=words)
+
+    add(
+        "spell_suggest_words",
+        _spell_words,
+        PRELUDE_DOCS
+        + "SELECT term, levenshtein(term, 'querry') AS dist, sum(w) AS freq "
+        "FROM post GROUP BY term "
+        "HAVING levenshtein(term, 'querry') <= 2 AND term <> 'querry' "
+        "ORDER BY dist ASC, freq DESC, term ASC LIMIT 5",
+    )
+
     _SET20 = "(SELECT doc_id FROM documents WHERE doc_id < 20)"
     add(
         "key_terms_bo1",

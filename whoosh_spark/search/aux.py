@@ -52,6 +52,35 @@ def build_spell_index(ix: InvertedIndex, fieldname: str) -> DataFrame:
     )
 
 
+def build_spell_words(docs: DataFrame, field_spec,
+                      doc_id_col: str = "doc_id") -> DataFrame:
+    """Unstemmed spelling wordlist for a stemmed field -> (term,
+    total_weight) (reference: fields.py ``spelling=True`` + whoosh/
+    spelling.py: the word graph stores SURFACE words while the index
+    stores stems, so the corrector suggests real words, not stems).
+
+    Runs the field's analyzer chain with the stem stage DISABLED over the
+    stored docs — one mapInArrow + one map-side-combined groupBy, the
+    same scan shape as the index build. Feed the result to
+    :func:`suggest` via ``words=`` (or through :func:`build_spell_index`
+    for the trigram-blocked tier)."""
+    import dataclasses
+
+    from whoosh_spark.indexing.build import _text_postings_generator
+
+    fs = dataclasses.replace(
+        field_spec,
+        analyzer=dataclasses.replace(field_spec.analyzer, stem=False),
+    )
+    gen = _text_postings_generator(fs, doc_id_col)
+    post = docs.select(doc_id_col, fs.name).mapInArrow(
+        gen,
+        "field string, term string, doc_id long, weight double, "
+        "positions array<int>, dl long",
+    )
+    return post.groupBy("term").agg(F.sum("weight").alias("total_weight"))
+
+
 def suggest(
     ix: InvertedIndex,
     fieldname: str,
@@ -60,6 +89,7 @@ def suggest(
     maxdist: int = 2,
     prefix: int = 0,
     spell_index: DataFrame | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(term, dist, freq) candidates ranked like the reference corrector:
     smaller edit distance first, then higher frequency, then term.
@@ -72,7 +102,12 @@ def suggest(
     q-gram lemma makes the blocking LOSSLESS there: one edit destroys at
     most 3 trigrams, the word has len-2, so any term within ``maxdist``
     shares >= len-2-3*maxdist of them — >= 1 whenever
-    len(word) >= 3 + 3*maxdist; shorter words fall back to the scan."""
+    len(word) >= 3 + 3*maxdist; shorter words fall back to the scan.
+
+    ``words``: a (term, total_weight) frame replacing the field's lexicon
+    as the candidate vocabulary — pass :func:`build_spell_words` output so
+    a STEMMED field suggests surface words instead of stems (the
+    reference's ``spelling=True`` word graph)."""
     if spell_index is not None and len(word) >= 3 + 3 * maxdist:
         grams = [word[i : i + 3] for i in range(len(word) - 2)]
         lex = (
@@ -80,6 +115,8 @@ def suggest(
             .select("term", "total_weight")
             .distinct()
         )
+    elif words is not None:
+        lex = words.select("term", "total_weight")
     else:
         lex = ix.terms.where(F.col("field") == fieldname).select(
             "term", "total_weight"
