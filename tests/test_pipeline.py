@@ -1279,3 +1279,46 @@ def test_c4_line_filter_no_shuffle(spark):
     df = spark.createDataFrame([(0, "a.\nb.")], "doc_id long, text string")
     plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow map: cleans at scan speed
+
+
+def test_line_shape_stats_rules(spark):
+    """MassiveText line-shape rules (Rae 2021 A1.1): bullet-start,
+    ellipsis-end, and symbol-to-word thresholds."""
+    from whoosh_spark.pipeline.textstats import line_shape_stats
+
+    df = spark.createDataFrame(
+        [
+            # 10 lines, 10 bullets -> bullet_frac 1.0 > 0.9 -> drop
+            (0, "\n".join(f"- item {i}" for i in range(10))),
+            # 10 lines, 9 bullets -> 0.9 boundary is kept (rule is >90%)
+            (1, "plain line here\n" + "\n".join(f"* b {i}" for i in range(9))),
+            # 2 of 5 lines end with ellipsis -> 0.4 > 0.3 -> drop
+            (2, "one fine line\ntrails off...\nanother fine\nmore...\nlast"),
+            # symbols: 4 hashes vs 8 words -> 0.5 > 0.1 -> drop
+            (3, "alpha # beta # gamma # delta # epsilon zeta eta theta"),
+            # clean doc keeps; empty lines ignored
+            (4, "hello world\n\n   \ngood line"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_shape_stats(df).collect()}
+    assert out[0].bullet_line_frac == 1.0 and not out[0].keep
+    assert out[1].bullet_line_frac == 0.9 and out[1].keep
+    assert out[2].ellipsis_line_frac == 0.4 and not out[2].keep
+    assert out[3].symbol_word_ratio > 0.1 and not out[3].keep
+    assert out[4].n_lines == 2 and out[4].keep
+    assert out[5].n_lines == 0 and out[5].keep  # vacuous doc passes
+    # unicode ellipsis counts too
+    u = line_shape_stats(spark.createDataFrame(
+        [(9, "first line…\nsecond line\nthird line\nfourth line")],
+        "doc_id long, text string")).collect()[0]
+    assert u.ellipsis_line_frac == 0.25
+
+
+def test_line_shape_stats_no_shuffle(spark):
+    from whoosh_spark.pipeline.textstats import line_shape_stats
+
+    df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+    plan = line_shape_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -5179,6 +5179,56 @@ FROM kept
 """,
     )
 
+    from whoosh_spark.pipeline.textstats import line_shape_stats
+
+    # MassiveText line-shape derived corpus (same both-engines SQL trick
+    # as the C4 entry): ' a ' breaks lines, ' the ' starts a bullet line,
+    # ' big ' ends a line with an ellipsis, doc_id%11 injects '#' symbols
+    # — every removal rule fires on real rows.
+    _LS_D1 = ("replace(replace(replace(text, ' a ', chr(10)), "
+              "' the ', chr(10) || '- '), ' big ', '...' || chr(10))")
+    _LS_DERIVE = (f"CASE WHEN doc_id % 11 = 0 THEN "
+                  f"replace({_LS_D1}, ' slow ', ' # slow # ') "
+                  f"ELSE {_LS_D1} END")
+
+    add(
+        "text_line_shape_stats",
+        lambda spark, sf: line_shape_stats(
+            _docs(spark, sf).select("doc_id", F.expr(_LS_DERIVE).alias("text"))
+        ),
+        f"""
+WITH derived AS (SELECT doc_id, {_LS_DERIVE} AS text FROM documents),
+l AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS ws
+  FROM derived),
+m AS (
+  SELECT doc_id,
+         length(ls) AS n_lines,
+         CASE WHEN length(ls) > 0 THEN
+           length(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE
+             / length(ls) ELSE 0.0 END AS bf,
+         CASE WHEN length(ls) > 0 THEN
+           length(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$')))::DOUBLE
+             / length(ls) ELSE 0.0 END AS ef,
+         CASE WHEN length(ws) > 0 THEN
+           ((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) / 3
+            + (length(text) - length(replace(text, '…', ''))))::DOUBLE
+             / length(ws) ELSE 0.0 END AS sr
+  FROM l)
+SELECT doc_id, n_lines::INT AS n_lines,
+       round(bf, 4) AS bullet_line_frac,
+       round(ef, 4) AS ellipsis_line_frac,
+       round(sr, 4) AS symbol_word_ratio,
+       (bf <= 0.9 AND ef <= 0.3 AND sr <= 0.1) AS keep
+FROM m
+""",
+    )
+
     def _upsample(spark, sf):
         # epoch up-sampling: mixture weight w = 0.5 + n_chars/400 (spans
         # both the down-sample and multi-copy regimes with varied

@@ -50,6 +50,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     exact_ngram_contamination,
     fingerprint_overlap_pairs,
     langid,
+    line_shape_stats,
     mixture_report,
     quality_scores,
     redact_pii,

@@ -690,6 +690,54 @@ _HTML_ENTITIES = (
 )
 
 
+def line_shape_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", max_bullet_frac: float = 0.9,
+                     max_ellipsis_frac: float = 0.3,
+                     max_symbol_ratio: float = 0.1) -> DataFrame:
+    """MassiveText line-shape document filters (Rae et al. 2021 A1.1 —
+    the Gopher doc-removal rules not covered by :func:`repetition_stats`
+    or :func:`quality_scores`) -> (doc_id, n_lines, bullet_line_frac,
+    ellipsis_line_frac, symbol_word_ratio, keep).
+
+    Published rules: remove a doc when more than 90% of its lines start
+    with a bullet ("-", "*", "•"), more than 30% end with an ellipsis
+    ("..." or "…"), or the symbol-to-word ratio for "#"/ellipsis exceeds
+    0.1. Lines are trimmed and empty lines ignored; ``keep`` applies the
+    thresholds to the UNROUNDED fractions (reported values are rounded
+    to 4 decimals). A narrow all-JVM map — no shuffle, no Python — like
+    the rest of the quality tier."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike("^[-*•]")))
+    n_ell = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$")))
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    n_sym = (
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    )
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ell_frac = F.when(n_lines > 0, n_ell / n_lines).otherwise(F.lit(0.0))
+    sym_ratio = F.when(words > 0, n_sym / words).otherwise(F.lit(0.0))
+    keep = (
+        (bullet_frac <= float(max_bullet_frac))
+        & (ell_frac <= float(max_ellipsis_frac))
+        & (sym_ratio <= float(max_symbol_ratio))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("int").alias("n_lines"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ell_frac, 4).alias("ellipsis_line_frac"),
+        F.round(sym_ratio, 4).alias("symbol_word_ratio"),
+        keep.alias("keep"),
+    )
+
+
 _C4_TERMINAL_RE = r'[.!?"]$'
 
 
