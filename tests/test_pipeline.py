@@ -1322,3 +1322,24 @@ def test_line_shape_stats_no_shuffle(spark):
     df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
     plan = line_shape_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_curation_labels_line_shape_stage(spark, docs):
+    from whoosh_spark.pipeline import curation_labels
+
+    base = {r.doc_id: r for r in curation_labels(docs).collect()}
+    # inject one bullet-wall doc; everything else untouched
+    bad_id = 990_001
+    bad = spark.createDataFrame(
+        [(bad_id, "\n".join(f"- bullet {i} here now" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    aug = docs.select("doc_id", "text").unionByName(bad)
+    shaped = {r.doc_id: r for r in
+              curation_labels(aug, line_shape=True).collect()}
+    assert "shape_ok" in shaped[bad_id].asDict()
+    assert not shaped[bad_id].shape_ok and not shaped[bad_id].keep
+    # single-line testdata docs all pass the shape gate: keep unchanged
+    for d, r in base.items():
+        assert shaped[d].shape_ok
+        assert shaped[d].keep == r.keep

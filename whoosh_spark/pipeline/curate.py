@@ -30,7 +30,8 @@ def curation_labels(docs: DataFrame, text_col: str = "text",
                     jaccard_threshold: float = 0.8,
                     keep_best_quality: bool = False,
                     classifier_weights: DataFrame | None = None,
-                    classifier_min: float = 0.0) -> DataFrame:
+                    classifier_min: float = 0.0,
+                    line_shape: bool = False) -> DataFrame:
     """(doc_id, lang_pred, quality, exact_canonical, cluster_id,
     cluster_canonical[, clf_score], keep) for every doc.
 
@@ -49,6 +50,11 @@ def curation_labels(docs: DataFrame, text_col: str = "text",
     nb_train` model) adds the model-based filter tier: a ``clf_score``
     column and ``AND clf_score >= classifier_min`` folded into keep —
     the heuristic-then-model gauntlet FineWeb/DCLM run.
+
+    ``line_shape=True`` adds the MassiveText line-shape gate
+    (:func:`~whoosh_spark.pipeline.textstats.line_shape_stats`): a
+    ``shape_ok`` column ANDed into keep — another narrow map on the same
+    scan, no extra shuffle beyond its doc-id join.
     """
     q = quality_scores(docs, text_col, id_col).select("doc_id", "quality")
     lid = langid(docs, text_col, id_col).select("doc_id", "lang_pred")
@@ -79,4 +85,12 @@ def curation_labels(docs: DataFrame, text_col: str = "text",
         out = out.join(clf, "doc_id")
         keep = keep & (F.col("clf_score") >= classifier_min)
         cols.append("clf_score")
+    if line_shape:
+        from whoosh_spark.pipeline.textstats import line_shape_stats
+
+        shape = line_shape_stats(docs, text_col, id_col).select(
+            "doc_id", F.col("keep").alias("shape_ok"))
+        out = out.join(shape, "doc_id")
+        keep = keep & F.col("shape_ok")
+        cols.append("shape_ok")
     return out.select(*cols, keep.alias("keep"))
