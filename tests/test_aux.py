@@ -364,3 +364,15 @@ def test_build_spell_words_surface_vocabulary(spark):
     assert got and got[0].term == "running"  # real word, not the stem
     got2 = suggest(six, "text", "runing", limit=3).collect()
     assert all(r.term != "running" for r in got2)  # lexicon path can't
+
+
+def test_suggest_rejects_spell_index_plus_words(spark, ix):
+    from whoosh_spark.search.aux import build_spell_index, build_spell_words
+
+    si = build_spell_index(ix, "text")
+    w = spark.createDataFrame([("query", 1.0)], "term string, total_weight double")
+    with pytest.raises(ValueError, match="not both"):
+        suggest(ix, "text", "querrying", spell_index=si, words=w)
+    # and build_spell_index can be built OVER a words frame instead
+    si_w = build_spell_index(ix, "text", words=w)
+    assert {r.term for r in si_w.select("term").distinct().collect()} == {"query"}

@@ -1265,6 +1265,13 @@ def test_c4_line_filter_rules(spark):
     assert r2.n_kept == 4 and r2.has_lorem and not r2.keep
     r3 = out[3]
     assert r3.has_brace and not r3.keep
+    # a lone closing brace also counts (C4 removes any curly bracket)
+    rb = c4_line_filter(spark.createDataFrame(
+        [(9, "good line with five words here.\n"
+             "more good words in this line.\n"
+             "return x; } end of function ok.")],
+        "doc_id long, text string")).collect()[0]
+    assert rb.has_brace and not rb.keep
     r4 = out[4]
     assert r4.n_lines == 1 and r4.n_kept == 0 and r4.text_clean == "" and not r4.keep
     # min_words / min_kept_lines are tunable
@@ -1309,6 +1316,13 @@ def test_line_shape_stats_rules(spark):
     assert out[3].symbol_word_ratio > 0.1 and not out[3].keep
     assert out[4].n_lines == 2 and out[4].keep
     assert out[5].n_lines == 0 and out[5].keep  # vacuous doc passes
+    # per-symbol thresholds (Gopher: 'either the hash symbol or the
+    # ellipsis'): 1 hash (0.05) + 2 '...' (0.10) over 20 words — each
+    # symbol is within 0.1 so the doc KEEPS, though the sum is 0.15
+    per = line_shape_stats(spark.createDataFrame(
+        [(8, "# " + "w " * 14 + "trail... and more x... end")],
+        "doc_id long, text string")).collect()[0]  # 20 words, 1 '#', 2 '...'
+    assert per.symbol_word_ratio == 0.1 and per.keep
     # unicode ellipsis counts too
     u = line_shape_stats(spark.createDataFrame(
         [(9, "first line…\nsecond line\nthird line\nfourth line")],

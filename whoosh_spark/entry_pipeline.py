@@ -5172,9 +5172,10 @@ SELECT doc_id,
        length(ls)::INT AS n_lines,
        length(ks)::INT AS n_kept,
        contains(lower(text), 'lorem ipsum') AS has_lorem,
-       contains(text, chr(123)) AS has_brace,
+       (contains(text, chr(123)) OR contains(text, chr(125))) AS has_brace,
        (length(ks) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
-        AND NOT contains(text, chr(123))) AS keep
+        AND NOT contains(text, chr(123))
+        AND NOT contains(text, chr(125))) AS keep
 FROM kept
 """,
     )
@@ -5215,10 +5216,12 @@ m AS (
            length(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$')))::DOUBLE
              / length(ls) ELSE 0.0 END AS ef,
          CASE WHEN length(ws) > 0 THEN
-           ((length(text) - length(replace(text, '#', '')))
-            + (length(text) - length(replace(text, '...', ''))) / 3
-            + (length(text) - length(replace(text, '…', ''))))::DOUBLE
-             / length(ws) ELSE 0.0 END AS sr
+           greatest(
+             (length(text) - length(replace(text, '#', '')))::DOUBLE
+               / length(ws),
+             ((length(text) - length(replace(text, '...', ''))) / 3
+              + (length(text) - length(replace(text, '…', ''))))::DOUBLE
+               / length(ws)) ELSE 0.0 END AS sr
   FROM l)
 SELECT doc_id, n_lines::INT AS n_lines,
        round(bf, 4) AS bullet_line_frac,

@@ -701,11 +701,14 @@ def line_shape_stats(docs: DataFrame, text_col: str = "text",
 
     Published rules: remove a doc when more than 90% of its lines start
     with a bullet ("-", "*", "•"), more than 30% end with an ellipsis
-    ("..." or "…"), or the symbol-to-word ratio for "#"/ellipsis exceeds
-    0.1. Lines are trimmed and empty lines ignored; ``keep`` applies the
-    thresholds to the UNROUNDED fractions (reported values are rounded
-    to 4 decimals). A narrow all-JVM map — no shuffle, no Python — like
-    the rest of the quality tier."""
+    ("..." or "…"), or the symbol-to-word ratio exceeds 0.1 for EITHER
+    the hash symbol or the ellipsis (per-symbol thresholds, so
+    ``symbol_word_ratio`` reports the max of the two ratios — a doc
+    under 0.1 on each symbol passes even if the sum exceeds it). Lines
+    are trimmed and empty lines ignored; ``keep`` applies the thresholds
+    to the UNROUNDED fractions (reported values are rounded to 4
+    decimals). A narrow all-JVM map — no shuffle, no Python — like the
+    rest of the quality tier."""
     t = F.col(text_col)
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
@@ -715,14 +718,16 @@ def line_shape_stats(docs: DataFrame, text_col: str = "text",
     n_bullet = F.size(F.filter(lines, lambda x: x.rlike("^[-*•]")))
     n_ell = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$")))
     words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
-    n_sym = (
-        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
-        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_sym_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
         + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
     )
     bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
     ell_frac = F.when(n_lines > 0, n_ell / n_lines).otherwise(F.lit(0.0))
-    sym_ratio = F.when(words > 0, n_sym / words).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        words > 0, F.greatest(n_hash / words, n_sym_ell / words)
+    ).otherwise(F.lit(0.0))
     keep = (
         (bullet_frac <= float(max_bullet_frac))
         & (ell_frac <= float(max_ellipsis_frac))
@@ -753,7 +758,8 @@ def c4_line_filter(docs: DataFrame, text_col: str = "text",
     ``min_words`` whitespace-separated words, and does not contain the
     word "javascript" (case-insensitive). Doc rules: ``keep`` is true
     iff at least ``min_kept_lines`` lines survive AND the raw text has
-    neither "lorem ipsum" (case-insensitive) nor a ``{`` character.
+    neither "lorem ipsum" (case-insensitive) nor a curly bracket
+    (``{`` or ``}``).
 
     Entirely JVM higher-order functions over the split line array —
     a narrow map with NO shuffle and no Python, so a 100 TB crawl
@@ -773,7 +779,9 @@ def c4_line_filter(docs: DataFrame, text_col: str = "text",
     kept = F.filter(trimmed, _line_ok)
     low = F.lower(F.col(text_col))
     has_lorem = F.contains(low, F.lit("lorem ipsum"))
-    has_brace = F.contains(F.col(text_col), F.lit("{"))
+    has_brace = F.contains(F.col(text_col), F.lit("{")) | F.contains(
+        F.col(text_col), F.lit("}")
+    )
     n_kept = F.size(kept)
     return docs.select(
         F.col(id_col).alias("doc_id"),

@@ -35,14 +35,23 @@ from whoosh_spark.query import nodes as Q
 LOG2 = 0.6931471805599453  # ln(2)
 
 
-def build_spell_index(ix: InvertedIndex, fieldname: str) -> DataFrame:
+def build_spell_index(ix: InvertedIndex, fieldname: str,
+                      words: DataFrame | None = None) -> DataFrame:
     """(gram, term, total_weight) trigram posting table over the lexicon —
     the scale path for suggest(): build once (persist or write bucketed by
     gram), then each suggestion reads only the word's ~len grams instead of
     scanning the whole 10^8-10^9-term lexicon with a DP distance. The
     reference gets the same effect from its FSA term index
-    (automata/fsa.py via reading.py::terms_within)."""
-    lex = ix.terms.where(F.col("field") == fieldname).select("term", "total_weight")
+    (automata/fsa.py via reading.py::terms_within).
+
+    ``words``: a (term, total_weight) vocabulary frame (e.g.
+    :func:`build_spell_words` output) used INSTEAD of the field's lexicon
+    — the scale path for surface-word suggestions over stemmed fields."""
+    if words is not None:
+        lex = words.select("term", "total_weight")
+    else:
+        lex = ix.terms.where(F.col("field") == fieldname).select(
+            "term", "total_weight")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("term") - 2, F.lit(1))),
         lambda i: F.col("term").substr(i, F.lit(3)),
@@ -107,7 +116,16 @@ def suggest(
     ``words``: a (term, total_weight) frame replacing the field's lexicon
     as the candidate vocabulary — pass :func:`build_spell_words` output so
     a STEMMED field suggests surface words instead of stems (the
-    reference's ``spelling=True`` word graph)."""
+    reference's ``spelling=True`` word graph). Mutually exclusive with
+    ``spell_index``: a trigram index encodes ONE vocabulary, so build it
+    over the intended frame (``build_spell_index(ix, field, words=...)``)
+    instead of passing both."""
+    if spell_index is not None and words is not None:
+        raise ValueError(
+            "pass either spell_index or words, not both — build the "
+            "trigram index over the words frame: "
+            "build_spell_index(ix, fieldname, words=words)"
+        )
     if spell_index is not None and len(word) >= 3 + 3 * maxdist:
         grams = [word[i : i + 3] for i in range(len(word) - 2)]
         lex = (
@@ -185,8 +203,16 @@ def key_terms_from_text(
     import collections
 
     counts = collections.Counter(batch.term.tolist())
-    wt = ix.spark.createDataFrame(
-        sorted((t, float(c)) for t, c in counts.items()), "term string, wt double"
+    # literal explode, not createDataFrame: avoids ~1 s of py4j
+    # round-trips per call (same reasoning as more_like_this's seed frame)
+    pairs = F.array(*[
+        F.struct(F.lit(t).alias("term"), F.lit(float(c)).alias("wt"))
+        for t, c in sorted(counts.items())
+    ])
+    wt = (
+        ix.spark.range(1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.term").alias("term"), F.col("p.wt").alias("wt"))
     )
     return _expansion_rank(ix, F.broadcast(wt), fieldname, numterms, model)
 

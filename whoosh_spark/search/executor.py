@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from whoosh_spark.indexing.build import InvertedIndex
 from whoosh_spark.query import nodes as Q
-from whoosh_spark.search.facets import ScoreFacet, as_facet
+from whoosh_spark.search.facets import as_facet, facet_desc
 from whoosh_spark.search.scoring import BM25F, WeightingModel
 
 
@@ -526,12 +526,8 @@ class Searcher:
                 if f.output_name:
                     out = out.withColumn(f.output_name, f.key())
                 key = F.col(f.output_name) if f.output_name else f.key()
-                # per-facet reverse XOR call-level reverse; ScoreFacet
-                # defaults descending like the reference (sorting.py)
-                desc = getattr(f, "reverse", False) ^ reverse
-                if isinstance(f, ScoreFacet):
-                    desc = not desc
-                order.append(key.desc() if desc else key.asc())
+                order.append(
+                    key.desc() if facet_desc(f, reverse) else key.asc())
             out = out.orderBy(*order, F.asc("doc_id"))
             return out.limit(limit) if limit is not None else out
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -819,10 +815,8 @@ class Searcher:
             f = as_facet(order)
             cols = sorted({key, *f.columns})
             k = f.key()
-            desc = getattr(f, "reverse", False)
-            if isinstance(f, ScoreFacet):
-                desc = not desc
-            w_order = [k.desc() if desc else k.asc(), F.asc("doc_id")]
+            w_order = [k.desc() if facet_desc(f) else k.asc(),
+                       F.asc("doc_id")]
         docs = self.index.docs.select(
             F.col(self.index.doc_id_col).alias("doc_id"), *cols)
         w = Window.partitionBy(key).orderBy(*w_order)
@@ -1104,10 +1098,7 @@ class Searcher:
             order = []
             for f in facets:
                 key = F.col(f.output_name) if f.output_name else f.key()
-                desc = getattr(f, "reverse", False) ^ rev
-                if isinstance(f, ScoreFacet):
-                    desc = not desc
-                order.append(key.desc() if desc else key.asc())
+                order.append(key.desc() if facet_desc(f, rev) else key.asc())
             w = Window.orderBy(*order, F.asc("doc_id"))
         else:
             w = Window.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -112,3 +112,14 @@ class TranslateFacet:
 
 def as_facet(k) -> "FieldFacet | ScoreFacet | FunctionFacet":
     return FieldFacet(k) if isinstance(k, str) else k
+
+
+def facet_desc(f, reverse: bool = False) -> bool:
+    """Sort direction for a facet: per-facet reverse XOR call-level
+    reverse, with ScoreFacet defaulting descending like the reference
+    (sorting.py). The ONE place the rule lives — search, search_page,
+    and collapse_order all call it."""
+    desc = getattr(f, "reverse", False) ^ reverse
+    if isinstance(f, ScoreFacet):
+        desc = not desc
+    return desc
