@@ -635,3 +635,23 @@ def test_collapse_order(searcher):
     base = searcher.search(Q.Term("text", "spark"), limit=None,
                            collapse="role")
     assert len(base.collect()) == 3
+
+
+def test_group_counts_overlap(searcher, oracle):
+    """FieldFacet(allow_overlap=True): a doc counts under every term it
+    has in the field (sorting.py::FieldFacet ~L150)."""
+    got = {r.term: r["count"]
+           for r in searcher.group_counts_overlap(
+               Q.Term("text", "spark"), "text").collect()}
+    match = oracle.matching("spark")
+    exp = {}
+    for i in match:
+        for t in oracle.tf[i]:
+            exp[t] = exp.get(t, 0) + 1
+    assert got == exp
+    # every matching doc contributes its full term set, so 'spark' itself
+    # counts once per matching doc
+    assert got["spark"] == len(match)
+    # n= keeps the top-n keys deterministically
+    top = searcher.group_counts_overlap(Q.Term("text", "spark"), "text", n=3).collect()
+    assert len(top) == 3 and top[0].term == "spark"

@@ -541,6 +541,22 @@ SELECT query_id, doc_id, score FROM (
     )
 
     add(
+        # FieldFacet(allow_overlap=True) (sorting.py ~L150): each matching
+        # doc counts under EVERY text term it contains — the multi-valued
+        # keyword facet; top-20 keys, ties term-ascending in both engines
+        "facet_overlap_top20",
+        lambda spark, sf: _docs_searcher(spark, sf).group_counts_overlap(
+            Q.Term("text", "spark"), "text", n=20
+        ),
+        PRELUDE
+        + "SELECT term, count FROM ("
+        "  SELECT p.term, count(*)::BIGINT AS count FROM post p"
+        "  WHERE p.doc_id IN (SELECT doc_id FROM post WHERE term = 'spark')"
+        "  GROUP BY p.term"
+        ") ORDER BY count DESC, term ASC LIMIT 20",
+    )
+
+    add(
         "facet_query_buckets",
         # QueryFacet (sorting.py::QueryFacet, allow_overlap): q's matches
         # counted into named bucket QUERIES — arbitrary trees, here two
@@ -1241,9 +1257,9 @@ _WINDOW_FIRST = [
     # sample_shard_shuffle, conv_qa_gate, and emb_lang_centroids, and the
     # r4-tail additions span_condition_topk / key_terms_from_text /
     # text_c4_line_filter / collapse_order_topk / sorted_by_translate /
-    # spell_suggest_words / text_line_shape_stats; all registered past
-    # this list so they sort after the named slots, all
-    # pytest-oracle-verified at sf0.001/0.01)
+    # spell_suggest_words / text_line_shape_stats / facet_overlap_top20;
+    # all registered past this list so they sort after the named slots,
+    # all pytest-oracle-verified at sf0.001/0.01)
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first

@@ -1190,6 +1190,25 @@ class Searcher:
         docs = self.index.docs.select(F.col(self.index.doc_id_col).alias("doc_id"), *keys)
         return scored.join(docs, "doc_id").groupBy(*keys).agg(F.count("*").alias("count"))
 
+    def group_counts_overlap(self, q: "Q.Query | DataFrame", fieldname: str,
+                             n: int | None = None) -> DataFrame:
+        """FieldFacet(allow_overlap=True) (reference: sorting.py::FieldFacet
+        ~L150): a doc counts under EVERY term it has in the field, not one
+        stored value — the multi-valued keyword facet. The key source is
+        the postings table itself (term-derived keys, one row per
+        (field, term, doc) by construction), so the facet rides the
+        existing layout: one left-semi join + one map-side-combined
+        groupBy. ``n``: keep the top-n keys (count desc, term asc) — pass
+        it at 100 TB where the full key set is the field's vocabulary."""
+        scored = q if isinstance(q, DataFrame) else self.compile(q)
+        keys = self.index.postings.where(F.col("field") == fieldname).select(
+            "doc_id", "term")
+        j = keys.join(scored.select("doc_id"), "doc_id", "left_semi")
+        out = j.groupBy("term").agg(F.count("*").alias("count"))
+        if n is not None:
+            out = out.orderBy(F.desc("count"), F.asc("term")).limit(int(n))
+        return out
+
     def group_best(self, q: "Q.Query | DataFrame", groupedby: str) -> DataFrame:
         """Best maptype: highest-scoring doc per group (ties: lowest doc_id)
         (sorting.py::Best ~L800). ``q`` may be a pre-scored
