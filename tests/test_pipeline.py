@@ -1357,3 +1357,29 @@ def test_curation_labels_line_shape_stage(spark, docs):
     for d, r in base.items():
         assert shaped[d].shape_ok
         assert shaped[d].keep == r.keep
+
+
+def test_dedup_lines(spark):
+    """Within-doc duplicate-line removal: first occurrence wins, order
+    preserved, trimmed comparison, blank lines pass through."""
+    from whoosh_spark.pipeline.textstats import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (0, "nav bar\ncontent one\nnav bar\ncontent two\n  nav bar  \nend"),
+            (1, "a\n\nb\n\na\nb"),   # blanks kept, repeats dropped
+            (2, "only line"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(df).collect()}
+    # trimmed compare: '  nav bar  ' is a dup of 'nav bar'
+    assert out[0].text_clean == "nav bar\ncontent one\ncontent two\nend"
+    assert out[0].n_lines == 6 and out[0].n_kept == 4
+    assert out[1].text_clean == "a\n\nb\n"  # both blanks survive
+    assert out[1].n_kept == 4
+    assert out[2].text_clean == "only line"
+    assert out[3].n_lines == 1 and out[3].n_kept == 1  # '' splits to ['']
+    plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

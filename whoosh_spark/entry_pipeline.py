@@ -5180,6 +5180,35 @@ FROM kept
 """,
     )
 
+    from whoosh_spark.pipeline.textstats import dedup_lines
+
+    # dedup_lines derived corpus: ' a ' -> newline gives line structure,
+    # then the WHOLE doc is doubled around another newline — every line
+    # recurs at least once, so first-occurrence-wins, order preservation,
+    # and trimmed comparison all fire on every row
+    _DL_D = "replace(text, ' a ', chr(10))"
+    _DL_DERIVE = f"{_DL_D} || chr(10) || {_DL_D}"
+
+    add(
+        "text_dedup_lines",
+        lambda spark, sf: dedup_lines(
+            _docs(spark, sf).select("doc_id", F.expr(_DL_DERIVE).alias("text"))
+        ),
+        f"""
+WITH derived AS (SELECT doc_id, {_DL_DERIVE} AS text FROM documents),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM derived),
+k AS (
+  SELECT doc_id, ls,
+         list_filter(ls, (x, i) -> trim(x) = '' OR
+           len(list_filter(ls[1:i-1], y -> trim(y) = trim(x))) = 0) AS ks
+  FROM l)
+SELECT doc_id,
+       coalesce(array_to_string(ks, chr(10)), '') AS text_clean,
+       len(ls)::INT AS n_lines, len(ks)::INT AS n_kept
+FROM k
+""",
+    )
+
     from whoosh_spark.pipeline.textstats import line_shape_stats
 
     # MassiveText line-shape derived corpus (same both-engines SQL trick

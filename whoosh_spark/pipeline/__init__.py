@@ -45,6 +45,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     bigram_logprob,
     c4_line_filter,
     contamination_pairs,
+    dedup_lines,
     dsir_gumbel_topk,
     dsir_logweights,
     exact_ngram_contamination,

@@ -743,6 +743,36 @@ def line_shape_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_lines(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Within-document duplicate-line removal -> (doc_id, text_clean,
+    n_lines, n_kept): keep the FIRST occurrence of each line (compared
+    trimmed), preserve order, pass blank lines through untouched (they
+    are separators, not content). The boilerplate-line cleanup step
+    (repeated nav bars / footers inside one page) RefinedWeb/Dolma-style
+    pipelines run before cross-doc dedup; :func:`repetition_stats`
+    MEASURES the duplicate-line load, this removes it.
+
+    Doc-local index-aware higher-order functions — a narrow map with NO
+    shuffle; the per-doc prefix scan is O(lines²), fine at real line
+    counts (a 10k-line outlier is ~10^8 cheap JVM comparisons; for
+    adversarial inputs the explode -> row_number-per-(doc, line) ->
+    re-aggregate shape trades this for a shuffle)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.trim(x) == "")
+        | ~F.exists(F.slice(lines, 1, i), lambda y: F.trim(y) == F.trim(x)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+    )
+
+
 _C4_TERMINAL_RE = r'[.!?"]$'
 
 
