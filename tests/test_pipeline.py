@@ -1383,3 +1383,47 @@ def test_dedup_lines(spark):
     assert out[3].n_lines == 1 and out[3].n_kept == 1  # '' splits to ['']
     plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_mixture(spark, docs):
+    """mC4/XLM-R alpha-rebalance: n_i^alpha targets, exact total, small
+    strata up-sampled with deterministic whole epochs."""
+    import math
+
+    import pytest as _pt
+
+    from whoosh_spark.pipeline import temperature_mixture
+
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(sizes.values()) + 100  # force with-replacement somewhere
+    out = temperature_mixture(docs, "lang", total, alpha=0.5).collect()
+    assert len(out) == total  # exact total, epochs included
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # targets follow sqrt shares via largest remainder
+    z = sum(math.sqrt(n) for n in sizes.values())
+    for lang, rows in by_lang.items():
+        target = total * math.sqrt(sizes[lang]) / z
+        assert abs(len(rows) - target) <= 1.0  # integerized +-1 seat
+        # with-replacement semantics: distinct docs bounded by stratum
+        # size; every doc's copy count differs by at most 1
+        per_doc = {}
+        for r in rows:
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert len(per_doc) <= sizes[lang]
+        assert max(per_doc.values()) - min(per_doc.values()) <= 1
+        # epoch indexes are dense 0..c-1 per doc
+        for d, c in per_doc.items():
+            eps = sorted(r["epoch"] for r in rows if r["doc_id"] == d)
+            assert eps == list(range(c))
+    # alpha=1 degenerates to the proportional split
+    prop = temperature_mixture(docs, "lang", 100, alpha=1.0).collect()
+    assert len(prop) == 100 and all(r["epoch"] == 0 for r in prop)
+    # determinism
+    again = temperature_mixture(docs, "lang", total, alpha=0.5).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in again) == \
+        sorted((r["doc_id"], r["epoch"]) for r in out)
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_mixture(docs, "lang", 10, alpha=0.0)

@@ -792,6 +792,54 @@ WHERE r.rn <= quota
 """,
     )
 
+    from whoosh_spark.pipeline import temperature_mixture
+
+    add(
+        # temperature-scaled mixture (mC4/XLM-R alpha-rebalance): targets
+        # n_i^0.5-proportional, 600 > corpus size so the small strata
+        # exercise the with-replacement epoch path while the big stratum
+        # stays md5-filled — both arms of the sampler fire
+        "sample_temperature_lang",
+        lambda spark, sf: temperature_mixture(
+            _docs(spark, sf), "lang", 600, alpha=0.5
+        ).select("doc_id", "lang", "epoch"),
+        """
+WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+q AS (
+  SELECT lang, n, 600 * pow(n, 0.5) / sum(pow(n, 0.5)) OVER () AS raw
+  FROM sizes
+),
+q2 AS (
+  SELECT lang, n, floor(raw)::BIGINT AS base, raw - floor(raw) AS frac FROM q
+),
+q3 AS (
+  SELECT lang, n, base,
+         row_number() OVER (ORDER BY frac DESC, lang ASC) AS rk,
+         600 - sum(base) OVER () AS rem
+  FROM q2
+),
+quotas AS (
+  SELECT lang, n, base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS t FROM q3
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY ('0x' || substr(md5('ws1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                    d.doc_id ASC) AS rn
+  FROM documents d
+),
+c AS (
+  SELECT r.doc_id, r.lang,
+         (t // n) + CASE WHEN rn <= t % n THEN 1 ELSE 0 END AS copies
+  FROM ranked r JOIN quotas USING (lang)
+)
+SELECT doc_id, lang, e AS epoch
+FROM c, LATERAL unnest(range(copies)) AS u(e)
+WHERE copies > 0
+""",
+    )
+
     add(
         "dedup_simhash_pairs",
         lambda spark, sf: simhash_pairs(_docs(spark, sf), maxdist=3).select(

@@ -1258,8 +1258,9 @@ _WINDOW_FIRST = [
     # r4-tail additions span_condition_topk / key_terms_from_text /
     # text_c4_line_filter / collapse_order_topk / sorted_by_translate /
     # spell_suggest_words / text_line_shape_stats / facet_overlap_top20 /
-    # text_dedup_lines; all registered past this list so they sort after
-    # the named slots, all pytest-oracle-verified at sf0.001/0.01)
+    # text_dedup_lines / sample_temperature_lang; all registered past this
+    # list so they sort after the named slots, all pytest-oracle-verified
+    # at sf0.001/0.01)
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first

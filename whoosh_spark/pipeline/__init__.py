@@ -79,6 +79,7 @@ from whoosh_spark.pipeline.sampling import (  # noqa: F401
     proportional_sample,
     shard_shuffle,
     stratified_sample,
+    temperature_mixture,
     token_budget_sample,
     weighted_hash_sample,
 )

@@ -102,6 +102,62 @@ def proportional_sample(docs: DataFrame, by: str, total_n: int,
             .drop("_rn", "_quota"))
 
 
+def temperature_mixture(docs: DataFrame, by: str, total_n: int,
+                        alpha: float = 0.5, key_col: str = "doc_id",
+                        salt: str = "ws1") -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual rebalance
+    rule of mC4 / XLM-R (Raffel 2020 §3.4.3, Conneau 2020 §3): stratum i
+    is targeted at ``total_n * n_i^alpha / sum(n_j^alpha)`` rows, alpha
+    in (0, 1] flattening the size distribution toward uniform so
+    low-resource strata are up-weighted. Returns exactly ``total_n``
+    rows with an ``epoch`` column (0-based copy index): a stratum whose
+    target exceeds its size is repeated by whole deterministic epochs
+    plus an md5-ordered partial epoch — sampling WITH replacement, the
+    published practice for up-weighted languages; a down-weighted
+    stratum is filled md5-first like :func:`proportional_sample`.
+
+    Fully deterministic for (salt, data): targets are integerized by the
+    same largest-remainder method as proportional_sample (fractions
+    ranked descending, ties stratum-ascending). Plan shape: one tiny
+    stratum-count agg + quota windows over the stratum frame, one join
+    back, one stratum-keyed window, one doc-local epoch explode — the
+    same bounded-shuffle story at 100 TB.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    sizes = docs.groupBy(by).agg(F.count(F.lit(1)).alias("_n"))
+    share = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    w_all = Window.partitionBy()
+    s = sizes.withColumn("_s", share)
+    raw = F.lit(int(total_n)) * F.col("_s") / F.sum("_s").over(w_all)
+    q = (s.select(by, "_n", raw.alias("_raw"))
+         .withColumn("_base", F.floor("_raw").cast("long"))
+         .withColumn("_frac", F.col("_raw") - F.col("_base")))
+    rem = F.lit(int(total_n)) - F.sum("_base").over(w_all)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("_frac"), F.asc(by)))
+    quotas = q.select(
+        by, "_n",
+        (F.col("_base")
+         + F.when(rank <= rem, F.lit(1)).otherwise(F.lit(0))).alias("_t"))
+    w_fill = Window.partitionBy(by).orderBy(
+        _hash_u32(key_col, salt).asc(), F.col(key_col).asc())
+    j = (docs.join(quotas, by)
+         .withColumn("_rn", F.row_number().over(w_fill)))
+    # copies per doc: full epochs for everyone + one more for the first
+    # (t mod n) docs in md5 order -> sum over stratum == t exactly
+    copies = (F.floor(F.col("_t") / F.col("_n")).cast("long")
+              + F.when(F.col("_rn") <= F.col("_t") % F.col("_n"),
+                       F.lit(1)).otherwise(F.lit(0)))
+    return (
+        j.withColumn("_c", copies)
+        .where(F.col("_c") > 0)
+        .withColumn("epoch", F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_c") - 1)))
+        .drop("_n", "_t", "_rn", "_c")
+    )
+
+
 def weighted_hash_sample(docs: DataFrame, weight_col: str, rate: float,
                          key_col: str = "doc_id",
                          salt: str = "ws1") -> DataFrame:
