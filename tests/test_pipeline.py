@@ -1427,3 +1427,24 @@ def test_temperature_mixture(spark, docs):
         sorted((r["doc_id"], r["epoch"]) for r in out)
     with _pt.raises(ValueError, match="alpha"):
         temperature_mixture(docs, "lang", 10, alpha=0.0)
+
+
+def test_dedup_lines_idempotent(spark, docs):
+    """dedup_lines is a projection: applying it twice == once (over the
+    doubled-doc derived corpus, where every line recurs)."""
+    from whoosh_spark.pipeline.textstats import dedup_lines
+
+    derived = docs.select(
+        "doc_id",
+        F.expr("replace(text, ' a ', chr(10)) || chr(10) || "
+               "replace(text, ' a ', chr(10))").alias("text"))
+    once = dedup_lines(derived)
+    twice = dedup_lines(once.select("doc_id",
+                                    F.col("text_clean").alias("text")))
+    a = {r.doc_id: r.text_clean for r in once.collect()}
+    b = {r.doc_id: r.text_clean for r in twice.collect()}
+    assert a == b
+    # and kept lines are unique after trimming (blanks aside)
+    for txt in a.values():
+        seen = [ln.strip() for ln in txt.split("\n") if ln.strip()]
+        assert len(seen) == len(set(seen))

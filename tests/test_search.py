@@ -655,3 +655,20 @@ def test_group_counts_overlap(searcher, oracle):
     # n= keeps the top-n keys deterministically
     top = searcher.group_counts_overlap(Q.Term("text", "spark"), "text", n=3).collect()
     assert len(top) == 3 and top[0].term == "spark"
+
+
+def test_group_topn_overlap(searcher, oracle):
+    """Top-n docs per TERM key (allow_overlap grouped search)."""
+    rows = searcher.group_topn_overlap(
+        Q.Term("text", "spark"), "text", n=2, keys=["join", "merge"]).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.term, []).append((r.rank, r.doc_id))
+    match = oracle.matching("spark")
+    for term in ("join", "merge"):
+        exp = sorted(
+            ((-oracle.bm25(i, "spark"), i) for i in match
+             if term in oracle.tf[i]),
+        )[:2]
+        assert [d for _, d in sorted(got.get(term, []))] == [i for _, i in exp]
+    assert all(r.rank <= 2 for r in rows)

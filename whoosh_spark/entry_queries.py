@@ -540,6 +540,28 @@ SELECT query_id, doc_id, score FROM (
         "JOIN documents d USING (doc_id) GROUP BY d.lang",
     )
 
+    def _overlap_topn(spark, sf):
+        # grouped top-n under allow_overlap: best 2 docs per term key for
+        # a fixed key set, rounded-score ranks per registry discipline
+        s = _docs_searcher(spark, sf)
+        scored = _rounded(s.compile(Q.Term("text", "spark")))
+        return s.group_topn_overlap(
+            scored, "text", n=2, keys=["join", "vector", "scan", "stream"])
+
+    add(
+        "facet_overlap_topn",
+        _overlap_topn,
+        PRELUDE
+        + "SELECT term, doc_id, score, rank FROM ("
+        "  SELECT p.term, s.doc_id, round(s.score, 4) AS score,"
+        "         row_number() OVER (PARTITION BY p.term"
+        "           ORDER BY round(s.score, 4) DESC, s.doc_id ASC) AS rank"
+        "  FROM (SELECT doc_id, score FROM scored WHERE term = 'spark') s"
+        "  JOIN post p USING (doc_id)"
+        "  WHERE p.term IN ('join','vector','scan','stream')"
+        ") WHERE rank <= 2",
+    )
+
     add(
         # FieldFacet(allow_overlap=True) (sorting.py ~L150): each matching
         # doc counts under EVERY text term it contains — the multi-valued
@@ -1258,9 +1280,10 @@ _WINDOW_FIRST = [
     # r4-tail additions span_condition_topk / key_terms_from_text /
     # text_c4_line_filter / collapse_order_topk / sorted_by_translate /
     # spell_suggest_words / text_line_shape_stats / facet_overlap_top20 /
-    # text_dedup_lines / sample_temperature_lang; all registered past this
+    # text_dedup_lines / sample_temperature_lang / facet_overlap_topn; all
+    # registered past this
     # list so they sort after the named slots, all pytest-oracle-verified
-    # at sf0.001/0.01)
+    # at sf0.001/0.01 AND hash-verified at the sf0.1 stress tier)
     "snowball_search_topk", "term_bm25_topk",
     "and_bm25_topk", "or_bm25_topk", "phrase_bm25_topk", "every_count",
     # previously-green entries, most-recently-exercised families first

@@ -1209,6 +1209,29 @@ class Searcher:
             out = out.orderBy(F.desc("count"), F.asc("term")).limit(int(n))
         return out
 
+    def group_topn_overlap(self, q: "Q.Query | DataFrame", fieldname: str,
+                           n: int = 3,
+                           keys: "list[str] | None" = None) -> DataFrame:
+        """Top-n docs per TERM key over the match set -> (term, doc_id,
+        score, rank): :meth:`group_topn` under allow_overlap semantics —
+        a doc appears under every term it has in the field. ``keys``
+        restricts to the named terms (pass it at scale: without it the
+        group count is the field's vocabulary). Same plan family as the
+        count variant: one postings-keyed join + one term-partitioned
+        window; ranks use the engine's canonical tie-break
+        (score desc, doc_id asc)."""
+        scored = q if isinstance(q, DataFrame) else self.compile(q)
+        keys_df = self.index.postings.where(F.col("field") == fieldname)
+        if keys is not None:
+            keys_df = keys_df.where(F.col("term").isin(list(keys)))
+        j = keys_df.select("doc_id", "term").join(scored, "doc_id")
+        w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(n))
+            .select("term", "doc_id", "score", "rank")
+        )
+
     def group_best(self, q: "Q.Query | DataFrame", groupedby: str) -> DataFrame:
         """Best maptype: highest-scoring doc per group (ties: lowest doc_id)
         (sorting.py::Best ~L800). ``q`` may be a pre-scored
