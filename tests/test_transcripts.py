@@ -120,3 +120,33 @@ def test_tool_usage_stats_totals(jittered):
     assert set(st["tool"]) <= {"search", "code", "browse", "calc"}
     assert (st["first_s"] <= st["last_s"]).all()
     assert (st["mean_words"] > 0).all()
+
+
+def test_expand_context(spark):
+    """Hit turns gain their +-k conversation neighbors; windows clip at
+    conversation edges and never cross conversations."""
+    from whoosh_spark.pipeline.conversations import expand_context
+
+    turns = spark.createDataFrame(
+        [
+            (0, "c1", 0), (1, "c1", 1), (2, "c1", 2), (3, "c1", 3),
+            (4, "c2", 0), (5, "c2", 1),
+        ],
+        "doc_id long, conv_id string, turn_idx int",
+    )
+    hits = spark.createDataFrame([(1, 2.5), (4, 1.5)],
+                                 "doc_id long, score double")
+    out = expand_context(hits, turns, k=1).collect()
+    got = {(r.hit_doc_id, r.ctx_doc_id): r.offset for r in out}
+    # hit 1 (c1/idx1): neighbors 0,1,2; hit 4 (c2/idx0): clipped to 4,5
+    assert got == {(1, 0): -1, (1, 1): 0, (1, 2): 1, (4, 4): 0, (4, 5): 1}
+    # scores ride through; no cross-conversation leakage
+    assert all(r.score in (2.5, 1.5) for r in out)
+    assert all(r.conv_id == ("c1" if r.hit_doc_id == 1 else "c2") for r in out)
+    # k=0 degenerates to the hits themselves
+    assert sorted(r.ctx_doc_id for r in
+                  expand_context(hits, turns, k=0).collect()) == [1, 4]
+    # plan: equi-join on conv, no NestedLoop / cartesian
+    plan = expand_context(hits, turns, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

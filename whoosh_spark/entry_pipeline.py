@@ -513,6 +513,37 @@ SELECT query_id, doc_id, score FROM (
         "WHERE s.term = 'spark')",
     )
 
+    def _ctx_expand(spark, sf):
+        # RAG context expansion over the transcript index: top-5 'spark'
+        # turn hits (rounded per registry discipline), each with its +-1
+        # neighbor turns attached — one conv-keyed equi-join, range as a
+        # residual filter
+        from whoosh_spark.pipeline.conversations import expand_context
+
+        six = _turns_index(spark, sf)
+        hits = (
+            _rounded(wand_topk(six, "text", ["spark"], k=15))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
+        )
+        return expand_context(hits, six.docs, k=1)
+
+    add(
+        "turns_context_expand",
+        _ctx_expand,
+        TURNS_PRELUDE
+        + """
+SELECT h.doc_id AS hit_doc_id, h.score, t2.conv_id,
+       t2.doc_id AS ctx_doc_id, t2.turn_idx,
+       (t2.turn_idx - t1.turn_idx)::INT AS offset
+FROM (SELECT doc_id, round(score, 4) AS score FROM scored
+      WHERE term = 'spark'
+      ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 5) h
+JOIN turns t1 ON t1.doc_id = h.doc_id
+JOIN turns t2 ON t2.conv_id = t1.conv_id
+            AND t2.turn_idx BETWEEN t1.turn_idx - 1 AND t1.turn_idx + 1
+""",
+    )
+
     # --------------------------------- dedup -----------------------------
 
     add(

@@ -1280,7 +1280,8 @@ _WINDOW_FIRST = [
     # r4-tail additions span_condition_topk / key_terms_from_text /
     # text_c4_line_filter / collapse_order_topk / sorted_by_translate /
     # spell_suggest_words / text_line_shape_stats / facet_overlap_top20 /
-    # text_dedup_lines / sample_temperature_lang / facet_overlap_topn; all
+    # text_dedup_lines / sample_temperature_lang / facet_overlap_topn /
+    # turns_context_expand; all
     # registered past this
     # list so they sort after the named slots, all pytest-oracle-verified
     # at sf0.001/0.01 AND hash-verified at the sf0.1 stress tier)

@@ -299,3 +299,35 @@ def conversation_qa(turns: DataFrame,
         & (F.col("n_dup_idx") == 0) & ~F.col("has_idx_gap")
         & F.col("first_role").isin(*expected_first),
     )
+
+
+def expand_context(hits: DataFrame, turns: DataFrame, k: int = 1,
+                   conv_col: str = "conv_id", idx_col: str = "turn_idx",
+                   id_col: str = "doc_id") -> DataFrame:
+    """RAG context expansion: attach each hit turn's +-k neighbors from
+    the same conversation -> (hit_doc_id, score, conv_id, ctx_doc_id,
+    turn_idx, offset). The retrieval pattern transcript search serves —
+    a matching turn alone rarely answers; the surrounding exchange does.
+
+    ``hits`` is a scored (doc_id, score) frame (any ``search``/``wand``
+    output); ``turns`` the stored turn table. One doc_id join to recover
+    each hit's (conv, idx), then ONE conv-keyed equi-join whose
+    turn-range predicate is a residual filter — the plan is a hash/SMJ
+    join on conv_id, never a NestedLoop, and k bounds fan-out at 2k+1
+    rows per hit. Overlapping hit windows keep one row per
+    (hit, neighbor) pair so downstream assembly stays per-hit."""
+    pos = turns.select(F.col(id_col).alias("hit_doc_id"),
+                       F.col(conv_col).alias("_c"),
+                       F.col(idx_col).alias("_i"))
+    h = hits.select(F.col("doc_id").alias("hit_doc_id"), "score").join(
+        pos, "hit_doc_id")
+    t = turns.select(F.col(conv_col).alias("_c"),
+                     F.col(id_col).alias("ctx_doc_id"),
+                     F.col(idx_col).alias(idx_col))
+    j = h.join(t, "_c").where(
+        (F.col(idx_col) >= F.col("_i") - int(k))
+        & (F.col(idx_col) <= F.col("_i") + int(k)))
+    return j.select(
+        "hit_doc_id", "score", F.col("_c").alias(conv_col),
+        "ctx_doc_id", idx_col,
+        (F.col(idx_col) - F.col("_i")).cast("int").alias("offset"))
