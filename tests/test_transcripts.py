@@ -150,3 +150,28 @@ def test_expand_context(spark):
     plan = expand_context(hits, turns, k=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_assemble_context(spark):
+    from whoosh_spark.pipeline.conversations import (assemble_context,
+                                                     expand_context)
+
+    turns = spark.createDataFrame(
+        [
+            (0, "c1", 0, "user", "hello there"),
+            (1, "c1", 1, "assistant", "hi how can i help"),
+            (2, "c1", 2, "user", "explain spark"),
+            (4, "c2", 0, "user", "lone turn"),
+        ],
+        "doc_id long, conv_id string, turn_idx int, role string, text string",
+    )
+    hits = spark.createDataFrame([(1, 3.0), (4, 1.0)],
+                                 "doc_id long, score double")
+    out = {r.hit_doc_id: r for r in
+           assemble_context(expand_context(hits, turns, k=1), turns).collect()}
+    assert out[1].n_turns == 3
+    assert out[1].context_text == ("user: hello there\n"
+                                   "assistant: hi how can i help\n"
+                                   "user: explain spark")
+    assert out[4].n_turns == 1 and out[4].context_text == "user: lone turn"
+    assert out[1].score == 3.0 and out[1].conv_id == "c1"

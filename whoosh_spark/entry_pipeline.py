@@ -544,6 +544,38 @@ JOIN turns t2 ON t2.conv_id = t1.conv_id
 """,
     )
 
+    def _ctx_assemble(spark, sf):
+        # prompt-ready rendering of the expanded windows: 'role: text'
+        # lines per hit in turn order — the composed RAG retrieval shape
+        from whoosh_spark.pipeline.conversations import (
+            assemble_context, expand_context)
+
+        six = _turns_index(spark, sf)
+        hits = (
+            _rounded(wand_topk(six, "text", ["spark"], k=15))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
+        )
+        return assemble_context(expand_context(hits, six.docs, k=1), six.docs)
+
+    add(
+        "turns_context_assemble",
+        _ctx_assemble,
+        TURNS_PRELUDE
+        + """
+SELECT h.doc_id AS hit_doc_id, h.score, t1.conv_id,
+       count(*)::INT AS n_turns,
+       string_agg(t2.role || ': ' || t2.text, chr(10)
+                  ORDER BY t2.turn_idx) AS context_text
+FROM (SELECT doc_id, round(score, 4) AS score FROM scored
+      WHERE term = 'spark'
+      ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 5) h
+JOIN turns t1 ON t1.doc_id = h.doc_id
+JOIN turns t2 ON t2.conv_id = t1.conv_id
+            AND t2.turn_idx BETWEEN t1.turn_idx - 1 AND t1.turn_idx + 1
+GROUP BY h.doc_id, h.score, t1.conv_id
+""",
+    )
+
     # --------------------------------- dedup -----------------------------
 
     add(

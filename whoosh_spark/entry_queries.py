@@ -1281,7 +1281,7 @@ _WINDOW_FIRST = [
     # text_c4_line_filter / collapse_order_topk / sorted_by_translate /
     # spell_suggest_words / text_line_shape_stats / facet_overlap_top20 /
     # text_dedup_lines / sample_temperature_lang / facet_overlap_topn /
-    # turns_context_expand; all
+    # turns_context_expand / turns_context_assemble; all
     # registered past this
     # list so they sort after the named slots, all pytest-oracle-verified
     # at sf0.001/0.01 AND hash-verified at the sf0.1 stress tier)

@@ -331,3 +331,29 @@ def expand_context(hits: DataFrame, turns: DataFrame, k: int = 1,
         "hit_doc_id", "score", F.col("_c").alias(conv_col),
         "ctx_doc_id", idx_col,
         (F.col(idx_col) - F.col("_i")).cast("int").alias("offset"))
+
+
+def assemble_context(ctx: DataFrame, turns: DataFrame, sep: str = "\n",
+                     conv_col: str = "conv_id", idx_col: str = "turn_idx",
+                     id_col: str = "doc_id", role_col: str = "role",
+                     text_col: str = "text") -> DataFrame:
+    """Render :func:`expand_context` output into ONE prompt-ready string
+    per hit -> (hit_doc_id, score, conv_id, n_turns, context_text):
+    ``role: text`` lines in turn order joined by ``sep`` — the string a
+    RAG pipeline actually feeds the model. One doc_id join to fetch the
+    stored text + one hit-keyed groupBy whose sort_array runs over at
+    most 2k+1 structs per hit; no window, no Python."""
+    t = turns.select(F.col(id_col).alias("ctx_doc_id"),
+                     F.col(role_col).alias("_r"),
+                     F.col(text_col).alias("_t"))
+    j = ctx.join(t, "ctx_doc_id")
+    line = F.concat(F.col("_r"), F.lit(": "), F.col("_t"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col(idx_col).alias("i"), line.alias("l")))),
+        lambda s: s["l"])
+    return (
+        j.groupBy("hit_doc_id", "score", conv_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_turns"),
+             F.array_join(ordered, sep).alias("context_text"))
+    )
