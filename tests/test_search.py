@@ -672,3 +672,24 @@ def test_group_topn_overlap(searcher, oracle):
         )[:2]
         assert [d for _, d in sorted(got.get(term, []))] == [i for _, i in exp]
     assert all(r.rank <= 2 for r in rows)
+
+
+def test_score_breakdown(searcher, oracle):
+    """Per-leaf contributions sum to the doc's And/Or total."""
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "merge")])
+    # doc 7 matches both, doc 1 only spark
+    rows = searcher.score_breakdown(q, 7).collect()
+    got = {r.term: r.score for r in rows}
+    assert set(got) == {"spark", "merge"}
+    assert got["spark"] == pytest.approx(oracle.bm25(7, "spark"), rel=1e-9)
+    assert got["merge"] == pytest.approx(oracle.bm25(7, "merge"), rel=1e-9)
+    total = {r.doc_id: r.score
+             for r in searcher.compile(q.normalize()).collect()}[7]
+    assert sum(got.values()) == pytest.approx(total, rel=1e-9)
+    # absent leaf emits no row
+    only = searcher.score_breakdown(q, 1).collect()
+    assert {r.term for r in only} == {"spark"}
+    assert all(r.field == "text" for r in only)
+    # no leaves -> empty frame with the right shape
+    empty = searcher.score_breakdown(Q.Every(), 1)
+    assert empty.columns == ["field", "term", "score"] and empty.count() == 0

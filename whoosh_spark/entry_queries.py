@@ -759,6 +759,21 @@ SELECT bucket, count(*)::BIGINT AS count FROM (
         "WHERE s.term = 'vector'",
     )
 
+    add(
+        # score_breakdown (beyond-reference explain surface): per-leaf
+        # BM25 contributions for one document; absent leaves ('vector'
+        # may not occur in doc 0) simply emit no row in both engines
+        "score_breakdown_doc",
+        lambda spark, sf: _docs_searcher(spark, sf)
+        .score_breakdown(
+            Q.Or([Q.Term("text", "spark"), Q.Term("text", "vector")]), 0
+        )
+        .select("field", "term", F.round("score", 4).alias("score")),
+        PRELUDE
+        + "SELECT 'text' AS field, term, round(score, 4) AS score "
+        "FROM scored WHERE doc_id = 0 AND term IN ('spark', 'vector')",
+    )
+
     def _sorted_translate(spark, sf):
         # TranslateFacet (sorting.py::TranslateFacet): sort by a function
         # of another facet's key — here n_chars % 97, kept as a JVM
@@ -1281,7 +1296,8 @@ _WINDOW_FIRST = [
     # text_c4_line_filter / collapse_order_topk / sorted_by_translate /
     # spell_suggest_words / text_line_shape_stats / facet_overlap_top20 /
     # text_dedup_lines / sample_temperature_lang / facet_overlap_topn /
-    # turns_context_expand / turns_context_assemble; all
+    # turns_context_expand / turns_context_assemble /
+    # score_breakdown_doc; all
     # registered past this
     # list so they sort after the named slots, all pytest-oracle-verified
     # at sf0.001/0.01 AND hash-verified at the sf0.1 stress tier)

@@ -1381,6 +1381,29 @@ class Searcher:
             .agg(F.array_sort(F.collect_set("term")).alias("terms"))
         )
 
+    def score_breakdown(self, q: Q.Query, doc_id: int) -> DataFrame:
+        """Per-leaf score contributions for ONE document -> (field, term,
+        score) — the debugging "explain" surface (beyond-reference: the
+        Lucene Explanation shape restricted to leaf-term contributions
+        under the current weighting). Each leaf term compiles through the
+        SAME scoring plan the full query's children use, filtered to
+        ``doc_id`` (a pushed-down point lookup per leaf), so for plain
+        And/Or trees the rows sum to the doc's total; compound
+        adjustments (DisMax tiebreak, Or(scale), final()) are the tree's
+        job and are not re-applied here."""
+        leaves = _leaf_terms(q.normalize())
+        frames = [
+            self.compile(Q.Term(field, term))
+            .where(F.col("doc_id") == int(doc_id))
+            .select(F.lit(field).alias("field"), F.lit(term).alias("term"),
+                    "score")
+            for field, term in leaves
+        ]
+        if not frames:
+            return self._spark.createDataFrame(
+                [], "field string, term string, score double")
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
     def with_stored_fields(self, results: DataFrame, *cols: str) -> DataFrame:
         """Hit.fields(): join display columns back from the docs table
         (stored fields D9 live in the source table, SURVEY §1.1)."""
