@@ -50,12 +50,22 @@ def main() -> None:
                 "--segments", str(args.segments),
                 "--out", args.out,
             ],
-            check=True, cwd=REPO, capture_output=True, text=True,
+            cwd=REPO, capture_output=True, text=True,
         )
+        if build.returncode != 0:
+            # surface the captured diagnostics — a silent CalledProcessError
+            # after a 5-minute build helps nobody
+            sys.stderr.write(build.stdout[-4000:] + "\n" + build.stderr[-4000:])
+            sys.exit(build.returncode)
         # build_index_job prints ONE JSON line (wall, turns/s, per-segment
         # posting/term counts) as its last stdout line — surface it
-        line = [ln for ln in build.stdout.splitlines() if ln.startswith("{")][-1]
-        stats = json.loads(line)
+        json_lines = [ln for ln in build.stdout.splitlines()
+                      if ln.startswith("{")]
+        if not json_lines:
+            sys.stderr.write("build succeeded but emitted no JSON stats "
+                             "line; raw tail:\n" + build.stdout[-4000:] + "\n")
+            sys.exit(2)
+        stats = json.loads(json_lines[-1])
         print(json.dumps({
             "build_wall_sec": stats["wall_sec"],
             "turns_per_sec": stats["turns_per_sec"],

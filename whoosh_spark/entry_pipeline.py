@@ -521,11 +521,7 @@ SELECT query_id, doc_id, score FROM (
         from whoosh_spark.pipeline.conversations import expand_context
 
         six = _turns_index(spark, sf)
-        hits = (
-            _rounded(wand_topk(six, "text", ["spark"], k=15))
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
-        )
-        return expand_context(hits, six.docs, k=1)
+        return expand_context(_wand(spark, sf, ["spark"], k=5), six.docs, k=1)
 
     add(
         "turns_context_expand",
@@ -551,11 +547,9 @@ JOIN turns t2 ON t2.conv_id = t1.conv_id
             assemble_context, expand_context)
 
         six = _turns_index(spark, sf)
-        hits = (
-            _rounded(wand_topk(six, "text", ["spark"], k=15))
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
-        )
-        return assemble_context(expand_context(hits, six.docs, k=1), six.docs)
+        return assemble_context(
+            expand_context(_wand(spark, sf, ["spark"], k=5), six.docs, k=1),
+            six.docs)
 
     add(
         "turns_context_assemble",

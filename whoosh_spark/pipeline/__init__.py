@@ -91,9 +91,11 @@ from whoosh_spark.pipeline.packing import (  # noqa: F401
     pack_sequences,
 )
 from whoosh_spark.pipeline.conversations import (  # noqa: F401
-    conversation_qa,
+    assemble_context,
     assemble_conversations,
+    conversation_qa,
     conversation_stats,
+    expand_context,
     loss_mask_spans,
     sliding_turn_windows,
     truncate_conversations,

@@ -1392,6 +1392,10 @@ class Searcher:
         adjustments (DisMax tiebreak, Or(scale), final()) are the tree's
         job and are not re-applied here."""
         leaves = _leaf_terms(q.normalize())
+        # one batched stats job for all leaves, not one lookup per leaf
+        # (same discipline as search_many, executor.py prefetch site)
+        if leaves:
+            self.index.prefetch_stats(list(leaves))
         frames = [
             self.compile(Q.Term(field, term))
             .where(F.col("doc_id") == int(doc_id))
