@@ -517,3 +517,22 @@ def test_searcher_suggest_and_document_numbers(spark, bigixdir):
     nums = list(s.document_numbers(docid="odd"))
     assert nums == [s.document_number(docid="odd")]
     assert list(s.document_numbers(docid="nope")) == []
+
+
+def test_searcher_explain(spark, bigixdir):
+    """explain(q, docnum): per-leaf contributions sum to the hit score."""
+    ix = compat.open_dir(bigixdir, spark)
+    with ix.searcher() as s:
+        res = s.search("query engine", limit=1)
+        assert len(res) > 0
+        hit = res[0]
+        parts = s.explain("query engine", hit.docnum)
+        assert parts and all(f == "text" for f, _, _ in parts)
+        assert {t for _, t, _ in parts} == {"query", "engine"}
+        assert sum(sc for _, _, sc in parts) == pytest.approx(
+            hit.score, rel=1e-9)
+        # string and tree forms agree
+        from whoosh_spark import query as Q
+
+        tree = Q.And([Q.Term("text", "query"), Q.Term("text", "engine")])
+        assert sorted(parts) == sorted(s.explain(tree, hit.docnum))

@@ -705,6 +705,19 @@ class CompatSearcher:
         rows = _kt(self._six, ids, fieldname, numterms, model).collect()
         return [(r["term"], float(r["score"])) for r in rows]
 
+    def explain(self, q, docnum: int) -> "list[tuple[str, str, float]]":
+        """Per-leaf (field, term, score) contributions for one hit — the
+        Lucene-style explain surface restricted to leaf terms
+        (engine: Searcher.score_breakdown; beyond-reference). Accepts a
+        query string like :meth:`search`; rows sum to the doc's And/Or
+        total under the searcher's weighting."""
+        if isinstance(q, str):
+            q = QueryParser(self._default_field(), self.index.schema).parse(q)
+        if self._searcher is None:
+            return []
+        rows = self._searcher.score_breakdown(q, docnum).collect()
+        return [(r["field"], r["term"], float(r["score"])) for r in rows]
+
     def more_like(self, docnum: int, fieldname: str, limit: int = 10,
                   numterms: int = 5) -> Results:
         """reference: Searcher.more_like(docnum, fieldname) — key terms of
