@@ -536,3 +536,19 @@ def test_searcher_explain(spark, bigixdir):
 
         tree = Q.And([Q.Term("text", "query"), Q.Term("text", "engine")])
         assert sorted(parts) == sorted(s.explain(tree, hit.docnum))
+
+
+def test_corrector_spelling_words(spark, bigixdir):
+    """corrector(field, spelling_words=...) suggests surface words from
+    the spelling=True word graph instead of the lexicon."""
+    ix = compat.open_dir(bigixdir, spark)
+    with ix.searcher() as s:
+        words = spark.createDataFrame(
+            [("querying", 5.0), ("queried", 2.0)],
+            "term string, total_weight double")
+        got = s.corrector("text", spelling_words=words).suggest(
+            "queryng", maxdist=2)
+        assert got and got[0] == "querying"
+        assert set(got) <= {"querying", "queried"}
+        # default corrector still reads the lexicon
+        assert "query" in s.corrector("text").suggest("querry")

@@ -673,9 +673,15 @@ class CompatSearcher:
         off = (pagenum - 1) * pagelen
         return ResultsPage(hits[off:off + pagelen], pagenum, pagelen, total)
 
-    def corrector(self, fieldname: str) -> "CompatCorrector":
-        """reference: Searcher.corrector(field) -> Corrector.suggest(...)"""
-        return CompatCorrector(self, fieldname)
+    def corrector(self, fieldname: str,
+                  spelling_words: "DataFrame | None" = None) -> "CompatCorrector":
+        """reference: Searcher.corrector(field) -> Corrector.suggest(...).
+
+        ``spelling_words``: a (term, total_weight) surface-word frame
+        (``search.aux.build_spell_words`` output) — the reference's
+        ``spelling=True`` word graph, so a STEMMED field's corrector
+        suggests real words instead of stems."""
+        return CompatCorrector(self, fieldname, spelling_words)
 
     def correct_query(self, q: "Q.Query | str", fieldname: str | None = None):
         """Rewrite unknown terms to their best lexicon suggestion
@@ -1180,11 +1186,15 @@ class CompatReader:
 
 class CompatCorrector:
     """reference: spelling.py::ReaderCorrector (suggest from the lexicon,
-    ranked distance asc then frequency desc)."""
+    ranked distance asc then frequency desc); with ``words`` it is the
+    GraphCorrector analogue — suggestions from the spelling=True
+    surface-word graph instead of the (possibly stemmed) lexicon."""
 
-    def __init__(self, searcher: CompatSearcher, fieldname: str):
+    def __init__(self, searcher: CompatSearcher, fieldname: str,
+                 words: "DataFrame | None" = None):
         self.searcher = searcher
         self.fieldname = fieldname
+        self.words = words
 
     def suggest(self, word: str, limit: int = 5, maxdist: int = 2,
                 prefix: int = 0) -> list[str]:
@@ -1194,7 +1204,8 @@ class CompatCorrector:
         if six is None:
             return []
         rows = _suggest(six, self.fieldname, word, limit=limit,
-                        maxdist=maxdist, prefix=prefix).collect()
+                        maxdist=maxdist, prefix=prefix,
+                        words=self.words).collect()
         return [r["term"] for r in rows]
 
 
