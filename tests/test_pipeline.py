@@ -1448,3 +1448,58 @@ def test_dedup_lines_idempotent(spark, docs):
     for txt in a.values():
         seen = [ln.strip() for ln in txt.split("\n") if ln.strip()]
         assert len(seen) == len(set(seen))
+
+
+def test_collocations_hand_case(spark):
+    import math
+    from whoosh_spark.pipeline import collocations
+
+    # bigram events: (a,b)x3, (b,a)x2, (a,c)x1  ->  N=6
+    # margins: c1x(a)=4, c1x(b)=2; cx2(b)=3, cx2(a)=2, cx2(c)=1
+    docs = spark.createDataFrame([
+        (0, "a b a b a b"),   # (a,b)x3, (b,a)x2
+        (1, "a c"),           # (a,c)x1
+    ], "doc_id long, text string")
+    rows = {(r.w1, r.w2): r
+            for r in collocations(docs, min_count=1, top_n=10).collect()}
+    assert set(rows) == {("a", "b"), ("b", "a"), ("a", "c")}
+
+    def xlx(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    n = 6
+    for (w1, w2), (c12, c1x, cx2) in {
+        ("a", "b"): (3, 4, 3), ("b", "a"): (2, 2, 2), ("a", "c"): (1, 4, 1),
+    }.items():
+        k11, k12 = c12, c1x - c12
+        k21, k22 = cx2 - c12, n - c1x - cx2 + c12
+        llr = 2.0 * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+                     - xlx(c1x) - xlx(n - c1x) - xlx(cx2) - xlx(n - cx2)
+                     + xlx(n))
+        pmi = math.log(c12 * n / (c1x * cx2))
+        r = rows[(w1, w2)]
+        assert r.c12 == c12
+        assert abs(r.llr - round(llr, 4)) < 5e-5, (w1, w2)
+        assert abs(r.pmi - round(pmi, 4)) < 5e-5, (w1, w2)
+
+
+def test_collocations_min_count_and_invariance(spark):
+    from whoosh_spark.pipeline import collocations
+
+    docs = spark.createDataFrame(
+        [(i, "hash join " * (2 + i % 3) + "sort merge") for i in range(40)],
+        "doc_id long, text string")
+    base = collocations(docs, min_count=3, top_n=20).collect()
+    # every surviving pair meets the threshold
+    assert base and all(r.c12 >= 3 for r in base)
+    # rare pair pruned: (merge, hash) occurs < 3 times? build one explicitly
+    docs2 = docs.union(spark.createDataFrame(
+        [(100, "rare pair")], "doc_id long, text string"))
+    got = {(r.w1, r.w2) for r in
+           collocations(docs2, min_count=3, top_n=50).collect()}
+    assert ("rare", "pair") not in got
+    # partitioning invariance: same rows under a different layout
+    alt = collocations(docs.repartition(13), min_count=3, top_n=20).collect()
+    key = lambda r: (r.w1, r.w2)
+    assert sorted(map(tuple, base), key=lambda t: t[:2]) == \
+           sorted(map(tuple, alt), key=lambda t: t[:2])

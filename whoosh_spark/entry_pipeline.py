@@ -5445,6 +5445,52 @@ FROM h
 """,
     )
 
+    # ---------- collocation extraction (Dunning LLR + PMI) ----------------
+    from whoosh_spark.pipeline import collocations
+
+    add(
+        "text_collocations_llr",
+        # corpus-level collocations: top-50 adjacent token pairs by Dunning
+        # (1993) log-likelihood ratio (entropy xlx form, written in the
+        # identical op order in both engines) + PMI; contingency margins
+        # from bigram events so every cell is a nonnegative integer; rank =
+        # rounded llr DESC with total (w1, w2) tie-break
+        lambda spark, sf: collocations(_docs(spark, sf), min_count=5,
+                                       top_n=50),
+        """
+WITH base AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+bg0 AS (SELECT w, unnest(range(1, greatest(len(w), 1))) AS i FROM base),
+bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM bg0),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+lm AS (SELECT w1, sum(c12) AS c1x FROM bc GROUP BY w1),
+rm AS (SELECT w2, sum(c12) AS cx2 FROM bc GROUP BY w2),
+tot AS (SELECT sum(c12) AS n FROM bc),
+cells AS (
+  SELECT bc.w1, bc.w2, c12, c1x, cx2, n,
+         c12 AS k11, c1x - c12 AS k12, cx2 - c12 AS k21,
+         n - c1x - cx2 + c12 AS k22
+  FROM bc JOIN lm ON bc.w1 = lm.w1 JOIN rm ON bc.w2 = rm.w2, tot
+  WHERE c12 >= 5),
+sc AS (
+  SELECT w1, w2, c12,
+         round(ln(c12::DOUBLE * n / (c1x::DOUBLE * cx2)), 4) AS pmi,
+         round(2.0 * (
+             (CASE WHEN k11 > 0 THEN k11::DOUBLE * ln(k11::DOUBLE) ELSE 0 END)
+           + (CASE WHEN k12 > 0 THEN k12::DOUBLE * ln(k12::DOUBLE) ELSE 0 END)
+           + (CASE WHEN k21 > 0 THEN k21::DOUBLE * ln(k21::DOUBLE) ELSE 0 END)
+           + (CASE WHEN k22 > 0 THEN k22::DOUBLE * ln(k22::DOUBLE) ELSE 0 END)
+           - (CASE WHEN c1x > 0 THEN c1x::DOUBLE * ln(c1x::DOUBLE) ELSE 0 END)
+           - (CASE WHEN n - c1x > 0 THEN (n - c1x)::DOUBLE * ln((n - c1x)::DOUBLE) ELSE 0 END)
+           - (CASE WHEN cx2 > 0 THEN cx2::DOUBLE * ln(cx2::DOUBLE) ELSE 0 END)
+           - (CASE WHEN n - cx2 > 0 THEN (n - cx2)::DOUBLE * ln((n - cx2)::DOUBLE) ELSE 0 END)
+           + n::DOUBLE * ln(n::DOUBLE)), 4) AS llr
+  FROM cells)
+SELECT w1, w2, c12::BIGINT AS c12, pmi, llr
+FROM sc ORDER BY llr DESC, w1, w2 LIMIT 50
+""",
+    )
+
     return reg
 
 

@@ -44,6 +44,7 @@ from whoosh_spark.pipeline.similarity import (  # noqa: F401
 from whoosh_spark.pipeline.textstats import (  # noqa: F401
     bigram_logprob,
     c4_line_filter,
+    collocations,
     contamination_pairs,
     dedup_lines,
     dsir_gumbel_topk,

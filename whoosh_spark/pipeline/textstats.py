@@ -874,3 +874,87 @@ def chunk_text(docs: DataFrame, size: int, overlap: int = 0,
         F.substring(F.col("_t"), (begin + 1).cast("int"), size)
         .alias("chunk_text"),
     )
+
+# ------------------------------------------------- collocation extraction
+
+
+def collocations(docs: DataFrame, text_col: str = "text",
+                 min_count: int = 5, top_n: int = 50) -> DataFrame:
+    """Corpus-level collocation extraction: Dunning (1993) log-likelihood
+    ratio + PMI over adjacent token pairs -> the top ``top_n`` rows
+    (w1, w2, c12, pmi, llr) ordered by rounded llr DESC, ties (w1, w2).
+
+    The contingency table is built from bigram-event margins (row = count
+    of bigrams whose FIRST word is w1, col = count whose SECOND word is
+    w2, N = total bigram instances), so rows and columns sum to N exactly
+    and every cell is a nonnegative integer:
+
+        k11 = c12           k12 = c1x - c12
+        k21 = cx2 - c12     k22 = N - c1x - cx2 + c12
+
+    llr = 2 * (xlx(k11)+xlx(k12)+xlx(k21)+xlx(k22)
+               - xlx(c1x)-xlx(N-c1x) - xlx(cx2)-xlx(N-cx2) + xlx(N))
+    with xlx(x) = x*ln(x), xlx(0) = 0 — the numerically stable entropy
+    form; pmi = ln(c12 * N / (c1x * cx2)). Both are written in this exact
+    order so the DuckDB oracle is bit-comparable after round(…, 4), and
+    the output ranks by the ROUNDED llr with a total (w1, w2) tie-break,
+    so ordering is engine- and partitioning-independent.
+
+    Plan shape (the 100 TB contract): bigrams derive doc-local from the
+    token array (transform over sequence — no second regex pass, no
+    Python); the ONLY corpus-sized shuffle is the map-side-combined
+    groupBy(w1, w2); margins and N are second-stage aggregates over the
+    already-reduced pair table (vocab²-bounded, in practice ≪ corpus);
+    min_count prunes before the margin joins; the final ordering is a
+    TakeOrderedAndProject at top_n rows. Reference parity: Whoosh has no
+    collocation surface — this is the beyond-reference corpus-analysis
+    tier alongside key_terms (aux.py) and bigram_logprob above.
+    """
+    toks_arr = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                    F.lit("[a-z0-9]+"), 0)
+    base = docs.select(toks_arr.alias("_w"))
+    idx = F.when(F.size("_w") >= 2, F.sequence(F.lit(1), F.size("_w") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    bigrams = base.select(
+        F.explode(
+            F.transform(idx, lambda i: F.struct(
+                F.element_at("_w", i).alias("w1"),
+                F.element_at("_w", i + 1).alias("w2"),
+            ))
+        ).alias("_bg"),
+    ).select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    bc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = bc.groupBy("w1").agg(F.sum("c12").alias("c1x"))
+    right = bc.groupBy("w2").agg(F.sum("c12").alias("cx2"))
+    total = bc.agg(F.sum("c12").alias("n"))
+
+    def xlx(c: Column) -> Column:
+        x = c.cast("double")
+        return F.when(c > 0, x * F.log(x)).otherwise(F.lit(0.0))
+
+    k11 = F.col("c12")
+    k12 = F.col("c1x") - F.col("c12")
+    k21 = F.col("cx2") - F.col("c12")
+    k22 = F.col("n") - F.col("c1x") - F.col("cx2") + F.col("c12")
+    llr = F.lit(2.0) * (
+        xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+        - xlx(F.col("c1x")) - xlx(F.col("n") - F.col("c1x"))
+        - xlx(F.col("cx2")) - xlx(F.col("n") - F.col("cx2"))
+        + xlx(F.col("n"))
+    )
+    pmi = F.log(
+        F.col("c12").cast("double") * F.col("n")
+        / (F.col("c1x").cast("double") * F.col("cx2"))
+    )
+    scored = (
+        bc.where(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", F.col("c12").cast("long").alias("c12"),
+            F.round(pmi, 4).alias("pmi"),
+            F.round(llr, 4).alias("llr"),
+        )
+    )
+    return scored.orderBy(F.desc("llr"), "w1", "w2").limit(top_n)
