@@ -201,3 +201,66 @@ def test_group_topn_shape(spark, searcher):
         # within a group: ordered by score desc then doc_id
         key = [(-r.score, r.doc_id) for r in rs]
         assert key == sorted(key)
+
+
+# ------------------------------------------------------------------ rocchio
+
+
+def test_rocchio_numpy_reference(spark, emb):
+    from whoosh_spark.search.hybrid import rocchio_topk
+
+    queries = emb.where("vec_id < 2")
+    got = rocchio_topk(emb, queries, k=5, feedback=3).collect()
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qid in (0, 1):
+        q = vecs[qid]
+        ranked = sorted(
+            ((cos(q, v), i) for i, v in vecs.items() if i != qid),
+            key=lambda t: (-t[0], t[1]))
+        fb = [vecs[i] for _, i in ranked[:3]]
+        centroid = np.sum(fb, axis=0) / len(fb)
+        qq = np.round(1.0 * q + 0.75 * centroid, 6)
+        rer = sorted(
+            ((cos(qq, v), i) for i, v in vecs.items() if i != qid),
+            key=lambda t: (-t[0], t[1]))[:5]
+        exp_ids = [i for _, i in rer]
+        got_q = [r.vec_id for r in sorted(
+            (r for r in got if r.query_id == qid),
+            key=lambda r: (-r.cosine, r.vec_id))]
+        assert got_q == exp_ids, qid
+        for (c_exp, i), r in zip(
+                rer, sorted((r for r in got if r.query_id == qid),
+                            key=lambda r: (-r.cosine, r.vec_id))):
+            assert abs(r.cosine - c_exp) < 1e-9
+
+
+def test_rocchio_beta0_is_cosine_topk(spark, emb):
+    # beta = 0 degenerates q' to (a rounded copy of) q: same ranking as
+    # the plain exact kernel — pins the whole expand/reassemble machinery
+    from whoosh_spark.search.hybrid import rocchio_topk
+
+    queries = emb.where("vec_id < 3")
+    base = cosine_topk(emb, queries, k=8)
+    got = rocchio_topk(emb, queries, k=8, feedback=3, beta=0.0)
+    b = [(r.query_id, r.vec_id) for r in
+         sorted(base.collect(), key=lambda r: (r.query_id, -r.cosine, r.vec_id))]
+    g = [(r.query_id, r.vec_id) for r in
+         sorted(got.collect(), key=lambda r: (r.query_id, -r.cosine, r.vec_id))]
+    assert b == g
+
+
+def test_rocchio_partitioning_invariance(spark, emb):
+    from whoosh_spark.search.hybrid import rocchio_topk
+
+    queries = emb.where("vec_id < 2")
+    a = rocchio_topk(emb, queries, k=5).collect()
+    b = rocchio_topk(emb.repartition(17), queries.coalesce(1), k=5).collect()
+    key = lambda r: (r.query_id, r.vec_id)
+    assert sorted(map(tuple, a), key=lambda t: t[:2]) == \
+           sorted(map(tuple, b), key=lambda t: t[:2])

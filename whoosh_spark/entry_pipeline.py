@@ -5491,6 +5491,58 @@ FROM sc ORDER BY llr DESC, w1, w2 LIMIT 50
 """,
     )
 
+    # ---------- Rocchio pseudo-relevance feedback -------------------------
+    from whoosh_spark.search.hybrid import rocchio_topk
+
+    add(
+        "ann_rocchio_topk",
+        # two-pass PRF retrieval: top-5 cosine feedback docs -> expanded
+        # query q' = 1.0*q + 0.75*mean(feedback), each coordinate ROUNDED
+        # to 6dp (engine-stable re-rank input), then exact corpus rescore
+        # ranked by the RAW cosine with vec_id tie-break (the cosine_topk
+        # discipline; rounding only for display)
+        lambda spark, sf: rocchio_topk(
+            _emb(spark, sf), _emb(spark, sf).where("vec_id < 3"),
+            k=10, feedback=5,
+        ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine")),
+        """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+s1 AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS raw
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+fb AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY raw DESC, vec_id) AS rn
+    FROM s1)
+  WHERE rn <= 5),
+fbdim AS (
+  SELECT f.query_id, generate_subscripts(e.embedding, 1) AS pos,
+         unnest(e.embedding)::DOUBLE AS v
+  FROM fb f JOIN embeddings e ON f.vec_id = e.vec_id),
+m AS (SELECT query_id, pos, sum(v) AS sv, count(*) AS cnt
+      FROM fbdim GROUP BY query_id, pos),
+qdim AS (SELECT query_id, generate_subscripts(qv, 1) AS pos,
+                unnest(qv) AS qx FROM q),
+ex AS (
+  SELECT query_id, pos, round(1.0 * qx + 0.75 * (sv / cnt), 6) AS x
+  FROM qdim JOIN m USING (query_id, pos)),
+exv AS (SELECT query_id, array_agg(x ORDER BY pos) AS ev
+        FROM ex GROUP BY query_id),
+s2 AS (
+  SELECT x.query_id, e.vec_id,
+         list_cosine_similarity(x.ev, e.embedding::DOUBLE[]) AS raw
+  FROM embeddings e CROSS JOIN exv x WHERE e.vec_id <> x.query_id)
+SELECT query_id, vec_id, round(raw, 4) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY raw DESC, vec_id) AS rn
+  FROM s2)
+WHERE rn <= 10
+""",
+    )
+
     return reg
 
 

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rrf_fuse", "hybrid_topk", "mmr_rerank"]
+__all__ = ["rrf_fuse", "hybrid_topk", "mmr_rerank", "rocchio_expand", "rocchio_topk"]
 
 
 def rrf_fuse(
@@ -198,3 +198,95 @@ def mmr_rerank(
 
     out_schema = "query_id long, vec_id long, mmr_rank int, cosine double"
     return cand.groupBy("query_id").applyInPandas(_greedy, schema=out_schema)
+
+
+def rocchio_expand(
+    emb: DataFrame,
+    queries: DataFrame,
+    feedback: int = 5,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971; Manning,
+    Raghavan & Schuetze, IIR ch. 9): take each query's top-``feedback``
+    cosine neighbors as assumed-relevant, and move the query toward their
+    centroid —  q' = alpha*q + beta*mean(feedback vectors)  per dimension
+    (no negative term: with pseudo-feedback there are no judged
+    non-relevant docs; gamma = 0 is the standard setting).
+
+    Returns (id_col, vec_col) expanded query vectors, drop-in for
+    :func:`whoosh_spark.pipeline.cosine_topk`'s ``queries`` side.
+
+    Scale shape: the shortlist comes from the exact cosine kernel
+    (broadcast queries x corpus scan, window top-k — or swap in ivf_topk
+    upstream for the approximate tier); everything after runs on
+    queries x feedback x dim rows — posexplode, ONE groupBy(query, pos)
+    sum/count, join to the exploded original query, bounded array_sort
+    reassembly (the group_centroids discipline: never collect whole
+    vectors into one aggregation state).
+
+    Determinism: each expanded coordinate is ROUNDED to ``round_to``
+    decimals — computed as alpha*q[pos] + beta*(sum/count) in this exact
+    op order — so the re-rank input is a quantized, engine- and
+    partitioning-stable vector and the DuckDB oracle can rebuild q'
+    bit-for-bit before scoring.
+    """
+    from whoosh_spark.pipeline.similarity import cosine_topk
+
+    fb = cosine_topk(emb, queries, k=feedback, vec_col=vec_col,
+                     id_col=id_col)
+    fbdim = (
+        fb.select("query_id", "vec_id")
+        .join(emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "vec_id")
+        .select("query_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("query_id", "pos")
+        .agg(F.sum("col").alias("_sv"), F.count(F.lit(1)).alias("_cnt"))
+    )
+    qdim = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_qx"),
+    )
+    ex = qdim.join(fbdim, ["query_id", "pos"]).select(
+        "query_id", "pos",
+        F.round(
+            F.lit(alpha) * F.col("_qx")
+            + F.lit(beta) * (F.col("_sv") / F.col("_cnt")),
+            round_to,
+        ).alias("_x"),
+    )
+    return (
+        ex.groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_x"))),
+                lambda s: s["_x"],
+            ).alias(vec_col)
+        )
+        .select(F.col("query_id").alias(id_col), vec_col)
+    )
+
+
+def rocchio_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    feedback: int = 5,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-pass pseudo-relevance-feedback retrieval: expand each query
+    with :func:`rocchio_expand`, then exact-rescore the corpus against
+    the expanded vector -> (query_id, vec_id, cosine) per-query top-k
+    with the shared (cosine DESC, vec_id ASC) tie discipline. The
+    original query ids ride through, so self-matches stay excluded."""
+    from whoosh_spark.pipeline.similarity import cosine_topk
+
+    expanded = rocchio_expand(emb, queries, feedback=feedback, alpha=alpha,
+                              beta=beta, vec_col=vec_col, id_col=id_col)
+    return cosine_topk(emb, expanded, k=k, vec_col=vec_col, id_col=id_col)
