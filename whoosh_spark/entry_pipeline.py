@@ -5543,6 +5543,99 @@ WHERE rn <= 10
 """,
     )
 
+    # ---------- per-row multilingual analyzer routing ---------------------
+
+    def _multilang_topk(spark, sf):
+        # ONE index over the mixed-language corpus, each row analyzed by
+        # its OWN language's stemmer (MULTILANG_TEXT routing on the lang
+        # column; zh has no bundled stemmer -> default porter2 fallback,
+        # exercised on real rows). Derived-corpus trick, language-crossed:
+        # en/zh docs get the porter2 form group (-> stem 'zorgl'), de/es/fr
+        # docs get THEIR OWN language's form group — all three collapse to
+        # 'zorgel' under their own stemmer and to nothing under any other,
+        # so the query Or('zorgl', 'zorgel') retrieves exactly the
+        # correctly-routed docs: a broken route would visibly move mass
+        # between the groups. Default stoplist everywhere so the shared
+        # DuckDB tokenization prelude stays a faithful mirror (the full
+        # LANGUAGE presets incl. stoplists are pinned in tests/test_lang_*).
+        from whoosh_spark import query as Qn
+        from whoosh_spark.analysis import AnalyzerSpec
+        from whoosh_spark.entry_queries import _topk
+        from whoosh_spark.fields import MULTILANG_TEXT, Schema
+        from whoosh_spark.indexing import build_index
+        from whoosh_spark.search import Searcher
+
+        key = ("mlang_ix", sf)
+        if key not in _CACHE:
+            groups = [
+                (F.col("lang").isin("en", "zh"), _STEM_FORMS),
+                (F.col("lang") == "de", _STEM_FORMS_DE),
+                (F.col("lang") == "es", _STEM_FORMS_ES),
+                (F.col("lang") == "fr", _STEM_FORMS_FR),
+            ]
+            d = _docs(spark, sf).withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    *[
+                        F.when(cond & (F.col("doc_id") % m == 0),
+                               F.lit(" " + w)).otherwise(F.lit(""))
+                        for cond, forms in groups
+                        for m, w in zip((7, 11, 13), forms)
+                    ],
+                ),
+            )
+            schema = Schema(MULTILANG_TEXT("text", lang_col="lang", specs={
+                "en": AnalyzerSpec(stem="porter2"),
+                "de": AnalyzerSpec(stem="de"),
+                "es": AnalyzerSpec(stem="es"),
+                "fr": AnalyzerSpec(stem="fr"),
+            }, default=AnalyzerSpec(stem="porter2")))
+            ix = build_index(spark, d, schema).persist()
+            _CACHE[key] = Searcher(ix)
+        s = _CACHE[key]
+        return _topk(s.compile(Qn.Or([Qn.Term("text", "zorgl"),
+                                      Qn.Term("text", "zorgel")])))
+
+    def _multilang_oracle_sql() -> str:
+        conds = {
+            "lang IN ('en', 'zh')": _STEM_FORMS,
+            "lang = 'de'": _STEM_FORMS_DE,
+            "lang = 'es'": _STEM_FORMS_ES,
+            "lang = 'fr'": _STEM_FORMS_FR,
+        }
+        suffix = " || ".join(
+            f"(CASE WHEN {cond} AND doc_id % {m} = 0 THEN ' {w}' ELSE '' END)"
+            for cond, forms in conds.items()
+            for m, w in zip((7, 11, 13), forms)
+        )
+        g1 = ", ".join(f"'{w}'" for w in _STEM_FORMS)
+        g2 = ", ".join(f"'{w}'" for w in
+                       _STEM_FORMS_DE + _STEM_FORMS_ES + _STEM_FORMS_FR)
+        bm25 = ("(ln(g.n / (s.df + 1)) + 1) * (p.w * 2.2) "
+                "/ (p.w + 1.2 * (0.25 + 0.75 * l.dl / g.avgdl))")
+        return (
+            "WITH ds AS (SELECT doc_id, text || " + suffix
+            + " AS text FROM documents),\n"
+            + _prelude_body("ds")
+            + f""",
+g1 AS (SELECT doc_id, sum(w) AS w FROM post WHERE term IN ({g1}) GROUP BY doc_id),
+g2 AS (SELECT doc_id, sum(w) AS w FROM post WHERE term IN ({g2}) GROUP BY doc_id),
+s1 AS (SELECT count(*)::DOUBLE AS df FROM g1),
+s2 AS (SELECT count(*)::DOUBLE AS df FROM g2),
+sc AS (
+  SELECT p.doc_id, {bm25} AS score
+  FROM g1 p CROSS JOIN s1 s JOIN dl l USING (doc_id) CROSS JOIN gstat g
+  UNION ALL
+  SELECT p.doc_id, {bm25} AS score
+  FROM g2 p CROSS JOIN s2 s JOIN dl l USING (doc_id) CROSS JOIN gstat g
+)
+SELECT doc_id, round(score, 4) AS score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+        )
+
+    add("multilang_search_topk", _multilang_topk, _multilang_oracle_sql())
+
     return reg
 
 

@@ -34,6 +34,12 @@ class FieldSpec:
     field_boost: float = 1.0
     B: float | None = None  # per-field BM25F B override (<field>_B= kwarg)
     unique: bool = False  # update_document upsert key (reference: unique=True)
+    # per-row analyzer routing (MULTILANG_TEXT): name of the language
+    # column, plus a sorted (lang, AnalyzerSpec) tuple map; rows whose
+    # lang has no entry fall back to ``analyzer`` (the default spec,
+    # which is also what query-side analysis uses)
+    lang_col: str | None = None
+    lang_specs: tuple | None = None
 
     @property
     def indexed(self) -> bool:
@@ -44,6 +50,50 @@ def TEXT(name: str, analyzer: AnalyzerSpec = STANDARD, field_boost: float = 1.0,
          B: float | None = None) -> FieldSpec:
     return FieldSpec(name, "text", analyzer=analyzer, scorable=True, phrase=True,
                      field_boost=field_boost, B=B)
+
+
+def MULTILANG_TEXT(
+    name: str,
+    lang_col: str = "lang",
+    default: str | AnalyzerSpec = "en",
+    specs: "dict[str, AnalyzerSpec] | None" = None,
+    field_boost: float = 1.0,
+    B: float | None = None,
+) -> FieldSpec:
+    """TEXT field with PER-ROW analyzer routing on a language column —
+    the multilingual-corpus composition of the LANGUAGE(...) family
+    (reference: analysis/analyzers.py::LanguageAnalyzer is per-FIELD;
+    a mixed-language corpus there needs one index per language — here
+    one index, routed per row, which is what an LLM-data pipeline over
+    a web crawl actually has).
+
+    ``specs`` maps language-column values to AnalyzerSpecs; by default
+    every bundled LANGUAGE(code) resolves lazily, and any unknown /
+    NULL language falls back to ``default`` (a code or an explicit
+    spec) instead of raising — a 100 TB crawl always contains language
+    codes you did not plan for, and a mid-build executor raise is the
+    wrong failure mode (the fallback is observable: route stats come
+    out of the postings themselves).
+
+    Scale shape: routing happens INSIDE each Arrow batch — rows are
+    grouped by language value and each group runs the same vectorized
+    ``postings_arrays`` kernel with its language's spec, so there is no
+    per-language scan, no explode, and no shuffle beyond the one the
+    plain TEXT build already does. Query-side analysis uses the
+    ``default`` spec; to query a specific language, analyze the query
+    text with that LANGUAGE(...) spec (or pre-stemmed Term nodes).
+    """
+    from whoosh_spark.analysis import LANGUAGE
+
+    default_spec = LANGUAGE(default) if isinstance(default, str) else default
+    lang_specs = (
+        tuple(sorted(specs.items())) if specs is not None else None
+    )
+    return FieldSpec(
+        name, "text", analyzer=default_spec, scorable=True, phrase=True,
+        field_boost=field_boost, B=B, lang_col=lang_col,
+        lang_specs=lang_specs,
+    )
 
 
 def ID(name: str, unique: bool = False) -> FieldSpec:

@@ -53,21 +53,10 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
-def _text_postings_generator(field_spec: FieldSpec, doc_id_col: str):
-    """Build the mapInArrow function for one TEXT field.
-
-    Emits per-(doc, term) rows with tf weights, renumbered positions and the
-    quantized doc length. Everything stays in numpy/Arrow — the positions
-    list column is built zero-copy from (values, offsets), so no per-token
-    Python object ever exists on the hot path (north rule: vectorized
-    pandas/Arrow UDFs only).
-    """
+def _postings_arrow_schema():
     import pyarrow as pa
 
-    name = field_spec.name
-    spec = field_spec.analyzer
-    boost = float(field_spec.field_boost)
-    arrow_schema = pa.schema(
+    return pa.schema(
         [
             pa.field("field", pa.string(), False),
             pa.field("term", pa.string(), False),
@@ -78,39 +67,132 @@ def _text_postings_generator(field_spec: FieldSpec, doc_id_col: str):
         ]
     )
 
+
+def _postings_record_batch(texts, doc_ids, spec, name, boost, arrow_schema):
+    """Analyze one batch slice and emit its postings RecordBatch (None if
+    it produced no postings) — the ONE body shared by the single-spec and
+    the language-routed generators, so the two build paths cannot drift.
+
+    Emits per-(doc, term) rows with tf weights, renumbered positions and
+    the quantized doc length. Everything stays in numpy/Arrow — the
+    positions list column is built zero-copy from (values, offsets), so
+    no per-token Python object ever exists on the hot path (north rule:
+    vectorized pandas/Arrow UDFs only).
+    """
+    import pyarrow as pa
+
+    arrs = postings_arrays(texts, spec)
+    if len(arrs) == 0:
+        return None
+    # raw per-row token count -> quantized dl, broadcast to groups
+    # (token_counts, not weight: field length is boost-independent)
+    raw_len = np.zeros(len(texts), dtype=np.int64)
+    np.add.at(raw_len, arrs.row, arrs.token_counts())
+    dl = quantized_length_np(raw_len)[arrs.row]
+    n = len(arrs)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, dtype=np.int32)), pa.array([name])
+            ).cast(pa.string()),
+            pa.array(arrs.term, type=pa.string()),
+            pa.array(doc_ids[arrs.row], type=pa.int64()),
+            pa.array(arrs.weight * boost if boost != 1.0 else arrs.weight),
+            pa.ListArray.from_arrays(
+                pa.array(arrs.offsets, type=pa.int32()),
+                pa.array(arrs.positions_flat, type=pa.int32()),
+            ),
+            pa.array(dl, type=pa.int64()),
+        ],
+        schema=arrow_schema,
+    )
+
+
+def _text_postings_generator(field_spec: FieldSpec, doc_id_col: str):
+    """Build the mapInArrow function for one TEXT field (see
+    :func:`_postings_record_batch` for the emit contract)."""
+    import pyarrow as pa
+
+    name = field_spec.name
+    spec = field_spec.analyzer
+    boost = float(field_spec.field_boost)
+    arrow_schema = _postings_arrow_schema()
+
     def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             texts = batch.column(batch.schema.get_field_index(name)).to_pandas()
-            arrs = postings_arrays(texts, spec)
-            if len(arrs) == 0:
-                continue
             doc_ids = batch.column(batch.schema.get_field_index(doc_id_col)).to_numpy(
                 zero_copy_only=False
             )
-            # raw per-row token count -> quantized dl, broadcast to groups
-            # (token_counts, not weight: field length is boost-independent)
-            raw_len = np.zeros(batch.num_rows, dtype=np.int64)
-            np.add.at(raw_len, arrs.row, arrs.token_counts())
-            dl = quantized_length_np(raw_len)[arrs.row]
-            n = len(arrs)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.DictionaryArray.from_arrays(
-                        pa.array(np.zeros(n, dtype=np.int32)), pa.array([name])
-                    ).cast(pa.string()),
-                    pa.array(arrs.term, type=pa.string()),
-                    pa.array(doc_ids[arrs.row], type=pa.int64()),
-                    pa.array(arrs.weight * boost if boost != 1.0 else arrs.weight),
-                    pa.ListArray.from_arrays(
-                        pa.array(arrs.offsets, type=pa.int32()),
-                        pa.array(arrs.positions_flat, type=pa.int32()),
-                    ),
-                    pa.array(dl, type=pa.int64()),
-                ],
-                schema=arrow_schema,
+            rb = _postings_record_batch(texts, doc_ids, spec, name, boost,
+                                        arrow_schema)
+            if rb is not None:
+                yield rb
+
+    return gen
+
+
+def _text_postings_generator_multilang(field_spec: FieldSpec, doc_id_col: str):
+    """mapInArrow function for a MULTILANG_TEXT field: per-row analyzer
+    routing on the field's language column (fields.py::MULTILANG_TEXT).
+
+    Rows are grouped by language value INSIDE each Arrow batch and each
+    group runs the same vectorized kernel with its language's spec — one
+    sub-batch per (batch, language), no per-language scan, no shuffle
+    beyond the plain TEXT build's. Unknown / NULL / unbundled languages
+    fall back to the field's default spec (never a mid-build raise: a
+    web-scale corpus always carries codes you did not plan for). Spec
+    resolution is memoized per worker; each language's stemmer keeps its
+    own LRU via analysis._stemmer_for.
+    """
+    import pyarrow as pa
+
+    name = field_spec.name
+    lang_col = field_spec.lang_col
+    default_spec = field_spec.analyzer
+    boost = float(field_spec.field_boost)
+    explicit = (dict(field_spec.lang_specs)
+                if field_spec.lang_specs is not None else None)
+    arrow_schema = _postings_arrow_schema()
+    memo: dict = {}
+
+    def _spec_for(lang: str):
+        sp = memo.get(lang)
+        if sp is None:
+            if explicit is not None:
+                sp = explicit.get(lang, default_spec)
+            else:
+                from whoosh_spark.analysis import LANGUAGE
+
+                try:
+                    sp = LANGUAGE(lang) if lang else default_spec
+                except NotImplementedError:
+                    sp = default_spec
+            memo[lang] = sp
+        return sp
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(batch.schema.get_field_index(name)).to_pandas()
+            doc_ids = batch.column(batch.schema.get_field_index(doc_id_col)).to_numpy(
+                zero_copy_only=False
             )
+            langs = (
+                batch.column(batch.schema.get_field_index(lang_col))
+                .to_pandas().fillna("").astype(str)
+            )
+            for lv in sorted(langs.unique()):
+                mask = (langs == lv).to_numpy()
+                rb = _postings_record_batch(
+                    texts[mask].reset_index(drop=True), doc_ids[mask],
+                    _spec_for(lv), name, boost, arrow_schema,
+                )
+                if rb is not None:
+                    yield rb
 
     return gen
 
@@ -565,6 +647,15 @@ def build_index(
         raise ValueError(f"analyzer_engine must be 'arrow' or 'jvm', got {analyzer_engine!r}")
     parts: list[DataFrame] = []
     for fs in schema.text_fields():
+        if fs.lang_col:
+            # MULTILANG_TEXT: per-row analyzer routing — needs the lang
+            # column in the batch; the JVM engine can't express per-row
+            # dispatch, so routed fields always take the Arrow path
+            src = docs.select(doc_id_col, fs.name, fs.lang_col)
+            parts.append(src.mapInArrow(
+                _text_postings_generator_multilang(fs, doc_id_col),
+                POSTINGS_SCHEMA))
+            continue
         src = docs.select(doc_id_col, fs.name)
         if analyzer_engine == "jvm":
             # opt-in whole-stage-codegen path (ASCII parity; see
