@@ -358,3 +358,62 @@ def test_hist_ignores_nulls(spark):
     b = hist_quantiles(with_nulls, "v", [0.5], subbits=5).collect()[0]
     # NULLs must not drag the median toward bucket 0
     assert a.est == b.est and b.est > 90.0
+
+
+# --------------------------------------------------------------- set ops
+
+
+def test_kmv_set_ops_exact_tier(spark):
+    from whoosh_spark.pipeline import kmv_set_ops
+
+    # below k everything degenerates to EXACT set arithmetic
+    a = spark.createDataFrame([(v,) for v in range(20)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(10, 40)], "v long")
+    r = kmv_set_ops(a, b, "v", k=256).collect()[0]
+    assert r.n_union_kept == 40
+    assert r.a_est == 20.0 and r.b_est == 30.0 and r.union_est == 40.0
+    assert r.inter_est == 10.0
+    assert abs(r.jaccard_est - round(10 / 40, 4)) < 5e-5
+
+
+def test_kmv_set_ops_estimation_tier_accuracy(spark):
+    from whoosh_spark.pipeline import kmv_set_ops
+
+    # |A|=3000, |B|=2000 (evens in [2000,6000)), |A∩B| = evens in
+    # [2000,3000) = 500, |A∪B|=4500, J=1/9
+    a = spark.createDataFrame([(v,) for v in range(3000)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(2000, 6000, 2)], "v long")
+    r = kmv_set_ops(a, b, "v", k=256).collect()[0]
+    assert r.n_union_kept == 256
+    # KMV relative error ~ 1/sqrt(k-1) ~ 6%; allow 4 sigma
+    assert abs(r.union_est - 4500) / 4500 < 0.25
+    assert abs(r.a_est - 3000) / 3000 < 0.25
+    assert abs(r.jaccard_est - 500 / 4500) < 0.08
+    assert abs(r.inter_est - 500) / 500 < 0.5
+
+
+def test_kmv_set_ops_partitioning_invariance_and_symmetry(spark):
+    from whoosh_spark.pipeline import kmv_set_ops
+
+    a = spark.createDataFrame([(v,) for v in range(500)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(250, 900)], "v long")
+    r1 = kmv_set_ops(a, b, "v", k=64).collect()[0]
+    r2 = kmv_set_ops(a.repartition(11), b.coalesce(1), "v", k=64).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    # union/intersection/jaccard are symmetric; a_est/b_est swap
+    r3 = kmv_set_ops(b, a, "v", k=64).collect()[0]
+    assert (r3.union_est, r3.inter_est, r3.jaccard_est) == \
+           (r1.union_est, r1.inter_est, r1.jaccard_est)
+    assert (r3.a_est, r3.b_est) == (r1.b_est, r1.a_est)
+
+
+def test_kmv_set_ops_disjoint_and_identical(spark):
+    from whoosh_spark.pipeline import kmv_set_ops
+
+    a = spark.createDataFrame([(v,) for v in range(1000)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(5000, 6000)], "v long")
+    r = kmv_set_ops(a, b, "v", k=128).collect()[0]
+    assert r.inter_est == 0.0 and r.jaccard_est == 0.0
+    ri = kmv_set_ops(a, a, "v", k=128).collect()[0]
+    assert ri.jaccard_est == 1.0
+    assert ri.inter_est == ri.union_est == ri.a_est

@@ -5636,6 +5636,62 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     add("multilang_search_topk", _multilang_topk, _multilang_oracle_sql())
 
+    # ---------- KMV set-operation estimates (theta-sketch algebra) --------
+    from whoosh_spark.pipeline.sketch import kmv_set_ops
+
+    def _sketch_setops(spark, sf):
+        # audience-overlap shape: two user segments (mod-sliced so the
+        # overlap is genuinely partial: |A|=100, |B|=75, |A∩B|=50 of the
+        # ~150 users), k=64 BELOW both cardinalities so the genuine
+        # (k-1)/h_k estimation + sampled-intersection paths run, not the
+        # exact fallback; md5 hashing makes every estimate bit-checkable
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return kmv_set_ops(
+            ev.where("user_id % 3 != 0"), ev.where("user_id % 2 = 0"),
+            "user_id", k=64)
+
+    add(
+        "sketch_setops_users",
+        _sketch_setops,
+        """
+WITH ah AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id % 3 <> 0),
+bh AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id % 2 = 0),
+sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ah)
+       WHERE rn <= 64),
+sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM bh)
+       WHERE rn <= 64),
+m AS (SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT h FROM sa UNION SELECT h FROM sb))
+      WHERE rn <= 64),
+st AS (
+  SELECT (SELECT count(*) FROM m) AS n_m,
+         (SELECT max(h) FROM m) AS l,
+         (SELECT count(*) FROM sa) AS na,
+         (SELECT max(h) FROM sa) AS la,
+         (SELECT count(*) FROM sb) AS nb,
+         (SELECT max(h) FROM sb) AS lb,
+         (SELECT count(*) FROM sa JOIN sb USING (h)
+          WHERE h <= (SELECT max(h) FROM m)) AS c)
+SELECT n_m::BIGINT AS n_union_kept,
+       round(CASE WHEN na < 64 THEN na::DOUBLE
+                  ELSE 63 * 1152921504606846976.0 / la END, 4) AS a_est,
+       round(CASE WHEN nb < 64 THEN nb::DOUBLE
+                  ELSE 63 * 1152921504606846976.0 / lb END, 4) AS b_est,
+       round(CASE WHEN n_m < 64 THEN n_m::DOUBLE
+                  ELSE 63 * 1152921504606846976.0 / l END, 4) AS union_est,
+       round((c::DOUBLE / n_m::DOUBLE)
+             * (CASE WHEN n_m < 64 THEN n_m::DOUBLE
+                     ELSE 63 * 1152921504606846976.0 / l END), 4) AS inter_est,
+       round(c::DOUBLE / n_m::DOUBLE, 4) AS jaccard_est
+FROM st
+""",
+    )
+
     return reg
 
 

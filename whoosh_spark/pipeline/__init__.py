@@ -72,6 +72,7 @@ from whoosh_spark.pipeline.sketch import (  # noqa: F401
     kmv_distinct,
     kmv_estimate_from,
     kmv_merge,
+    kmv_set_ops,
     kmv_sketch,
 )
 from whoosh_spark.pipeline.temporal import asof_join, lookback_join  # noqa: F401

@@ -535,3 +535,69 @@ def bloom_contains(bits: DataFrame, df: DataFrame, col: str,
         cond = c if cond is None else (cond & c)
     return out.withColumn("maybe_present", cond).drop(
         *[f"_s{i}" for i in range(k)])
+
+
+# ----------------------------------------------------- KMV set operations
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """KMV set-operation estimates between two frames' distinct-value
+    sets (Beyer et al. 2007, SIGMOD "On synopses for distinct value
+    estimation" — the theta-sketch algebra Apache DataSketches
+    popularized): ONE row
+
+        (n_union_kept, a_est, b_est, union_est, inter_est, jaccard_est)
+
+    Discipline identical to the rest of the family: the hash is
+    md5-derived (:func:`kmv_hash`), so every ESTIMATE is deterministic,
+    partitioning-invariant, and bit-reproducible in SQL. Semantics:
+
+    - per-slice and union estimates: the standard KMV (k-1)*S/h_(k),
+      degenerating to the EXACT count while a sketch holds < k hashes;
+    - intersection: with L = the merged sketch's largest kept hash, the
+      hashes <= L form a uniform sample of the union, so
+      rho = |{h in BOTH kept sets, h <= L}| / n_union_kept estimates the
+      Jaccard similarity and  inter_est = rho * union_est  the overlap
+      cardinality — written as (c / n) * union_est in this exact order
+      so the oracle mirrors it bit-for-bit. In the exact tier
+      (n_union_kept < k) rho and inter_est are exact by construction.
+
+    Scale shape: two bounded sketch builds (each ONE distinct +
+    windowed bottom-k over <= k rows per bucket), then pure array ops
+    over three single-row frames — the cross joins combine one row with
+    one row. The sketches themselves are the mergeable artifact: ship
+    per-shard/day sketches, kmv_merge them, and compare corpora without
+    ever co-shuffling raw values.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sa = kmv_sketch(a, col, k=k)
+    sb = kmv_sketch(b, col, k=k)
+    m = kmv_merge(sa, sb, k)
+    j = (
+        m.select(F.col("sketch").alias("_m"))
+        .crossJoin(sa.select(F.col("sketch").alias("_sa")))
+        .crossJoin(sb.select(F.col("sketch").alias("_sb")))
+    )
+
+    def est(arr: "F.Column", n: "F.Column") -> "F.Column":
+        hk = F.element_at(arr, n.cast("int"))
+        return (
+            F.when(n < k, n.cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / hk)
+        )
+
+    n_m = F.size("_m")
+    L = F.element_at("_m", n_m.cast("int"))
+    c = F.size(F.filter(F.array_intersect("_sa", "_sb"),
+                        lambda h: h <= L))
+    union_est = est(F.col("_m"), n_m)
+    rho = c.cast("double") / n_m.cast("double")
+    return j.select(
+        n_m.cast("long").alias("n_union_kept"),
+        F.round(est(F.col("_sa"), F.size("_sa")), 4).alias("a_est"),
+        F.round(est(F.col("_sb"), F.size("_sb")), 4).alias("b_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(rho * union_est, 4).alias("inter_est"),
+        F.round(rho, 4).alias("jaccard_est"),
+    )
