@@ -1503,3 +1503,45 @@ def test_collocations_min_count_and_invariance(spark):
     key = lambda r: (r.w1, r.w2)
     assert sorted(map(tuple, base), key=lambda t: t[:2]) == \
            sorted(map(tuple, alt), key=lambda t: t[:2])
+
+
+def test_trending_terms_hand_case(spark):
+    import math
+    from whoosh_spark.pipeline import trending_terms
+
+    # two 1-hour windows; 'burst' spikes in window 1
+    docs = spark.createDataFrame([
+        (0, "2025-01-01 00:00:00", "alpha beta alpha beta"),
+        (1, "2025-01-01 00:30:00", "alpha beta burst alpha"),
+        (2, "2025-01-01 01:00:00", "burst burst burst alpha"),
+        (3, "2025-01-01 01:30:00", "burst beta burst alpha"),
+    ], "doc_id long, ts_s string, text string")
+    docs = docs.select("doc_id", F.to_timestamp("ts_s").alias("ts"), "text")
+    rows = trending_terms(docs, window_s=3600, top_n=5, min_count=2).collect()
+    got = {(r.win, r.term): (r.c, r.zscore) for r in rows}
+    # counts: w0: alpha 4, beta 3, burst 1(<min_count) ; w1: burst 5, alpha 2, beta 1
+    # totals: alpha 6, beta 4, burst 6, n=16, nw0=8, nw1=8
+    def z(c, ct, nw, n=16):
+        e = ct * nw / n
+        return round((c - e) / math.sqrt(e), 4)
+    assert got[(0, "alpha")] == (4, z(4, 6, 8))
+    assert got[(0, "beta")] == (3, z(3, 4, 8))
+    assert (0, "burst") not in got          # min_count prunes c=1
+    assert got[(1, "burst")] == (5, z(5, 6, 8))
+    assert got[(1, "alpha")] == (2, z(2, 6, 8))
+    # ranking: burst leads window 1
+    top_w1 = sorted((r for r in rows if r.win == 1),
+                    key=lambda r: (-r.zscore, r.term))[0]
+    assert top_w1.term == "burst"
+
+
+def test_trending_terms_invariance(spark):
+    from whoosh_spark.pipeline import trending_terms
+    from whoosh_spark.transcripts import turns_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = turns_from_documents(docs)
+    a = trending_terms(t, window_s=3600).collect()
+    b = trending_terms(t.repartition(13), window_s=3600).collect()
+    key = lambda r: (r.win, r.term)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

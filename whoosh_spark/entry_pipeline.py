@@ -5692,6 +5692,45 @@ FROM st
 """,
     )
 
+    # ---------- per-window trending terms ---------------------------------
+    from whoosh_spark.pipeline.textstats import trending_terms
+    from whoosh_spark.transcripts import turns_from_documents
+
+    add(
+        "turns_trending_terms",
+        # burst detection over the transcript time axis: top-3 terms per
+        # hour bucket by one-cell Pearson residual z = (c - e)/sqrt(e),
+        # e = ct*nw/n; hour buckets are pure integer epoch arithmetic from
+        # the corpus min ts (timezone/engine independent), arithmetic
+        # written in the identical order in both engines
+        lambda spark, sf: trending_terms(
+            turns_from_documents(_docs(spark, sf)),
+            window_s=3600, top_n=3, min_count=2),
+        _TURNS_CTE.rstrip()
+        + """,
+org AS (SELECT min(epoch(ts))::BIGINT AS o FROM turns),
+tok AS (
+  SELECT CAST(floor((epoch(ts)::BIGINT - o) / 3600) AS BIGINT) AS win,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM turns, org),
+wc AS (SELECT win, term, count(*) AS c FROM tok GROUP BY win, term),
+ct AS (SELECT term, sum(c) AS ct FROM wc GROUP BY term),
+nw AS (SELECT win, sum(c) AS nw FROM wc GROUP BY win),
+g AS (SELECT sum(c) AS n FROM wc),
+sc AS (
+  SELECT win, wc.term, c::BIGINT AS c,
+         round((c - (ct.ct::DOUBLE * nw.nw / g.n))
+               / sqrt(ct.ct::DOUBLE * nw.nw / g.n), 4) AS zscore
+  FROM wc JOIN ct ON wc.term = ct.term JOIN nw USING (win), g
+  WHERE c >= 2)
+SELECT win, term, c, zscore FROM (
+  SELECT *, row_number() OVER (PARTITION BY win
+                               ORDER BY zscore DESC, term ASC) AS rn
+  FROM sc)
+WHERE rn <= 3
+""",
+    )
+
     return reg
 
 

@@ -58,6 +58,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     redact_pii,
     repetition_stats,
     token_counts,
+    trending_terms,
     unigram_logprob,
     winnow_fingerprints,
 )

@@ -958,3 +958,61 @@ def collocations(docs: DataFrame, text_col: str = "text",
         )
     )
     return scored.orderBy(F.desc("llr"), "w1", "w2").limit(top_n)
+
+
+# ------------------------------------------------- trending terms
+
+
+def trending_terms(docs: DataFrame, text_col: str = "text",
+                   ts_col: str = "ts", window_s: int = 3600,
+                   top_n: int = 3, min_count: int = 2) -> DataFrame:
+    """Per-time-window trending terms: the top ``top_n`` terms of each
+    ``window_s``-second bucket by chi-square-style burst z-score ->
+    (win, term, c, zscore). For each (window, term):
+
+        e = expected count under time-independence
+          = term_total * window_total / grand_total
+        z = (c - e) / sqrt(e)
+
+    — the one-cell Pearson residual, the standard burst signal (the
+    lift numerator of Kleinberg-style burst detection without the HMM
+    machinery). Windows are pure integer arithmetic on the epoch delta
+    from the corpus min timestamp (floor(off_s / window_s)) — no
+    date_trunc, so the bucketing is timezone- and engine-independent.
+
+    Plan shape: tokens derive doc-local (JVM regexp, no Python); the
+    ONLY corpus-sized shuffle is the map-side-combined
+    groupBy(win, term); term totals, window totals and the grand total
+    are second-stage aggregates over that reduced table; ranking is a
+    bounded per-window row_number over candidates with c >= min_count,
+    ordered by (rounded z DESC, term ASC) — total and engine-stable.
+    """
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    origin = docs.agg(F.min(F.col(ts_col).cast("long")).alias("_o"))
+    base = docs.crossJoin(F.broadcast(origin)).select(
+        F.floor((F.col(ts_col).cast("long") - F.col("_o"))
+                / F.lit(window_s)).cast("long").alias("win"),
+        F.explode(toks).alias("term"),
+    )
+    wc = base.groupBy("win", "term").agg(F.count("*").alias("c"))
+    t_tot = wc.groupBy("term").agg(F.sum("c").alias("ct"))
+    w_tot = wc.groupBy("win").agg(F.sum("c").alias("nw"))
+    grand = wc.agg(F.sum("c").alias("n"))
+    e = F.col("ct").cast("double") * F.col("nw") / F.col("n")
+    z = (F.col("c") - e) / F.sqrt(e)
+    scored = (
+        wc.where(F.col("c") >= min_count)
+        .join(t_tot, "term").join(w_tot, "win")
+        .crossJoin(F.broadcast(grand))
+        .select("win", "term", F.col("c").cast("long").alias("c"),
+                F.round(z, 4).alias("zscore"))
+    )
+    rank = Window.partitionBy("win").orderBy(F.desc("zscore"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(rank))
+        .where(F.col("_rn") <= top_n)
+        .drop("_rn")
+    )
