@@ -168,10 +168,8 @@ def test_percolate_indexed_validation(spark):
 
     docs = _corpus(spark, 10)
     for bad in (
-        # phrases (incl. b-sides and duplicate words) are supported; what
-        # still rejects is coord scaling, non-flat trees, foreign fields
-        {"scaled": Q.Or([Q.Term("text", "spark"), Q.Term("text", "join")],
-                        scale=0.5)},
+        # phrases (incl. b-sides and duplicate words) and Or(scale=) are
+        # supported; what still rejects is non-flat trees, foreign fields
         {"nested": Q.And([Q.Or([Q.Term("text", "a"), Q.Term("text", "b")]),
                           Q.Term("text", "c")])},
         {"wrongfield": Q.Term("lang", "en")},
@@ -398,3 +396,46 @@ def test_percolate_stream_indexed_validates_rules_eagerly(spark, tmp_path):
                               Q.Term("text", "c")])},
             str(tmp_path / "out"), str(tmp_path / "ck"),
             schema=_SCHEMA, indexed=True)
+
+
+def test_percolate_indexed_or_scale_parity(spark):
+    # Or(scale=) coord weighting in the indexed tier: bit-identical to
+    # the plan-branch tier (and hence to Searcher.compile) across plain,
+    # boosted, minmatch, and AndNot-a-side scaled rules
+    from whoosh_spark.streaming import percolate, percolate_indexed
+
+    docs = _corpus(spark)
+    rules = {
+        "sc": Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")],
+                   scale=0.5),
+        "sc_boost": Q.Or([Q.Term("text", "spark"),
+                          Q.Term("text", "hash", boost=2.0)],
+                         scale=0.9, boost=3.0),
+        "sc_min": Q.Or([Q.Term("text", "scan"), Q.Term("text", "filter"),
+                        Q.Term("text", "batch")], scale=0.25, minmatch=2),
+        "sc_andnot": Q.AndNot(
+            Q.Or([Q.Term("text", "join"), Q.Term("text", "table")],
+                 scale=0.75),
+            Q.Term("text", "stream")),
+    }
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert a == b  # full-precision bit equality
+    assert len(a) > 50
+    # a partially-matched scaled group scores LOWER than unscaled: find a
+    # doc matching exactly one of the two "sc" children and check the
+    # coord factor (1-s) + s*1/2 = 0.75 applied vs the unscaled twin
+    plain = {(r.query_name, r.doc_id): r.score
+             for r in percolate(
+                 spark, docs,
+                 {"p": Q.Or([Q.Term("text", "merge"),
+                             Q.Term("text", "window")])},
+                 schema=_SCHEMA).collect()}
+    import math
+    partial = [d for (q, d) in a if q == "sc"
+               and not math.isclose(a[("sc", d)], plain[("p", d)])]
+    assert partial, "expected at least one partially-matching doc"
+    for d in partial[:5]:
+        assert math.isclose(a[("sc", d)], plain[("p", d)] * 0.75, rel_tol=1e-12)

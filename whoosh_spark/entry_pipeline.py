@@ -2427,6 +2427,10 @@ FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
             "spark_not_hashjoin": Q.AndNot(
                 Q.Term("text", "spark"), Q.Phrase("text", ["hash", "join"])),
             "double_join": Q.Phrase("text", ["join", "join"], slop=3),
+            # r4 session 2: Or(scale=) coord weighting in the indexed
+            # tier — sum * ((1-s) + s*matched/n), executor op order
+            "scaled_or": Q.Or([Q.Term("text", "merge"),
+                               Q.Term("text", "window")], scale=0.5),
         }
         out = percolate_indexed(spark, _docs(spark, sf), rules, documents_schema())
         return out.select("query_name", "doc_id", F.round("score", 4).alias("score"))
@@ -2475,6 +2479,10 @@ FROM scored WHERE term = 'join'
 AND doc_id IN (SELECT a.doc_id FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id
                AND b.pos > a.pos AND b.pos <= a.pos + 3
                WHERE a.term = 'join' AND b.term = 'join')
+UNION ALL
+SELECT 'scaled_or', doc_id,
+       round(sum(score) * (0.5 + 0.5 * count(*) / 2.0), 4)
+FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
 """,
     )
 

@@ -145,8 +145,10 @@ def percolate_stream(
 
 def _flat_rule(name: str, q: Q.Query, fieldname: str):
     """Flatten one standing rule into (rows, n_required, rule_boost,
-    slop) where rows = [(term, pos_in_query, leaf_boost)] and ``slop``
-    is None for boolean rules or the phrase slop for Phrase rules.
+    slop, scale_pair) where rows = [(term, pos_in_query, leaf_boost)],
+    ``slop`` is None for boolean rules or the phrase slop for Phrase
+    rules, and ``scale_pair`` is (scale, n_children) for Or(scale=)
+    coord weighting (None otherwise).
     Raises ValueError for anything beyond flat Term / And-of-Terms /
     Or-of-Terms / Phrase on ``fieldname`` — complex trees belong on the
     plan-branch tier (``percolate``)."""
@@ -157,7 +159,7 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
         return (t.text, pos, float(t.boost))
 
     if isinstance(q, Q.Term):
-        return [leaf(q, 0)], 1, 1.0, None
+        return [leaf(q, 0)], 1, 1.0, None, None
     if isinstance(q, Q.Phrase):
         if q.fieldname != fieldname:
             raise ValueError(
@@ -167,7 +169,7 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
         # once per slot and the positional chain still demands strictly
         # increasing positions — exactly the executor's _c_phrase joins
         rows = [(w, i, 1.0) for i, w in enumerate(q.words)]
-        return rows, len(q.words), float(q.boost), int(q.slop)
+        return rows, len(q.words), float(q.boost), int(q.slop), None
     if isinstance(q, (Q.And, Q.Or)):
         kids = q.subqueries
         if not kids or not all(isinstance(k, Q.Term) for k in kids):
@@ -177,13 +179,19 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
         texts = [k.text for k in kids]
         if len(set(texts)) != len(texts):
             raise ValueError(f"rule {name!r}: duplicate terms in one rule")
+        scale_pair = None
         if isinstance(q, Q.Or):
+            # Or(scale=s): executor coord weighting — the summed score is
+            # multiplied by (1 - s) + s * matched_children / n_children
+            # (executor.py::_c_or); matched count == the group's role-0
+            # row count since duplicate terms are rejected above
             if getattr(q, "scale", None):
-                raise ValueError(f"rule {name!r}: Or(scale=) unsupported here")
+                scale_pair = (float(q.scale), float(len(kids)))
             n_req = max(int(getattr(q, "minmatch", 1) or 1), 1)
         else:
             n_req = len(kids)
-        return [leaf(k, i) for i, k in enumerate(kids)], n_req, float(q.boost), None
+        return ([leaf(k, i) for i, k in enumerate(kids)], n_req,
+                float(q.boost), None, scale_pair)
     raise ValueError(
         f"rule {name!r}: {type(q).__name__} not supported by "
         "percolate_indexed; use percolate()")
@@ -191,8 +199,9 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
 
 def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
     """Full per-rule flattening -> (pos_rows, n_required, rule_boost,
-    slop, neg_rows, neg_required, neg_slop, req_rows, req_required,
-    req_slop). AndNot(a, b): a scored, doc excluded when it matches b
+    slop, coord, neg_rows, neg_required, neg_slop, req_rows,
+    req_required, req_slop) — ``coord`` = the a-side's Or(scale=)
+    (scale, n_children) pair or None. AndNot(a, b): a scored, doc excluded when it matches b
     (executor's left_anti); Require(a, b): doc kept only when it matches
     b (left_semi). b may be flat Term/And/Or OR a Phrase: AND-shaped b
     excludes/requires only when ALL its terms hit, OR-shaped when
@@ -201,18 +210,21 @@ def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
     match set. The a side may be a Phrase (slop carried through). b's
     rows are (term, slot) pairs so a positional b keeps word order."""
     if isinstance(q, (Q.AndNot, Q.Require)):
-        pos_rows, n_req, a_boost, slop = _flat_rule(name, q.a.normalize(), fieldname)
-        b_rows, b_req, b_boost, b_slop = _flat_rule(name, q.b.normalize(), fieldname)
-        del b_boost  # b is a pure match set; its scores/boosts are unused
+        pos_rows, n_req, a_boost, slop, coord = _flat_rule(
+            name, q.a.normalize(), fieldname)
+        b_rows, b_req, b_boost, b_slop, _b_coord = _flat_rule(
+            name, q.b.normalize(), fieldname)
+        del b_boost, _b_coord  # b is a pure match set; scores/boosts/coord unused
         b = [(t, pos) for t, pos, _lb in b_rows]
         rboost = a_boost * float(q.boost)
         if isinstance(q, Q.AndNot):
-            return (pos_rows, n_req, rboost, slop,
+            return (pos_rows, n_req, rboost, slop, coord,
                     b, b_req, b_slop, [], None, None)
-        return (pos_rows, n_req, rboost, slop,
+        return (pos_rows, n_req, rboost, slop, coord,
                 [], None, None, b, b_req, b_slop)
-    pos_rows, n_req, rboost, slop = _flat_rule(name, q, fieldname)
-    return pos_rows, n_req, rboost, slop, [], None, None, [], None, None
+    pos_rows, n_req, rboost, slop, coord = _flat_rule(name, q, fieldname)
+    return (pos_rows, n_req, rboost, slop, coord,
+            [], None, None, [], None, None)
 
 
 def percolate_indexed(
@@ -268,9 +280,12 @@ def _percolate_indexed_with_ix(
     non-scoring NEGATIVE / REQUIRE rows with word slots, and the group
     filter excludes docs where b matches (hit count >= b_required, plus
     b's own positional chain when b is a phrase — the left_anti
-    semantics) or demands a b match (left_semi). Rules beyond these
-    shapes (Or(scale=), non-flat trees) raise — route those through
-    ``percolate``.
+    semantics) or demands a b match (left_semi). ``Or(scale=)`` coord
+    weighting rides two more broadcast columns: the group's summed score
+    is multiplied by (1-s) + s*matched/n_children with the executor's
+    exact expression order, still bit-identical to ``percolate()``.
+    Rules beyond these shapes (non-flat trees) raise — route those
+    through ``percolate``.
     """
     from whoosh_spark.search.scoring import BM25F
 
@@ -287,11 +302,13 @@ def _percolate_indexed_with_ix(
     rows = []
     any_phrase = False
     for name, q in queries.items():
-        (pos, n_req, rboost, slop, neg, neg_req, neg_slop,
+        (pos, n_req, rboost, slop, coord, neg, neg_req, neg_slop,
          req, req_req, req_slop) = _flat_rule_full(name, q.normalize(), fieldname)
         any_phrase = any_phrase or any(
             s is not None for s in (slop, neg_slop, req_slop))
-        base_cols = (n_req, neg_req, req_req, rboost, slop, neg_slop, req_slop)
+        scale, n_children = coord if coord is not None else (None, None)
+        base_cols = (n_req, neg_req, req_req, rboost, slop, neg_slop,
+                     req_slop, scale, n_children)
         for t, pos_i, lboost in pos:
             rows.append((name, t, pos_i, lboost, 0) + base_cols)
         for t, slot in neg:
@@ -326,13 +343,13 @@ def _percolate_indexed_with_ix(
     p = ix.terms_postings(fieldname, sorted(idf),
                           positions=any_phrase).select(*pcols)
     rules_df = spark.createDataFrame(
-        [(n, t, q_, lb, role, nr, ngr, rqr, rb, sl, nsl, rsl, idf[t])
-         for (n, t, q_, lb, role, nr, ngr, rqr, rb, sl, nsl, rsl) in rows
-         if t in idf],
+        [(n, t, q_, lb, role, nr, ngr, rqr, rb, sl, nsl, rsl, sc, nch, idf[t])
+         for (n, t, q_, lb, role, nr, ngr, rqr, rb, sl, nsl, rsl, sc, nch)
+         in rows if t in idf],
         "query_name string, term string, _q int, _lboost double, _role int, "
         "_n_required int, _neg_required int, _req_required int, "
         "_rboost double, _slop int, _neg_slop int, _req_slop int, "
-        "_idf double",
+        "_scale double, _n_children double, _idf double",
     )
     base = w.score_expr(fs, F.col("_idf"), avgdl, F.col("weight"), F.col("dl"))
     # positions ride ONLY on rows whose role participates in a positional
@@ -352,7 +369,7 @@ def _percolate_indexed_with_ix(
         "query_name", "doc_id", F.col("_q"), F.col("_role"),
         F.col("_n_required"), F.col("_neg_required"), F.col("_req_required"),
         F.col("_rboost"), F.col("_slop"), F.col("_neg_slop"),
-        F.col("_req_slop"),
+        F.col("_req_slop"), F.col("_scale"), F.col("_n_children"),
         (base * F.col("_lboost")).alias("score"),
         pos_col.alias("_pos"),
     ]
@@ -384,9 +401,21 @@ def _percolate_indexed_with_ix(
              F.first("_rboost").alias("_rb"),
              F.first("_slop").alias("_sl"),
              F.first("_neg_slop").alias("_nsl"),
-             F.first("_req_slop").alias("_rsl"))
+             F.first("_req_slop").alias("_rsl"),
+             F.first("_scale").alias("_sc"),
+             F.first("_n_children").alias("_nch"))
     )
     fold = F.aggregate(F.col("_items"), F.lit(0.0), lambda acc, x: acc + x["s"])
+    # Or(scale=) coord weighting — the executor's exact expression order:
+    # sum * ((1 - scale) + scale * matched / n_children), matched = the
+    # group's role-0 row count (duplicate Or terms are rejected, so rows
+    # == distinct matched children). Unscaled rules multiply by nothing
+    # (x * 1.0 is bit-exact, but we keep the branch for plan clarity).
+    coord_fold = F.when(
+        F.col("_sc").isNotNull(),
+        fold * ((F.lit(1.0) - F.col("_sc"))
+                + F.col("_sc") * F.col("_n") / F.col("_nch")),
+    ).otherwise(fold)
 
     # positional chain over word-slot-ordered items — EXACTLY the
     # executor's _phrase_step fold (keep x in next where some c in
@@ -425,6 +454,6 @@ def _percolate_indexed_with_ix(
         )
         .where(phrase_ok)
         .select("query_name", "doc_id",
-                (fold * F.col("_rb")).alias("score"))
+                (coord_fold * F.col("_rb")).alias("score"))
     )
     return out, ix
