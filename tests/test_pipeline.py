@@ -1545,3 +1545,40 @@ def test_trending_terms_invariance(spark):
     b = trending_terms(t.repartition(13), window_s=3600).collect()
     key = lambda r: (r.win, r.term)
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ngram_novelty_hand_case(spark):
+    from whoosh_spark.pipeline import ngram_novelty
+
+    shared = "one two three four five six seven eight"       # 8 tokens
+    docs = spark.createDataFrame([
+        (0, shared + " alpha"),        # grams: shared(1..8), 2..9 -> 2 grams
+        (1, shared),                   # 1 gram, equal to doc0's first
+        (2, "tiny doc"),               # < 8 tokens -> vacuously novel
+        (3, shared + " " + shared),    # contains shared gram repeatedly
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in ngram_novelty(docs, n=8).collect()}
+    # doc1's only gram appears in docs 0, 1, 3 -> not novel
+    assert rows[1].n_grams == 1 and rows[1].n_novel == 0
+    assert rows[1].novelty == 0.0
+    # doc0: gram1 shared, gram2 (two..alpha) unique -> novelty 0.5
+    assert rows[0].n_grams == 2 and rows[0].n_novel == 1
+    assert rows[0].novelty == 0.5
+    # doc2: no grams, vacuous 1.0
+    assert rows[2].n_grams == 0 and rows[2].novelty == 1.0
+    # doc3: 16 tokens -> 9 gram positions, but position 9 repeats the
+    # all-shared gram (distinct counting) -> 8 distinct grams; the shared
+    # one not novel, the 7 wrap-around grams unique to doc3
+    assert rows[3].n_grams == 8 and rows[3].n_novel == 7
+
+
+def test_ngram_novelty_invariance_and_validation(spark):
+    import pytest
+    from whoosh_spark.pipeline import ngram_novelty
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, ngram_novelty(docs, n=5).collect()))
+    b = sorted(map(tuple, ngram_novelty(docs.repartition(9), n=5).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        ngram_novelty(docs, n=1)

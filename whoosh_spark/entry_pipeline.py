@@ -5739,6 +5739,37 @@ WHERE rn <= 3
 """,
     )
 
+    # ---------- per-doc n-gram novelty ------------------------------------
+    from whoosh_spark.pipeline.textstats import ngram_novelty
+
+    add(
+        "text_ngram_novelty",
+        # corpus-diversity feature: fraction of each doc's distinct word
+        # 8-grams occurring in NO other doc (doc-vs-corpus complement of
+        # repetition_stats); the oracle groups the raw gram text where
+        # Spark ships 16-byte md5 keys — value-identical unless md5
+        # collides, which the substring-dedup birthday math rules out
+        lambda spark, sf: ngram_novelty(_docs(spark, sf), n=8),
+        """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+g0 AS (SELECT doc_id, w,
+              unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM base),
+grams AS (SELECT DISTINCT doc_id,
+                 array_to_string(w[i : i + 7], chr(31)) AS g FROM g0),
+dfc AS (SELECT g, count(*) AS dfc FROM grams GROUP BY g),
+sc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM grams JOIN dfc USING (g) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(s.n_novel, 0)::BIGINT AS n_novel,
+       coalesce(round(s.n_novel / s.n_grams, 4), 1.0)::DOUBLE AS novelty
+FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+    )
+
     return reg
 
 

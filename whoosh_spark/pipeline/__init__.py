@@ -54,6 +54,7 @@ from whoosh_spark.pipeline.textstats import (  # noqa: F401
     langid,
     line_shape_stats,
     mixture_report,
+    ngram_novelty,
     quality_scores,
     redact_pii,
     repetition_stats,

@@ -1016,3 +1016,73 @@ def trending_terms(docs: DataFrame, text_col: str = "text",
         .where(F.col("_rn") <= top_n)
         .drop("_rn")
     )
+
+
+# ------------------------------------------------- n-gram novelty
+
+
+def ngram_novelty(docs: DataFrame, n: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document novelty: the fraction of a doc's word n-grams that
+    occur in NO other document -> (doc_id, n_grams, n_novel, novelty).
+    The inverse signal of contamination/dup detection: low novelty means
+    the doc is assembled from corpus-recurring fragments (template spam,
+    boilerplate mosaics, near-copies below the dedup thresholds) — a
+    standard diversity feature for mixture curation next to
+    :func:`repetition_stats` (which is doc-INTERNAL where this is
+    doc-vs-CORPUS).
+
+    A gram counts as novel when no OTHER doc contains it; a gram
+    repeated within one doc only is still novel. Fractions are over
+    DISTINCT grams of the doc (duplicates inside a doc carry no
+    cross-doc evidence), novelty = n_novel / n_grams rounded to 4, docs
+    with < n tokens report 0 grams and novelty 1.0 (vacuously novel).
+
+    Plan shape: grams derive doc-local from the token array (transform
+    over sequence — no second regex pass, no Python), md5-hashed to a
+    16-byte key BEFORE the shuffle (the duplicate_substring_spans
+    discipline: ship 16 bytes, not the gram text); ONE map-side-combined
+    groupBy(gram) counting distinct docs via (doc, gram)-distinct
+    pre-reduction; join back and ONE groupBy(doc). Two key shuffles
+    total, both on the reduced distinct-gram stream.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       toks.alias("_w"))
+    idx = F.when(F.size("_w") >= n,
+                 F.sequence(F.lit(1), F.size("_w") - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.md5(
+                F.concat_ws("\x1f", F.slice("_w", i, n))))
+        ).alias("g"),
+    ).distinct()
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("_df"))
+    scored = (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.coalesce("novelty", F.lit(1.0)).alias("novelty"),
+        )
+    )
