@@ -168,10 +168,20 @@ def test_percolate_indexed_validation(spark):
 
     docs = _corpus(spark, 10)
     for bad in (
-        # phrases (incl. b-sides and duplicate words) and Or(scale=) are
-        # supported; what still rejects is non-flat trees, foreign fields
-        {"nested": Q.And([Q.Or([Q.Term("text", "a"), Q.Term("text", "b")]),
-                          Q.Term("text", "c")])},
+        # phrases (incl. b-sides and duplicate words), Or(scale=), and
+        # TWO-level trees are supported; what still rejects is 3+-level
+        # trees, inner-node boost/scale, nested b-sides, foreign fields
+        {"deep": Q.And([Q.Or([Q.And([Q.Term("text", "a"),
+                                     Q.Term("text", "b")]),
+                              Q.Term("text", "c")]),
+                        Q.Term("text", "d")])},
+        {"inner_boost": Q.And([Q.Or([Q.Term("text", "a"),
+                                     Q.Term("text", "b")], boost=2.0),
+                               Q.Term("text", "c")])},
+        {"nested_b": Q.AndNot(
+            Q.Term("text", "a"),
+            Q.And([Q.Or([Q.Term("text", "b"), Q.Term("text", "c")]),
+                   Q.Term("text", "d")]))},
         {"wrongfield": Q.Term("lang", "en")},
     ):
         with pytest.raises(ValueError):
@@ -392,8 +402,10 @@ def test_percolate_stream_indexed_validates_rules_eagerly(spark, tmp_path):
     with pytest.raises(ValueError, match="use percolate"):
         percolate_stream(
             stream,
-            {"nested": Q.And([Q.Or([Q.Term("text", "a"), Q.Term("text", "b")]),
-                              Q.Term("text", "c")])},
+            {"deep": Q.And([Q.Or([Q.And([Q.Term("text", "a"),
+                                         Q.Term("text", "b")]),
+                                  Q.Term("text", "c")]),
+                            Q.Term("text", "d")])},
             str(tmp_path / "out"), str(tmp_path / "ck"),
             schema=_SCHEMA, indexed=True)
 
@@ -439,3 +451,44 @@ def test_percolate_indexed_or_scale_parity(spark):
     assert partial, "expected at least one partially-matching doc"
     for d in partial[:5]:
         assert math.isclose(a[("sc", d)], plain[("p", d)] * 0.75, rel_tol=1e-12)
+
+
+def test_percolate_indexed_two_level_parity(spark):
+    # TWO-LEVEL trees in the indexed tier: CNF (And-of-Ors) and DNF
+    # (Or-of-Ands) rules bit-identical to the plan-branch tier across
+    # inner minmatch, leaf boosts, outer boost/minmatch/scale combos
+    from whoosh_spark.streaming import percolate, percolate_indexed
+
+    docs = _corpus(spark)
+    rules = {
+        "cnf": Q.And([Q.Or([Q.Term("text", "merge"), Q.Term("text", "window")]),
+                      Q.Term("text", "spark")]),
+        "cnf_min": Q.And([
+            Q.Or([Q.Term("text", "scan"), Q.Term("text", "filter"),
+                  Q.Term("text", "batch")], minmatch=2),
+            Q.Or([Q.Term("text", "table"), Q.Term("text", "merge")])]),
+        "cnf_leafboost": Q.And([
+            Q.Or([Q.Term("text", "table", boost=2.0), Q.Term("text", "stream")]),
+            Q.Term("text", "spark", boost=0.5)], boost=3.0),
+        "dnf": Q.Or([Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
+                     Q.Term("text", "window")]),
+        "dnf_min": Q.Or([Q.And([Q.Term("text", "merge"), Q.Term("text", "scan")]),
+                         Q.And([Q.Term("text", "filter"), Q.Term("text", "batch")]),
+                         Q.Term("text", "stream")], minmatch=2),
+        "dnf_scale": Q.Or([Q.And([Q.Term("text", "spark"), Q.Term("text", "table")]),
+                           Q.Term("text", "filter")], scale=0.5),
+    }
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert a == b  # full-precision bit equality
+    for name in rules:
+        assert any(q == name for q, _ in a), f"{name} matched nothing"
+    # semantic spot-check: a doc matching only the partial And of "dnf"
+    # (hash without join) must NOT appear under dnf unless window hits
+    docs_terms = {r.doc_id: set(r.text.split()) for r in docs.collect()}
+    for (q, d) in a:
+        if q == "dnf":
+            t = docs_terms[d]
+            assert ("window" in t) or ("hash" in t and "join" in t)

@@ -102,7 +102,7 @@ def percolate_stream(
     :func:`percolate_indexed` instead — the large-rule-set tier (rules
     as broadcast data, O(1) plan size): the right choice when thousands
     of standing queries watch the stream. Rule-shape limits of that tier
-    apply (flat Term/And/Or/Phrase, AndNot/Require with flat or Phrase b);
+    apply (flat or two-level Term/And/Or trees, Phrase, AndNot/Require with flat or Phrase b);
     ``with_scores=False`` is plan-branch-only (the indexed tier always
     scores; callers can drop the column downstream).
     """
@@ -145,21 +145,40 @@ def percolate_stream(
 
 def _flat_rule(name: str, q: Q.Query, fieldname: str):
     """Flatten one standing rule into (rows, n_required, rule_boost,
-    slop, scale_pair) where rows = [(term, pos_in_query, leaf_boost)],
-    ``slop`` is None for boolean rules or the phrase slop for Phrase
-    rules, and ``scale_pair`` is (scale, n_children) for Or(scale=)
-    coord weighting (None otherwise).
-    Raises ValueError for anything beyond flat Term / And-of-Terms /
-    Or-of-Terms / Phrase on ``fieldname`` — complex trees belong on the
-    plan-branch tier (``percolate``)."""
-    def leaf(t: Q.Term, pos: int):
+    slop, scale_pair) where rows = [(term, pos_in_query, leaf_boost,
+    group, group_req)], ``slop`` is None for boolean rules or the phrase
+    slop for Phrase rules, and ``scale_pair`` is (scale, n_children) for
+    Or(scale=) coord weighting (None otherwise).
+
+    Every rule reduces to ONE uniform grouped-leaf semantics: leaves are
+    numbered in DFS order; each top-level child is a GROUP, satisfied
+    when the (rule, doc) pair holds >= group_req of its leaves; the rule
+    matches when >= n_required groups are satisfied; a leaf contributes
+    score iff its group is satisfied. Flat Term/And/Or are the 1-leaf-
+    per-group special case (identical semantics and bit-identical folds
+    to before), and TWO-LEVEL trees ride the same machinery:
+
+    - And-of-(Term | Or-of-Terms)  (CNF): Or-group req = its minmatch,
+      n_required = n_children — e.g. And(Or(a, b), c).
+    - Or-of-(Term | And-of-Terms)  (DNF): And-group req = its size,
+      n_required = minmatch — e.g. Or(And(a, b), c).
+
+    The flat fold over contributing leaves in DFS order is bit-identical
+    to the executor's nested left-assoc fold (each group's subtotal is a
+    contiguous prefix-ordered run, and x + 0.0 == x for the positive
+    BM25 partials) — so nested rules stay exactly percolate()-equal.
+    INNER node boost/scale would break flat-fold associativity
+    ((a+b)*2 != 2a+2b bitwise), so they raise; leaf Term boosts and the
+    OUTER boost/scale/minmatch are fully supported. Deeper trees belong
+    on the plan-branch tier (``percolate``)."""
+    def leaf(t: Q.Term, pos: int, grp: int, grp_req: int):
         if t.fieldname != fieldname:
             raise ValueError(
                 f"rule {name!r}: field {t.fieldname!r} != {fieldname!r}")
-        return (t.text, pos, float(t.boost))
+        return (t.text, pos, float(t.boost), grp, grp_req)
 
     if isinstance(q, Q.Term):
-        return [leaf(q, 0)], 1, 1.0, None, None
+        return [leaf(q, 0, 0, 1)], 1, 1.0, None, None
     if isinstance(q, Q.Phrase):
         if q.fieldname != fieldname:
             raise ValueError(
@@ -168,30 +187,50 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
         # row (distinct _q), so a duplicated term joins the same posting
         # once per slot and the positional chain still demands strictly
         # increasing positions — exactly the executor's _c_phrase joins
-        rows = [(w, i, 1.0) for i, w in enumerate(q.words)]
+        rows = [(w, i, 1.0, i, 1) for i, w in enumerate(q.words)]
         return rows, len(q.words), float(q.boost), int(q.slop), None
     if isinstance(q, (Q.And, Q.Or)):
         kids = q.subqueries
-        if not kids or not all(isinstance(k, Q.Term) for k in kids):
-            raise ValueError(
-                f"rule {name!r}: percolate_indexed supports flat "
-                "Term/And/Or-of-Terms rules; use percolate() for this tree")
-        texts = [k.text for k in kids]
+        if not kids:
+            raise ValueError(f"rule {name!r}: empty {type(q).__name__}")
+        inner_cls = Q.Or if isinstance(q, Q.And) else Q.And
+        rows, texts, qi = [], [], 0
+        for gi, k in enumerate(kids):
+            if isinstance(k, Q.Term):
+                rows.append(leaf(k, qi, gi, 1))
+                texts.append(k.text)
+                qi += 1
+                continue
+            if not (isinstance(k, inner_cls)
+                    and k.subqueries
+                    and all(isinstance(g, Q.Term) for g in k.subqueries)):
+                raise ValueError(
+                    f"rule {name!r}: percolate_indexed supports flat rules "
+                    "and two-level And-of-Ors / Or-of-Ands of Terms; use "
+                    "percolate() for this tree")
+            if float(k.boost) != 1.0 or getattr(k, "scale", None):
+                raise ValueError(
+                    f"rule {name!r}: inner-node boost/scale breaks the "
+                    "flat score fold; use percolate()")
+            grp_req = (max(int(getattr(k, "minmatch", 1) or 1), 1)
+                       if isinstance(k, Q.Or) else len(k.subqueries))
+            for g in k.subqueries:
+                rows.append(leaf(g, qi, gi, grp_req))
+                texts.append(g.text)
+                qi += 1
         if len(set(texts)) != len(texts):
             raise ValueError(f"rule {name!r}: duplicate terms in one rule")
         scale_pair = None
         if isinstance(q, Q.Or):
             # Or(scale=s): executor coord weighting — the summed score is
             # multiplied by (1 - s) + s * matched_children / n_children
-            # (executor.py::_c_or); matched count == the group's role-0
-            # row count since duplicate terms are rejected above
+            # (executor.py::_c_or); matched children == satisfied groups
             if getattr(q, "scale", None):
                 scale_pair = (float(q.scale), float(len(kids)))
             n_req = max(int(getattr(q, "minmatch", 1) or 1), 1)
         else:
             n_req = len(kids)
-        return ([leaf(k, i) for i, k in enumerate(kids)], n_req,
-                float(q.boost), None, scale_pair)
+        return rows, n_req, float(q.boost), None, scale_pair
     raise ValueError(
         f"rule {name!r}: {type(q).__name__} not supported by "
         "percolate_indexed; use percolate()")
@@ -215,7 +254,15 @@ def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
         b_rows, b_req, b_boost, b_slop, _b_coord = _flat_rule(
             name, q.b.normalize(), fieldname)
         del b_boost, _b_coord  # b is a pure match set; scores/boosts/coord unused
-        b = [(t, pos) for t, pos, _lb in b_rows]
+        if (any(gr != 1 for _t, _p, _lb, _g, gr in b_rows)
+                or len({g for _t, _p, _lb, g, _gr in b_rows}) != len(b_rows)):
+            # a two-level b would need group logic in the b-side count
+            # threshold — keep b flat/phrase (the match-set semantics the
+            # executor's left_anti/left_semi compile to)
+            raise ValueError(
+                f"rule {name!r}: nested b-side not supported by "
+                "percolate_indexed; use percolate()")
+        b = [(t, pos) for t, pos, _lb, _g, _gr in b_rows]
         rboost = a_boost * float(q.boost)
         if isinstance(q, Q.AndNot):
             return (pos_rows, n_req, rboost, slop, coord,
@@ -284,8 +331,13 @@ def _percolate_indexed_with_ix(
     weighting rides two more broadcast columns: the group's summed score
     is multiplied by (1-s) + s*matched/n_children with the executor's
     exact expression order, still bit-identical to ``percolate()``.
-    Rules beyond these shapes (non-flat trees) raise — route those
-    through ``percolate``.
+    TWO-LEVEL trees ride the same grouped-leaf broadcast (see
+    _flat_rule): And-of-(Term|Or-of-Terms) and Or-of-(Term|And-of-Terms)
+    — each top-level child is a group with its own req, the rule matches
+    on the satisfied-group count, and a leaf scores iff its group is
+    satisfied, all bit-identical to ``percolate()``. Rules beyond these
+    shapes (deeper trees, inner-node boost/scale, nested b-sides) raise
+    — route those through ``percolate``.
     """
     from whoosh_spark.search.scoring import BM25F
 
@@ -309,12 +361,12 @@ def _percolate_indexed_with_ix(
         scale, n_children = coord if coord is not None else (None, None)
         base_cols = (n_req, neg_req, req_req, rboost, slop, neg_slop,
                      req_slop, scale, n_children)
-        for t, pos_i, lboost in pos:
-            rows.append((name, t, pos_i, lboost, 0) + base_cols)
+        for t, pos_i, lboost, grp, grp_req in pos:
+            rows.append((name, t, pos_i, lboost, 0, grp, grp_req) + base_cols)
         for t, slot in neg:
-            rows.append((name, t, slot, 0.0, 1) + base_cols)
+            rows.append((name, t, slot, 0.0, 1, slot, 1) + base_cols)
         for t, slot in req:
-            rows.append((name, t, slot, 0.0, 2) + base_cols)
+            rows.append((name, t, slot, 0.0, 2, slot, 1) + base_cols)
     if not rows:
         return (spark.createDataFrame(
             [], "query_name string, doc_id long, score double"), None)
@@ -343,10 +395,12 @@ def _percolate_indexed_with_ix(
     p = ix.terms_postings(fieldname, sorted(idf),
                           positions=any_phrase).select(*pcols)
     rules_df = spark.createDataFrame(
-        [(n, t, q_, lb, role, nr, ngr, rqr, rb, sl, nsl, rsl, sc, nch, idf[t])
-         for (n, t, q_, lb, role, nr, ngr, rqr, rb, sl, nsl, rsl, sc, nch)
-         in rows if t in idf],
+        [(n, t, q_, lb, role, g, gr, nr, ngr, rqr, rb, sl, nsl, rsl, sc, nch,
+          idf[t])
+         for (n, t, q_, lb, role, g, gr, nr, ngr, rqr, rb, sl, nsl, rsl, sc,
+              nch) in rows if t in idf],
         "query_name string, term string, _q int, _lboost double, _role int, "
+        "_grp int, _grp_req int, "
         "_n_required int, _neg_required int, _req_required int, "
         "_rboost double, _slop int, _neg_slop int, _req_slop int, "
         "_scale double, _n_children double, _idf double",
@@ -367,6 +421,7 @@ def _percolate_indexed_with_ix(
         pos_col = F.lit(None).cast("array<int>")
     jcols = [
         "query_name", "doc_id", F.col("_q"), F.col("_role"),
+        F.col("_grp"), F.col("_grp_req"),
         F.col("_n_required"), F.col("_neg_required"), F.col("_req_required"),
         F.col("_rboost"), F.col("_slop"), F.col("_neg_slop"),
         F.col("_req_slop"), F.col("_scale"), F.col("_n_children"),
@@ -384,7 +439,9 @@ def _percolate_indexed_with_ix(
                     F.col("_role") == r,
                     F.struct(F.col("_q").alias("q"),
                              F.col("score").alias("s"),
-                             F.col("_pos").alias("p")),
+                             F.col("_pos").alias("p"),
+                             F.col("_grp").alias("g"),
+                             F.col("_grp_req").alias("gr")),
                 )
             )
         )
@@ -405,16 +462,50 @@ def _percolate_indexed_with_ix(
              F.first("_scale").alias("_sc"),
              F.first("_n_children").alias("_nch"))
     )
-    fold = F.aggregate(F.col("_items"), F.lit(0.0), lambda acc, x: acc + x["s"])
+    # grouped-leaf semantics (see _flat_rule): walk the q-sorted items
+    # once (each group's leaves are a contiguous DFS run) collecting the
+    # groups whose present-leaf count meets their req. Flat rules are
+    # the every-leaf-its-own-group case: sat == all present leaves, so
+    # every expression below reduces bit-exactly to the pre-grouped fold.
+    sat_groups = F.aggregate(
+        F.col("_items"),
+        F.struct(
+            F.lit(-1).alias("g"), F.lit(0).alias("c"), F.lit(1).alias("r"),
+            F.array().cast("array<int>").alias("sat"),
+        ),
+        lambda acc, x: F.struct(
+            x["g"].alias("g"),
+            F.when(x["g"] == acc["g"], acc["c"] + 1)
+             .otherwise(F.lit(1)).alias("c"),
+            x["gr"].alias("r"),
+            F.when(
+                (x["g"] != acc["g"]) & (acc["g"] >= 0)
+                & (acc["c"] >= acc["r"]),
+                F.concat(acc["sat"], F.array(acc["g"])),
+            ).otherwise(acc["sat"]).alias("sat"),
+        ),
+        lambda acc: F.when(
+            (acc["g"] >= 0) & (acc["c"] >= acc["r"]),
+            F.concat(acc["sat"], F.array(acc["g"])),
+        ).otherwise(acc["sat"]),
+    )
+    n_sat = F.size(sat_groups)
+    # a leaf contributes score iff its group is satisfied (executor: an
+    # unmatched/partial child emits no rows); adding the gated 0.0 keeps
+    # the fold bit-exact for fully-satisfied (incl. all flat) groups
+    fold = F.aggregate(
+        F.col("_items"), F.lit(0.0),
+        lambda acc, x: acc + F.when(F.array_contains(sat_groups, x["g"]),
+                                    x["s"]).otherwise(F.lit(0.0)),
+    )
     # Or(scale=) coord weighting — the executor's exact expression order:
-    # sum * ((1 - scale) + scale * matched / n_children), matched = the
-    # group's role-0 row count (duplicate Or terms are rejected, so rows
-    # == distinct matched children). Unscaled rules multiply by nothing
-    # (x * 1.0 is bit-exact, but we keep the branch for plan clarity).
+    # sum * ((1 - scale) + scale * matched / n_children), matched =
+    # count_distinct of matched children == satisfied groups. Unscaled
+    # rules multiply by nothing.
     coord_fold = F.when(
         F.col("_sc").isNotNull(),
         fold * ((F.lit(1.0) - F.col("_sc"))
-                + F.col("_sc") * F.col("_n") / F.col("_nch")),
+                + F.col("_sc") * n_sat / F.col("_nch")),
     ).otherwise(fold)
 
     # positional chain over word-slot-ordered items — EXACTLY the
@@ -448,7 +539,7 @@ def _percolate_indexed_with_ix(
         "_ritems", F.col("_rsl"))
     out = (
         grouped.where(
-            (F.col("_n") >= F.col("_req"))
+            (n_sat >= F.col("_req"))
             & (F.col("_negr").isNull() | ~neg_matches)
             & (F.col("_reqr").isNull() | req_matches)
         )
