@@ -371,6 +371,30 @@ def run(spark: SparkSession, sf_dir: str, sf: float, synth_turns_n: int) -> dict
         .agg(F.sum("n_tokens")).collect(),
     )
 
+    # -- 8. corpus-analysis + PRF wave (round-4 session 2) ------------------
+    # collocations: ONE bigram shuffle + broadcast margins + TakeOrdered;
+    # trending terms: ONE (win,term) shuffle over the transcript time
+    # axis; n-gram novelty: (doc,gram)-distinct + gram groupBy +
+    # join-back; rocchio: two passes of the broadcast-queries cosine
+    # kernel with a tiny dim-wise expansion between (all plan-pinned in
+    # tests/test_plan_shapes.py)
+    from whoosh_spark.pipeline import collocations, ngram_novelty
+    from whoosh_spark.pipeline.textstats import trending_terms
+    from whoosh_spark.search.hybrid import rocchio_topk
+    from whoosh_spark.transcripts import turns_from_documents
+
+    def _corpus_analysis_wave():
+        collocations(raw_docs, min_count=5, top_n=50).collect()
+        trending_terms(turns_from_documents(raw_docs), window_s=3600).count()
+        ngram_novelty(raw_docs, n=8).agg(F.sum("n_novel")).collect()
+
+    timed("p_corpus_analysis", _corpus_analysis_wave)
+    timed(
+        "p_rocchio_topk",
+        lambda: rocchio_topk(emb, emb.where("vec_id < 3"),
+                             k=10, feedback=5).collect(),
+    )
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "bench_total_wall",

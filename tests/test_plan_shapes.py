@@ -457,3 +457,73 @@ def test_shard_shuffle_single_exchange(spark):
     assert len(re.findall(r"\bExchange\b", p)) == 1
     assert "SinglePartition" not in p
     assert "PythonUDF" not in p and "ArrowEval" not in p
+
+
+def test_collocations_single_corpus_shuffle(spark):
+    """Collocation extraction: the ONLY corpus-sized exchange is the
+    bigram groupBy; margins/totals aggregate the reduced pair table, the
+    final ordering is a TakeOrderedAndProject, and nothing is Python."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline import collocations
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("hash join sort merge hash join").alias("text"))
+    p = _plan(collocations(docs, min_count=1, top_n=10))
+    assert "TakeOrderedAndProject" in p
+    # the only nested-loop is the broadcast cross attaching the 1-row
+    # grand total (the repo's scalar-attach idiom); no real cartesian
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # bigram stream shuffles once; every later exchange repartitions the
+    # vocab^2-bounded pair table or a scalar
+    assert re.search(r"HashAggregate.*partial", p) or "partial_count" in p
+
+
+def test_trending_terms_partial_agg_and_bounded_rank(spark):
+    """Trending terms: map-side-combined (win, term) groupBy, totals as
+    second-stage aggregates, per-window bounded row_number — no Python,
+    no cartesian, broadcast totals only."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline import trending_terms
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+        F.lit("spark sql shuffle join scan").alias("text"))
+    p = _plan(trending_terms(docs))
+    assert re.search(r"HashAggregate.*partial", p) or "partial_count" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert re.search(r"Window.*win", p) or "row_number" in p
+
+
+def test_ngram_novelty_two_exchanges_no_python(spark):
+    """n-gram novelty: (doc,gram)-distinct pre-reduction, gram groupBy,
+    join back, doc groupBy — all JVM, no cartesian/nested-loop."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.pipeline import ngram_novelty
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("one two three four five six seven eight nine").alias("text"))
+    p = _plan(ngram_novelty(docs, n=8))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_rocchio_expand_broadcast_queries_no_python(spark):
+    """Rocchio: the corpus side joins broadcast queries (stage 1 and the
+    re-rank); the expansion runs on queries x feedback x dim rows with
+    no cartesian blowup and no Python."""
+    from pyspark.sql import functions as F
+    from whoosh_spark.search.hybrid import rocchio_topk
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("float")
+                  for i in range(4)]).alias("embedding"))
+    p = _plan(rocchio_topk(emb, emb.where("vec_id < 2"), k=5, feedback=3))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastExchange" in p
