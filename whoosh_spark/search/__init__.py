@@ -3,9 +3,12 @@ from whoosh_spark.search.executor import (  # noqa: F401
     Searcher,
     TimeLimitError,
 )
+from whoosh_spark.search.evaluate import eval_run  # noqa: F401
 from whoosh_spark.search.hybrid import (  # noqa: F401
     hybrid_topk,
     mmr_rerank,
+    rocchio_expand,
+    rocchio_topk,
     rrf_fuse,
 )
 from whoosh_spark.search.facets import (  # noqa: F401
