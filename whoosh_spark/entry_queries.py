@@ -1348,19 +1348,21 @@ _WINDOW_FIRST = [
 # oracle-backed registry entry has at least one driver row across
 # rounds (the VERDICT r3 #2 definition of done).
 #
-# r4 SESSION-2 addendum (continuation container): six more entries
+# r4 SESSION-2 addendum (continuation container): seven more entries
 # registered past the named list — text_collocations_llr,
 # ann_rocchio_topk, multilang_search_topk, sketch_setops_users,
-# turns_trending_terms, text_ngram_novelty — each hash-verified vs
-# DuckDB at sf0.001/0.01 AND the sf0.1 stress tier in-session, plus the
-# percolate entries re-verified on the session-2 grouped-leaf kernel
-# (Or(scale=) + two-level CNF/DNF; percolate_indexed_matches gained the
-# scaled_or oracle arm). Projected r5 backlog after this round's driver
-# window: 51 never-checked names (recomputed against CORRECTNESS_r01-03
-# + the slot-1..50 list) — ONE over the 50-slot window; the natural
-# overflow candidate is facet_overlap_top20 (the n=20 twin of
-# facet_overlap_topn, same operator and oracle shape), which the r5
-# reorder should leave past the boundary.
+# turns_trending_terms, text_ngram_novelty, search_eval_metrics — each
+# hash-verified vs DuckDB at sf0.001/0.01 AND the sf0.1 stress tier
+# in-session, plus the percolate entries re-verified on the session-2
+# grouped-leaf kernel (Or(scale=) + two-level CNF/DNF;
+# percolate_indexed_matches gained the scaled_or oracle arm). Projected
+# r5 backlog after this round's driver window: 52 never-checked names
+# (recomputed against CORRECTNESS_r01-03 + the slot-1..50 list) — TWO
+# over the 50-slot window; the natural overflow candidates are
+# facet_overlap_top20 (the n=20 twin of facet_overlap_topn, same
+# operator and oracle shape) and ann_ivf_pq_lossless (degenerate twin
+# of the rows-only PQ tier whose machinery ann_ivf_topk already
+# drives), which the r5 reorder should leave past the boundary.
 
 
 def registry() -> dict:
