@@ -169,8 +169,9 @@ def test_percolate_indexed_validation(spark):
     docs = _corpus(spark, 10)
     for bad in (
         # phrases (incl. b-sides and duplicate words), Or(scale=), and
-        # TWO-level trees are supported; what still rejects is 3+-level
-        # trees, inner-node boost/scale, nested b-sides, foreign fields
+        # TWO-level trees (a- AND b-side) are supported; what still
+        # rejects is 3+-level trees, inner-node boost/scale, foreign
+        # fields
         {"deep": Q.And([Q.Or([Q.And([Q.Term("text", "a"),
                                      Q.Term("text", "b")]),
                               Q.Term("text", "c")]),
@@ -178,10 +179,6 @@ def test_percolate_indexed_validation(spark):
         {"inner_boost": Q.And([Q.Or([Q.Term("text", "a"),
                                      Q.Term("text", "b")], boost=2.0),
                                Q.Term("text", "c")])},
-        {"nested_b": Q.AndNot(
-            Q.Term("text", "a"),
-            Q.And([Q.Or([Q.Term("text", "b"), Q.Term("text", "c")]),
-                   Q.Term("text", "d")]))},
         {"wrongfield": Q.Term("lang", "en")},
     ):
         with pytest.raises(ValueError):
@@ -492,3 +489,33 @@ def test_percolate_indexed_two_level_parity(spark):
         if q == "dnf":
             t = docs_terms[d]
             assert ("window" in t) or ("hash" in t and "join" in t)
+
+
+def test_percolate_indexed_two_level_b_side_parity(spark):
+    # TWO-LEVEL b-sides on AndNot/Require: b matches on its
+    # satisfied-group count, bit-identical to the executor's
+    # left_anti/left_semi over the fully-compiled b tree
+    from whoosh_spark.streaming import percolate, percolate_indexed
+
+    docs = _corpus(spark)
+    rules = {
+        "not_cnf": Q.AndNot(
+            Q.Term("text", "spark"),
+            Q.And([Q.Or([Q.Term("text", "join"), Q.Term("text", "hash")]),
+                   Q.Term("text", "merge")])),
+        "req_dnf": Q.Require(
+            Q.Term("text", "window"),
+            Q.Or([Q.And([Q.Term("text", "scan"), Q.Term("text", "filter")]),
+                  Q.Term("text", "merge")])),
+        "not_dnf_min": Q.AndNot(
+            Q.Or([Q.Term("text", "table"), Q.Term("text", "stream")]),
+            Q.Or([Q.And([Q.Term("text", "hash"), Q.Term("text", "join")]),
+                  Q.Term("text", "scan")], minmatch=2)),
+    }
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert a == b  # full-precision bit equality
+    for name in rules:
+        assert any(q == name for q, _ in a), f"{name} matched nothing"

@@ -102,7 +102,7 @@ def percolate_stream(
     :func:`percolate_indexed` instead — the large-rule-set tier (rules
     as broadcast data, O(1) plan size): the right choice when thousands
     of standing queries watch the stream. Rule-shape limits of that tier
-    apply (flat or two-level Term/And/Or trees, Phrase, AndNot/Require with flat or Phrase b);
+    apply (flat or two-level Term/And/Or trees, Phrase, AndNot/Require with flat, Phrase, or two-level b);
     ``with_scores=False`` is plan-branch-only (the indexed tier always
     scores; callers can drop the column downstream).
     """
@@ -254,15 +254,13 @@ def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
         b_rows, b_req, b_boost, b_slop, _b_coord = _flat_rule(
             name, q.b.normalize(), fieldname)
         del b_boost, _b_coord  # b is a pure match set; scores/boosts/coord unused
-        if (any(gr != 1 for _t, _p, _lb, _g, gr in b_rows)
-                or len({g for _t, _p, _lb, g, _gr in b_rows}) != len(b_rows)):
-            # a two-level b would need group logic in the b-side count
-            # threshold — keep b flat/phrase (the match-set semantics the
-            # executor's left_anti/left_semi compile to)
-            raise ValueError(
-                f"rule {name!r}: nested b-side not supported by "
-                "percolate_indexed; use percolate()")
-        b = [(t, pos) for t, pos, _lb, _g, _gr in b_rows]
+        # b rows keep their (group, group_req) labels: the b-side match
+        # predicate is the same satisfied-group count the a-side uses
+        # (>= b_req groups satisfied), so TWO-LEVEL b trees ride the
+        # identical machinery — the executor's left_anti/left_semi
+        # compile b fully, and sat-count == its match set by the same
+        # argument as the a-side
+        b = [(t, pos, g, gr) for t, pos, _lb, g, gr in b_rows]
         rboost = a_boost * float(q.boost)
         if isinstance(q, Q.AndNot):
             return (pos_rows, n_req, rboost, slop, coord,
@@ -336,8 +334,8 @@ def _percolate_indexed_with_ix(
     — each top-level child is a group with its own req, the rule matches
     on the satisfied-group count, and a leaf scores iff its group is
     satisfied, all bit-identical to ``percolate()``. Rules beyond these
-    shapes (deeper trees, inner-node boost/scale, nested b-sides) raise
-    — route those through ``percolate``.
+    shapes (3+-level trees, inner-node boost/scale) raise — route those
+    through ``percolate``.
     """
     from whoosh_spark.search.scoring import BM25F
 
@@ -363,10 +361,10 @@ def _percolate_indexed_with_ix(
                      req_slop, scale, n_children)
         for t, pos_i, lboost, grp, grp_req in pos:
             rows.append((name, t, pos_i, lboost, 0, grp, grp_req) + base_cols)
-        for t, slot in neg:
-            rows.append((name, t, slot, 0.0, 1, slot, 1) + base_cols)
-        for t, slot in req:
-            rows.append((name, t, slot, 0.0, 2, slot, 1) + base_cols)
+        for t, slot, grp, grp_req in neg:
+            rows.append((name, t, slot, 0.0, 1, grp, grp_req) + base_cols)
+        for t, slot, grp, grp_req in req:
+            rows.append((name, t, slot, 0.0, 2, grp, grp_req) + base_cols)
     if not rows:
         return (spark.createDataFrame(
             [], "query_name string, doc_id long, score double"), None)
@@ -467,28 +465,31 @@ def _percolate_indexed_with_ix(
     # groups whose present-leaf count meets their req. Flat rules are
     # the every-leaf-its-own-group case: sat == all present leaves, so
     # every expression below reduces bit-exactly to the pre-grouped fold.
-    sat_groups = F.aggregate(
-        F.col("_items"),
-        F.struct(
-            F.lit(-1).alias("g"), F.lit(0).alias("c"), F.lit(1).alias("r"),
-            F.array().cast("array<int>").alias("sat"),
-        ),
-        lambda acc, x: F.struct(
-            x["g"].alias("g"),
-            F.when(x["g"] == acc["g"], acc["c"] + 1)
-             .otherwise(F.lit(1)).alias("c"),
-            x["gr"].alias("r"),
-            F.when(
-                (x["g"] != acc["g"]) & (acc["g"] >= 0)
-                & (acc["c"] >= acc["r"]),
+    def sat_of(items_name: str):
+        return F.aggregate(
+            F.col(items_name),
+            F.struct(
+                F.lit(-1).alias("g"), F.lit(0).alias("c"), F.lit(1).alias("r"),
+                F.array().cast("array<int>").alias("sat"),
+            ),
+            lambda acc, x: F.struct(
+                x["g"].alias("g"),
+                F.when(x["g"] == acc["g"], acc["c"] + 1)
+                 .otherwise(F.lit(1)).alias("c"),
+                x["gr"].alias("r"),
+                F.when(
+                    (x["g"] != acc["g"]) & (acc["g"] >= 0)
+                    & (acc["c"] >= acc["r"]),
+                    F.concat(acc["sat"], F.array(acc["g"])),
+                ).otherwise(acc["sat"]).alias("sat"),
+            ),
+            lambda acc: F.when(
+                (acc["g"] >= 0) & (acc["c"] >= acc["r"]),
                 F.concat(acc["sat"], F.array(acc["g"])),
-            ).otherwise(acc["sat"]).alias("sat"),
-        ),
-        lambda acc: F.when(
-            (acc["g"] >= 0) & (acc["c"] >= acc["r"]),
-            F.concat(acc["sat"], F.array(acc["g"])),
-        ).otherwise(acc["sat"]),
-    )
+            ).otherwise(acc["sat"]),
+        )
+
+    sat_groups = sat_of("_items")
     n_sat = F.size(sat_groups)
     # a leaf contributes score iff its group is satisfied (executor: an
     # unmatched/partial child emits no rows); adding the gated 0.0 keeps
@@ -533,9 +534,11 @@ def _percolate_indexed_with_ix(
     # threshold alone; a phrase b additionally demands its own surviving
     # chain. AndNot keeps docs where b does NOT match; Require keeps
     # docs where it does.
-    neg_matches = (F.col("_neg") >= F.col("_negr")) & chain_ok(
+    # b matches on its satisfied-group count (== plain hit count for
+    # flat/phrase b, group-aware for two-level b) plus its chain
+    neg_matches = (F.size(sat_of("_nitems")) >= F.col("_negr")) & chain_ok(
         "_nitems", F.col("_nsl"))
-    req_matches = (F.col("_hasreq") >= F.col("_reqr")) & chain_ok(
+    req_matches = (F.size(sat_of("_ritems")) >= F.col("_reqr")) & chain_ok(
         "_ritems", F.col("_rsl"))
     out = (
         grouped.where(
