@@ -357,14 +357,33 @@ def _percolate_indexed_with_ix(
         any_phrase = any_phrase or any(
             s is not None for s in (slop, neg_slop, req_slop))
         scale, n_children = coord if coord is not None else (None, None)
+        # flat-rule fast path: when every group is a singleton with
+        # req 1 (all flat Term/And/Or and Phrase rules), satisfied-group
+        # count == plain row count and the grouped total == the plain
+        # ordered fold — the kernel then skips the struct-accumulator
+        # group scan entirely, so the 100k-flat-rule hot case pays
+        # exactly the pre-grouping cost
+        a_flat = (all(r[4] == 1 for r in pos)
+                  and len({r[3] for r in pos}) == len(pos))
+        n_flat = (all(r[3] == 1 for r in neg)
+                  and len({r[2] for r in neg}) == len(neg))
+        r_flat = (all(r[3] == 1 for r in req)
+                  and len({r[2] for r in req}) == len(req))
         base_cols = (n_req, neg_req, req_req, rboost, slop, neg_slop,
-                     req_slop, scale, n_children)
+                     req_slop, scale, n_children, a_flat, n_flat, r_flat)
         for t, pos_i, lboost, grp, grp_req in pos:
             rows.append((name, t, pos_i, lboost, 0, grp, grp_req) + base_cols)
         for t, slot, grp, grp_req in neg:
             rows.append((name, t, slot, 0.0, 1, grp, grp_req) + base_cols)
         for t, slot, grp, grp_req in req:
             rows.append((name, t, slot, 0.0, 2, grp, grp_req) + base_cols)
+    if any(r[2] >= 16777216 or r[5] >= 4096 or r[6] >= 4096 for r in rows):
+        # the (q, group, group_req) pack budgets 24/12/12 bits — far
+        # beyond any real rule (a 4096-leaf standing query belongs on
+        # the plan-branch tier anyway)
+        raise ValueError("rule too large for percolate_indexed "
+                         "(>16M leaves or >4095 groups/group-req); "
+                         "use percolate()")
     if not rows:
         return (spark.createDataFrame(
             [], "query_name string, doc_id long, score double"), None)
@@ -394,14 +413,15 @@ def _percolate_indexed_with_ix(
                           positions=any_phrase).select(*pcols)
     rules_df = spark.createDataFrame(
         [(n, t, q_, lb, role, g, gr, nr, ngr, rqr, rb, sl, nsl, rsl, sc, nch,
-          idf[t])
+          af, nf, rf, idf[t])
          for (n, t, q_, lb, role, g, gr, nr, ngr, rqr, rb, sl, nsl, rsl, sc,
-              nch) in rows if t in idf],
+              nch, af, nf, rf) in rows if t in idf],
         "query_name string, term string, _q int, _lboost double, _role int, "
         "_grp int, _grp_req int, "
         "_n_required int, _neg_required int, _req_required int, "
         "_rboost double, _slop int, _neg_slop int, _req_slop int, "
-        "_scale double, _n_children double, _idf double",
+        "_scale double, _n_children double, "
+        "_aflat boolean, _nflat boolean, _rflat boolean, _idf double",
     )
     base = w.score_expr(fs, F.col("_idf"), avgdl, F.col("weight"), F.col("dl"))
     # positions ride ONLY on rows whose role participates in a positional
@@ -417,12 +437,20 @@ def _percolate_indexed_with_ix(
         pos_col = F.when(pos_needed, F.col("positions"))
     else:
         pos_col = F.lit(None).cast("array<int>")
+    # (q, group, group_req) PACK into one long with q in the high bits:
+    # array_sort on the item struct still orders by q (q is distinct per
+    # rule), the struct stays 3 fields (the collect/sort payload is the
+    # kernel's hot cost — a 5-field struct measured ~2x on the 961-rule
+    # A/B), and group_scan decodes g/gr only on the grouped slow path
+    packed_q = (F.col("_q").cast("long") * F.lit(16777216)
+                + F.col("_grp").cast("long") * F.lit(4096)
+                + F.col("_grp_req").cast("long"))
     jcols = [
-        "query_name", "doc_id", F.col("_q"), F.col("_role"),
-        F.col("_grp"), F.col("_grp_req"),
+        "query_name", "doc_id", packed_q.alias("_q"), F.col("_role"),
         F.col("_n_required"), F.col("_neg_required"), F.col("_req_required"),
         F.col("_rboost"), F.col("_slop"), F.col("_neg_slop"),
         F.col("_req_slop"), F.col("_scale"), F.col("_n_children"),
+        F.col("_aflat"), F.col("_nflat"), F.col("_rflat"),
         (base * F.col("_lboost")).alias("score"),
         pos_col.alias("_pos"),
     ]
@@ -437,9 +465,7 @@ def _percolate_indexed_with_ix(
                     F.col("_role") == r,
                     F.struct(F.col("_q").alias("q"),
                              F.col("score").alias("s"),
-                             F.col("_pos").alias("p"),
-                             F.col("_grp").alias("g"),
-                             F.col("_grp_req").alias("gr")),
+                             F.col("_pos").alias("p")),
                 )
             )
         )
@@ -458,47 +484,84 @@ def _percolate_indexed_with_ix(
              F.first("_neg_slop").alias("_nsl"),
              F.first("_req_slop").alias("_rsl"),
              F.first("_scale").alias("_sc"),
-             F.first("_n_children").alias("_nch"))
+             F.first("_n_children").alias("_nch"),
+             F.first("_aflat").alias("_aflat"),
+             F.first("_nflat").alias("_nflat"),
+             F.first("_rflat").alias("_rflat"))
     )
     # grouped-leaf semantics (see _flat_rule): walk the q-sorted items
     # once (each group's leaves are a contiguous DFS run) collecting the
     # groups whose present-leaf count meets their req. Flat rules are
     # the every-leaf-its-own-group case: sat == all present leaves, so
     # every expression below reduces bit-exactly to the pre-grouped fold.
-    def sat_of(items_name: str):
+    def _pk_g(x):
+        return F.shiftright(x["q"], 12) % F.lit(4096)
+
+    def _pk_gr(x):
+        return x["q"] % F.lit(4096)
+
+    def group_scan(items_name: str):
+        """ONE left-assoc pass over the q-sorted items of a role: each
+        contiguous (g, gr) group closes by adding its in-order partial
+        sum to the total iff its present-leaf count met its req, and
+        bumping the satisfied-group count. Returns struct(total, nsat).
+
+        Bit-exactness vs the executor's nested fold: the total is
+        g1sum + g2sum + ... over satisfied groups in DFS order with each
+        group partial left-assoc over its leaves — exactly the
+        executor's association (0.0 + x == x for the positive BM25
+        partials), and for flat rules (every leaf its own group) it
+        reduces to the plain ordered sum. A single O(items) pass per
+        (rule, doc) row — no per-element membership probes.
+        """
         return F.aggregate(
             F.col(items_name),
             F.struct(
-                F.lit(-1).alias("g"), F.lit(0).alias("c"), F.lit(1).alias("r"),
-                F.array().cast("array<int>").alias("sat"),
+                F.lit(-1).cast("long").alias("g"), F.lit(0).alias("c"),
+                F.lit(1).cast("long").alias("r"),
+                F.lit(0.0).alias("gsum"), F.lit(0.0).alias("total"),
+                F.lit(0).alias("nsat"),
             ),
             lambda acc, x: F.struct(
-                x["g"].alias("g"),
-                F.when(x["g"] == acc["g"], acc["c"] + 1)
+                _pk_g(x).alias("g"),
+                F.when(_pk_g(x) == acc["g"], acc["c"] + 1)
                  .otherwise(F.lit(1)).alias("c"),
-                x["gr"].alias("r"),
+                _pk_gr(x).alias("r"),
+                F.when(_pk_g(x) == acc["g"], acc["gsum"] + x["s"])
+                 .otherwise(x["s"]).alias("gsum"),
                 F.when(
-                    (x["g"] != acc["g"]) & (acc["g"] >= 0)
+                    (_pk_g(x) != acc["g"]) & (acc["g"] >= 0)
                     & (acc["c"] >= acc["r"]),
-                    F.concat(acc["sat"], F.array(acc["g"])),
-                ).otherwise(acc["sat"]).alias("sat"),
+                    acc["total"] + acc["gsum"],
+                ).otherwise(acc["total"]).alias("total"),
+                F.when(
+                    (_pk_g(x) != acc["g"]) & (acc["g"] >= 0)
+                    & (acc["c"] >= acc["r"]),
+                    acc["nsat"] + 1,
+                ).otherwise(acc["nsat"]).alias("nsat"),
             ),
-            lambda acc: F.when(
-                (acc["g"] >= 0) & (acc["c"] >= acc["r"]),
-                F.concat(acc["sat"], F.array(acc["g"])),
-            ).otherwise(acc["sat"]),
+            lambda acc: F.struct(
+                F.when((acc["g"] >= 0) & (acc["c"] >= acc["r"]),
+                       acc["total"] + acc["gsum"])
+                 .otherwise(acc["total"]).alias("total"),
+                F.when((acc["g"] >= 0) & (acc["c"] >= acc["r"]),
+                       acc["nsat"] + 1)
+                 .otherwise(acc["nsat"]).alias("nsat"),
+            ),
         )
 
-    sat_groups = sat_of("_items")
-    n_sat = F.size(sat_groups)
-    # a leaf contributes score iff its group is satisfied (executor: an
-    # unmatched/partial child emits no rows); adding the gated 0.0 keeps
-    # the fold bit-exact for fully-satisfied (incl. all flat) groups
-    fold = F.aggregate(
-        F.col("_items"), F.lit(0.0),
-        lambda acc, x: acc + F.when(F.array_contains(sat_groups, x["g"]),
-                                    x["s"]).otherwise(F.lit(0.0)),
+    grouped = (
+        grouped
+        .withColumn("_gs", F.when(~F.col("_aflat"), group_scan("_items")))
+        .withColumn("_ngs", F.when(~F.col("_nflat"), group_scan("_nitems")))
+        .withColumn("_rgs", F.when(~F.col("_rflat"), group_scan("_ritems")))
     )
+    plain_fold = F.aggregate(F.col("_items"), F.lit(0.0),
+                             lambda acc, x: acc + x["s"])
+    n_sat = F.when(F.col("_aflat"), F.col("_n")) \
+             .otherwise(F.col("_gs")["nsat"].cast("long"))
+    fold = F.when(F.col("_aflat"), plain_fold) \
+            .otherwise(F.col("_gs")["total"])
     # Or(scale=) coord weighting — the executor's exact expression order:
     # sum * ((1 - scale) + scale * matched / n_children), matched =
     # count_distinct of matched children == satisfied groups. Unscaled
@@ -536,9 +599,13 @@ def _percolate_indexed_with_ix(
     # docs where it does.
     # b matches on its satisfied-group count (== plain hit count for
     # flat/phrase b, group-aware for two-level b) plus its chain
-    neg_matches = (F.size(sat_of("_nitems")) >= F.col("_negr")) & chain_ok(
+    neg_sat = F.when(F.col("_nflat"), F.col("_neg")) \
+               .otherwise(F.col("_ngs")["nsat"].cast("long"))
+    req_sat = F.when(F.col("_rflat"), F.col("_hasreq")) \
+               .otherwise(F.col("_rgs")["nsat"].cast("long"))
+    neg_matches = (neg_sat >= F.col("_negr")) & chain_ok(
         "_nitems", F.col("_nsl"))
-    req_matches = (F.size(sat_of("_ritems")) >= F.col("_reqr")) & chain_ok(
+    req_matches = (req_sat >= F.col("_reqr")) & chain_ok(
         "_ritems", F.col("_rsl"))
     out = (
         grouped.where(
