@@ -105,3 +105,24 @@ def test_partitioning_invariance(spark, mixed_docs):
                    build_index(spark, mixed_docs.repartition(5),
                                schema).postings.collect()))
     assert a == b
+
+
+def test_query_side_language_override(spark, mixed_docs):
+    # the query-side selector for a routed index: parse with LANGUAGE(x)
+    # overriding the field's default spec, hit exactly that language's
+    # routed postings
+    from whoosh_spark.query.parser import QueryParser
+
+    schema = Schema(MULTILANG_TEXT("text", default="en"))
+    s = Searcher(build_index(spark, mixed_docs, schema).persist())
+    p_de = QueryParser("text", schema,
+                       analyzer_overrides={"text": LANGUAGE("de")})
+    q = p_de.parse("zorgelungen")
+    assert q == Q.Term("text", "zorgel")
+    hits = {r.doc_id for r in s.search(q, limit=10).collect()}
+    assert 1 in hits and 0 not in hits
+    # default parser analyzes with the en chain: zorgling -> zorgl
+    p_en = QueryParser("text", schema)
+    q2 = p_en.parse("zorgling")
+    assert q2 == Q.Term("text", "zorgl")
+    assert {r.doc_id for r in s.search(q2, limit=10).collect()} >= {0, 4, 5}

@@ -112,9 +112,17 @@ class QueryParser:
                  fieldaliases: dict[str, str] | None = None,
                  copyfields: dict[str, str] | None = None,
                  copyfield_mirror: bool = False,
-                 copyfield_group: str = "or"):
+                 copyfield_group: str = "or",
+                 analyzer_overrides: "dict | None" = None):
         self.default_field = default_field
         self.schema = schema
+        # per-field query-analyzer override (field -> AnalyzerSpec): the
+        # query-side language selector for MULTILANG_TEXT routed indexes
+        # — e.g. analyzer_overrides={"text": LANGUAGE("de")} analyzes the
+        # query with the German chain while the index stays per-row
+        # routed (fields.py::MULTILANG_TEXT; query-side analysis
+        # otherwise uses the field's default spec)
+        self.analyzer_overrides = dict(analyzer_overrides or {})
         self.basedate = basedate
         self.plugins = set(plugins)
         # FieldAliasPlugin (reference: qparser/plugins.py::FieldAliasPlugin,
@@ -361,6 +369,9 @@ class QueryParser:
         return None
 
     def _analyzer(self, field: str):
+        ov = self.analyzer_overrides.get(field)
+        if ov is not None:
+            return ov
         fs = self.schema[field] if field in self.schema else None
         if fs is not None and fs.analyzer is not None:
             return fs.analyzer
@@ -461,9 +472,11 @@ class MultifieldParser(QueryParser):
                  fieldboosts: dict[str, float] | None = None,
                  basedate: datetime | None = None,
                  plugins: tuple[str, ...] = (),
-                 fieldaliases: dict[str, str] | None = None):
+                 fieldaliases: dict[str, str] | None = None,
+                 analyzer_overrides: "dict | None" = None):
         super().__init__(fieldnames[0], schema, basedate=basedate,
-                         plugins=plugins, fieldaliases=fieldaliases)
+                         plugins=plugins, fieldaliases=fieldaliases,
+                         analyzer_overrides=analyzer_overrides)
         self.fieldnames = list(fieldnames)
         self.fieldboosts = dict(fieldboosts or {})
 
