@@ -5,7 +5,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from whoosh_spark.search import eval_run
+from whoosh_spark.search import eval_run, eval_summary
 
 
 def _frames(spark, run_rows, qrel_rows):
@@ -65,6 +65,36 @@ def test_eval_run_rank_truncation_and_tie_discipline(spark):
     # doc 30 (the only relevant) is rank 3 -> outside k=2
     assert r.p_at_k == 0.0 and r.mrr == 0.0 and r.ndcg == 0.0
     assert r.n_ret == 2 and r.n_rel == 1
+
+
+def test_eval_run_qrels_only_query_zero_filled(spark):
+    # ADVICE r4 / trec_eval convention: a query present only in qrels
+    # (the run returned nothing) must appear with n_ret=0, zero metrics.
+    run, qrels = _frames(
+        spark,
+        [("q_run", 1, 2.0)],
+        [("q_run", 1, 1), ("q_ghost", 50, 3), ("q_ghost", 51, 1)],
+    )
+    got = {x.query_id: x for x in eval_run(run, qrels, k=5).collect()}
+    assert set(got) == {"q_run", "q_ghost"}
+    g = got["q_ghost"]
+    assert g.n_ret == 0 and g.n_rel == 2
+    assert g.p_at_k == 0.0 and g.mrr == 0.0 and g.ndcg == 0.0
+    r = got["q_run"]
+    assert r.n_ret == 1 and r.p_at_k == round(1 / 5, 4) and r.mrr == 1.0
+
+
+def test_eval_summary_macro_mean_counts_runless_queries(spark):
+    run, qrels = _frames(
+        spark,
+        [("q_perfect", 5, 9.0)],
+        [("q_perfect", 5, 2), ("q_ghost", 50, 3)],
+    )
+    s = eval_summary(run, qrels, k=10).collect()[0]
+    # macro mean over BOTH queries: perfect (1.0) and ghost (0.0)
+    assert s.n_queries == 2
+    assert s.mrr == 0.5 and s.ndcg == 0.5
+    assert s.p_at_k == round((1 / 10 + 0.0) / 2, 4)
 
 
 def test_eval_run_partitioning_invariance(spark):

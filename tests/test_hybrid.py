@@ -255,6 +255,33 @@ def test_rocchio_beta0_is_cosine_topk(spark, emb):
     assert b == g
 
 
+def test_rocchio_no_feedback_degrades_to_alpha_q(spark):
+    # ADVICE r4: a query with ZERO feedback neighbors (corpus = just the
+    # query vector itself) must degrade to q' = alpha*q, not vanish.
+    from whoosh_spark.search.hybrid import rocchio_expand
+
+    solo = spark.createDataFrame(
+        [(7, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    got = rocchio_expand(solo, solo, feedback=3, alpha=1.0, beta=0.75).collect()
+    assert len(got) == 1
+    assert got[0].vec_id == 7
+    assert list(got[0].embedding) == [1.0, 2.0, 3.0]
+
+    # mixed frame: one query with neighbors, one without — both survive.
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(7, [1.0, 2.0, 3.0]), (8, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: list(r.embedding)
+            for r in rocchio_expand(corpus, queries, feedback=2).collect()}
+    assert set(rows) == {7, 8}
+    # 8 has one neighbor (7): q' = q + 0.75*[1,2,3]
+    assert rows[8] == [0.75, 2.5, 2.25]
+    # 7's only potential neighbor is itself (excluded): q' = q
+    assert rows[7] == [1.0, 2.0, 3.0]
+
+
 def test_rocchio_partitioning_invariance(spark, emb):
     from whoosh_spark.search.hybrid import rocchio_topk
 

@@ -376,6 +376,26 @@ def test_kmv_set_ops_exact_tier(spark):
     assert abs(r.jaccard_est - round(10 / 40, 4)) < 5e-5
 
 
+def test_kmv_set_ops_empty_inputs_return_zeros(spark):
+    # ADVICE r4: both-empty inputs must yield ONE deterministic all-zero
+    # row (no 0/0 NULLs, no empty frame), and one-empty-side degrades to
+    # exact arithmetic on the other side.
+    from whoosh_spark.pipeline import kmv_set_ops
+
+    empty = spark.createDataFrame([], "v long")
+    a = spark.createDataFrame([(v,) for v in range(5)], "v long")
+
+    r = kmv_set_ops(empty, empty, "v", k=16).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r.n_union_kept, r.a_est, r.b_est, r.union_est,
+            r.inter_est, r.jaccard_est) == (0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+    r = kmv_set_ops(a, empty, "v", k=16).collect()[0]
+    assert r.a_est == 5.0 and r.b_est == 0.0 and r.union_est == 5.0
+    assert r.inter_est == 0.0 and r.jaccard_est == 0.0
+
+
 def test_kmv_set_ops_estimation_tier_accuracy(spark):
     from whoosh_spark.pipeline import kmv_set_ops
 

@@ -5535,8 +5535,11 @@ m AS (SELECT query_id, pos, sum(v) AS sv, count(*) AS cnt
 qdim AS (SELECT query_id, generate_subscripts(qv, 1) AS pos,
                 unnest(qv) AS qx FROM q),
 ex AS (
-  SELECT query_id, pos, round(1.0 * qx + 0.75 * (sv / cnt), 6) AS x
-  FROM qdim JOIN m USING (query_id, pos)),
+  -- LEFT JOIN mirrors the engine: a query with no feedback neighbors
+  -- degrades to q' = alpha*q instead of dropping out.
+  SELECT query_id, pos,
+         round(1.0 * qx + 0.75 * coalesce(sv / cnt, 0.0), 6) AS x
+  FROM qdim LEFT JOIN m USING (query_id, pos)),
 exv AS (SELECT query_id, array_agg(x ORDER BY pos) AS ev
         FROM ex GROUP BY query_id),
 s2 AS (
@@ -5840,12 +5843,15 @@ ideal AS (
                   THEN (pow(2.0, grade) - 1.0) / log2(r + 1.0)
                   ELSE 0.0 END) AS idcg
   FROM id0 GROUP BY query_id)
-SELECT p.query_id, p.n_ret::BIGINT AS n_ret,
+-- FULL join mirrors the engine's trec_eval convention: qrels-only
+-- queries report zero metrics instead of vanishing.
+SELECT query_id, coalesce(p.n_ret, 0)::BIGINT AS n_ret,
        coalesce(i.n_rel, 0)::BIGINT AS n_rel,
-       round(p.nrel_k / 10.0, 4) AS p_at_k,
+       round(coalesce(p.nrel_k, 0) / 10.0, 4) AS p_at_k,
        round(coalesce(1.0 / p.first, 0.0), 4) AS mrr,
-       round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0.0 END, 4) AS ndcg
-FROM perq p LEFT JOIN ideal i USING (query_id)""",
+       round(CASE WHEN i.idcg > 0 THEN coalesce(p.dcg, 0.0) / i.idcg
+                  ELSE 0.0 END, 4) AS ndcg
+FROM perq p FULL JOIN ideal i USING (query_id)""",
     )
 
     return reg

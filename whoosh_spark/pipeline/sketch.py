@@ -592,7 +592,12 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str, k: int = 256) -> DataFrame
     c = F.size(F.filter(F.array_intersect("_sa", "_sb"),
                         lambda h: h <= L))
     union_est = est(F.col("_m"), n_m)
-    rho = c.cast("double") / n_m.cast("double")
+    # guard the 0/0 on two EMPTY inputs (n_union_kept = 0): rho and
+    # inter_est are deterministically 0.0, not NULL (and not an error
+    # under spark.sql.ansi.enabled).
+    rho = F.when(
+        n_m > 0, c.cast("double") / n_m.cast("double")
+    ).otherwise(F.lit(0.0))
     return j.select(
         n_m.cast("long").alias("n_union_kept"),
         F.round(est(F.col("_sa"), F.size("_sa")), 4).alias("a_est"),

@@ -3,7 +3,7 @@ from whoosh_spark.search.executor import (  # noqa: F401
     Searcher,
     TimeLimitError,
 )
-from whoosh_spark.search.evaluate import eval_run  # noqa: F401
+from whoosh_spark.search.evaluate import eval_run, eval_summary  # noqa: F401
 from whoosh_spark.search.hybrid import (  # noqa: F401
     hybrid_topk,
     mmr_rerank,

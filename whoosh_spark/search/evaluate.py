@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["eval_run"]
+__all__ = ["eval_run", "eval_summary"]
 
 
 def eval_run(
@@ -46,6 +46,11 @@ def eval_run(
     ``n_ret`` counts run rows within k, ``n_rel`` the query's total
     relevant docs — both sanity columns a regression harness wants next
     to the ratios.
+
+    TREC convention (trec_eval): a query that appears only in the qrels
+    (the run returned nothing for it) still gets a row, with n_ret = 0
+    and zero metrics — it must drag the macro mean down, not silently
+    shrink the denominator. :func:`eval_summary` gives the macro mean.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -86,22 +91,51 @@ def eval_run(
             ).alias("_idcg"),
         )
     )
+    # FULL outer join (trec_eval convention): a qrels-only query (the
+    # run returned no rows for it) reports n_ret = 0 and zero metrics
+    # instead of disappearing from the frame.
     return (
-        per_q.join(ideal, "query_id", "left")
+        per_q.join(ideal, "query_id", "full")
         .select(
             "query_id",
-            "n_ret",
+            F.coalesce("n_ret", F.lit(0)).cast("long").alias("n_ret"),
             F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
-            F.round(F.col("_nrel_k") / F.lit(float(k)), round_to)
-             .alias("p_at_k"),
+            F.round(
+                F.coalesce(F.col("_nrel_k"), F.lit(0)) / F.lit(float(k)),
+                round_to,
+            ).alias("p_at_k"),
             F.round(
                 F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)),
                 round_to,
             ).alias("mrr"),
             F.round(
-                F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg"))
-                 .otherwise(F.lit(0.0)),
+                F.when(
+                    F.col("_idcg") > 0,
+                    F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"),
+                ).otherwise(F.lit(0.0)),
                 round_to,
             ).alias("ndcg"),
         )
+    )
+
+
+def eval_summary(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Macro mean over :func:`eval_run`'s per-query rows -> ONE row
+    (n_queries, p_at_k, mrr, ndcg). Unweighted mean over queries (the
+    trec_eval summary convention); qrels-only queries count as zeros in
+    the denominator because :func:`eval_run` emits them zero-filled.
+
+    Scale shape: one global aggregate over a queries-sized frame (runs
+    are top-k shortlists, so the input is already tiny)."""
+    per_q = eval_run(run, qrels, k=k, round_to=round_to)
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("p_at_k"), round_to).alias("p_at_k"),
+        F.round(F.avg("mrr"), round_to).alias("mrr"),
+        F.round(F.avg("ndcg"), round_to).alias("ndcg"),
     )

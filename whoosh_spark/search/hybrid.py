@@ -215,7 +215,9 @@ def rocchio_expand(
     cosine neighbors as assumed-relevant, and move the query toward their
     centroid —  q' = alpha*q + beta*mean(feedback vectors)  per dimension
     (no negative term: with pseudo-feedback there are no judged
-    non-relevant docs; gamma = 0 is the standard setting).
+    non-relevant docs; gamma = 0 is the standard setting). A query with
+    zero feedback neighbors degrades to q' = alpha*q (it is kept, not
+    dropped).
 
     Returns (id_col, vec_col) expanded query vectors, drop-in for
     :func:`whoosh_spark.pipeline.cosine_topk`'s ``queries`` side.
@@ -250,11 +252,15 @@ def rocchio_expand(
         F.col(id_col).alias("query_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_qx"),
     )
-    ex = qdim.join(fbdim, ["query_id", "pos"]).select(
+    # LEFT join: a query with zero feedback neighbors (e.g. the corpus
+    # holds only the query vector itself) degrades to the unexpanded
+    # q' = alpha*q instead of silently vanishing from the result.
+    ex = qdim.join(fbdim, ["query_id", "pos"], "left").select(
         "query_id", "pos",
         F.round(
             F.lit(alpha) * F.col("_qx")
-            + F.lit(beta) * (F.col("_sv") / F.col("_cnt")),
+            + F.lit(beta)
+            * F.coalesce(F.col("_sv") / F.col("_cnt"), F.lit(0.0)),
             round_to,
         ).alias("_x"),
     )
