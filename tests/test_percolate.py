@@ -168,18 +168,22 @@ def test_percolate_indexed_validation(spark):
 
     docs = _corpus(spark, 10)
     for bad in (
-        # phrases (incl. b-sides and duplicate words), Or(scale=), and
-        # TWO-level trees (a- AND b-side) are supported; what still
-        # rejects is 3+-level trees, inner-node boost/scale, foreign
-        # fields
-        {"deep": Q.And([Q.Or([Q.And([Q.Term("text", "a"),
-                                     Q.Term("text", "b")]),
-                              Q.Term("text", "c")]),
-                        Q.Term("text", "d")])},
-        {"inner_boost": Q.And([Q.Or([Q.Term("text", "a"),
-                                     Q.Term("text", "b")], boost=2.0),
-                               Q.Term("text", "c")])},
+        # phrases (incl. b-sides and duplicate words), Or(scale=),
+        # TWO-level trees, and (since r5) arbitrary-depth boolean trees
+        # with inner boost/minmatch/scale are all supported; what still
+        # rejects is foreign fields, Not/Otherwise, and phrase sides
+        # mixed with deep boolean sides
         {"wrongfield": Q.Term("lang", "en")},
+        {"wrongfield_deep": Q.And([
+            Q.Or([Q.Term("text", "a"), Q.Term("lang", "en")], boost=2.0),
+            Q.Term("text", "c")])},
+        {"not_inner": Q.Or([Q.Term("text", "a"),
+                            Q.Not(Q.Term("text", "b"))])},
+        {"phrase_deep_mix": Q.AndNot(
+            Q.Phrase("text", ["a", "b"]),
+            Q.And([Q.Or([Q.Term("text", "c"), Q.Term("text", "d")],
+                        boost=2.0),
+                   Q.Term("text", "e")]))},
     ):
         with pytest.raises(ValueError):
             percolate_indexed(spark, docs, bad, schema=_SCHEMA)
@@ -399,10 +403,8 @@ def test_percolate_stream_indexed_validates_rules_eagerly(spark, tmp_path):
     with pytest.raises(ValueError, match="use percolate"):
         percolate_stream(
             stream,
-            {"deep": Q.And([Q.Or([Q.And([Q.Term("text", "a"),
-                                         Q.Term("text", "b")]),
-                                  Q.Term("text", "c")]),
-                            Q.Term("text", "d")])},
+            {"not_rule": Q.Or([Q.Term("text", "a"),
+                               Q.Not(Q.Term("text", "b"))])},
             str(tmp_path / "out"), str(tmp_path / "ck"),
             schema=_SCHEMA, indexed=True)
 
@@ -519,3 +521,94 @@ def test_percolate_indexed_two_level_b_side_parity(spark):
     assert a == b  # full-precision bit equality
     for name in rules:
         assert any(q == name for q, _ in a), f"{name} matched nothing"
+
+
+def test_percolate_indexed_deep_tree_parity(spark):
+    # ARBITRARY-DEPTH rule trees (VERDICT r4 #4): 3- and 4-level
+    # And/Or/DisMax/AndMaybe/AndNot/Require nests, inner-node
+    # boost/minmatch/scale/tiebreak, and duplicate terms across
+    # subtrees all compile to the post-order program path — and stay
+    # bit-identical to the plan-branch tier.
+    from whoosh_spark.streaming import percolate, percolate_indexed
+
+    def T(t, **kw):
+        return Q.Term("text", t, **kw)
+
+    docs = _corpus(spark)
+    rules = {
+        "three_level": Q.And([
+            Q.Or([Q.And([T("hash"), T("join")]), T("spark", boost=2.0)]),
+            T("merge")]),
+        "four_level": Q.Or([
+            Q.And([Q.Or([Q.And([T("hash"), T("join")]), T("scan")]),
+                   T("merge")]),
+            T("batch", boost=0.5)]),
+        "inner_boost_or": Q.And([Q.Or([T("spark"), T("table")], boost=3.0),
+                                 T("stream")]),
+        "inner_scale_min": Q.And([
+            Q.Or([T("spark"), T("merge"), T("filter")], scale=0.5, minmatch=2),
+            T("join")]),
+        "inner_dismax": Q.And([
+            Q.DisjunctionMax([T("spark"), T("hash")], tiebreak=0.3),
+            T("join")]),
+        "inner_andmaybe": Q.Or([Q.AndMaybe(T("hash", boost=2.0), T("join")),
+                                T("merge")], scale=0.25),
+        "inner_andnot": Q.Or([Q.AndNot(T("spark"), T("scan")),
+                              Q.And([T("spark"), T("filter")])]),
+        "inner_require": Q.And([Q.Require(T("batch"), T("table")),
+                                T("stream")]),
+        "dup_terms": Q.Or([Q.And([T("spark"), T("join")]),
+                           Q.And([T("spark"), T("hash")])]),
+        "top_andmaybe": Q.AndMaybe(T("merge"), T("scan")),
+        # flat controls riding the same broadcast
+        "flat_and": Q.And([T("hash"), T("join")]),
+        "flat_or_min": Q.Or([T("scan"), T("filter"), T("batch")], minmatch=2),
+    }
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert a == b  # full-precision bit equality
+    for name in rules:
+        assert any(q == name for q, _ in a), f"{name} matched nothing"
+
+
+def test_percolate_indexed_deep_zero_df_and_boundaries(spark):
+    # a zero-df leaf inside a deep AND kills only that branch; inside a
+    # deep OR the other branch still fires; phrase-mixed-with-deep still
+    # raises (the honest remaining boundary)
+    from whoosh_spark.streaming import percolate, percolate_indexed
+
+    def T(t, **kw):
+        return Q.Term("text", t, **kw)
+
+    docs = _corpus(spark)
+    rules = {
+        "dead_and_branch": Q.Or([Q.And([T("zzz_nope"), T("spark")]),
+                                 Q.And([T("hash"), T("join", boost=2.0)])]),
+        "all_dead": Q.And([Q.Or([T("zzz_nope"), T("qqq_nope")], boost=2.0),
+                           T("spark")]),
+    }
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules, schema=_SCHEMA).collect()}
+    assert a == b
+    assert any(q == "dead_and_branch" for q, _ in b)
+    assert not any(q == "all_dead" for q, _ in b)
+
+    with pytest.raises(ValueError, match="percolate"):
+        # phrase a-side with a deep boolean b-side exceeds both tiers
+        percolate_indexed(
+            spark, docs,
+            {"mix": Q.AndNot(
+                Q.Phrase("text", ["hash", "join"]),
+                Q.And([Q.Or([T("spark"), T("merge")], boost=2.0),
+                       T("scan")]))},
+            schema=_SCHEMA)
+    with pytest.raises(ValueError, match="percolate"):
+        # Not is not per-doc-local over present leaves
+        percolate_indexed(
+            spark, docs,
+            {"n": Q.And([T("spark"), Q.Or([T("x"), Q.Not(T("join"))])])},
+            schema=_SCHEMA)

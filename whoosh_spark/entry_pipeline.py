@@ -2431,6 +2431,14 @@ FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
             # tier — sum * ((1-s) + s*matched/n), executor op order
             "scaled_or": Q.Or([Q.Term("text", "merge"),
                                Q.Term("text", "window")], scale=0.5),
+            # r5: ARBITRARY-DEPTH rule tree with INNER-node boost — the
+            # stack-machine program path (percolate.py::_deep_rule):
+            # (And(hash, join) OR spark^2)^1.5 AND merge
+            "deep_boosted": Q.And([
+                Q.Or([Q.And([Q.Term("text", "hash"),
+                             Q.Term("text", "join")]),
+                      Q.Term("text", "spark", boost=2.0)], boost=1.5),
+                Q.Term("text", "merge")]),
         }
         out = percolate_indexed(spark, _docs(spark, sf), rules, documents_schema())
         return out.select("query_name", "doc_id", F.round("score", 4).alias("score"))
@@ -2483,6 +2491,20 @@ UNION ALL
 SELECT 'scaled_or', doc_id,
        round(sum(score) * (0.5 + 0.5 * count(*) / 2.0), 4)
 FROM scored WHERE term IN ('merge', 'window') GROUP BY doc_id
+UNION ALL
+-- deep tree: score = 1.5*(and_branch + 2*spark) + merge, matching when
+-- (hash AND join, or spark) and merge all hold; unmatched Or children
+-- contribute 0
+SELECT 'deep_boosted', m.doc_id,
+       round(1.5 * (coalesce(hj.s, 0) + coalesce(sp.s, 0)) + m.score, 4)
+FROM scored m
+LEFT JOIN (SELECT doc_id, sum(score) AS s FROM scored
+           WHERE term IN ('hash', 'join')
+           GROUP BY doc_id HAVING count(*) = 2) hj ON m.doc_id = hj.doc_id
+LEFT JOIN (SELECT doc_id, 2.0 * score AS s FROM scored
+           WHERE term = 'spark') sp ON m.doc_id = sp.doc_id
+WHERE m.term = 'merge'
+  AND (hj.doc_id IS NOT NULL OR sp.doc_id IS NOT NULL)
 """,
     )
 

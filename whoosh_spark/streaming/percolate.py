@@ -102,7 +102,9 @@ def percolate_stream(
     :func:`percolate_indexed` instead — the large-rule-set tier (rules
     as broadcast data, O(1) plan size): the right choice when thousands
     of standing queries watch the stream. Rule-shape limits of that tier
-    apply (flat or two-level Term/And/Or trees, Phrase, AndNot/Require with flat, Phrase, or two-level b);
+    apply (boolean trees of any depth incl. inner boost/minmatch/scale,
+    Phrase, AndNot/Require with flat, Phrase, or two-level b; phrase
+    sides cannot mix with deep boolean sides);
     ``with_scores=False`` is plan-branch-only (the indexed tier always
     scores; callers can drop the column downstream).
     """
@@ -148,7 +150,10 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
     slop, scale_pair) where rows = [(term, pos_in_query, leaf_boost,
     group, group_req)], ``slop`` is None for boolean rules or the phrase
     slop for Phrase rules, and ``scale_pair`` is (scale, n_children) for
-    Or(scale=) coord weighting (None otherwise).
+    Or(scale=) coord weighting (None otherwise). Shapes beyond this
+    tier no longer bounce to ``percolate()``: ``_flat_rule_full`` falls
+    back to the deep-tree program path (``_deep_rule``) — the raises
+    below are the FAST-PATH boundary, not the feature boundary.
 
     Every rule reduces to ONE uniform grouped-leaf semantics: leaves are
     numbered in DFS order; each top-level child is a GROUP, satisfied
@@ -236,10 +241,89 @@ def _flat_rule(name: str, q: Q.Query, fieldname: str):
         "percolate_indexed; use percolate()")
 
 
+_DEEP_OPS = {Q.And: 1, Q.Or: 2, Q.DisjunctionMax: 3, Q.AndMaybe: 4,
+             Q.AndNot: 5, Q.Require: 6}
+
+
+def _deep_rule(name: str, q: Q.Query, fieldname: str):
+    """Compile an ARBITRARY-DEPTH boolean rule tree into
+    (leaf_rows, program): leaf_rows = [(term, q_index, leaf_boost)] and
+    program = a post-order instruction list
+    [(op, n, q_packed, boost, mm, scale)] a stack machine evaluates per
+    (rule, doc) group inside the kernel (one F.aggregate pass over the
+    broadcast program; see ``_deep_eval``).
+
+    Node coverage — each op mirrors the executor's compile bit-for-bit
+    over the group's present leaves (absent leaf == unmatched child ==
+    no row in the executor's tagged union; 0.0 + x == x keeps the
+    left-assoc folds identical when unmatched children are skipped):
+
+    - op 0  Term leaf: push (present?, leaf score from the group map)
+    - op 1  And: all n children sat; score = left-assoc child sum
+    - op 2  Or: >= max(minmatch, 1) children sat; sum over sat children;
+            optional coord  sum * ((1-s) + s*nsat/n)  (executor _c_or)
+    - op 3  DisjunctionMax: >= 1 sat; max over sat children, optional
+            tiebreak  max + tb*(sum - max)  (rides the scale slot)
+    - op 4  AndMaybe: sat = a; score = a + (b if b sat else 0)
+    - op 5  AndNot: sat = a and not b; score = a
+    - op 6  Require: sat = a and b; score = a
+
+    Every node's score is then multiplied by its boost (x * 1.0 is the
+    IEEE identity, so the unconditional multiply matches the executor's
+    boost==1.0 skip bitwise). Inner-node boost / Or(minmatch=, scale=) /
+    DisMax(tiebreak=) are therefore fully supported at any depth — the
+    r4 limitation this path removes. Duplicate terms across the tree
+    are fine (each leaf is its own slot/map key). Not / Otherwise /
+    positional or multi-term leaves (Phrase, ranges, wildcards) are not
+    per-doc-local over present leaves and still route to
+    ``percolate()``."""
+    leaves: list[tuple] = []
+    prog: list[tuple] = []
+
+    def walk(node: Q.Query) -> None:
+        if isinstance(node, Q.Term):
+            if node.fieldname != fieldname:
+                raise ValueError(
+                    f"rule {name!r}: field {node.fieldname!r} != {fieldname!r}")
+            qi = len(leaves)
+            leaves.append((node.text, qi, float(node.boost)))
+            # q_packed mirrors the kernel's (q, grp, grp_req) pack with
+            # grp=0, grp_req=1 — the map key the LEAF op looks up
+            prog.append((0, 0, qi * 16777216 + 1, 1.0, 0, None))
+            return
+        if isinstance(node, (Q.And, Q.Or, Q.DisjunctionMax)):
+            kids = node.subqueries
+            if not kids:
+                raise ValueError(f"rule {name!r}: empty {type(node).__name__}")
+            for k in kids:
+                walk(k)
+            mm, sc = 0, None
+            if isinstance(node, Q.Or):
+                mm = max(int(node.minmatch or 1), 1)
+                sc = float(node.scale) if node.scale else None
+            elif isinstance(node, Q.DisjunctionMax):
+                sc = float(node.tiebreak) if node.tiebreak else None
+            prog.append((_DEEP_OPS[type(node)], len(kids), 0,
+                         float(node.boost), mm, sc))
+            return
+        if isinstance(node, (Q.AndMaybe, Q.AndNot, Q.Require)):
+            walk(node.a)
+            walk(node.b)
+            prog.append((_DEEP_OPS[type(node)], 2, 0, float(node.boost),
+                         0, None))
+            return
+        raise ValueError(
+            f"rule {name!r}: {type(node).__name__} nodes are not supported "
+            "in percolate_indexed rule trees; use percolate()")
+
+    walk(q)
+    return leaves, prog
+
+
 def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
     """Full per-rule flattening -> (pos_rows, n_required, rule_boost,
     slop, coord, neg_rows, neg_required, neg_slop, req_rows,
-    req_required, req_slop) — ``coord`` = the a-side's Or(scale=)
+    req_required, req_slop, prog) — ``coord`` = the a-side's Or(scale=)
     (scale, n_children) pair or None. AndNot(a, b): a scored, doc excluded when it matches b
     (executor's left_anti); Require(a, b): doc kept only when it matches
     b (left_semi). b may be flat Term/And/Or OR a Phrase: AND-shaped b
@@ -247,12 +331,28 @@ def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
     minmatch of them hit, Phrase b when all word slots hit AND the
     positional chain survives — exactly the compiled semantics of b as a
     match set. The a side may be a Phrase (slop carried through). b's
-    rows are (term, slot) pairs so a positional b keeps word order."""
+    rows are (term, slot) pairs so a positional b keeps word order.
+
+    Rules the flat/grouped tier cannot shape (3+-level trees, inner
+    boost/minmatch/scale/tiebreak, duplicate terms, inner
+    AndNot/AndMaybe/Require/DisMax) fall back to the DEEP path: the
+    whole rule — b-sides included — compiles to one post-order program
+    (``_deep_rule``), ``prog`` is that instruction list, every leaf
+    (scoring or not) rides a role-0 row, and the other slots are inert
+    (n_required=0, boost 1.0 — the program carries all boosts). Only
+    trees mixing a positional a/b side (Phrase) with a deep boolean
+    side exceed both tiers and still raise -> ``percolate()``."""
     if isinstance(q, (Q.AndNot, Q.Require)):
-        pos_rows, n_req, a_boost, slop, coord = _flat_rule(
-            name, q.a.normalize(), fieldname)
-        b_rows, b_req, b_boost, b_slop, _b_coord = _flat_rule(
-            name, q.b.normalize(), fieldname)
+        try:
+            pos_rows, n_req, a_boost, slop, coord = _flat_rule(
+                name, q.a.normalize(), fieldname)
+            b_rows, b_req, b_boost, b_slop, _b_coord = _flat_rule(
+                name, q.b.normalize(), fieldname)
+        except ValueError:
+            leaves, prog = _deep_rule(name, q, fieldname)
+            pos_rows = [(t, qi, lb, 0, 1) for t, qi, lb in leaves]
+            return (pos_rows, 0, 1.0, None, None,
+                    [], None, None, [], None, None, prog)
         del b_boost, _b_coord  # b is a pure match set; scores/boosts/coord unused
         # b rows keep their (group, group_req) labels: the b-side match
         # predicate is the same satisfied-group count the a-side uses
@@ -264,12 +364,18 @@ def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
         rboost = a_boost * float(q.boost)
         if isinstance(q, Q.AndNot):
             return (pos_rows, n_req, rboost, slop, coord,
-                    b, b_req, b_slop, [], None, None)
+                    b, b_req, b_slop, [], None, None, None)
         return (pos_rows, n_req, rboost, slop, coord,
-                [], None, None, b, b_req, b_slop)
-    pos_rows, n_req, rboost, slop, coord = _flat_rule(name, q, fieldname)
+                [], None, None, b, b_req, b_slop, None)
+    try:
+        pos_rows, n_req, rboost, slop, coord = _flat_rule(name, q, fieldname)
+    except ValueError:
+        leaves, prog = _deep_rule(name, q, fieldname)
+        pos_rows = [(t, qi, lb, 0, 1) for t, qi, lb in leaves]
+        return (pos_rows, 0, 1.0, None, None,
+                [], None, None, [], None, None, prog)
     return (pos_rows, n_req, rboost, slop, coord,
-            [], None, None, [], None, None)
+            [], None, None, [], None, None, None)
 
 
 def percolate_indexed(
@@ -333,9 +439,18 @@ def _percolate_indexed_with_ix(
     _flat_rule): And-of-(Term|Or-of-Terms) and Or-of-(Term|And-of-Terms)
     — each top-level child is a group with its own req, the rule matches
     on the satisfied-group count, and a leaf scores iff its group is
-    satisfied, all bit-identical to ``percolate()``. Rules beyond these
-    shapes (3+-level trees, inner-node boost/scale) raise — route those
-    through ``percolate``.
+    satisfied, all bit-identical to ``percolate()``. ARBITRARY-DEPTH
+    boolean trees — And / Or(minmatch=, scale=) / DisjunctionMax
+    (tiebreak=) / AndMaybe / AndNot / Require / Term at any depth, with
+    boosts on ANY node and duplicate terms allowed — compile to a
+    post-order program evaluated by a stack machine inside the same
+    grouped scan (``_deep_rule`` / ``deep_eval``), still O(1) plan size
+    and bit-identical to ``percolate()``; the program columns are added
+    to the broadcast only when a deep rule is present, so the flat-rule
+    hot path is unchanged. Only rules mixing positional sides (Phrase)
+    with deep boolean sides, plus Not/Otherwise and non-Term leaves
+    (ranges, wildcards), still raise — route those through
+    ``percolate``.
     """
     from whoosh_spark.search.scoring import BM25F
 
@@ -351,26 +466,33 @@ def _percolate_indexed_with_ix(
     # word slots in ``_q``, closing its own chain the same way.
     rows = []
     any_phrase = False
+    any_deep = False
     for name, q in queries.items():
         (pos, n_req, rboost, slop, coord, neg, neg_req, neg_slop,
-         req, req_req, req_slop) = _flat_rule_full(name, q.normalize(), fieldname)
+         req, req_req, req_slop, prog) = _flat_rule_full(
+            name, q.normalize(), fieldname)
         any_phrase = any_phrase or any(
             s is not None for s in (slop, neg_slop, req_slop))
+        any_deep = any_deep or prog is not None
         scale, n_children = coord if coord is not None else (None, None)
         # flat-rule fast path: when every group is a singleton with
         # req 1 (all flat Term/And/Or and Phrase rules), satisfied-group
         # count == plain row count and the grouped total == the plain
         # ordered fold — the kernel then skips the struct-accumulator
         # group scan entirely, so the 100k-flat-rule hot case pays
-        # exactly the pre-grouping cost
-        a_flat = (all(r[4] == 1 for r in pos)
-                  and len({r[3] for r in pos}) == len(pos))
+        # exactly the pre-grouping cost. Deep rules mark a_flat too:
+        # their score/match comes from the program stack machine, so
+        # the group scan must not run for them either.
+        a_flat = (prog is not None
+                  or (all(r[4] == 1 for r in pos)
+                      and len({r[3] for r in pos}) == len(pos)))
         n_flat = (all(r[3] == 1 for r in neg)
                   and len({r[2] for r in neg}) == len(neg))
         r_flat = (all(r[3] == 1 for r in req)
                   and len({r[2] for r in req}) == len(req))
         base_cols = (n_req, neg_req, req_req, rboost, slop, neg_slop,
-                     req_slop, scale, n_children, a_flat, n_flat, r_flat)
+                     req_slop, scale, n_children, a_flat, n_flat, r_flat,
+                     prog is not None, prog)
         for t, pos_i, lboost, grp, grp_req in pos:
             rows.append((name, t, pos_i, lboost, 0, grp, grp_req) + base_cols)
         for t, slot, grp, grp_req in neg:
@@ -411,17 +533,26 @@ def _percolate_indexed_with_ix(
     )
     p = ix.terms_postings(fieldname, sorted(idf),
                           positions=any_phrase).select(*pcols)
+    # the two deep-path columns (_deep flag + the broadcast program) are
+    # added ONLY when some rule actually went deep — the flat-rule hot
+    # path's broadcast, agg, and plan stay byte-identical otherwise
+    deep_schema = (
+        ", _deep boolean, _prog array<struct<"
+        "op:int,n:int,q:bigint,boost:double,mm:int,scale:double>>"
+        if any_deep else ""
+    )
     rules_df = spark.createDataFrame(
         [(n, t, q_, lb, role, g, gr, nr, ngr, rqr, rb, sl, nsl, rsl, sc, nch,
-          af, nf, rf, idf[t])
+          af, nf, rf) + ((dp, pg) if any_deep else ()) + (idf[t],)
          for (n, t, q_, lb, role, g, gr, nr, ngr, rqr, rb, sl, nsl, rsl, sc,
-              nch, af, nf, rf) in rows if t in idf],
+              nch, af, nf, rf, dp, pg) in rows if t in idf],
         "query_name string, term string, _q int, _lboost double, _role int, "
         "_grp int, _grp_req int, "
         "_n_required int, _neg_required int, _req_required int, "
         "_rboost double, _slop int, _neg_slop int, _req_slop int, "
         "_scale double, _n_children double, "
-        "_aflat boolean, _nflat boolean, _rflat boolean, _idf double",
+        "_aflat boolean, _nflat boolean, _rflat boolean"
+        + deep_schema + ", _idf double",
     )
     base = w.score_expr(fs, F.col("_idf"), avgdl, F.col("weight"), F.col("dl"))
     # positions ride ONLY on rows whose role participates in a positional
@@ -454,6 +585,8 @@ def _percolate_indexed_with_ix(
         (base * F.col("_lboost")).alias("score"),
         pos_col.alias("_pos"),
     ]
+    if any_deep:
+        jcols += [F.col("_deep"), F.col("_prog")]
     j = p.join(F.broadcast(rules_df), "term").select(*jcols)
     # the executor's _ordered_sum: left-assoc fold in query order, so a
     # 2-term AND scores bit-identically to Searcher.compile(And([...]));
@@ -487,7 +620,9 @@ def _percolate_indexed_with_ix(
              F.first("_n_children").alias("_nch"),
              F.first("_aflat").alias("_aflat"),
              F.first("_nflat").alias("_nflat"),
-             F.first("_rflat").alias("_rflat"))
+             F.first("_rflat").alias("_rflat"),
+             *([F.first("_deep").alias("_deep"),
+                F.first("_prog").alias("_prog")] if any_deep else []))
     )
     # grouped-leaf semantics (see _flat_rule): walk the q-sorted items
     # once (each group's leaves are a contiguous DFS run) collecting the
@@ -550,12 +685,91 @@ def _percolate_indexed_with_ix(
             ),
         )
 
+    def deep_eval(items_name: str):
+        """Evaluate the rule's post-order program over this (rule, doc)
+        group's present leaves -> struct(sat, s). A stack machine in ONE
+        F.aggregate pass over the broadcast ``_prog`` array: LEAF ops
+        push (present?, leaf score) looked up in a q->score map built
+        from the group's items; node ops pop their n children (the top
+        n stack slots, in child order) and combine with the executor's
+        exact expressions (see ``_deep_rule`` op table). Bit-exactness
+        vs ``percolate()``: child sums are left-assoc in child order
+        with unmatched children contributing 0.0 (the executor's tagged
+        union simply lacks those rows, and 0.0 + x == x for the
+        positive partials); every node multiplies by its boost (IEEE
+        identity at 1.0); coord / tiebreak mirror _c_or / _c_dismax
+        operand order. Cost: O(program length) array ops per (rule,
+        doc) row, deep rules only — flat rules skip this column."""
+        m = F.map_from_entries(
+            F.transform(F.col(items_name),
+                        lambda x: F.struct(x["q"].alias("key"),
+                                           x["s"].alias("value"))))
+        stack_t = "array<struct<sat:boolean,s:double>>"
+
+        def step(acc, ins):
+            hit = F.element_at(m, ins["q"])
+            push_leaf = F.concat(acc, F.array(F.struct(
+                hit.isNotNull().alias("sat"),
+                F.coalesce(hit, F.lit(0.0)).alias("s"))))
+            n = ins["n"]
+            ch = F.slice(acc, F.size(acc) - n + 1, n)
+            rest = F.slice(acc, F.lit(1), F.size(acc) - n)
+            csum = F.aggregate(
+                ch, F.lit(0.0),
+                lambda a, x: a + F.when(x["sat"], x["s"]).otherwise(F.lit(0.0)))
+            nsat = F.size(F.filter(ch, lambda x: x["sat"]))
+            sat1 = F.element_at(ch, 1)["sat"]
+            s1 = F.element_at(ch, 1)["s"]
+            sat2 = F.element_at(ch, 2)["sat"]
+            s2 = F.element_at(ch, 2)["s"]
+            mx = F.array_max(F.transform(
+                F.filter(ch, lambda x: x["sat"]), lambda x: x["s"]))
+            or_s = F.when(
+                ins["scale"].isNotNull(),
+                csum * ((F.lit(1.0) - ins["scale"])
+                        + ins["scale"] * nsat.cast("double")
+                        / n.cast("double")),
+            ).otherwise(csum)
+            dm_s = F.when(
+                ins["scale"].isNotNull(),
+                mx + ins["scale"] * (csum - mx),
+            ).otherwise(mx)
+            node = (
+                F.when(ins["op"] == 1, F.struct(
+                    (nsat == n).alias("sat"),
+                    (csum * ins["boost"]).alias("s")))
+                .when(ins["op"] == 2, F.struct(
+                    (nsat >= ins["mm"]).alias("sat"),
+                    (or_s * ins["boost"]).alias("s")))
+                .when(ins["op"] == 3, F.struct(
+                    (nsat >= 1).alias("sat"),
+                    (dm_s * ins["boost"]).alias("s")))
+                .when(ins["op"] == 4, F.struct(
+                    sat1.alias("sat"),
+                    ((s1 + F.when(sat2, s2).otherwise(F.lit(0.0)))
+                     * ins["boost"]).alias("s")))
+                .when(ins["op"] == 5, F.struct(
+                    (sat1 & ~sat2).alias("sat"),
+                    (s1 * ins["boost"]).alias("s")))
+                .otherwise(F.struct(
+                    (sat1 & sat2).alias("sat"),
+                    (s1 * ins["boost"]).alias("s")))
+            )
+            return F.when(ins["op"] == 0, push_leaf) \
+                    .otherwise(F.concat(rest, F.array(node)))
+
+        return F.element_at(
+            F.aggregate(F.col("_prog"), F.array().cast(stack_t), step), 1)
+
     grouped = (
         grouped
         .withColumn("_gs", F.when(~F.col("_aflat"), group_scan("_items")))
         .withColumn("_ngs", F.when(~F.col("_nflat"), group_scan("_nitems")))
         .withColumn("_rgs", F.when(~F.col("_rflat"), group_scan("_ritems")))
     )
+    if any_deep:
+        grouped = grouped.withColumn(
+            "_dres", F.when(F.col("_deep"), deep_eval("_items")))
     plain_fold = F.aggregate(F.col("_items"), F.lit(0.0),
                              lambda acc, x: acc + x["s"])
     n_sat = F.when(F.col("_aflat"), F.col("_n")) \
@@ -607,14 +821,25 @@ def _percolate_indexed_with_ix(
         "_nitems", F.col("_nsl"))
     req_matches = (req_sat >= F.col("_reqr")) & chain_ok(
         "_ritems", F.col("_rsl"))
+    a_match = n_sat >= F.col("_req")
+    score_fold = coord_fold
+    if any_deep:
+        # deep rules: the program's root decides match AND score; the
+        # flat/grouped predicates stay untouched for everything else
+        # (_req is 0 for deep rules, so the flat predicate is inert, but
+        # the explicit branch keeps the deep path self-describing)
+        a_match = F.when(F.col("_deep"), F.col("_dres")["sat"]) \
+                   .otherwise(a_match)
+        score_fold = F.when(F.col("_deep"), F.col("_dres")["s"]) \
+                      .otherwise(coord_fold)
     out = (
         grouped.where(
-            (n_sat >= F.col("_req"))
+            a_match
             & (F.col("_negr").isNull() | ~neg_matches)
             & (F.col("_reqr").isNull() | req_matches)
         )
         .where(phrase_ok)
         .select("query_name", "doc_id",
-                (coord_fold * F.col("_rb")).alias("score"))
+                (score_fold * F.col("_rb")).alias("score"))
     )
     return out, ix
