@@ -456,10 +456,65 @@ def test_time_limit_partials_timeout(spark, ix):
     assert got == sorted(got, reverse=True)
 
 
-def test_time_limit_partials_rejects_sortedby(searcher):
-    with pytest.raises(ValueError):
-        searcher.search_with_time_limit(Q.Term("text", "spark"), timelimit=5.0,
-                                        use_partials=True, sortedby="n")
+def test_time_limit_partials_sortedby_complete(searcher):
+    """Sorted partials (VERDICT r4 #6): with a generous budget the heap
+    streams every doc and reproduces search(sortedby=...) row for row —
+    single key, reverse, and multi-key."""
+    from whoosh_spark.search import PartialResults
+
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "merge")])
+    for kw in ({"sortedby": "n"}, {"sortedby": "n", "reverse": True},
+               {"sortedby": ["role", "n"]}):
+        full = [r["doc_id"]
+                for r in searcher.search(q, limit=4, **kw).collect()]
+        part = searcher.search_with_time_limit(
+            q, timelimit=120.0, limit=4, use_partials=True, **kw)
+        assert isinstance(part, PartialResults)
+        assert part.partial is False
+        assert [r["doc_id"] for r in part] == full, kw
+        # the sort key columns ride along in the partial rows
+        key0 = kw["sortedby"] if isinstance(kw["sortedby"], str) \
+            else kw["sortedby"][0]
+        assert key0 in part[0].asDict()
+
+
+def test_time_limit_partials_sortedby_timeout(spark, ix):
+    """Sorted partials under an expiring budget: the already-streamed
+    docs come back as a correctly-ordered prefix by the sort key."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from whoosh_spark.search import PartialResults, Searcher
+
+    s = Searcher(ix)
+
+    def slow_high(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            if any(i > 3 for i in ids):
+                time.sleep(60)
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": ids, "score": [float(i) + 1.0 for i in ids]})
+
+    scored = (
+        ix.docs.select("doc_id").repartitionByRange(2, "doc_id")
+        .mapInArrow(slow_high, T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]))
+    )
+    t0 = time.perf_counter()
+    part = s.search_with_time_limit(scored, timelimit=6.0, limit=10,
+                                    use_partials=True, sortedby="n")
+    assert time.perf_counter() - t0 < 30
+    assert isinstance(part, PartialResults) and part.partial is True
+    assert len(part) > 0
+    assert all(r["doc_id"] <= 3 for r in part)
+    ns = [r["n"] for r in part]
+    assert ns == sorted(ns)  # ascending sort-key prefix
 
 
 # ----------------------------------------------- randomized composition net

@@ -908,7 +908,9 @@ class Searcher:
         a :class:`PartialResults` list with ``.partial = True`` instead of
         raising. Scoring of streamed rows is exact — partiality only means
         some documents were never seen, exactly like the reference's
-        interrupted doc-at-a-time loop.
+        interrupted doc-at-a-time loop. ``sortedby=`` composes with
+        partials too: the sort key streams through the same bounded heap
+        (see :meth:`_search_partials`).
         """
         import threading
         import uuid
@@ -941,44 +943,48 @@ class Searcher:
             raise out["err"]
         return out["rows"]
 
-    def _search_partials(self, q: "Q.Query | DataFrame", timelimit: float,
-                         limit: int | None, filter=None, mask=None,
-                         **kw) -> "PartialResults":
-        """Partial-results engine for ``search_with_time_limit(...,
-        use_partials=True)``. Only score ordering is supported (the
-        reference's partial heap is the score heap); ``sortedby`` callers
-        get the raising mode."""
+    def _partial_heap_stream(self, df: DataFrame, timelimit: float,
+                             limit: int | None, item_of_row, cmp_items):
+        """Shared scaffolding for partial-results modes: stream ``df``
+        UNORDERED to the driver partition by partition into a bounded
+        top-k heap under a wall-clock budget; cancel the job group on
+        expiry and keep whatever the heap holds. ``item_of_row`` maps a
+        Row to a heap item; ``cmp_items(a, b)`` is the FINAL result
+        ordering (negative = a comes first). Returns (items in final
+        order, completed)."""
         import heapq
         import threading
         import time
         import uuid
+        from functools import cmp_to_key
 
-        if kw.get("sortedby") is not None:
-            raise ValueError("use_partials supports score ordering only")
-        if isinstance(q, DataFrame):
-            scored = q
-        else:
-            scored = self.compile(q)
-            if getattr(self.weighting, "use_final", False):
-                scored = scored.withColumn(
-                    "score", self.weighting.final_expr(F.col("score")))
-            scored = self._apply_filter_mask(scored, filter, mask)
+        class _Inv:
+            # heapq is a min-heap; inverting the comparison makes
+            # heap[0] the WORST kept item — the classic top-k heap
+            __slots__ = ("it",)
+
+            def __init__(self, it):
+                self.it = it
+
+            def __lt__(self, other):
+                return cmp_items(self.it, other.it) > 0
+
         sc = self._spark.sparkContext
         group = f"whoosh-timelimit-{uuid.uuid4().hex[:8]}"
         deadline = time.monotonic() + timelimit
-        heap: list = []  # min-heap of (score, -doc_id); top-k survivors
+        heap: list = []
         out: dict = {}
 
         def run():
             sc.setJobGroup(group, "time-limited search (partials)",
                            interruptOnCancel=True)
             try:
-                for row in scored.toLocalIterator(prefetchPartitions=True):
-                    item = (row["score"], -row["doc_id"])
+                for row in df.toLocalIterator(prefetchPartitions=True):
+                    it = item_of_row(row)
                     if limit is None or len(heap) < limit:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
+                        heapq.heappush(heap, _Inv(it))
+                    elif cmp_items(it, heap[0].it) < 0:
+                        heapq.heapreplace(heap, _Inv(it))
                     if time.monotonic() >= deadline:
                         out["expired"] = True
                         return
@@ -994,12 +1000,97 @@ class Searcher:
             sc.cancelJobGroup(group)
             t.join(5.0)
         if "err" in out and "expired" not in out and not t.is_alive():
-            if "cancelled" not in str(out["err"]).lower() and "interrupted" not in str(out["err"]).lower():
+            msg = str(out["err"]).lower()
+            if "cancelled" not in msg and "interrupted" not in msg:
                 raise out["err"]
-        rows = [Row(doc_id=-neg, score=s)
-                for s, neg in sorted(heap, reverse=True)]
-        res = PartialResults(rows)
-        res.partial = not out.get("done", False)
+        items = sorted((h.it for h in heap), key=cmp_to_key(cmp_items))
+        return items, out.get("done", False)
+
+    def _search_partials(self, q: "Q.Query | DataFrame", timelimit: float,
+                         limit: int | None, filter=None, mask=None,
+                         sortedby=None, reverse: bool = False,
+                         **kw) -> "PartialResults":
+        """Partial-results engine for ``search_with_time_limit(...,
+        use_partials=True)``. Score ordering streams (score, doc_id)
+        into the reference heap key (score desc, doc_id asc);
+        ``sortedby=`` streams the SORT KEY columns through the same
+        bounded heap instead (VERDICT r4 #6) — per-key asc/desc honored
+        with Spark's null placement (NULLS FIRST asc / NULLS LAST desc),
+        doc_id-ascending tie-break, so a completed run equals
+        ``search(sortedby=...)`` row for row and an expired run is a
+        correctly-ordered prefix of the documents seen."""
+        if isinstance(q, DataFrame):
+            scored = q
+        else:
+            scored = self.compile(q)
+            if getattr(self.weighting, "use_final", False):
+                scored = scored.withColumn(
+                    "score", self.weighting.final_expr(F.col("score")))
+            scored = self._apply_filter_mask(scored, filter, mask)
+
+        if sortedby is None:
+            def cmp_score(a, b):
+                if a[0] != b[0]:
+                    return -1 if a[0] > b[0] else 1
+                return -1 if a[1] < b[1] else (1 if a[1] > b[1] else 0)
+
+            items, done = self._partial_heap_stream(
+                scored, timelimit, limit,
+                lambda row: (row["score"], row["doc_id"]), cmp_score)
+            res = PartialResults(
+                Row(doc_id=d, score=s) for s, d in items)
+            res.partial = not done
+            return res
+
+        # sorted partials: attach the facet key columns exactly like
+        # search(sortedby=...), but stream the UNSORTED frame — a global
+        # orderBy would force the full sort before the first row arrives
+        # and an expired budget would hand back nothing
+        keys = ([sortedby] if not isinstance(sortedby, (list, tuple))
+                else list(sortedby))
+        facets = [as_facet(k) for k in keys]
+        needed = sorted({c for f in facets for c in f.columns})
+        out_df = scored
+        if needed:
+            docs = self.index.docs.select(
+                F.col(self.index.doc_id_col).alias("doc_id"), *needed)
+            out_df = out_df.join(docs, "doc_id")
+        key_cols: list[str] = []
+        descs: list[bool] = []
+        for i, f in enumerate(facets):
+            # plain single-column facets keep their field name in the
+            # output rows (Row.n, Row.role, ...); computed facets use
+            # their output_name or a positional slot
+            name = f.output_name or (
+                f.columns[0] if len(f.columns) == 1 else f"_sk{i}")
+            out_df = out_df.withColumn(name, f.key())
+            key_cols.append(name)
+            descs.append(facet_desc(f, reverse))
+        stream = out_df.select("doc_id", "score", *key_cols)
+
+        def cmp_sorted(a, b):
+            for va, vb, desc in zip(a[0], b[0], descs):
+                if va == vb:
+                    continue
+                if va is None:  # Spark: NULLS FIRST asc, NULLS LAST desc
+                    return 1 if desc else -1
+                if vb is None:
+                    return -1 if desc else 1
+                if va < vb:
+                    return 1 if desc else -1
+                return -1 if desc else 1
+            return -1 if a[1] < b[1] else (1 if a[1] > b[1] else 0)
+
+        items, done = self._partial_heap_stream(
+            stream, timelimit, limit,
+            lambda row: (tuple(row[c] for c in key_cols),
+                         row["doc_id"], row["score"]),
+            cmp_sorted)
+        res = PartialResults(
+            Row(**{"doc_id": d, "score": s,
+                   **dict(zip(key_cols, ks))})
+            for ks, d, s in items)
+        res.partial = not done
         return res
 
     def search_many(self, queries: "dict[int, Q.Query]",
