@@ -585,16 +585,18 @@ def run_sf1_queries(index_path: str, n_turns: int, cpus: int = 32) -> dict:
     """Query-latency regression against a persisted LARGE index (VERDICT
     r3 #8): the sf1 rehearsal index is expensive to rebuild, so this mode
     reuses a stored one (scripts/build_index_job.py --turns N --out PATH)
-    and times the 3 headline shapes — term WAND, 3-term OR WAND, and the
-    parsed flagship ``"hash join" OR spark^2`` through the DEFAULT
-    search path (r4: the threshold-algorithm route). Cold wall includes
+    and times the 5 scale-sensitive kernels (r5, VERDICT r4 #5) — term
+    WAND, 3-term OR WAND, the phrase block-max kernel, the parsed
+    flagship ``"hash join" OR spark^2`` through the DEFAULT search path
+    (r4: the threshold-algorithm route), and indexed percolation of a
+    50k-turn batch against 1000 standing rules. Cold wall includes
     the per-query stats lookups, exactly like a fresh serving session;
     a second warm pass isolates kernel time."""
     from whoosh_spark.fields import transcript_schema
     from whoosh_spark.indexing.segments import open_segments
     from whoosh_spark.query.parser import QueryParser
     from whoosh_spark.search import Searcher
-    from whoosh_spark.search.wand import wand_topk
+    from whoosh_spark.search.wand import wand_phrase_topk, wand_topk
     from whoosh_spark.transcripts import synth_turns
 
     spark = make_spark(cpus, app="whoosh-spark-sf1-queries")
@@ -603,12 +605,44 @@ def run_sf1_queries(index_path: str, n_turns: int, cpus: int = 32) -> dict:
                             transcript_schema())
         s = Searcher(six)
         parser = QueryParser("text", transcript_schema())
+
+        def _percolate_1k():
+            # the alerting shape at serving scale: a fresh 50k-turn
+            # micro-batch against 1000 broadcast flat rules in ONE
+            # kernel action (plan size O(1) in the rule count)
+            from whoosh_spark import query as Q
+            from whoosh_spark.streaming.percolate import percolate_indexed
+
+            vocab = ("spark shuffle partition broadcast join hash merge "
+                     "sort scan window filter cache executor driver stage "
+                     "task memory disk network skew index query search "
+                     "score rank term phrase segment block posting stream "
+                     "batch micro commit checkpoint resume lineage").split()
+            rules = {}
+            for i in range(1000):
+                w1 = vocab[i % len(vocab)]
+                w2 = vocab[(i * 7 + 3) % len(vocab)]
+                if w1 == w2:
+                    rules[f"r{i}"] = Q.Term("text", w1)
+                elif i % 2:
+                    rules[f"r{i}"] = Q.And(
+                        [Q.Term("text", w1), Q.Term("text", w2)])
+                else:
+                    rules[f"r{i}"] = Q.Or(
+                        [Q.Term("text", w1), Q.Term("text", w2)])
+            return percolate_indexed(
+                spark, synth_turns(spark, 50_000), rules,
+                transcript_schema(), fieldname="text").count()
+
         queries = {
             "term_spark": lambda: wand_topk(six, "text", ["spark"]).collect(),
             "or3": lambda: wand_topk(
                 six, "text", ["shuffle", "partition", "broadcast"]).collect(),
+            "phrase_hashjoin": lambda: wand_phrase_topk(
+                six, "text", ["hash", "join"]).collect(),
             "mixed_parsed": lambda: s.search(
                 parser.parse('"hash join" OR spark^2'), limit=10).collect(),
+            "percolate_1k_50k": _percolate_1k,
         }
         timings: dict[str, float] = {}
         for phase in ("cold", "warm"):
