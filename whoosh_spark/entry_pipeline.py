@@ -5876,6 +5876,88 @@ SELECT query_id, coalesce(p.n_ret, 0)::BIGINT AS n_ret,
 FROM perq p FULL JOIN ideal i USING (query_id)""",
     )
 
+    _EVAL_PERQ_SQL = """,
+final AS (
+  SELECT query_id, coalesce(p.nrel_k, 0) AS nrel_k, p.first,
+         coalesce(p.dcg, 0.0) AS dcg, i.idcg
+  FROM perq p FULL JOIN ideal i USING (query_id))
+SELECT count(*)::BIGINT AS n_queries,
+       round(avg(round(nrel_k / 10.0, 4)), 4) AS p_at_k,
+       round(avg(round(coalesce(1.0 / first, 0.0), 4)), 4) AS mrr,
+       round(avg(round(CASE WHEN idcg > 0 THEN dcg / idcg
+                            ELSE 0.0 END, 4)), 4) AS ndcg
+FROM final"""
+
+    def _eval_summary_entry(spark, sf):
+        # macro mean over the same three-query run (eval_summary —
+        # trec_eval's summary convention: unweighted mean over queries,
+        # run-less qrels queries zero-filled into the denominator)
+        from functools import reduce
+
+        from whoosh_spark import query as Qn
+        from whoosh_spark.entry_queries import _docs_searcher
+        from whoosh_spark.search.evaluate import eval_summary
+
+        s = _docs_searcher(spark, sf)
+        terms = ["spark", "hash", "merge"]
+        run = reduce(
+            DataFrame.unionByName,
+            [s.compile(Qn.Term("text", t)).select(
+                F.lit(t).alias("query_id"), "doc_id", "score")
+             for t in terms],
+        )
+        ix = s.index
+        qrels = (
+            ix.postings
+            .where((F.col("field") == "text") & F.col("term").isin(terms))
+            .join(ix.docs.where("lang = 'en'").select("doc_id"), "doc_id")
+            .select(F.col("term").alias("query_id"), "doc_id",
+                    F.least(F.col("weight"), F.lit(3.0)).cast("int")
+                    .alias("grade"))
+        )
+        return eval_summary(run, qrels, k=10)
+
+    add(
+        "search_eval_summary",
+        _eval_summary_entry,
+        PRELUDE_DOCS.rstrip()
+        + """,
+run AS (
+  SELECT term AS query_id, doc_id, score FROM scored
+  WHERE term IN ('spark', 'hash', 'merge')),
+qr AS (
+  SELECT p.term AS query_id, p.doc_id, least(p.w, 3)::INT AS grade
+  FROM post p JOIN documents d USING (doc_id)
+  WHERE p.term IN ('spark', 'hash', 'merge') AND d.lang = 'en'),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS rank
+  FROM run),
+topk AS (
+  SELECT r.query_id, r.doc_id, r.rank, coalesce(q.grade, 0) AS grade
+  FROM ranked r LEFT JOIN qr q USING (query_id, doc_id)
+  WHERE r.rank <= 10),
+perq AS (
+  SELECT query_id, count(*) AS n_ret,
+         sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS nrel_k,
+         min(CASE WHEN grade > 0 THEN rank END) AS first,
+         sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg
+  FROM topk GROUP BY query_id),
+id0 AS (
+  SELECT query_id, doc_id, grade,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY grade DESC, doc_id ASC) AS r
+  FROM qr WHERE grade > 0),
+ideal AS (
+  SELECT query_id, count(*) AS n_rel,
+         sum(CASE WHEN r <= 10
+                  THEN (pow(2.0, grade) - 1.0) / log2(r + 1.0)
+                  ELSE 0.0 END) AS idcg
+  FROM id0 GROUP BY query_id)"""
+        + _EVAL_PERQ_SQL,
+    )
+
     return reg
 
 
