@@ -69,10 +69,44 @@ def make_rules(n: int) -> dict:
     return rules
 
 
+def make_deep_rules(n: int) -> dict:
+    """n deterministic ARBITRARY-DEPTH rules exercising the r5 program
+    path (percolate.py::_deep_rule): 3-level CNF/DNF nests with inner
+    boost / minmatch / scale / DisMax tiebreak — every rule routes
+    through the stack-machine tier, none qualifies for the flat or
+    grouped fast paths."""
+    rules = {}
+    nv = len(VOCAB)
+    for i in range(n):
+        a, b, c, d = (VOCAB[i % nv], VOCAB[(i * 7 + 3) % nv],
+                      VOCAB[(i * 13 + 5) % nv], VOCAB[(i * 17 + 11) % nv])
+        kind = i % 4
+        if kind == 0:
+            q = Q.And([Q.Or([Q.And([Q.Term("text", a), Q.Term("text", b)]),
+                             Q.Term("text", c, boost=2.0)]),
+                       Q.Term("text", d)])
+        elif kind == 1:
+            q = Q.Or([Q.And([Q.Or([Q.Term("text", a), Q.Term("text", b)],
+                                  boost=1.5),
+                             Q.Term("text", c)]),
+                      Q.Term("text", d, boost=0.5)])
+        elif kind == 2:
+            q = Q.And([Q.Or([Q.Term("text", a), Q.Term("text", b),
+                             Q.Term("text", c)], scale=0.5, minmatch=2),
+                       Q.Term("text", d)])
+        else:
+            q = Q.And([Q.DisjunctionMax([Q.Term("text", a),
+                                         Q.Term("text", b)], tiebreak=0.3),
+                       Q.Term("text", c)])
+        rules[f"d{i}"] = q
+    return rules
+
+
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    counts = [int(x) for x in sys.argv[2:]] or [1000, 10_000, 50_000,
-                                                100_000]
+    nums = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(nums[0]) if nums else 200_000
+    counts = [int(x) for x in nums[1:]] or [1000, 10_000, 50_000,
+                                            100_000]
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -84,9 +118,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = synth_turns(spark, n_docs).persist()
     docs.count()
-    out = {"metric": "percolate_scale", "n_docs": n_docs, "tiers": {}}
+    deep = "--deep" in sys.argv
+    mixed = "--mixed" in sys.argv
+    out = {"metric": "percolate_scale", "n_docs": n_docs,
+           "rule_shape": ("deep" if deep else
+                          "mixed" if mixed else "flat"),
+           "tiers": {}}
     for n in counts:
-        rules = make_rules(n)
+        if deep:
+            rules = make_deep_rules(n)
+        elif mixed:
+            # the flat hot path with a handful of deep rules riding the
+            # same broadcast — measures the cost the program columns add
+            # to the flat rules' kernel (should be ~nil)
+            rules = {**make_rules(n - 8), **make_deep_rules(8)}
+        else:
+            rules = make_rules(n)
         t0 = time.perf_counter()
         matches = percolate_indexed(spark, docs, rules,
                                     transcript_schema())

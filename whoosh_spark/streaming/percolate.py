@@ -699,11 +699,13 @@ def _percolate_indexed_with_ix(
         positive partials); every node multiplies by its boost (IEEE
         identity at 1.0); coord / tiebreak mirror _c_or / _c_dismax
         operand order. Cost: O(program length) array ops per (rule,
-        doc) row, deep rules only — flat rules skip this column."""
-        m = F.map_from_entries(
-            F.transform(F.col(items_name),
-                        lambda x: F.struct(x["q"].alias("key"),
-                                           x["s"].alias("value"))))
+        doc) row, deep rules only — flat rules skip this column. The
+        q->score map lives in its own per-row column (``_dmap``), built
+        once per (rule, doc) group rather than inlined into every LEAF
+        instruction (measured neutral vs the inline form — Catalyst's
+        subexpression elimination already collapsed it — but the hoist
+        keeps the program fold readable and the intent explicit)."""
+        m = F.col("_dmap")
         stack_t = "array<struct<sat:boolean,s:double>>"
 
         def step(acc, ins):
@@ -769,6 +771,15 @@ def _percolate_indexed_with_ix(
     )
     if any_deep:
         grouped = grouped.withColumn(
+            "_dmap",
+            F.when(
+                F.col("_deep"),
+                F.map_from_entries(
+                    F.transform(F.col("_items"),
+                                lambda x: F.struct(x["q"].alias("key"),
+                                                   x["s"].alias("value")))),
+            ),
+        ).withColumn(
             "_dres", F.when(F.col("_deep"), deep_eval("_items")))
     plain_fold = F.aggregate(F.col("_items"), F.lit(0.0),
                              lambda acc, x: acc + x["s"])
