@@ -1227,6 +1227,10 @@ _WINDOW_DEPRIORITIZE = [
     # degenerate-config exact twin of the PQ tier whose machinery
     # ann_ivf_topk/ann_ivf_pq_topk already drive.
     "ann_ivf_pq_lossless",
+    # macro mean OVER search_eval_metrics' per-query rows: the whole
+    # eval_run kernel (incl. the r5 full-outer zero-fill) is driven by
+    # its sibling in the same window; only the final avg is new.
+    "search_eval_summary",
 ]
 
 
