@@ -612,3 +612,62 @@ def test_percolate_indexed_deep_zero_df_and_boundaries(spark):
             spark, docs,
             {"n": Q.And([T("spark"), Q.Or([T("x"), Q.Not(T("join"))])])},
             schema=_SCHEMA)
+
+
+def test_percolate_indexed_deep_tree_fuzz(spark):
+    """Randomized composition net for the deep-tree program path: 40
+    random boolean trees (depth <= 4, every supported node type, random
+    boosts/minmatch/scale/tiebreak, duplicate terms allowed) must be
+    bit-identical between the stack-machine tier and the plan-branch
+    tier. Catches composition bugs (e.g. DisMax under AndNot under Or)
+    no hand-written case covers."""
+    import random
+
+    from whoosh_spark.streaming import percolate, percolate_indexed
+
+    rng = random.Random(20260821)
+    words = ["spark", "join", "hash", "merge", "window", "scan", "filter",
+             "batch", "stream", "table"]
+
+    def term():
+        boost = rng.choice([1.0, 1.0, 2.0, 0.5, 3.0])
+        return Q.Term("text", rng.choice(words), boost=boost)
+
+    def tree(depth):
+        if depth <= 0 or rng.random() < 0.35:
+            return term()
+        kind = rng.randrange(6)
+        kids = [tree(depth - 1) for _ in range(rng.randrange(2, 4))]
+        boost = rng.choice([1.0, 1.0, 1.5, 0.5])
+        if kind == 0:
+            return Q.And(kids, boost=boost)
+        if kind == 1:
+            mm = rng.choice([0, 0, 2])
+            sc = rng.choice([None, None, 0.5, 0.25])
+            return Q.Or(kids, boost=boost, minmatch=mm, scale=sc)
+        if kind == 2:
+            tb = rng.choice([0.0, 0.0, 0.3])
+            return Q.DisjunctionMax(kids, boost=boost, tiebreak=tb)
+        if kind == 3:
+            return Q.AndMaybe(kids[0], kids[1])
+        if kind == 4:
+            return Q.AndNot(kids[0], kids[1])
+        return Q.Require(kids[0], kids[1])
+
+    docs = _corpus(spark)
+    rules = {}
+    i = 0
+    while len(rules) < 40:
+        q = tree(4).normalize()
+        if isinstance(q, Q.NullQuery):
+            continue
+        rules[f"f{i}"] = q
+        i += 1
+    a = {(r.query_name, r.doc_id): r.score
+         for r in percolate(spark, docs, rules, schema=_SCHEMA).collect()}
+    b = {(r.query_name, r.doc_id): r.score
+         for r in percolate_indexed(spark, docs, rules,
+                                    schema=_SCHEMA).collect()}
+    assert a == b  # full-precision bit equality
+    # the net must actually exercise matching rules, not 40 dead trees
+    assert len({q for q, _ in a}) >= 10
