@@ -320,6 +320,33 @@ def _deep_rule(name: str, q: Q.Query, fieldname: str):
     return leaves, prog
 
 
+def _deep_min_leaves(q: Q.Query) -> int:
+    """Lower bound on the number of PRESENT leaf slots a (rule, doc)
+    group must hold for the deep rule's root to possibly be satisfied.
+    The kernel skips the stack-machine eval for groups below this bound
+    (most groups hold 1-2 present leaves; And-rooted trees need
+    several) — a pure prune: a group failing the bound can never have
+    sat(root), so filtering it pre-eval changes nothing.
+
+    Duplicate terms are safe: leaves are distinct broadcast slots, so a
+    doc containing a term shared by two subtrees yields TWO items."""
+    if isinstance(q, Q.Term):
+        return 1
+    if isinstance(q, Q.And):
+        return sum(_deep_min_leaves(k) for k in q.subqueries)
+    if isinstance(q, Q.Or):
+        mm = max(int(q.minmatch or 1), 1)
+        mins = sorted(_deep_min_leaves(k) for k in q.subqueries)
+        return sum(mins[:mm])
+    if isinstance(q, Q.DisjunctionMax):
+        return min(_deep_min_leaves(k) for k in q.subqueries)
+    if isinstance(q, (Q.AndMaybe, Q.AndNot)):
+        return _deep_min_leaves(q.a)
+    if isinstance(q, Q.Require):
+        return _deep_min_leaves(q.a) + _deep_min_leaves(q.b)
+    raise ValueError(f"unexpected deep node {type(q).__name__}")
+
+
 def _flat_rule_full(name: str, q: Q.Query, fieldname: str):
     """Full per-rule flattening -> (pos_rows, n_required, rule_boost,
     slop, coord, neg_rows, neg_required, neg_slop, req_rows,
@@ -474,6 +501,10 @@ def _percolate_indexed_with_ix(
         any_phrase = any_phrase or any(
             s is not None for s in (slop, neg_slop, req_slop))
         any_deep = any_deep or prog is not None
+        # deep-rule prune bound: groups holding fewer present leaf slots
+        # than the root can possibly be satisfied with skip the program
+        # eval entirely (and the null result filters them — a pure prune)
+        minl = _deep_min_leaves(q.normalize()) if prog is not None else 0
         scale, n_children = coord if coord is not None else (None, None)
         # flat-rule fast path: when every group is a singleton with
         # req 1 (all flat Term/And/Or and Phrase rules), satisfied-group
@@ -492,7 +523,7 @@ def _percolate_indexed_with_ix(
                   and len({r[2] for r in req}) == len(req))
         base_cols = (n_req, neg_req, req_req, rboost, slop, neg_slop,
                      req_slop, scale, n_children, a_flat, n_flat, r_flat,
-                     prog is not None, prog)
+                     prog is not None, prog, minl)
         for t, pos_i, lboost, grp, grp_req in pos:
             rows.append((name, t, pos_i, lboost, 0, grp, grp_req) + base_cols)
         for t, slot, grp, grp_req in neg:
@@ -538,14 +569,15 @@ def _percolate_indexed_with_ix(
     # path's broadcast, agg, and plan stay byte-identical otherwise
     deep_schema = (
         ", _deep boolean, _prog array<struct<"
-        "op:int,n:int,q:bigint,boost:double,mm:int,scale:double>>"
+        "op:int,n:int,q:bigint,boost:double,mm:int,scale:double>>, "
+        "_minl int"
         if any_deep else ""
     )
     rules_df = spark.createDataFrame(
         [(n, t, q_, lb, role, g, gr, nr, ngr, rqr, rb, sl, nsl, rsl, sc, nch,
-          af, nf, rf) + ((dp, pg) if any_deep else ()) + (idf[t],)
+          af, nf, rf) + ((dp, pg, ml) if any_deep else ()) + (idf[t],)
          for (n, t, q_, lb, role, g, gr, nr, ngr, rqr, rb, sl, nsl, rsl, sc,
-              nch, af, nf, rf, dp, pg) in rows if t in idf],
+              nch, af, nf, rf, dp, pg, ml) in rows if t in idf],
         "query_name string, term string, _q int, _lboost double, _role int, "
         "_grp int, _grp_req int, "
         "_n_required int, _neg_required int, _req_required int, "
@@ -586,7 +618,7 @@ def _percolate_indexed_with_ix(
         pos_col.alias("_pos"),
     ]
     if any_deep:
-        jcols += [F.col("_deep"), F.col("_prog")]
+        jcols += [F.col("_deep"), F.col("_prog"), F.col("_minl")]
     j = p.join(F.broadcast(rules_df), "term").select(*jcols)
     # the executor's _ordered_sum: left-assoc fold in query order, so a
     # 2-term AND scores bit-identically to Searcher.compile(And([...]));
@@ -622,7 +654,8 @@ def _percolate_indexed_with_ix(
              F.first("_nflat").alias("_nflat"),
              F.first("_rflat").alias("_rflat"),
              *([F.first("_deep").alias("_deep"),
-                F.first("_prog").alias("_prog")] if any_deep else []))
+                F.first("_prog").alias("_prog"),
+                F.first("_minl").alias("_minl")] if any_deep else []))
     )
     # grouped-leaf semantics (see _flat_rule): walk the q-sorted items
     # once (each group's leaves are a contiguous DFS run) collecting the
@@ -770,17 +803,22 @@ def _percolate_indexed_with_ix(
         .withColumn("_rgs", F.when(~F.col("_rflat"), group_scan("_ritems")))
     )
     if any_deep:
+        # the _minl guard prunes the stack-machine eval for groups that
+        # cannot satisfy the rule's root (fewer present leaf slots than
+        # _deep_min_leaves' bound); the null _dres then fails the match
+        # predicate, which is exactly what the full eval would conclude
+        deep_live = F.col("_deep") & (F.col("_n") >= F.col("_minl"))
         grouped = grouped.withColumn(
             "_dmap",
             F.when(
-                F.col("_deep"),
+                deep_live,
                 F.map_from_entries(
                     F.transform(F.col("_items"),
                                 lambda x: F.struct(x["q"].alias("key"),
                                                    x["s"].alias("value")))),
             ),
         ).withColumn(
-            "_dres", F.when(F.col("_deep"), deep_eval("_items")))
+            "_dres", F.when(deep_live, deep_eval("_items")))
     plain_fold = F.aggregate(F.col("_items"), F.lit(0.0),
                              lambda acc, x: acc + x["s"])
     n_sat = F.when(F.col("_aflat"), F.col("_n")) \
