@@ -474,10 +474,15 @@ def _percolate_indexed_with_ix(
     grouped scan (``_deep_rule`` / ``deep_eval``), still O(1) plan size
     and bit-identical to ``percolate()``; the program columns are added
     to the broadcast only when a deep rule is present, so the flat-rule
-    hot path is unchanged. Only rules mixing positional sides (Phrase)
-    with deep boolean sides, plus Not/Otherwise and non-Term leaves
-    (ranges, wildcards), still raise — route those through
-    ``percolate``.
+    hot path is unchanged, and a min-present-leaves bound
+    (``_deep_min_leaves``) skips the program eval for groups that
+    cannot satisfy the root. Broadcast sizing at scale: each DEEP
+    rule's program rides on its own leaf rows only (~50 B/instruction x
+    leaves), so even a pathological 100k-deep-rule set stays a
+    few-hundred-MB broadcast; flat rules carry a null program (1 byte).
+    Only rules mixing positional sides (Phrase) with deep boolean
+    sides, plus Not/Otherwise and non-Term leaves (ranges, wildcards),
+    still raise — route those through ``percolate``.
     """
     from whoosh_spark.search.scoring import BM25F
 
