@@ -671,3 +671,86 @@ def test_percolate_indexed_deep_tree_fuzz(spark):
     assert a == b  # full-precision bit equality
     # the net must actually exercise matching rules, not 40 dead trees
     assert len({q for q, _ in a}) >= 10
+
+
+def test_deep_min_leaves_bound_is_sound():
+    """Property: for random deep trees, ANY leaf-presence subset that
+    satisfies the root contains at least _deep_min_leaves(tree) present
+    leaves — i.e. the kernel's prune can never drop a matching group.
+    Pure-Python: tree semantics evaluated directly over presence sets."""
+    import random
+
+    from whoosh_spark.streaming.percolate import _deep_min_leaves
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(12)]
+
+    def tree(depth):
+        if depth <= 0 or rng.random() < 0.3:
+            return Q.Term("text", rng.choice(words))
+        kind = rng.randrange(6)
+        kids = [tree(depth - 1) for _ in range(rng.randrange(2, 4))]
+        if kind == 0:
+            return Q.And(kids)
+        if kind == 1:
+            return Q.Or(kids, minmatch=rng.choice([0, 2]))
+        if kind == 2:
+            return Q.DisjunctionMax(kids)
+        if kind == 3:
+            return Q.AndMaybe(kids[0], kids[1])
+        if kind == 4:
+            return Q.AndNot(kids[0], kids[1])
+        return Q.Require(kids[0], kids[1])
+
+    def leaves(q, acc):
+        # DFS leaf slots, mirroring _deep_rule's numbering
+        if isinstance(q, Q.Term):
+            acc.append(q)
+        elif isinstance(q, (Q.And, Q.Or, Q.DisjunctionMax)):
+            for k in q.subqueries:
+                leaves(k, acc)
+        else:
+            leaves(q.a, acc)
+            leaves(q.b, acc)
+        return acc
+
+    def sat(q, present, counter):
+        # present: per-slot booleans consumed in DFS order (duplicate
+        # terms are distinct slots, like the kernel's broadcast rows)
+        if isinstance(q, Q.Term):
+            i = counter[0]
+            counter[0] += 1
+            return present[i]
+        if isinstance(q, Q.And):
+            vals = [sat(k, present, counter) for k in q.subqueries]
+            return all(vals)
+        if isinstance(q, Q.Or):
+            vals = [sat(k, present, counter) for k in q.subqueries]
+            return sum(vals) >= max(int(q.minmatch or 1), 1)
+        if isinstance(q, Q.DisjunctionMax):
+            vals = [sat(k, present, counter) for k in q.subqueries]
+            return any(vals)
+        if isinstance(q, Q.AndMaybe):
+            a = sat(q.a, present, counter)
+            sat(q.b, present, counter)
+            return a
+        if isinstance(q, Q.AndNot):
+            a = sat(q.a, present, counter)
+            b = sat(q.b, present, counter)
+            return a and not b
+        a = sat(q.a, present, counter)
+        b = sat(q.b, present, counter)
+        return a and b  # Require
+
+    checked_sat = 0
+    for _ in range(300):
+        t = tree(3)
+        n = len(leaves(t, []))
+        bound = _deep_min_leaves(t)
+        assert 0 <= bound <= n
+        for _ in range(40):
+            present = [rng.random() < 0.4 for _ in range(n)]
+            if sat(t, present, [0]):
+                checked_sat += 1
+                assert sum(present) >= bound, (t, present, bound)
+    assert checked_sat > 500  # the net must exercise satisfying subsets
