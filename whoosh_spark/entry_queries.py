@@ -1267,8 +1267,10 @@ def _driver_window_order(names: list[str]) -> list[str]:
     """
     last = _correctness_history()
     if not last:
-        head = [n for n in _WINDOW_FIRST if n in set(names)]
-        return head + [n for n in names if n not in set(head)]
+        names_set = set(names)
+        head = [n for n in _WINDOW_FIRST if n in names_set]
+        head_set = set(head)
+        return head + [n for n in names if n not in head_set]
     demoted = set(_WINDOW_DEPRIORITIZE)
     pos = {n: i for i, n in enumerate(names)}
     return sorted(

@@ -512,26 +512,53 @@ class Searcher:
             scored = self._collapse(scored, collapse, collapse_limit,
                                     order=collapse_order)
         if sortedby is not None:
-            keys = [sortedby] if not isinstance(sortedby, (list, tuple)) else list(sortedby)
-            facets = [as_facet(k) for k in keys]
-            needed = sorted({c for f in facets for c in f.columns})
-            out = scored
-            if needed:
-                docs = self.index.docs.select(
-                    F.col(self.index.doc_id_col).alias("doc_id"), *needed
-                )
-                out = out.join(docs, "doc_id")
-            order = []
-            for f in facets:
-                if f.output_name:
-                    out = out.withColumn(f.output_name, f.key())
-                key = F.col(f.output_name) if f.output_name else f.key()
-                order.append(
-                    key.desc() if facet_desc(f, reverse) else key.asc())
+            out, key_cols, descs = self._attach_sort_keys(
+                scored, sortedby, reverse)
+            order = [
+                (F.col(c).desc() if d else F.col(c).asc())
+                for c, d in zip(key_cols, descs)
+            ]
             out = out.orderBy(*order, F.asc("doc_id"))
             return out.limit(limit) if limit is not None else out
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(limit) if limit is not None else out
+
+    def _attach_sort_keys(self, scored: DataFrame, sortedby, reverse: bool):
+        """Join the doc columns a ``sortedby`` spec needs and attach all
+        key columns in ONE simultaneous projection -> (df, key_cols,
+        descs). One select, not sequential withColumns: a facet whose
+        output name shadows a source column (e.g. a FunctionFacet named
+        after the field it transforms) must not overwrite the input
+        another facet's expression still reads. Duplicate output names
+        get positional ``_sk{i}`` slots so every key keeps its own
+        expression. Shared by :meth:`search` and the sorted-partials
+        engine so both order identically."""
+        keys = ([sortedby] if not isinstance(sortedby, (list, tuple))
+                else list(sortedby))
+        facets = [as_facet(k) for k in keys]
+        needed = sorted({c for f in facets for c in f.columns})
+        out = scored
+        if needed:
+            docs = self.index.docs.select(
+                F.col(self.index.doc_id_col).alias("doc_id"), *needed)
+            out = out.join(docs, "doc_id")
+        key_cols: list[str] = []
+        descs: list[bool] = []
+        for i, f in enumerate(facets):
+            # plain single-column facets keep their field name in the
+            # output (Row.n, Row.role, ...); computed facets use their
+            # output_name or a positional slot; collisions fall back to
+            # the positional slot
+            name = f.output_name or (
+                f.columns[0] if len(f.columns) == 1 else f"_sk{i}")
+            if name in key_cols:
+                name = f"_sk{i}"
+            key_cols.append(name)
+            descs.append(facet_desc(f, reverse))
+        base = [c for c in out.columns if c not in set(key_cols)]
+        out = out.select(
+            *base, *[f.key().alias(n) for f, n in zip(facets, key_cols)])
+        return out, key_cols, descs
 
     def _wand_desc(self, q: Q.Query):
         """Eligibility analysis for block-max WAND routing: returns a plan
@@ -1030,7 +1057,17 @@ class Searcher:
 
         if sortedby is None:
             def cmp_score(a, b):
-                if a[0] != b[0]:
+                # NaN scores: Spark orders NaN as the LARGEST numeric,
+                # so under score DESC they sort first; two NaNs tie.
+                # A plain a[0] != b[0] would make the order non-total
+                # (NaN != NaN but neither < the other).
+                na, nb = a[0] != a[0], b[0] != b[0]
+                if na or nb:
+                    if na and not nb:
+                        return -1
+                    if nb and not na:
+                        return 1
+                elif a[0] != b[0]:
                     return -1 if a[0] > b[0] else 1
                 return -1 if a[1] < b[1] else (1 if a[1] > b[1] else 0)
 
@@ -1043,33 +1080,31 @@ class Searcher:
             return res
 
         # sorted partials: attach the facet key columns exactly like
-        # search(sortedby=...), but stream the UNSORTED frame — a global
-        # orderBy would force the full sort before the first row arrives
-        # and an expired budget would hand back nothing
-        keys = ([sortedby] if not isinstance(sortedby, (list, tuple))
-                else list(sortedby))
-        facets = [as_facet(k) for k in keys]
-        needed = sorted({c for f in facets for c in f.columns})
-        out_df = scored
-        if needed:
-            docs = self.index.docs.select(
-                F.col(self.index.doc_id_col).alias("doc_id"), *needed)
-            out_df = out_df.join(docs, "doc_id")
-        key_cols: list[str] = []
-        descs: list[bool] = []
-        for i, f in enumerate(facets):
-            # plain single-column facets keep their field name in the
-            # output rows (Row.n, Row.role, ...); computed facets use
-            # their output_name or a positional slot
-            name = f.output_name or (
-                f.columns[0] if len(f.columns) == 1 else f"_sk{i}")
-            out_df = out_df.withColumn(name, f.key())
-            key_cols.append(name)
-            descs.append(facet_desc(f, reverse))
+        # search(sortedby=...) — the SAME _attach_sort_keys projection,
+        # so both paths order by identical expressions — but stream the
+        # UNSORTED frame: a global orderBy would force the full sort
+        # before the first row arrives and an expired budget would hand
+        # back nothing
+        out_df, key_cols, descs = self._attach_sort_keys(
+            scored, sortedby, reverse)
         stream = out_df.select("doc_id", "score", *key_cols)
 
         def cmp_sorted(a, b):
             for va, vb, desc in zip(a[0], b[0], descs):
+                # Spark ordering semantics, mirrored exactly so the heap
+                # order is TOTAL: NULLS FIRST asc / LAST desc, and NaN
+                # compares as the largest numeric (greater than any
+                # non-NaN; two NaNs tie). A bare va == vb would make
+                # NaN keys non-comparable in both directions.
+                na = isinstance(va, float) and va != va
+                nb = isinstance(vb, float) and vb != vb
+                if na and nb:
+                    continue
+                if na or nb:
+                    bigger_first = desc  # NaN is the largest value
+                    if na:
+                        return -1 if bigger_first else 1
+                    return 1 if bigger_first else -1
                 if va == vb:
                     continue
                 if va is None:  # Spark: NULLS FIRST asc, NULLS LAST desc
